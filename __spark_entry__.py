@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship cross-modal-style kNN query at
+sf0.001; ``queries()`` maps operator names (SURVEY.md §2) to
+(spark, sf_dir) → DataFrame callables; ``oracle_sql()`` gives each an
+exact DuckDB-runnable ANSI-SQL twin.
+
+Determinism contract shared by every query pair:
+- vector math in DOUBLE with per-element float→double cast before
+  multiply and a sequential left-to-right fold (bit-identical to
+  DuckDB's ``list_dot_product`` over ``DOUBLE[]``);
+- every ranking uses the stable tie-breaker ``ORDER BY sim DESC, id``;
+- computed columns are explicitly aliased AND explicitly cast so Spark
+  and DuckDB schemas agree (BIGINT counts, DOUBLE ratios).
 """
 
 from __future__ import annotations
@@ -12,27 +19,21 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multimodal_vector_db_spark import queries as Q
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: batch kNN similarity
+    join (queries = first 5 embedding rows) over the embeddings corpus —
+    the engine's defining operator (SURVEY.md §2 J3/W2)."""
+    return Q.q_knn_batch(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return Q.REGISTRY
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return Q.ORACLES

@@ -1,0 +1,208 @@
+"""Text-analysis Column expressions for large-scale training-data
+pipelines: tokenization, quality scoring, language-ID heuristics,
+document fingerprinting, shingling.
+
+All pure Catalyst expressions (regexp / array / aggregate functions), so
+they run inside whole-stage codegen over the `documents` table at any
+scale — no Python in the hot path. Each has an exact ANSI-SQL twin for
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish word/token pattern: words, numbers, or single non-space symbols.
+TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+# A tiny multi-language stopword panel for the language-ID heuristic.
+STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization → ARRAY<STRING> (empty array for empty text)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count as BIGINT."""
+    return F.size(tokens(text)).cast("long")
+
+
+def regex_token_count(text: Column | str) -> Column:
+    """BPE-ish token count: words / number runs / single symbols."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(
+        F.filter(
+            F.split(text, r"((?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9\s])|(?<=[^a-zA-Z0-9\s])|\s)+"),
+            lambda t: t != "",
+        )
+    ).cast("long")
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of whitespace tokens that are (lowercased) stopwords."""
+    stopwords = stopwords or STOPWORDS_EN
+    toks = tokens(text)
+    hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*stopwords))
+    ).cast("double")
+    return F.try_divide(hits, F.size(toks).cast("double"))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are non-alphanumeric, non-space."""
+    text = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(text, r"[^a-zA-Z0-9\s]", "")
+    return F.try_divide(
+        (F.length(text) - F.length(stripped)).cast("double"),
+        F.length(text).cast("double"),
+    )
+
+
+def mean_word_length(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    )
+    return F.try_divide(total, F.size(toks).cast("double"))
+
+
+def quality_score(text: Column | str) -> Column:
+    """A deterministic document-quality heuristic in [0, 1]:
+    rewards reasonable length, moderate stopword ratio, low punctuation.
+    (Shape mirrors C4/Gopher-style rule filters from public pipelines.)
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    sw = F.coalesce(stopword_ratio(text), F.lit(0.0))
+    sw_score = F.lit(1.0) - F.least(F.abs(sw - 0.3) / F.lit(0.3), F.lit(1.0))
+    punct = F.coalesce(punct_ratio(text), F.lit(0.0))
+    punct_score = F.lit(1.0) - F.least(punct * 2.0, F.lit(1.0))
+    return F.round((len_score + sw_score + punct_score) / 3.0, 6)
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams of the lowercased text → ARRAY<STRING>."""
+    text = F.col(text) if isinstance(text, str) else text
+    lowered = F.lower(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(lowered) - (n - 1), F.lit(0))),
+            lambda i: F.substring(lowered, i, n),
+        )
+    )
+
+
+def word_shingles(text: Column | str, n: int = 2) -> Column:
+    """Distinct word n-gram shingles → ARRAY<STRING> (for MinHash/Jaccard)."""
+    toks = tokens(F.lower(text if isinstance(text, Column) else F.col(text)))
+    k = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string arrays (order-insensitive)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.try_divide(inter, union)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Normalized-content fingerprint for exact dedup: md5 of the
+    lowercased, whitespace-collapsed text. Portable to any SQL engine.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as ARRAY<STRING>: for each seed i, the
+    lexicographic minimum of ``md5(i || ':' || shingle)``.
+
+    Using md5-hex strings (not ints) keeps the signature bit-identical
+    in any engine with ``md5`` — the basis of the oracle-checkable
+    MinHash-LSH dedup operator. min-of-md5 is a standard k-min-hash.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: signature → ARRAY<STRING> of band bucket keys
+    (band index + md5 of the concatenated band slice)."""
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"b{b}:"),
+                F.md5(
+                    F.array_join(
+                        F.slice(signature, b * rows_per_band + 1, rows_per_band), "|"
+                    )
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def simhash_bits(text: Column | str, bits: int = 16) -> Column:
+    """SimHash over whitespace tokens, returned as a BIGINT of `bits` bits.
+
+    Per token, bit b of the hash is nibble-decoded from the token's md5
+    hex digest (portable: ``strpos``-style hex decoding exists in every
+    engine). Bit b of the output is 1 iff sum over tokens of (+1/-1) > 0.
+    """
+    assert bits % 4 == 0 and bits <= 64
+    text = F.col(text) if isinstance(text, str) else text
+    toks = tokens(F.lower(text))
+    hexdigits = "0123456789abcdef"
+
+    def nibble(tok: Column, pos: int) -> Column:
+        c = F.substring(F.md5(tok), pos + 1, 1)
+        return (F.instr(F.lit(hexdigits), c) - 1).cast("long")
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        nib = b // 4
+        shift = 3 - (b % 4)
+        # +1 if the bit is set else -1, summed over tokens
+        votes = F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t, nib=nib, shift=shift: acc
+            + F.when(
+                F.shiftright(nibble(t, nib), shift) % 2 == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        out = out + F.when(votes > 0, F.lit(2 ** (bits - 1 - b))).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return out
+
+
+def hamming_distance(a: Column, b: Column, bits: int = 16) -> Column:
+    """Hamming distance between two BIGINT bit-sets (via popcount of XOR)."""
+    x = a.bitwiseXOR(b)
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0),
+        lambda acc, i: acc + (F.shiftright(x, i) % 2).cast("int"),
+    )

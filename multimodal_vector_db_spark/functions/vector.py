@@ -1,0 +1,175 @@
+"""Vector math as pure Catalyst Column expressions over ``ARRAY<FLOAT>``.
+
+These are the engine's equivalents of the reference's NumPy/hnswlib
+scalar kernels (cosine similarity ``reranker.py:135-138``, the
+distance→similarity transforms ``vector_index.py:139-144``, L2
+normalization ``text_embedder.py:273``, Matryoshka truncation
+``projection.py:196-220``, FP16 round-trip ``vector_index.py:79-91``).
+
+Everything here stays JVM-side inside whole-stage codegen — no Python
+UDFs — so the hot scoring path of a kNN query is a single codegen'd
+projection over the corpus scan.
+
+Determinism contract (for the DuckDB oracle): every element is cast to
+DOUBLE *before* multiplication, and the reduction is the left-to-right
+sequential fold of ``aggregate`` — the same evaluation order DuckDB uses
+for ``list_dot_product`` over ``DOUBLE[]`` — so dot products are
+bit-identical across engines, no rounding needed.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def to_double_array(v: Column | str) -> Column:
+    """Cast ARRAY<FLOAT> → ARRAY<DOUBLE> (exact widening)."""
+    v = F.col(v) if isinstance(v, str) else v
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product in DOUBLE, sequential left-to-right fold."""
+    return F.aggregate(
+        F.zip_with(to_double_array(a), to_double_array(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(v: Column | str) -> Column:
+    """Euclidean norm ``sqrt(sum(x^2))`` in DOUBLE."""
+    return F.sqrt(
+        F.aggregate(
+            to_double_array(v), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+
+
+def l2_normalize(v: Column | str) -> Column:
+    """``v / ||v||`` (null-safe: zero vector stays zero).
+
+    Reference applies this after every embed (``text_embedder.py:273``,
+    ``projection.py:59``).
+    """
+    v = F.col(v) if isinstance(v, str) else v
+    n = l2_norm(v)
+    return F.when(n == 0.0, to_double_array(v)).otherwise(
+        F.transform(v, lambda x: x.cast("double") / n)
+    )
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Full cosine ``a·b / (||a|| * ||b||)`` (try_divide: null on zero norm).
+
+    For pre-normalized vectors prefer :func:`dot` — it is the same value
+    without the two norm reductions.
+    """
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
+
+
+def distance_to_similarity(distance: Column, metric: str = "cosine") -> Column:
+    """The reference's metric-dependent transform (``vector_index.py:139-144``):
+    cosine → ``1 - d``; l2 → ``1 / (1 + d)``; ip → ``d``.
+    """
+    if metric == "cosine":
+        return 1.0 - distance
+    if metric == "l2":
+        return 1.0 / (1.0 + distance)
+    if metric == "ip":
+        return distance
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def similarity_pct(distance: Column) -> Column:
+    """Demo-style percentage score ``100 / (1 + d)``
+    (``demo_audio_retrieval.py:140``)."""
+    return 100.0 / (1.0 + distance)
+
+
+def slice_renormalize(v: Column | str, dim: int) -> Column:
+    """Matryoshka truncation: keep the first ``dim`` components, then
+    re-normalize (``projection.py:196-220``, ``text_embedder.py:400-403``).
+    """
+    v = F.col(v) if isinstance(v, str) else v
+    return l2_normalize(F.slice(v, 1, dim))
+
+
+MATRYOSHKA_DIMS = [512, 256, 128, 64, 32]  # projection.py:18-28
+
+
+def nearest_matryoshka_dim(requested: int, dims: list[int] | None = None) -> int:
+    """Driver-side nearest-supported-dim rule (``projection.py:201-205``)."""
+    dims = dims or MATRYOSHKA_DIMS
+    return min(dims, key=lambda d: abs(d - requested))
+
+
+def fp16_round_trip(v: Column | str) -> Column:
+    """FP16 storage compression emulation (``vector_index.py:79-91``):
+    fp32 → fp16 → fp32 (IEEE-754 half rounding, 2.0× storage semantics).
+
+    Spark has no half-precision type, so this is an Arrow-batched pandas
+    UDF over numpy — vectorized, deterministic, and only used at
+    write/ingest time (never in the per-query scoring hot path).
+    """
+    v = F.col(v) if isinstance(v, str) else v
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _fp16(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return col.map(
+            lambda arr: np.asarray(arr, dtype=np.float32)
+            .astype(np.float16)
+            .astype(np.float32)
+            .tolist()
+        )
+
+    return _fp16(v)
+
+
+def array_mean_pool(frames: Column) -> Column:
+    """Element-wise mean over an ARRAY<ARRAY<FLOAT>> of frame embeddings
+    (temporal mean pooling, ``video_embedder.py:145-149``). Returns
+    ARRAY<DOUBLE> (un-normalized; compose with :func:`l2_normalize`).
+    """
+    n = F.size(frames).cast("double")
+    summed = F.aggregate(
+        frames,
+        # accumulator seeded with zeros of the right width
+        F.transform(F.element_at(frames, 1), lambda x: F.lit(0.0)),
+        lambda acc, fr: F.zip_with(acc, fr, lambda a, x: a + x.cast("double")),
+    )
+    return F.transform(summed, lambda s: s / n)
+
+
+def array_max_pool(frames: Column) -> Column:
+    """Element-wise max over ARRAY<ARRAY<FLOAT>> (``video_embedder.py:150-152``)."""
+    return F.aggregate(
+        frames,
+        F.transform(F.element_at(frames, 1), lambda x: F.lit(float("-inf"))),
+        lambda acc, fr: F.zip_with(
+            acc, fr, lambda a, x: F.greatest(a, x.cast("double"))
+        ),
+    )
+
+
+def array_attention_pool(frames: Column) -> Column:
+    """Norm-weighted mean (the reference's 'attention' pooling,
+    ``video_embedder.py:153-157``): ``w_i = ||f_i|| / Σ||f_j||``,
+    ``out = Σ w_i f_i``.
+    """
+    total = F.aggregate(
+        frames, F.lit(0.0), lambda acc, fr: acc + l2_norm(fr)
+    )
+    weighted = F.aggregate(
+        frames,
+        F.transform(F.element_at(frames, 1), lambda x: F.lit(0.0)),
+        lambda acc, fr: F.zip_with(
+            acc, fr, lambda a, x: a + x.cast("double") * l2_norm(fr)
+        ),
+    )
+    return F.transform(weighted, lambda s: F.try_divide(s, total))

@@ -1,0 +1,99 @@
+"""kNN operator tests mirroring the reference's index unit tests
+(``tests/test_vector_index.py``): self-recall, filtered search, batch
+shape — on seeded synthetic vectors and the driver's embeddings table."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from multimodal_vector_db_spark.operators.knn import (
+    knn_join,
+    knn_search,
+    top_k_per_group,
+)
+
+
+def _corpus(spark, n=100, dim=16, seed=42):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    cats = ["A" if i % 2 == 0 else "B" for i in range(n)]
+    return (
+        spark.createDataFrame(
+            [
+                (i, cats[i], [float(x) for x in vecs[i]])
+                for i in range(n)
+            ],
+            "id long, category string, embedding array<float>",
+        ),
+        vecs,
+    )
+
+
+def test_self_recall(spark):
+    """test_vector_index.py:28-40: querying with vector 0 returns id 0
+    first with similarity ≈ 1."""
+    df, vecs = _corpus(spark)
+    top = knn_search(df, vecs[0].tolist(), k=5).collect()
+    assert top[0]["id"] == 0
+    assert abs(top[0]["sim"] - 1.0) < 1e-5
+    assert [r["sim"] for r in top] == sorted(
+        [r["sim"] for r in top], reverse=True
+    )
+
+
+def test_filtered_search_only_category(spark):
+    """test_vector_index.py:101-119: filtered search returns only 'A'."""
+    df, vecs = _corpus(spark)
+    out = knn_search(
+        df, vecs[1].tolist(), k=10, predicate=F.col("category") == "A"
+    ).collect()
+    assert len(out) == 10
+    assert all(r["category"] == "A" for r in out)
+
+
+def test_batch_search_shape(spark):
+    """test_vector_index.py:65-77: k results per query, self-hit first."""
+    df, vecs = _corpus(spark)
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(3)],
+        "query_id long, q_emb array<float>",
+    )
+    out = knn_join(df, queries, k=4).collect()
+    assert len(out) == 12
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert rows[0]["id"] == qid  # self-recall
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4]
+
+
+def test_knn_join_matches_knn_search(spark, embeddings):
+    """Batch path and single path agree on the driver's table."""
+    corpus = embeddings.select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    qvec = embeddings.where(F.col("vec_id") == 3).first()["embedding"]
+    single = knn_search(corpus, qvec, k=5).collect()
+    queries = embeddings.where(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    batch = sorted(knn_join(corpus, queries, k=5).collect(), key=lambda r: r["rank"])
+    assert [r["id"] for r in single] == [r["id"] for r in batch]
+    assert [r["sim"] for r in single] == [r["sim"] for r in batch]
+
+
+def test_top_k_per_group_ties_deterministic(spark):
+    df = spark.createDataFrame(
+        [("g1", 1, 5.0), ("g1", 2, 5.0), ("g1", 3, 4.0), ("g2", 4, 1.0)],
+        "g string, id long, sim double",
+    )
+    out = top_k_per_group(df, ["g"], k=2).collect()
+    got = {(r["g"], r["rank"]): r["id"] for r in out}
+    # tie on sim=5.0 broken by id asc
+    assert got[("g1", 1)] == 1
+    assert got[("g1", 2)] == 2
+    assert got[("g2", 1)] == 4

@@ -1,0 +1,111 @@
+"""Unit tests for the vector Column-expression library, mirroring the
+reference's seeded-synthetic-vector strategy (SURVEY.md §5 layer 1,
+``tests/test_vector_index.py:18-26``)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from multimodal_vector_db_spark.functions import vector as V
+
+RNG = np.random.default_rng(42)
+
+
+def _mkdf(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id long, v array<float>",
+    )
+
+
+def test_dot_matches_numpy(spark):
+    a = RNG.normal(size=16).astype(np.float32)
+    b = RNG.normal(size=16).astype(np.float32)
+    df = spark.createDataFrame(
+        [([float(x) for x in a], [float(x) for x in b])],
+        "a array<float>, b array<float>",
+    )
+    got = df.select(V.dot("a", "b").alias("d")).first()["d"]
+    want = float(np.dot(a.astype(np.float64), b.astype(np.float64)))
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_l2_normalize_unit_norm(spark):
+    vecs = RNG.normal(size=(5, 8)).astype(np.float32)
+    df = _mkdf(spark, vecs)
+    norms = df.select(V.l2_norm(V.l2_normalize("v")).alias("n")).collect()
+    for r in norms:
+        assert r["n"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_l2_normalize_zero_vector_safe(spark):
+    df = _mkdf(spark, [np.zeros(4, dtype=np.float32)])
+    out = df.select(V.l2_normalize("v").alias("v")).first()["v"]
+    assert out == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_cosine_self_is_one(spark):
+    v = RNG.normal(size=8).astype(np.float32)
+    df = _mkdf(spark, [v])
+    got = df.select(V.cosine_similarity("v", "v").alias("c")).first()["c"]
+    assert got == pytest.approx(1.0, abs=1e-9)
+
+
+def test_distance_to_similarity_transforms(spark):
+    df = spark.createDataFrame([(0.25,)], "d double")
+    # vector_index.py:139-144 semantics
+    row = df.select(
+        V.distance_to_similarity(F.col("d"), "cosine").alias("cos"),
+        V.distance_to_similarity(F.col("d"), "l2").alias("l2"),
+        V.distance_to_similarity(F.col("d"), "ip").alias("ip"),
+    ).first()
+    assert row["cos"] == 0.75
+    assert row["l2"] == 0.8
+    assert row["ip"] == 0.25
+
+
+def test_slice_renormalize_matryoshka(spark):
+    v = RNG.normal(size=16).astype(np.float32)
+    df = _mkdf(spark, [v])
+    out = df.select(V.slice_renormalize("v", 4).alias("v")).first()["v"]
+    want = v[:4].astype(np.float64)
+    want = want / np.linalg.norm(want)
+    assert out == pytest.approx(want.tolist(), rel=1e-6)
+    assert math.isclose(sum(x * x for x in out), 1.0, rel_tol=1e-12)
+
+
+def test_nearest_matryoshka_dim():
+    assert V.nearest_matryoshka_dim(512) == 512
+    assert V.nearest_matryoshka_dim(100) == 128
+    assert V.nearest_matryoshka_dim(1) == 32
+
+
+def test_fp16_round_trip(spark):
+    v = RNG.normal(size=8).astype(np.float32)
+    df = _mkdf(spark, [v])
+    out = df.select(V.fp16_round_trip("v").alias("v")).first()["v"]
+    want = v.astype(np.float16).astype(np.float32).tolist()
+    assert out == want
+
+
+def test_mean_max_attention_pool(spark):
+    frames = RNG.normal(size=(3, 4)).astype(np.float32)
+    df = spark.createDataFrame(
+        [([list(map(float, f)) for f in frames],)],
+        "frames array<array<float>>",
+    )
+    row = df.select(
+        V.array_mean_pool(F.col("frames")).alias("mean"),
+        V.array_max_pool(F.col("frames")).alias("max"),
+        V.array_attention_pool(F.col("frames")).alias("attn"),
+    ).first()
+    f64 = frames.astype(np.float64)
+    assert row["mean"] == pytest.approx(f64.mean(axis=0).tolist(), rel=1e-9)
+    assert row["max"] == pytest.approx(f64.max(axis=0).tolist(), rel=1e-9)
+    norms = np.linalg.norm(f64, axis=1)
+    attn = (f64 * (norms / norms.sum())[:, None]).sum(axis=0)
+    assert row["attn"] == pytest.approx(attn.tolist(), rel=1e-6)
