@@ -89,10 +89,14 @@ def char_ngrams(text: Column | str, n: int = 3) -> Column:
     """Distinct character n-grams of the lowercased text → ARRAY<STRING>."""
     text = F.col(text) if isinstance(text, str) else text
     lowered = F.lower(text)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(lowered) - (n - 1), F.lit(0))),
-            lambda i: F.substring(lowered, i, n),
+    # guard: sequence(1, 0) in Spark is DESCENDING [1,0], so emit [] for
+    # strings shorter than n
+    return F.when(F.length(lowered) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(lowered) - (n - 1)),
+                lambda i: F.substring(lowered, i, n),
+            )
         )
     )
 
@@ -101,10 +105,12 @@ def word_shingles(text: Column | str, n: int = 2) -> Column:
     """Distinct word n-gram shingles → ARRAY<STRING> (for MinHash/Jaccard)."""
     toks = tokens(F.lower(text if isinstance(text, Column) else F.col(text)))
     k = F.size(toks)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+    return F.when(k < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
         )
     )
 
@@ -132,14 +138,19 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     Using md5-hex strings (not ints) keeps the signature bit-identical
     in any engine with ``md5`` — the basis of the oracle-checkable
     MinHash-LSH dedup operator. min-of-md5 is a standard k-min-hash.
+
+    NB: the per-seed hasher must be built by a closure factory — a
+    ``lambda s, i=i`` default arg would make Spark treat it as the
+    2-arg (element, index) transform form and pass the array index.
     """
+
+    def hasher(seed: int):
+        prefix = f"{seed}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
-                )
-            )
+            F.array_min(F.transform(shingles, hasher(i)))
             for i in range(num_hashes)
         ]
     )
@@ -163,46 +174,50 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+HEXDIGITS = "0123456789abcdef"
+
+
+def token_hash16(tok: Column) -> Column:
+    """16-bit token hash: the first 4 hex nibbles of md5, decoded via
+    string position (portable to any SQL engine — no hex casts)."""
+    h = F.md5(tok)
+    out = F.lit(0).cast("long")
+    for j in range(4):
+        nib = (F.instr(F.lit(HEXDIGITS), F.substring(h, j + 1, 1)) - 1).cast(
+            "long"
+        )
+        out = out + nib * F.lit(16 ** (3 - j)).cast("long")
+    return out
+
+
 def simhash_bits(text: Column | str, bits: int = 16) -> Column:
     """SimHash over whitespace tokens, returned as a BIGINT of `bits` bits.
 
-    Per token, bit b of the hash is nibble-decoded from the token's md5
-    hex digest (portable: ``strpos``-style hex decoding exists in every
-    engine). Bit b of the output is 1 iff sum over tokens of (+1/-1) > 0.
+    Each token is hashed once to a 16-bit value (:func:`token_hash16`);
+    bit b of the output is 1 iff the sum over tokens of (+1 if bit b set
+    else -1) is positive. Duplicate tokens vote once per occurrence.
     """
-    assert bits % 4 == 0 and bits <= 64
+    assert bits <= 16
     text = F.col(text) if isinstance(text, str) else text
-    toks = tokens(F.lower(text))
-    hexdigits = "0123456789abcdef"
-
-    def nibble(tok: Column, pos: int) -> Column:
-        c = F.substring(F.md5(tok), pos + 1, 1)
-        return (F.instr(F.lit(hexdigits), c) - 1).cast("long")
+    hv = F.transform(tokens(F.lower(text)), token_hash16)
+    def voter(shift: int):
+        # closure factory: keep the merge lambda strictly 2-arg
+        return lambda acc, x: acc + F.when(
+            F.shiftright(x, shift) % 2 == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
 
     out = F.lit(0).cast("long")
     for b in range(bits):
-        nib = b // 4
-        shift = 3 - (b % 4)
-        # +1 if the bit is set else -1, summed over tokens
-        votes = F.aggregate(
-            toks,
-            F.lit(0).cast("long"),
-            lambda acc, t, nib=nib, shift=shift: acc
-            + F.when(
-                F.shiftright(nibble(t, nib), shift) % 2 == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
+        shift = bits - 1 - b
+        votes = F.aggregate(hv, F.lit(0).cast("long"), voter(shift))
+        out = out + F.when(votes > 0, F.lit(2**shift)).otherwise(F.lit(0)).cast(
+            "long"
         )
-        out = out + F.when(votes > 0, F.lit(2 ** (bits - 1 - b))).otherwise(
-            F.lit(0)
-        ).cast("long")
     return out
 
 
 def hamming_distance(a: Column, b: Column, bits: int = 16) -> Column:
-    """Hamming distance between two BIGINT bit-sets (via popcount of XOR)."""
-    x = a.bitwiseXOR(b)
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0),
-        lambda acc, i: acc + (F.shiftright(x, i) % 2).cast("int"),
-    )
+    """Hamming distance between two BIGINT bit-sets: popcount of XOR
+    (``bit_count`` is JVM-codegen'd in Spark and exists in DuckDB too)."""
+    del bits  # signature kept for callers that pass an explicit width
+    return F.bit_count(a.bitwiseXOR(b))
