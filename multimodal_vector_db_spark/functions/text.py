@@ -190,16 +190,15 @@ def token_hash16(tok: Column) -> Column:
     return out
 
 
-def simhash_bits(text: Column | str, bits: int = 16) -> Column:
-    """SimHash over whitespace tokens, returned as a BIGINT of `bits` bits.
+def simhash_from_token_hashes(hv: Column, bits: int = 16) -> Column:
+    """SimHash from a *materialized* array of 16-bit token hashes.
 
-    Each token is hashed once to a 16-bit value (:func:`token_hash16`);
-    bit b of the output is 1 iff the sum over tokens of (+1 if bit b set
-    else -1) is positive. Duplicate tokens vote once per occurrence.
+    Callers should stage ``hv = transform(tokens, token_hash16)`` as its
+    own projected column first: higher-order functions are interpreted
+    (no codegen/CSE), so inlining ``hv`` here would recompute the md5
+    pass once per bit.
     """
     assert bits <= 16
-    text = F.col(text) if isinstance(text, str) else text
-    hv = F.transform(tokens(F.lower(text)), token_hash16)
     def voter(shift: int):
         # closure factory: keep the merge lambda strictly 2-arg
         return lambda acc, x: acc + F.when(
@@ -214,6 +213,18 @@ def simhash_bits(text: Column | str, bits: int = 16) -> Column:
             "long"
         )
     return out
+
+
+def simhash_bits(text: Column | str, bits: int = 16) -> Column:
+    """SimHash over whitespace tokens as a single Column expression.
+
+    Convenience form; for hot paths prefer staging
+    ``transform(tokens(lower(text)), token_hash16)`` as a projected
+    column and calling :func:`simhash_from_token_hashes` on it.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    hv = F.transform(tokens(F.lower(text)), token_hash16)
+    return simhash_from_token_hashes(hv, bits)
 
 
 def hamming_distance(a: Column, b: Column, bits: int = 16) -> Column:

@@ -34,6 +34,7 @@ from multimodal_vector_db_spark.functions.text import (
     word_shingles,
 )
 from multimodal_vector_db_spark.functions.vector import dot
+from multimodal_vector_db_spark.operators.util import ensure_parallelism
 
 
 def exact_duplicates(
@@ -87,6 +88,7 @@ def minhash_lsh_candidates(
     distinct pairs → Jaccard verify on the colliding pairs only.
     """
     rows_per_band = num_hashes // bands
+    docs = ensure_parallelism(docs)
     sig = docs.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
@@ -126,7 +128,7 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity pairs ≥ threshold, within a
     blocking key (all-pairs if ``block_col`` is None — quadratic; only
     for small corpora or post-LSH verification)."""
-    base = docs.select(
+    base = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         *([F.col(block_col).alias("block")] if block_col else []),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),

@@ -777,12 +777,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     within a language block at Hamming distance ≤ 3."""
     from multimodal_vector_db_spark.functions.text import (
         hamming_distance,
-        simhash_bits,
+        simhash_from_token_hashes,
+        token_hash16,
+        tokens,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", "lang", simhash_bits(F.col("text"), 16).alias("simhash")
+    from multimodal_vector_db_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    # stage the md5 token-hash pass as its own projection: higher-order
+    # fns are interpreted (no CSE), so the 16 per-bit folds must read a
+    # materialized hv column instead of recomputing tokenize+md5 16x
+    hv = docs.select(
+        "doc_id",
+        "lang",
+        F.transform(tokens(F.lower(F.col("text"))), token_hash16).alias("hv"),
+    )
+    sh = hv.select(
+        "doc_id", "lang", simhash_from_token_hashes(F.col("hv"), 16).alias("simhash")
     )
     a, b = sh.alias("a"), sh.alias("b")
     return (
@@ -1089,4 +1101,87 @@ def q_fp16_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.round(l2_norm(fp16_round_trip("embedding")), 6).alias("fp16_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classic shapes (headline relational benchmarks)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)::DOUBLE AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1997-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy multi-aggregate groupBy — partial
+    (map-side) aggregation makes the shuffle a few rows per partition."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1997-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join → agg → top-k.
+    customer is broadcast (small side); lineitem never shuffles twice."""
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
     )
