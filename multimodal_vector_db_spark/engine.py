@@ -1,0 +1,210 @@
+"""MultiModalSearchEngine — the engine facade (SURVEY.md §3.2), a thin
+layer over (a) the embedder UDF registry, (b) the items DataFrame,
+(c) the kNN query builders.
+
+Mirrors ``src/retrieval/search_engine.py``'s surface:
+``search(query, query_type, k, filter_content_type)``,
+``ingest_content`` / ``batch_ingest``, ``save`` / ``load``,
+``get_stats`` — with two deliberate fixes over the reference:
+
+- the metric is cosine everywhere (the reference's engine constructs an
+  L2 index while its build scripts use cosine — ``search_engine.py:41-45``
+  vs ``build_all_indices.py:49`` — equivalent ranking on normalized
+  vectors but inconsistent reported scores; we standardize);
+- space-correctness is *enforced*: an audio (CLAP-space) query is only
+  ever scored against CLAP-space rows, CLIP queries against CLIP rows
+  (``README.md:36``) — the reference gets this only implicitly via
+  post-hoc modality routing.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multimodal_vector_db_spark.embedders.fake import fake_embed_numpy
+from multimodal_vector_db_spark.operators.knn import knn_search
+from multimodal_vector_db_spark.operators.rerank import rerank
+from multimodal_vector_db_spark.sources.corpus import (
+    active,
+    space_for_modality,
+)
+from multimodal_vector_db_spark.sources.storage import CorpusStorage
+
+#: modality → embedding space (README.md:36)
+SPACE_OF = {"image": "clip", "video": "clip", "text": "clip", "audio": "clap"}
+
+
+class MultiModalSearchEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        items: DataFrame | None = None,
+        dim: int = 64,
+        embed_fn: Callable[[str, str], list[float]] | None = None,
+    ):
+        self.spark = spark
+        self.dim = dim
+        # pluggable text embedder (space-aware); default = hermetic fake
+        self._embed = embed_fn or (
+            lambda text, space: fake_embed_numpy(text, space, dim).tolist()
+        )
+        self.items = items
+
+    # -- ingestion (search_engine.py:81-172) ---------------------------
+    def batch_ingest(self, rows: list[dict[str, Any]]) -> None:
+        """Append (content, modality) records; embeds into the right
+        space and stamps id/space/deleted columns."""
+        start_id = 0
+        if self.items is not None:
+            start_id = (
+                self.items.agg(F.max("id").alias("m")).first()["m"] or -1
+            ) + 1
+        data = []
+        for i, r in enumerate(rows):
+            modality = r.get("modality", "text")
+            space = SPACE_OF[modality]
+            data.append(
+                (
+                    start_id + i,
+                    modality,
+                    space,
+                    self._embed(r["content"], space),
+                    self.dim,
+                    False,
+                    r["content"],
+                    r.get("display_name", f"item_{start_id + i}"),
+                )
+            )
+        schema = (
+            "id long, modality string, space string, "
+            "embedding array<float>, dim int, deleted boolean, "
+            "content string, display_name string"
+        )
+        new = self.spark.createDataFrame(data, schema)
+        self.items = new if self.items is None else self.items.unionByName(
+            new, allowMissingColumns=True
+        )
+
+    def ingest_content(self, content: str, modality: str = "text", **meta) -> None:
+        self.batch_ingest([{"content": content, "modality": modality, **meta}])
+
+    def remove(self, ids: list[int]) -> None:
+        """Soft delete — and unlike the reference's write-only tombstone
+        (vector_index.py:212-222), every search honors it."""
+        self.items = self.items.withColumn(
+            "deleted",
+            F.when(F.col("id").isin(ids), F.lit(True)).otherwise(
+                F.col("deleted")
+            ),
+        )
+
+    # -- search (search_engine.py:174-223) -----------------------------
+    def search(
+        self,
+        query: str | list[float],
+        query_type: str = "text",
+        k: int = 10,
+        filter_content_type: str | None = None,
+        query_space: str | None = None,
+        strategy: str = "distance",
+        predicate: Column | None = None,
+    ) -> list[dict[str, Any]]:
+        """Top-k search. Text queries embed into ``query_space``
+        (default: the space implied by ``filter_content_type``, else
+        clip). Only same-space rows are scored — cross-space similarity
+        is refused by construction."""
+        space = query_space or SPACE_OF.get(filter_content_type or "text", "clip")
+        qvec = (
+            self._embed(query, space) if isinstance(query, str) else query
+        )
+        corpus = active(self.items).where(F.col("space") == space)
+        if filter_content_type is not None:
+            corpus = corpus.where(F.col("modality") == filter_content_type)
+        if predicate is not None:
+            corpus = corpus.filter(predicate)
+        fetch_n = k if strategy in (None, "distance") else max(k * 4, 20)
+        top = knn_search(
+            corpus,
+            qvec,
+            k=fetch_n,
+            payload_cols=[
+                c for c in corpus.columns if c not in ("embedding", "dim")
+            ],
+        )
+        rows = [r.asDict() for r in top.collect()]
+        if strategy not in (None, "distance"):
+            emb_by_id = {
+                r["id"]: r["embedding"]
+                for r in corpus.select("id", "embedding")
+                .where(F.col("id").isin([x["id"] for x in rows]))
+                .collect()
+            }
+            for r in rows:
+                r["embedding"] = emb_by_id.get(r["id"])
+        return rerank(rows, strategy=strategy, top_k=k)
+
+    def compare_modalities(
+        self, query: str, k_per_modality: int = 3
+    ) -> DataFrame:
+        """§3.3 signature query as ONE plan: dual-space scoring routed by
+        modality + per-modality top-k (no 10k over-fetch)."""
+        from pyspark.sql import Window
+
+        q_clip = self._embed(query, "clip")
+        q_clap = self._embed(query, "clap")
+        lit = lambda v: F.array(*[F.lit(float(x)) for x in v])  # noqa: E731
+        from multimodal_vector_db_spark.functions.vector import dot
+
+        scored = active(self.items).withColumn(
+            "sim",
+            F.when(
+                F.col("space") == "clap", dot(F.col("embedding"), lit(q_clap))
+            ).otherwise(dot(F.col("embedding"), lit(q_clip))),
+        )
+        w = Window.partitionBy("modality").orderBy(
+            F.col("sim").desc(), F.col("id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k_per_modality)
+            .select("modality", "space", "id", "display_name", "sim", "rank")
+        )
+
+    # -- persistence (search_engine.py:225-258) ------------------------
+    def save(self, base_path: str, name: str = "items") -> None:
+        storage = CorpusStorage(base_path)
+        storage.save_index(
+            self.items,
+            name,
+            manifest={"dim": self.dim, "metric": "cosine"},
+            partition_by=["modality"],
+        )
+        storage.save_config({"dim": self.dim, "metric": "cosine"})
+
+    @classmethod
+    def load(
+        cls, spark: SparkSession, base_path: str, name: str = "items"
+    ) -> "MultiModalSearchEngine":
+        storage = CorpusStorage(base_path)
+        df, manifest = storage.load_index(spark, name)
+        eng = cls(spark, items=df, dim=manifest.get("dim", 64))
+        return eng
+
+    # -- stats (A12, vector_index.py:279-291) --------------------------
+    def get_stats(self) -> dict[str, Any]:
+        counts = {
+            r["modality"]: r["n"]
+            for r in active(self.items)
+            .groupBy("modality")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        return {
+            "total_vectors": sum(counts.values()),
+            "by_modality": counts,
+            "dimension": self.dim,
+            "metric": "cosine",
+        }

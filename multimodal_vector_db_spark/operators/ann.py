@@ -1,0 +1,203 @@
+"""Approximate nearest neighbor accelerators.
+
+The reference's HNSW graph (``vector_index.py:33-65``) is a
+single-process access method with no distributed analogue; the idiomatic
+Spark replacements (SURVEY.md §4) prune the *corpus scan* instead of
+walking a graph:
+
+- **Hyperplane LSH** (:func:`add_hyperplane_buckets`): sign-pattern of
+  dot products against a fixed set of hyperplanes → bucket id column.
+  Search joins query↔corpus on bucket equality, so the per-query
+  candidate set is corpus/2^H in expectation. With the bucket as a
+  *partition column* of the materialized corpus, Catalyst turns this
+  into partition pruning — the reference's "6.74× from per-modality
+  indexes" effect, generalized.
+- **IVF** (:func:`ivf_fit` / :func:`ivf_search`): MLlib KMeans
+  centroids, each row assigned to its nearest centroid; a query scans
+  only the ``nprobe`` nearest clusters. The Spark analogue of
+  coarse-quantizer pruning in FAISS-style IVF indexes.
+
+Both paths are *opt-in accelerators*: the default exact kNN
+(``operators/knn.py``) is the correctness baseline, and recall of the
+ANN paths against it is measured in ``tests/test_ann.py`` (the
+reference's own validation standard — recall against brute force, not
+hash equality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from multimodal_vector_db_spark.functions.vector import dot
+from multimodal_vector_db_spark.operators.knn import top_k_per_group
+
+
+def hyperplane_bucket(
+    vector_col: Column, hyperplanes: list[list[float]]
+) -> Column:
+    """Bucket id = Σ 2^i · [v · h_i ≥ 0] — a pure, deterministic Column
+    expression (bit-exact in any engine given the same hyperplanes)."""
+    bucket = F.lit(0).cast("long")
+    for i, h in enumerate(hyperplanes):
+        lit_h = F.array(*[F.lit(float(x)) for x in h])
+        bucket = bucket + F.when(
+            dot(vector_col, lit_h) >= 0, F.lit(2**i)
+        ).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def add_hyperplane_buckets(
+    corpus: DataFrame,
+    hyperplanes: list[list[float]],
+    vector_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    return corpus.withColumn(
+        bucket_col, hyperplane_bucket(F.col(vector_col), hyperplanes)
+    )
+
+
+def lsh_bucket_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    hyperplanes: list[list[float]],
+    k: int,
+    query_id_col: str = "query_id",
+    query_vector_col: str = "q_emb",
+    id_col: str = "id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: score only corpus rows in the query's LSH bucket.
+
+    Plan: both sides get a bucket column; equi-join on bucket (hash
+    shuffle on a small int key — or pure partition pruning if the
+    corpus is stored partitioned by bucket) → per-query ranking window
+    over the ~corpus/2^H candidates."""
+    c = add_hyperplane_buckets(
+        corpus.select(F.col(id_col).alias("id"), F.col(vector_col).alias("__emb")),
+        hyperplanes,
+        "__emb",
+    )
+    q = add_hyperplane_buckets(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vector_col).alias("__q"),
+        ),
+        hyperplanes,
+        "__q",
+    )
+    scored = c.join(q, on="bucket").select(
+        "query_id", "id", dot(F.col("__emb"), F.col("__q")).alias("sim")
+    )
+    return top_k_per_group(scored, ["query_id"], k)
+
+
+def ivf_fit(
+    corpus: DataFrame,
+    n_clusters: int,
+    vector_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+):
+    """Fit IVF coarse centroids with MLlib KMeans. Returns the list of
+    centroids (as plain python lists) — small enough to broadcast into
+    pure-expression assignment, keeping search JVM-side."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vector_col).cast("array<double>")).alias(
+            "features"
+        )
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(feats)
+    return [c.tolist() for c in model.clusterCenters()]
+
+
+def nearest_centroid(
+    vector_col: Column, centroids: list[list[float]]
+) -> Column:
+    """Index of the max-dot-product centroid (vectors L2-normalized →
+    same ranking as min-L2). Pure expression over the broadcast list."""
+    pairs = F.array(
+        *[
+            F.struct(
+                dot(vector_col, F.array(*[F.lit(float(x)) for x in c])).alias(
+                    "sim"
+                ),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_max(pairs)["cid"]
+
+
+def top_centroids(
+    vector_col: Column, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """Array of the nprobe highest-dot centroid ids for a query vector."""
+    pairs = F.array(
+        *[
+            F.struct(
+                dot(vector_col, F.array(*[F.lit(float(x)) for x in c])).alias(
+                    "sim"
+                ),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(
+        F.slice(F.reverse(F.array_sort(pairs)), 1, nprobe), lambda s: s["cid"]
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vector_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Assign every row its coarse cluster. At scale, write the corpus
+    ``partitionBy(cluster_col)`` so nprobe search becomes partition
+    pruning at the parquet scan."""
+    return corpus.withColumn(
+        cluster_col, nearest_centroid(F.col(vector_col), centroids)
+    )
+
+
+def ivf_search(
+    assigned_corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int,
+    nprobe: int,
+    query_id_col: str = "query_id",
+    query_vector_col: str = "q_emb",
+    id_col: str = "id",
+    vector_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """IVF ANN search: per query, scan only the nprobe nearest clusters.
+
+    Join condition ``array_contains(probe_clusters, cluster_id)`` after
+    exploding the (tiny) query×probe side keeps it an equi-join on
+    cluster_id — shuffle bounded by candidate rows, prunable partitions."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vector_col).alias("__q"),
+        F.explode(
+            top_centroids(F.col(query_vector_col), centroids, nprobe)
+        ).alias(cluster_col),
+    )
+    c = assigned_corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vector_col).alias("__emb"),
+        F.col(cluster_col),
+    )
+    scored = c.join(F.broadcast(q), on=cluster_col).select(
+        "query_id", "id", dot(F.col("__emb"), F.col("__q")).alias("sim")
+    )
+    return top_k_per_group(scored, ["query_id"], k)

@@ -1,0 +1,84 @@
+"""Result reranking (R1/R2): strategy dispatch + MMR diversity rerank.
+
+Reference semantics (``reranker.py``):
+- strategies: 'distance' (identity), 'diversity' (MMR λ=0.5),
+  'combined' (MMR λ=0.7); unknown strategy → identity; always truncate
+  to top_k afterwards (``reranker.py:17-50``).
+- MMR (``reranker.py:52-117``): greedy — seed with the best-by-score
+  candidate, then repeatedly pick
+  ``argmax λ·rel(d) − (1−λ)·max_{s∈sel} sim(d, s)``;
+  candidates lacking an embedding → input returned unchanged
+  (``reranker.py:70-77``).
+
+MMR is inherently a small-N sequential greedy loop, so it runs
+driver-side over the collected top-N (N ≲ a few hundred) — the
+candidate *generation* is the distributed part. Deterministic given its
+input: ties broken by candidate order (stable argmax), matching the
+reference's ``np.argmax`` first-hit semantics.
+"""
+
+from __future__ import annotations
+
+import math
+
+Row = dict
+
+
+def _cosine(a: list[float], b: list[float]) -> float:
+    """reranker.py:135-138 — epsilon-guarded cosine."""
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb + 1e-8)
+
+
+def mmr_rerank(
+    candidates: list[Row],
+    top_k: int,
+    lambda_param: float = 0.5,
+    score_key: str = "sim",
+    embedding_key: str = "embedding",
+) -> list[Row]:
+    """Maximal Marginal Relevance over an ordered candidate list."""
+    if not candidates:
+        return []
+    if any(embedding_key not in c or c[embedding_key] is None for c in candidates):
+        return candidates[:top_k]  # reranker.py:70-77
+
+    remaining = list(candidates)
+    # seed: best by relevance score (stable first-max)
+    best_i = max(range(len(remaining)), key=lambda i: (remaining[i][score_key], -i))
+    selected = [remaining.pop(best_i)]
+    while remaining and len(selected) < top_k:
+        best_i, best_val = 0, -float("inf")
+        for i, cand in enumerate(remaining):
+            max_sim = max(
+                _cosine(cand[embedding_key], s[embedding_key])
+                for s in selected
+            )
+            val = (
+                lambda_param * cand[score_key]
+                - (1.0 - lambda_param) * max_sim
+            )
+            if val > best_val:  # strict: first max wins (np.argmax)
+                best_i, best_val = i, val
+        selected.append(remaining.pop(best_i))
+    return selected
+
+
+def rerank(
+    candidates: list[Row],
+    strategy: str = "distance",
+    top_k: int | None = None,
+    score_key: str = "sim",
+    embedding_key: str = "embedding",
+) -> list[Row]:
+    """R1 dispatch (``reranker.py:17-50``)."""
+    top_k = top_k if top_k is not None else len(candidates)
+    if strategy == "diversity":
+        out = mmr_rerank(candidates, top_k, 0.5, score_key, embedding_key)
+    elif strategy == "combined":
+        out = mmr_rerank(candidates, top_k, 0.7, score_key, embedding_key)
+    else:  # 'distance' or unknown → identity order
+        out = list(candidates)
+    return out[:top_k]

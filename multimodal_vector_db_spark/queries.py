@@ -1185,3 +1185,165 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN accelerators (SURVEY §4: the Spark-idiomatic replacement for HNSW)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_lsh_knn",
+    """
+    WITH hp AS (
+      SELECT vec_id AS hid, embedding::DOUBLE[] AS hv
+      FROM embeddings WHERE vec_id < 4
+    ),
+    b AS (
+      SELECT e.vec_id, e.embedding,
+             sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], hp.hv) >= 0
+                 THEN (1 << hp.hid) ELSE 0 END)::BIGINT AS bucket
+      FROM embeddings e CROSS JOIN hp
+      GROUP BY e.vec_id, e.embedding
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, bucket
+      FROM b WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT q.query_id, b.vec_id AS id,
+             list_dot_product(b.embedding::DOUBLE[], q.q_emb::DOUBLE[]) AS sim
+      FROM b JOIN q ON b.bucket = q.bucket
+    ),
+    ranked AS (
+      SELECT query_id, id, sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, id, sim, rank::BIGINT AS rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN: sign-pattern bucket (4 fixed
+    hyperplanes) → bucket equi-join → per-query top-5. The scale path:
+    with the corpus stored partitionBy(bucket), this is partition
+    pruning — each query touches ~1/16 of the data."""
+    from multimodal_vector_db_spark.operators.ann import (
+        add_hyperplane_buckets,
+        lsh_bucket_knn,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    hyperplanes = [
+        r["embedding"]
+        for r in emb.where(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    out = lsh_bucket_knn(
+        emb.select(F.col("vec_id").alias("id"), "embedding"),
+        queries,
+        hyperplanes,
+        k=5,
+    )
+    return out.select(
+        "query_id", "id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@query("ann_ivf_knn")  # rows-only: KMeans centroids differ across engines
+def q_ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: MLlib KMeans coarse quantizer (8 clusters, seed 42),
+    nprobe=2 cluster-pruned search for 10 queries. Validated by recall
+    against exact kNN in tests/test_ann.py (the reference's own
+    standard for ANN paths — never hash equality)."""
+    from multimodal_vector_db_spark.operators.ann import (
+        ivf_assign,
+        ivf_fit,
+        ivf_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), "embedding")
+    centroids = ivf_fit(corpus, n_clusters=8)
+    assigned = ivf_assign(corpus, centroids)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    out = ivf_search(assigned, queries, centroids, k=5, nprobe=2)
+    return out.select(
+        "query_id", "id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal routing — the system's signature query (SURVEY §3.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cross_modal_routed",
+    """
+    WITH m AS (
+      SELECT vec_id, embedding,
+             (['image','video','audio','text'])[(label % 4) + 1] AS modality
+      FROM embeddings
+    ),
+    qc AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    qa AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 1),
+    scored AS (
+      SELECT m.vec_id AS id, m.modality,
+             CASE WHEN m.modality = 'audio'
+                  THEN list_dot_product(m.embedding::DOUBLE[], qa.v)
+                  ELSE list_dot_product(m.embedding::DOUBLE[], qc.v)
+             END AS sim
+      FROM m, qc, qa
+    ),
+    ranked AS (
+      SELECT modality, id, sim,
+             row_number() OVER (
+               PARTITION BY modality ORDER BY sim DESC, id ASC) AS rank
+      FROM scored
+    )
+    SELECT modality, id, sim, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_cross_modal_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 compare_modalities as ONE plan: dual-space query vectors
+    (CLIP for image/video/text, CLAP for audio) routed by modality,
+    then top-k per modality — replacing the reference's two k=10000
+    over-fetch searches + Python routing (search_cross_modal.py:107-173)
+    with a single scan, no over-fetch."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("video"), F.lit("audio"), F.lit("text")),
+        (F.col("label") % 4 + 1).cast("int"),
+    )
+    q_clip = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    q_clap = emb.where(F.col("vec_id") == 1).first()["embedding"]
+    lit = lambda v: F.array(*[F.lit(float(x)) for x in v])  # noqa: E731
+    scored = emb.select(
+        F.col("vec_id").alias("id"),
+        modality.alias("modality"),
+        F.when(
+            modality == "audio", dot(F.col("embedding"), lit(q_clap))
+        )
+        .otherwise(dot(F.col("embedding"), lit(q_clip)))
+        .alias("sim"),
+    )
+    w = Window.partitionBy("modality").orderBy(
+        F.col("sim").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("modality", "id", "sim", F.col("rank").cast("long").alias("rank"))
+    )

@@ -1,0 +1,87 @@
+"""Warehouse storage: partitioned-parquet corpus tables + JSON manifest.
+
+The engine's equivalent of the reference's ``StorageManager``
+(``storage.py:7-64``) and index save/load (``vector_index.py:224-277``,
+S8-S11): an index *is* the materialized, embedded, modality-partitioned
+corpus table plus a small JSON manifest carrying what the reference
+pickled alongside the hnswlib binary ({dimension, metric, id_counter,
+use_fp16, ...}).
+
+Partitioning by ``modality`` is the load-bearing choice: the
+reference's "individual indexes are 6.74× faster than unified"
+(README.md:150-153) is partition pruning here — ``WHERE modality = 'x'``
+never touches other modalities' files. At 100 TB, add a second
+partition level (LSH bucket / IVF cluster id) for ANN pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CorpusStorage:
+    """Directory layout: <base>/indices/<name>/ (parquet) +
+    <base>/indices/<name>.manifest.json + <base>/config.json."""
+
+    def __init__(self, base_path: str):
+        self.base_path = base_path
+        self.indices_path = os.path.join(base_path, "indices")
+        os.makedirs(self.indices_path, exist_ok=True)
+
+    # -- index tables (S8/S9) ------------------------------------------
+    def save_index(
+        self,
+        df: DataFrame,
+        name: str,
+        manifest: dict[str, Any] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        path = os.path.join(self.indices_path, name)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        meta = {
+            "name": name,
+            "partition_by": partition_by or [],
+            **(manifest or {}),
+        }
+        with open(path + ".manifest.json", "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True)
+
+    def load_index(
+        self, spark: SparkSession, name: str
+    ) -> tuple[DataFrame, dict[str, Any]]:
+        path = os.path.join(self.indices_path, name)
+        with open(path + ".manifest.json") as f:
+            manifest = json.load(f)
+        return spark.read.parquet(path), manifest
+
+    # -- engine config (S10, storage.py:26-36) -------------------------
+    def save_config(self, config: dict[str, Any]) -> None:
+        with open(os.path.join(self.base_path, "config.json"), "w") as f:
+            json.dump(config, f, indent=2, sort_keys=True)
+
+    def load_config(self) -> dict[str, Any]:
+        with open(os.path.join(self.base_path, "config.json")) as f:
+            return json.load(f)
+
+    # -- filesystem ops (S11, storage.py:46-64) ------------------------
+    def exists(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self.indices_path, name))
+
+    def clear(self) -> None:
+        shutil.rmtree(self.base_path, ignore_errors=True)
+        os.makedirs(self.indices_path, exist_ok=True)
+
+    def get_size_bytes(self) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(self.base_path):
+            for fn in files:
+                total += os.path.getsize(os.path.join(root, fn))
+        return total

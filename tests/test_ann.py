@@ -1,0 +1,83 @@
+"""ANN accelerator validation: recall against the exact path — the
+reference's own standard for approximate search (SURVEY.md §5: "ANN
+paths are tested by recall@k against the exact brute-force path, never
+by hash equality")."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multimodal_vector_db_spark.operators.ann import (
+    add_hyperplane_buckets,
+    ivf_assign,
+    ivf_fit,
+    ivf_search,
+    lsh_bucket_knn,
+)
+from multimodal_vector_db_spark.operators.knn import knn_join
+
+
+def _recall(exact_rows, ann_rows, k):
+    exact, ann = {}, {}
+    for r in exact_rows:
+        exact.setdefault(r["query_id"], set()).add(r["id"])
+    for r in ann_rows:
+        ann.setdefault(r["query_id"], set()).add(r["id"])
+    per_q = [
+        len(exact[q] & ann.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    return sum(per_q) / len(per_q)
+
+
+def test_ivf_recall_vs_exact(spark, embeddings):
+    corpus = embeddings.select(F.col("vec_id").alias("id"), "embedding")
+    queries = embeddings.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    k = 10
+    exact = knn_join(corpus, queries, k=k).collect()
+    centroids = ivf_fit(corpus, n_clusters=8)
+    assigned = ivf_assign(corpus, centroids)
+    # full probe = exact recall; half probe should still find most
+    full = ivf_search(assigned, queries, centroids, k=k, nprobe=8).collect()
+    assert _recall(exact, full, k) == 1.0
+    half = ivf_search(assigned, queries, centroids, k=k, nprobe=4).collect()
+    assert _recall(exact, half, k) >= 0.5
+
+
+def test_ivf_assignment_partitions_corpus(spark, embeddings):
+    corpus = embeddings.select(F.col("vec_id").alias("id"), "embedding")
+    centroids = ivf_fit(corpus, n_clusters=8)
+    assigned = ivf_assign(corpus, centroids)
+    counts = assigned.groupBy("cluster_id").count().collect()
+    assert sum(r["count"] for r in counts) == corpus.count()
+    assert len(counts) >= 2  # corpus actually split
+
+
+def test_lsh_bucket_knn_subset_of_bucket(spark, embeddings):
+    """LSH results come from the query's bucket and self-hit survives
+    (query is its own bucket member with sim ≈ 1)."""
+    hyperplanes = [
+        r["embedding"]
+        for r in embeddings.where(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    corpus = embeddings.select(F.col("vec_id").alias("id"), "embedding")
+    queries = embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    out = lsh_bucket_knn(corpus, queries, hyperplanes, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    bucketed = {
+        r["id"]: r["bucket"]
+        for r in add_hyperplane_buckets(corpus, hyperplanes).collect()
+    }
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert rows[0]["id"] == qid  # self-recall
+        assert abs(rows[0]["sim"] - 1.0) < 1e-5
+        qbucket = bucketed[qid]
+        assert all(bucketed[r["id"]] == qbucket for r in rows)

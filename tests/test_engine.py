@@ -1,0 +1,111 @@
+"""Engine facade tests mirroring the reference's E2E suite
+(``tests/test_search_engine.py``) with the deterministic fake embedder
+instead of real CLIP/CLAP (SURVEY.md §5 layer 3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from multimodal_vector_db_spark.embedders.fake import fake_embed_numpy
+from multimodal_vector_db_spark.engine import MultiModalSearchEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    eng = MultiModalSearchEngine(spark, dim=32)
+    eng.batch_ingest(
+        [
+            {"content": "a cat playing with a toy", "modality": "text"},
+            {"content": "a dog running in a park", "modality": "text"},
+            {"content": "a photo of a cat", "modality": "image"},
+            {"content": "a photo of a mountain", "modality": "image"},
+            {"content": "sound of a dog barking", "modality": "audio"},
+            {"content": "sound of rain falling", "modality": "audio"},
+        ]
+    )
+    return eng
+
+
+def test_self_search_exact_hit(engine):
+    """test_search_engine.py:51-79: searching with an item's own content
+    returns that item with similarity ≈ 1."""
+    out = engine.search("a cat playing with a toy", k=1)
+    assert out[0]["content"] == "a cat playing with a toy"
+    assert out[0]["sim"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_content_type_filter(engine):
+    """test_search_engine.py:112-136: filter returns only that modality."""
+    out = engine.search("a photo of a cat", filter_content_type="image", k=5)
+    assert len(out) == 2
+    assert all(r["modality"] == "image" for r in out)
+
+
+def test_space_isolation(engine):
+    """Cross-space similarity is refused: a CLIP query never scores
+    CLAP rows (README.md:36 dual-encoder rule)."""
+    out = engine.search("sound of a dog barking", query_space="clip", k=10)
+    assert all(r["space"] == "clip" for r in out)
+    out_clap = engine.search(
+        "sound of a dog barking", filter_content_type="audio", k=10
+    )
+    assert all(r["space"] == "clap" for r in out_clap)
+    assert out_clap[0]["content"] == "sound of a dog barking"
+    assert out_clap[0]["sim"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_soft_delete_honored(engine, spark):
+    eng = MultiModalSearchEngine(spark, dim=32)
+    eng.batch_ingest(
+        [{"content": f"item number {i}", "modality": "text"} for i in range(5)]
+    )
+    target = eng.search("item number 3", k=1)[0]
+    eng.remove([target["id"]])
+    after = eng.search("item number 3", k=5)
+    assert all(r["id"] != target["id"] for r in after)
+
+
+def test_ingest_count_and_stats(engine):
+    """test_search_engine.py:138-154 batch ingest + A12 stats."""
+    stats = engine.get_stats()
+    assert stats["total_vectors"] == 6
+    assert stats["by_modality"] == {"text": 2, "image": 2, "audio": 2}
+    assert stats["metric"] == "cosine"
+
+
+def test_save_load_round_trip(engine, tmp_path):
+    """test_search_engine.py:156-181 + S8/S9: partitioned parquet +
+    manifest round-trip preserves search results."""
+    base = str(tmp_path / "warehouse")
+    engine.save(base)
+    loaded = MultiModalSearchEngine.load(engine.spark, base)
+    a = engine.search("a photo of a cat", k=3)
+    b = loaded.search("a photo of a cat", k=3)
+    assert [(r["id"], r["sim"]) for r in a] == [(r["id"], r["sim"]) for r in b]
+
+
+def test_compare_modalities_single_plan(engine):
+    """§3.3: per-modality top-k with space-correct routing."""
+    out = engine.compare_modalities("a cat", k_per_modality=2).collect()
+    by_mod = {}
+    for r in out:
+        by_mod.setdefault(r["modality"], []).append(r)
+    assert set(by_mod) == {"text", "image", "audio"}
+    for mod, rows in by_mod.items():
+        assert len(rows) == 2
+        expected_space = "clap" if mod == "audio" else "clip"
+        assert all(r["space"] == expected_space for r in rows)
+
+
+def test_fake_embedder_properties():
+    """Determinism + unit norm + space separation (test_embedders.py
+    analogue)."""
+    import numpy as np
+
+    a = fake_embed_numpy("hello", "clip")
+    b = fake_embed_numpy("hello", "clip")
+    c = fake_embed_numpy("hello", "clap")
+    assert np.array_equal(a, b)
+    assert abs(float(np.linalg.norm(a)) - 1.0) < 1e-6
+    # different space → unrelated vector
+    assert abs(float(a @ c)) < 0.5
