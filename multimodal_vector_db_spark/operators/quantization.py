@@ -1,0 +1,152 @@
+"""Product quantization (Q2-Q5) — the reference's ``quantization.py``
+re-expressed as Spark plans.
+
+- **train** (Q2, ``quantization.py:28-57``): dim split into
+  ``n_subquantizers`` equal slices (divisibility asserted, same as
+  ``quantization.py:17-18``); per-subspace KMeans. Two trainers:
+  MLlib KMeans (the scale path) and a deterministic data-derived
+  codebook (fixed corpus rows as centroids) for oracle-checkable
+  encode/decode, mirroring FIXTURES.md §6.
+- **encode** (Q3, ``quantization.py:59-91``): per slice, argmin L2
+  distance over the codebook → small int code. Ties break to the
+  lowest code (deterministic; the reference's np.argmin first-hit).
+- **decode** (Q4, ``quantization.py:93-118``): centroid lookup +
+  concatenate.
+- **ratio** (Q5, ``quantization.py:120-124``): ``dim*4 / n_sub``.
+
+Encoding is pure Column expressions over a broadcast codebook — no
+shuffle, embarrassingly parallel, exactly what you want for a 100 TB
+re-encode pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from multimodal_vector_db_spark.functions.vector import dot
+
+
+def _slice(v: Column, sub: int, subdim: int) -> Column:
+    return F.slice(v, sub * subdim + 1, subdim)
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Σ (a_i − b_i)² in DOUBLE, sequential fold (oracle-bit-exact)."""
+    diff = F.zip_with(
+        a, b, lambda x, y: x.cast("double") - y.cast("double")
+    )
+    return dot(diff, diff)
+
+
+def data_derived_codebooks(
+    corpus: DataFrame,
+    n_subquantizers: int,
+    n_codes: int,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    start_id: int = 100,
+) -> list[list[list[float]]]:
+    """Deterministic codebooks: centroids are slices of ``n_codes``
+    fixed corpus rows (ids start_id..start_id+n_codes-1). Not a learned
+    quantizer — the fixture that makes encode/decode oracle-checkable
+    without k-means nondeterminism (FIXTURES.md §6)."""
+    rows = (
+        corpus.where(
+            (F.col(id_col) >= start_id) & (F.col(id_col) < start_id + n_codes)
+        )
+        .orderBy(id_col)
+        .select(vector_col)
+        .collect()
+    )
+    dim = len(rows[0][0])
+    assert dim % n_subquantizers == 0  # quantization.py:17-18
+    subdim = dim // n_subquantizers
+    return [
+        [
+            [float(x) for x in r[0][s * subdim : (s + 1) * subdim]]
+            for r in rows
+        ]
+        for s in range(n_subquantizers)
+    ]
+
+
+def kmeans_codebooks(
+    corpus: DataFrame,
+    n_subquantizers: int,
+    n_codes: int = 256,
+    vector_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,  # quantization.py:28-57 uses 10 iters
+) -> list[list[list[float]]]:
+    """Q2 scale path: MLlib KMeans per subspace slice."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(corpus.select(vector_col).first()[0])
+    assert dim % n_subquantizers == 0
+    subdim = dim // n_subquantizers
+    books = []
+    for s in range(n_subquantizers):
+        feats = corpus.select(
+            array_to_vector(
+                _slice(F.col(vector_col), s, subdim).cast("array<double>")
+            ).alias("features")
+        )
+        model = KMeans(k=n_codes, seed=seed, maxIter=max_iter).fit(feats)
+        books.append([c.tolist() for c in model.clusterCenters()])
+    return books
+
+
+def pq_encode_codes(
+    vector_col: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """Q3 as one expression: ARRAY<BIGINT> of per-subspace argmin codes.
+    Tie-break: lowest code (array_min on (dist, code) structs)."""
+    n_sub = len(codebooks)
+    subdim = len(codebooks[0][0])
+    codes = []
+    for s in range(n_sub):
+        sl = _slice(vector_col, s, subdim)
+        pairs = F.array(
+            *[
+                F.struct(
+                    _sq_dist(
+                        sl, F.array(*[F.lit(float(x)) for x in c])
+                    ).alias("dist"),
+                    F.lit(code).cast("long").alias("code"),
+                )
+                for code, c in enumerate(codebooks[s])
+            ]
+        )
+        codes.append(F.array_min(pairs)["code"])
+    return F.array(*codes)
+
+
+def pq_decode(codes_col: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Q4: codes → concatenated centroid slices (ARRAY<DOUBLE>)."""
+    parts = []
+    for s, book in enumerate(codebooks):
+        lookup = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+        )
+        parts.append(
+            F.element_at(lookup, F.element_at(codes_col, s + 1).cast("int") + 1)
+        )
+    return F.flatten(F.array(*parts))
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    vector_col: str = "embedding",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    return corpus.withColumn(
+        codes_col, pq_encode_codes(F.col(vector_col), codebooks)
+    )
+
+
+def compression_ratio(dim: int, n_subquantizers: int) -> float:
+    """Q5 (``quantization.py:120-124``): fp32 bytes / one-byte codes."""
+    return dim * 4.0 / n_subquantizers

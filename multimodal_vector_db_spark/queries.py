@@ -1105,6 +1105,163 @@ def q_fp16_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (SURVEY §2.9 Q2-Q5) — deterministic codebook path
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pq_encode_decode",
+    """
+    WITH subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+    cb AS (
+      SELECT (e.vec_id - 100)::BIGINT AS code, s.sub,
+             list_transform(e.embedding[s.sub*16+1 : s.sub*16+16],
+                            x -> x::DOUBLE) AS centroid
+      FROM embeddings e, subs s
+      WHERE e.vec_id BETWEEN 100 AND 103
+    ),
+    sl AS (
+      SELECT e.vec_id, s.sub,
+             list_transform(e.embedding[s.sub*16+1 : s.sub*16+16],
+                            x -> x::DOUBLE) AS sl
+      FROM embeddings e, subs s
+    ),
+    scored AS (
+      SELECT sl.vec_id, sl.sub, cb.code, cb.centroid,
+             list_dot_product(
+               list_transform(generate_series(1, 16), i -> sl.sl[i] - cb.centroid[i]),
+               list_transform(generate_series(1, 16), i -> sl.sl[i] - cb.centroid[i])
+             ) AS d
+      FROM sl JOIN cb ON sl.sub = cb.sub
+    ),
+    best AS (
+      SELECT vec_id, sub, code, centroid,
+             row_number() OVER (
+               PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+      FROM scored
+    ),
+    agg AS (
+      SELECT vec_id,
+             list(code ORDER BY sub) AS codes,
+             flatten(list(centroid ORDER BY sub)) AS decoded
+      FROM best WHERE rn = 1 GROUP BY vec_id
+    )
+    SELECT a.vec_id, a.codes,
+           round(list_dot_product(
+             list_transform(generate_series(1, 64), i -> e.embedding[i]::DOUBLE - a.decoded[i]),
+             list_transform(generate_series(1, 64), i -> e.embedding[i]::DOUBLE - a.decoded[i])
+           ), 6) AS recon_err
+    FROM agg a JOIN embeddings e ON a.vec_id = e.vec_id
+    """,
+)
+def q_pq_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3/Q4 (quantization.py:59-118): PQ encode every embedding against
+    a deterministic data-derived codebook (4 subspaces × 4 centroids =
+    slices of corpus rows 100-103), then decode and report the exact
+    reconstruction error. Encoding is one codegen'd projection over a
+    broadcast codebook — zero shuffle, the shape of a 100 TB re-encode."""
+    from multimodal_vector_db_spark.operators.quantization import (
+        _sq_dist,
+        data_derived_codebooks,
+        pq_decode,
+        pq_encode_codes,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = data_derived_codebooks(emb, n_subquantizers=4, n_codes=4)
+    staged = emb.select(
+        "vec_id",
+        "embedding",
+        pq_encode_codes(F.col("embedding"), books).alias("codes"),
+    )
+    return staged.select(
+        "vec_id",
+        "codes",
+        F.round(
+            _sq_dist(F.col("embedding"), pq_decode(F.col("codes"), books)), 6
+        ).alias("recon_err"),
+    )
+
+
+@query("mmr_rerank")  # greedy sequential loop — not SQL-expressible (rows-only)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/R2 (reranker.py:17-117): distributed kNN generates the top-20
+    candidates; driver-side deterministic MMR (λ=0.5) reranks to a
+    diverse top-5. Small-N greedy loop stays on the driver by design —
+    the heavy candidate generation is the distributed part."""
+    from multimodal_vector_db_spark.operators.rerank import rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 3).select("embedding").first()[0]
+    top = knn_search(
+        emb.select(F.col("vec_id").alias("id"), "embedding"), qvec, k=20
+    )
+    cands = [r.asDict() for r in top.collect()]
+    picked = rerank(cands, strategy="diversity", top_k=5)
+    return spark.createDataFrame(
+        [(int(c["id"]), float(c["sim"]), rank + 1) for rank, c in enumerate(picked)],
+        "id BIGINT, sim DOUBLE, mmr_rank INT",
+    )
+
+
+@query(
+    "distance_transforms",
+    f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id AS id, 1.0 - {_DOT} AS dist FROM embeddings e, q
+    )
+    SELECT id,
+           round(1.0 - dist, 6) AS sim_cosine,
+           round(1.0 / (1.0 + dist), 6) AS sim_l2,
+           round(100.0 / (1.0 + dist), 6) AS sim_pct
+    FROM scored ORDER BY sim_cosine DESC, id ASC LIMIT 20
+    """,
+)
+def q_distance_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/F6: the reference's distance→similarity transforms
+    (vector_index.py:139-144: cosine 1-d, l2 1/(1+d)) and the demo's
+    percentage form (demo_audio_retrieval.py:140: 100/(1+d))."""
+    from multimodal_vector_db_spark.functions.vector import (
+        distance_to_similarity,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    dist = 1.0 - dot(F.col("embedding"), qlit)
+    return (
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.round(distance_to_similarity(dist, "cosine"), 6).alias("sim_cosine"),
+            F.round(distance_to_similarity(dist, "l2"), 6).alias("sim_l2"),
+            F.round(100.0 / (1.0 + dist), 6).alias("sim_pct"),
+        )
+        .orderBy(F.col("sim_cosine").desc(), F.col("id").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "index_stats",
+    """
+    SELECT label::BIGINT AS label,
+           count(*)::BIGINT AS total_vectors,
+           max(len(embedding))::BIGINT AS dimension
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: index stats (vector_index.py:279-291) — per-partition vector
+    count + dimension, the get_stats() surface as one aggregation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count("*").cast("long").alias("total_vectors"),
+        F.max(F.size("embedding")).cast("long").alias("dimension"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H classic shapes (headline relational benchmarks)
 # ---------------------------------------------------------------------------
 

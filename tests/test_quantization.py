@@ -1,0 +1,64 @@
+"""PQ operator tests (SURVEY §2.9 Q2-Q5; reference quantization.py).
+
+Properties checked (mirroring the reference's implicit contract):
+- codes are in [0, n_codes) with one code per subspace;
+- a vector that IS a codebook row encodes to its own code in every
+  subspace and reconstructs exactly (recon error 0);
+- compression ratio formula matches quantization.py:120-124.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multimodal_vector_db_spark.operators.quantization import (
+    _sq_dist,
+    compression_ratio,
+    data_derived_codebooks,
+    pq_decode,
+    pq_encode_codes,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_pq_codebook_rows_encode_to_self(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = data_derived_codebooks(emb, n_subquantizers=4, n_codes=4)
+    assert len(books) == 4 and all(len(b) == 4 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)
+
+    staged = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 104)).select(
+        "vec_id",
+        "embedding",
+        pq_encode_codes(F.col("embedding"), books).alias("codes"),
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in staged.withColumn(
+            "err", _sq_dist(F.col("embedding"), pq_decode(F.col("codes"), books))
+        ).collect()
+    }
+    for vec_id, row in rows.items():
+        expect = vec_id - 100
+        assert row["codes"] == [expect] * 4
+        assert row["err"] == 0.0
+
+
+def test_pq_codes_in_range(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = data_derived_codebooks(emb, n_subquantizers=4, n_codes=4)
+    out = emb.select(
+        pq_encode_codes(F.col("embedding"), books).alias("codes")
+    ).agg(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.max(F.size("codes")).alias("n"),
+    ).first()
+    assert out["lo"] >= 0 and out["hi"] < 4 and out["n"] == 4
+
+
+def test_compression_ratio():
+    # quantization.py:120-124 — 512-dim fp32 → 8 one-byte codes = 256×
+    assert compression_ratio(512, 8) == 256.0
+    assert compression_ratio(64, 4) == 64.0
