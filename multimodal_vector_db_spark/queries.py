@@ -1262,6 +1262,162 @@ def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal binary-column plumbing (SURVEY §2.1 S5-S7, §2.8 M3-M5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id AS id,
+           'text' AS modality,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           md5(text) AS fingerprint,
+           list_transform(generate_series(0, 3), i ->
+             ((instr('0123456789abcdef', substr(md5(text), i*2+1, 1)) - 1) * 16
+              + instr('0123456789abcdef', substr(md5(text), i*2+2, 1)) - 1
+             )::DOUBLE / 255.0) AS features
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/M3 plumbing: documents → BINARY content column → Arrow-batched
+    mapInPandas feature extraction (deterministic digest standing in for
+    PIL+CLIP decode/embed). The oracle checks the full Python round-trip
+    — binary encode, Arrow transfer, per-batch pandas compute —
+    hash-exactly against DuckDB."""
+    from multimodal_vector_db_spark.multimodal import (
+        extract_features,
+        media_items_from_documents,
+    )
+    from multimodal_vector_db_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return extract_features(media_items_from_documents(docs), n_features=4)
+
+
+@query(
+    "frame_sampling",
+    """
+    WITH f AS (
+      SELECT event_id, user_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) - 1 AS frame_no,
+             greatest(1, floor(((user_id % 30) + 1)::DOUBLE / 2.0)::INT)
+               AS frame_interval
+      FROM events WHERE user_id < 100
+    ),
+    kept AS (
+      SELECT event_id, user_id, frame_no,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY frame_no) - 1 AS sample_no
+      FROM f WHERE frame_no % frame_interval = 0
+    )
+    SELECT user_id, event_id,
+           frame_no::BIGINT AS frame_no, sample_no::BIGINT AS sample_no
+    FROM kept WHERE sample_no < 16
+    """,
+)
+def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 (video_embedder.py:82-114): frame sampling as a relational
+    plan — events stand in for frames (video = user, fps derived from
+    user_id), interval = max(1, int(fps / sample_fps)), keep every
+    interval-th frame up to max_frames."""
+    from multimodal_vector_db_spark.multimodal import sample_frame_plan
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    frames = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        ((F.col("user_id") % 30) + 1).alias("fps"),
+    )
+    out = sample_frame_plan(
+        frames,
+        video_col="user_id",
+        order_cols=["ts", "event_id"],
+        fps_col="fps",
+        sample_fps=2.0,
+        max_frames=16,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.col("sample_no").cast("long").alias("sample_no"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twins (SURVEY §2.11 / §7 phase 7) — batch forms of the
+# streaming.ingest operators, oracle-checked; the streaming execution of
+# the SAME plans is covered by tests/test_streaming.py
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (streaming.windowed_counts run in
+    batch mode — identical plan, watermark is a no-op on bounded input)."""
+    from multimodal_vector_db_spark.streaming import windowed_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_counts(ev, window_duration="1 hour", watermark="2 hours")
+    return out.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+@query(
+    "sessionization",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, us,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             )::BIGINT AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no,
+           count(*)::BIGINT AS n_events,
+           (max(us) - min(us))::BIGINT AS duration_us
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-gap sessionization (30 min inactivity) — the batch twin of
+    Spark's stateful session_window, exact integer-µs arithmetic."""
+    from multimodal_vector_db_spark.streaming import ingest as S
+
+    return S.sessionize_batch(_t(spark, sf_dir, "events"), gap_us=1_800_000_000)
+
+
+# ---------------------------------------------------------------------------
 # TPC-H classic shapes (headline relational benchmarks)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,192 @@
+"""Streaming ingest + stateful aggregation over the ``events`` table
+shape (TESTDATA.md): the incremental path the reference lacks
+(``vector_index.py:94-103`` is append-only batch; here the same
+append becomes an exactly-once streaming upsert).
+
+Scale notes:
+
+- the file source lists + reads new files incrementally — at 100 TB the
+  unit of ingest is a parquet file landing in the source directory, and
+  ``maxFilesPerTrigger`` bounds per-batch work;
+- watermarks bound the windowed-aggregation state store: late rows
+  beyond the watermark are dropped instead of growing state forever;
+- the ``foreachBatch`` upsert dedups on the id BEFORE appending, so
+  replayed batches (at-least-once file source + idempotent sink =
+  effectively-once) never double-insert;
+- ``session_window`` is Spark's native stateful session operator — the
+  streaming twin of the batch lag-based sessionization in
+  ``queries.py:q_sessionization``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: TESTDATA.md events schema (streams must declare schemas up front).
+#: ``ts`` is physically INT64 nanoseconds in the parquet (timestamp[ns]);
+#: Spark surfaces it as LongType — :func:`with_event_time` derives the
+#: microsecond TimestampType column (integer ``div``, never ``/``: ns
+#: values exceed 2^53 so double division would lose precision).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a directory of events parquet files."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir)
+
+
+def with_event_time(events: DataFrame, ns_col: str = "ts") -> DataFrame:
+    """Derive the event-time TimestampType column ``event_time`` from the
+    raw nanosecond LongType ``ts`` (truncating to Spark's native µs —
+    the same truncation DuckDB applies reading timestamp[ns])."""
+    return events.withColumn(
+        "event_time", F.expr(f"timestamp_micros({ns_col} div 1000)")
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation: per (window, event_type)
+    count + sum(value). Works identically on batch and streaming frames
+    (same plan, the streaming one just keeps bounded state)."""
+    return (
+        with_event_time(events)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window_duration), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windowed_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native stateful sessionization: per-user session windows closed
+    after ``gap`` of inactivity (the streaming form of W-sessionize)."""
+    return (
+        with_event_time(events)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap), "user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame, gap_us: int = 1_800_000_000
+) -> DataFrame:
+    """Batch twin of :func:`session_windowed_counts`: lag-gap
+    sessionization (new session when the inactivity gap exceeds
+    ``gap_us`` microseconds), exact integer arithmetic so the DuckDB
+    oracle matches bit-for-bit. Two window passes over the same
+    (user_id) partitioning — one shuffle total."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    staged = events.select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("us")
+    )
+    flagged = staged.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn(
+        "session_no", F.sum("new_sess").over(wc).cast("long")
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.max("us") - F.min("us")).cast("long").alias("duration_us"),
+    )
+
+
+def ingest_events_to_corpus(
+    stream: DataFrame,
+    corpus_path: str,
+    checkpoint_dir: str,
+    id_col: str = "event_id",
+):
+    """``foreachBatch`` dedup-upsert: drop in-batch duplicates, anti-join
+    against ids already in the corpus, append the remainder. Idempotent
+    under replay — the streaming fix for the reference's write-only
+    tombstone inconsistency (``vector_index.py:212-222``)."""
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fresh = batch.dropDuplicates([id_col])
+        try:
+            existing = spark.read.parquet(corpus_path).select(id_col)
+            fresh = fresh.join(existing, on=id_col, how="left_anti")
+        except Exception:  # first batch: corpus does not exist yet
+            pass
+        fresh.write.mode("append").parquet(corpus_path)
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def run_available_now(
+    df: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "mvdb_stream",
+    output_mode: str = "complete",
+    timeout_s: int = 120,
+) -> None:
+    """Drain everything currently in the source into an in-memory sink
+    table named ``query_name``, then stop (hermetic test harness)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

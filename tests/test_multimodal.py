@@ -1,0 +1,81 @@
+"""Multimodal binary-column plumbing tests (SURVEY §2.1 S5-S7, §2.8).
+
+Checks the mapInPandas Arrow round-trip against local hashlib, the
+frame-sampling arithmetic against a Python re-implementation of
+video_embedder.py:82-114, and that the stubbed decoders fail loudly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from multimodal_vector_db_spark.multimodal import (
+    extract_features,
+    media_items_from_documents,
+    sample_frame_plan,
+)
+from multimodal_vector_db_spark.multimodal.pipeline import decode_image, load_audio
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_extract_features_matches_hashlib(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    out = {
+        r["id"]: r
+        for r in extract_features(
+            media_items_from_documents(docs), n_features=4
+        ).collect()
+    }
+    assert set(out) == set(texts)
+    for doc_id, text in texts.items():
+        payload = text.encode("utf-8")
+        digest = hashlib.md5(payload)
+        row = out[doc_id]
+        assert row["modality"] == "text"
+        assert row["n_bytes"] == len(payload)
+        assert row["fingerprint"] == digest.hexdigest()
+        assert row["features"] == [digest.digest()[i] / 255.0 for i in range(4)]
+
+
+def test_media_schema_has_binary_content(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(1)
+    media = media_items_from_documents(docs)
+    assert dict(media.dtypes)["content"] == "binary"
+    row = media.first()
+    assert isinstance(row["content"], (bytes, bytearray))
+    assert row["meta"]["n_bytes"] == len(row["content"])
+
+
+def test_frame_sampling_matches_python_reference(spark):
+    # 3 synthetic videos: fps 1 (interval 1), fps 5 (interval 2), fps 30
+    # (interval 15); 40 frames each → max_frames truncation kicks in.
+    rows = [
+        (video, frame, fps)
+        for video, fps in [(0, 1), (1, 5), (2, 30)]
+        for frame in range(40)
+    ]
+    frames = spark.createDataFrame(rows, "video BIGINT, t BIGINT, fps INT")
+    out = sample_frame_plan(
+        frames, "video", "t", "fps", sample_fps=2.0, max_frames=16
+    )
+    got = {
+        (r["video"], r["frame_no"]) for r in out.collect()
+    }
+    expected = set()
+    for video, fps in [(0, 1), (1, 5), (2, 30)]:
+        interval = max(1, int(fps / 2.0))  # video_embedder.py:98
+        kept = [f for f in range(40) if f % interval == 0][:16]
+        expected |= {(video, f) for f in kept}
+    assert got == expected
+
+
+def test_stub_decoders_raise(spark):
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG fake")
+    with pytest.raises(NotImplementedError):
+        load_audio(b"RIFF fake")

@@ -1,0 +1,89 @@
+"""Structured Streaming tests (SURVEY §2.11 extension): the streaming
+plans must produce exactly the batch results on the same input, and the
+foreachBatch upsert must be idempotent under file replay/overlap.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from multimodal_vector_db_spark.streaming import (
+    events_stream,
+    ingest_events_to_corpus,
+    run_available_now,
+    session_windowed_counts,
+    windowed_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _stage_events(spark, tmp_path):
+    src = tmp_path / "events_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-000.parquet")
+    return str(src)
+
+
+def test_streaming_windowed_counts_match_batch(spark, tmp_path):
+    src = _stage_events(spark, tmp_path)
+    stream = windowed_counts(events_stream(spark, src))
+    run_available_now(
+        stream,
+        str(tmp_path / "ckpt"),
+        query_name="win_test",
+        output_mode="complete",
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.sql("SELECT * FROM win_test").collect()
+    }
+    batch = windowed_counts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_session_windows_run(spark, tmp_path):
+    src = _stage_events(spark, tmp_path)
+    stream = session_windowed_counts(events_stream(spark, src), gap="30 minutes")
+    run_available_now(
+        stream,
+        str(tmp_path / "ckpt_sess"),
+        query_name="sess_test",
+        output_mode="complete",
+    )
+    rows = spark.sql("SELECT * FROM sess_test").collect()
+    assert len(rows) > 0
+    # sessions are per-user, non-negative length, and event-conserving
+    assert all(r["session_end"] >= r["session_start"] for r in rows)
+    total = sum(r["n_events"] for r in rows)
+    assert total == spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+
+def test_foreach_batch_upsert_is_idempotent(spark, tmp_path):
+    src = tmp_path / "ingest_src"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt_ingest")
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").orderBy("event_id")
+    first = ev.limit(100)
+    # second file OVERLAPS the first on event_id 50..99
+    second = ev.where((F.col("event_id") >= 50) & (F.col("event_id") < 150))
+    first.coalesce(1).write.parquet(str(src / "batch_a"))
+
+    stream = events_stream(spark, f"{src}/*")
+    ingest_events_to_corpus(stream, corpus, ckpt).start().awaitTermination(120)
+
+    second.coalesce(1).write.parquet(str(src / "batch_b"))
+    stream2 = events_stream(spark, f"{src}/*")
+    ingest_events_to_corpus(stream2, corpus, ckpt).start().awaitTermination(120)
+
+    got = spark.read.parquet(corpus)
+    assert got.count() == 150  # no duplicates despite the 50-row overlap
+    assert got.select("event_id").distinct().count() == 150
