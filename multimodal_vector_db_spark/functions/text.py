@@ -131,41 +131,81 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalized)
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as ARRAY<STRING>: for each seed i, the
-    lexicographic minimum of ``md5(i || ':' || shingle)``.
+#: Classic k-min-hash with k INDEPENDENT hash functions: hash i of a
+#: shingle is an 8-nibble (32-bit) slice of md5(salt_block || shingle),
+#: four hashes per digest. Independence per hash function is what makes
+#: the signature components uncorrelated — affine re-mixing of one hash
+#: ((a*h+b) mod P with products < P, or Kirsch–Mitzenmacher h1+i*h2)
+#: leaves the same few shingles winning every permutation and floods the
+#: LSH bands with spurious collisions (measured: 5×+ candidate pairs).
+MINHASH_SALTS = ["", "x:", "y:", "z:"]  # salt per md5 block of 4 hashes
 
-    Using md5-hex strings (not ints) keeps the signature bit-identical
-    in any engine with ``md5`` — the basis of the oracle-checkable
-    MinHash-LSH dedup operator. min-of-md5 is a standard k-min-hash.
 
-    NB: the per-seed hasher must be built by a closure factory — a
-    ``lambda s, i=i`` default arg would make Spark treat it as the
-    2-arg (element, index) transform form and pass the array index.
-    """
+def md5_nibbles(h: Column, offset: int, width: int = 8) -> Column:
+    """Parse md5-hex nibbles [offset, offset+width) into a BIGINT via
+    string position (portable — no hex-cast builtins)."""
+    out = F.lit(0).cast("long")
+    for j in range(width):
+        nib = (
+            F.instr(F.lit(HEXDIGITS), F.substring(h, offset + j + 1, 1)) - 1
+        ).cast("long")
+        out = out + nib * F.lit(16 ** (width - 1 - j)).cast("long")
+    return out
 
-    def hasher(seed: int):
-        prefix = f"{seed}:"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
+def _salted_md5(salt: str):
+    # closure factory — a default-arg lambda would be 2-arity and Spark
+    # would bind the array INDEX to the second parameter
+    if salt == "":
+        return lambda s: F.md5(s)
+    return lambda s: F.md5(F.concat(F.lit(salt), s))
+
+
+def shingle_md5_blocks(shingles: Column, num_hashes: int) -> list[Column]:
+    """One md5 transform per block of 4 hash functions (salted)."""
+    n_blocks = (num_hashes + 3) // 4
+    return [
+        F.transform(shingles, _salted_md5(MINHASH_SALTS[blk]))
+        for blk in range(n_blocks)
+    ]
+
+
+def _parse_at(offset: int):
+    # closure factory: a `lambda h, o=o` default arg would make Spark
+    # treat it as the 2-arg (element, index) transform form
+    return lambda h: md5_nibbles(h, offset, 8)
+
+
+def minhash_signature(md5_blocks: list[Column], num_hashes: int = 8) -> Column:
+    """MinHash signature as ARRAY<BIGINT>: sig_i = min over shingles of
+    independent 32-bit hash i (nibble slice 8·(i%4) of salted md5 block
+    i//4). Two md5 transforms cover 8 hash functions."""
     return F.array(
         *[
-            F.array_min(F.transform(shingles, hasher(i)))
+            F.array_min(
+                F.transform(md5_blocks[i // 4], _parse_at(8 * (i % 4)))
+            )
             for i in range(num_hashes)
         ]
     )
 
 
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
-    """LSH banding: signature → ARRAY<STRING> of band bucket keys
-    (band index + md5 of the concatenated band slice)."""
+    """LSH banding: ARRAY<BIGINT> signature → ARRAY<STRING> of band
+    bucket keys (band index + md5 of the '|'-joined band slice)."""
     return F.array(
         *[
             F.concat(
                 F.lit(f"b{b}:"),
                 F.md5(
                     F.array_join(
-                        F.slice(signature, b * rows_per_band + 1, rows_per_band), "|"
+                        F.transform(
+                            F.slice(
+                                signature, b * rows_per_band + 1, rows_per_band
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                        "|",
                     )
                 ),
             )

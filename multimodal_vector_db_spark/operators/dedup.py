@@ -31,10 +31,14 @@ from multimodal_vector_db_spark.functions.text import (
     jaccard,
     lsh_band_keys,
     minhash_signature,
+    shingle_md5_blocks,
     word_shingles,
 )
 from multimodal_vector_db_spark.functions.vector import dot
-from multimodal_vector_db_spark.operators.util import ensure_parallelism
+from multimodal_vector_db_spark.operators.util import (
+    ensure_parallelism,
+    materialize,
+)
 
 
 def exact_duplicates(
@@ -89,28 +93,67 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     docs = ensure_parallelism(docs)
-    sig = docs.select(
+    # materialized once: referenced by the band join (twice) AND the
+    # jaccard verify (twice) — without this the shingle+signature
+    # pipeline would run four times. The salted md5 blocks are staged as
+    # their own projection (referenced 4× each by the signature, so
+    # CollapseProject keeps them separate): num_hashes/4 md5s per
+    # shingle, then cheap nibble-slice minima.
+    md5_df = docs.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
-    banded = sig.select(
+    )
+    blocks = shingle_md5_blocks(F.col("shingles"), num_hashes)
+    md5_df = md5_df.select(
         "doc_id",
         "shingles",
+        *[b.alias(f"m{k}") for k, b in enumerate(blocks)],
+    )
+    block_cols = [
+        F.col(f"m{k}") for k in range((num_hashes + 3) // 4)
+    ]
+    sig = materialize(
+        md5_df.select(
+            "doc_id",
+            "shingles",
+            minhash_signature(block_cols, num_hashes).alias("sig"),
+        )
+    )
+    # the bucket self-join carries ONLY (doc_id, band_key) — never the
+    # shingle arrays; at scale the exploded band table is the shuffle,
+    # so its rows must stay narrow
+    banded = sig.select(
+        "doc_id",
         F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias(
             "band_key"
         ),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(b, on="band_key")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on="band_key")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            jaccard(F.col("a.shingles"), F.col("b.shingles")).alias("jaccard"),
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
         .distinct()
+    )
+    # exact-Jaccard verify only on colliding pairs: join the (small,
+    # materialized) signature table back by id. The candidate rows are
+    # narrow, so AQE coalesces them into ~1 partition by bytes — but the
+    # verify is CPU-bound on array intersection, so spread it explicitly
+    sh = sig.select("doc_id", "shingles")
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        cand.repartition(n_parts, "id_a", "id_b")
+        .join(sh.withColumnRenamed("doc_id", "id_a"), on="id_a")
+        .withColumnRenamed("shingles", "sa")
+        .join(sh.withColumnRenamed("doc_id", "id_b"), on="id_b")
+        .withColumnRenamed("shingles", "sb")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("sa"), F.col("sb")).alias("jaccard"),
+        )
     )
     if verify_threshold is not None:
         pairs = pairs.where(F.col("jaccard") >= verify_threshold)
@@ -128,10 +171,12 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity pairs ≥ threshold, within a
     blocking key (all-pairs if ``block_col`` is None — quadratic; only
     for small corpora or post-LSH verification)."""
-    base = ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc_id"),
-        *([F.col(block_col).alias("block")] if block_col else []),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    base = materialize(
+        ensure_parallelism(docs).select(
+            F.col(id_col).alias("doc_id"),
+            *([F.col(block_col).alias("block")] if block_col else []),
+            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        )
     )
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.doc_id") < F.col("b.doc_id")

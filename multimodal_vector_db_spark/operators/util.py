@@ -20,3 +20,17 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Compute an expensive derived table ONCE and truncate its lineage
+    (eager localCheckpoint), so a self-join over it reads the
+    materialized result instead of re-running the whole upstream
+    pipeline on both sides.
+
+    This is the single biggest lever for the dedup family: a
+    signature/shingle table referenced by both sides of a bucket
+    self-join would otherwise be computed twice — and at 100 TB you
+    would materialize it to the warehouse anyway (this is the in-memory
+    analogue; storage spills to disk if it doesn't fit)."""
+    return df.localCheckpoint(eager=True)

@@ -654,9 +654,23 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_first(docs).agg(F.count("*").cast("long").alias("n_kept"))
 
 
+def _md5_nibbles_sql(var: str, offset: int, width: int = 8) -> str:
+    """DuckDB twin of functions.text.md5_nibbles: md5-hex nibbles
+    [offset, offset+width) → BIGINT via string position."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({var}, {offset + j + 1}, 1)) - 1) * {16 ** (width - 1 - j)}"
+        for j in range(width)
+    )
+    return f"({terms})"
+
+
 def _minhash_sig_sql(num_hashes: int) -> str:
+    """DuckDB twin of functions.text.minhash_signature over the staged
+    salted-md5 block columns m0/m1/...: independent 32-bit nibble-slice
+    minima (classic k-min-hash)."""
     mins = ",\n     ".join(
-        f"list_aggregate(list_transform(shingles, s -> md5('{i}:' || s)), 'min')"
+        f"list_aggregate(list_transform(m{i // 4}, "
+        f"h -> {_md5_nibbles_sql('h', 8 * (i % 4))}), 'min')"
         for i in range(num_hashes)
     )
     return f"[{mins}]"
@@ -665,10 +679,8 @@ def _minhash_sig_sql(num_hashes: int) -> str:
 def _band_keys_sql(bands: int, rows: int) -> str:
     keys = []
     for b in range(bands):
-        parts = " || '|' || ".join(
-            f"sig[{b * rows + j + 1}]" for j in range(rows)
-        )
-        keys.append(f"'b{b}:' || md5({parts})")
+        lo, hi = b * rows + 1, b * rows + rows
+        keys.append(f"'b{b}:' || md5(array_to_string(sig[{lo}:{hi}], '|'))")
     return "[" + ", ".join(keys) + "]"
 
 
@@ -679,7 +691,13 @@ def _band_keys_sql(bands: int, rows: int) -> str:
       SELECT doc_id, {_TOKS.format(col="lower(text)")} AS toks FROM documents
     ),
     sh AS (SELECT doc_id, ({_SHINGLES}) AS shingles FROM t),
-    sig AS (SELECT doc_id, shingles, {_minhash_sig_sql(8)} AS sig FROM sh),
+    mt AS (
+      SELECT doc_id, shingles,
+             list_transform(shingles, s -> md5(s)) AS m0,
+             list_transform(shingles, s -> md5('x:' || s)) AS m1
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, shingles, {_minhash_sig_sql(8)} AS sig FROM mt),
     banded AS (
       SELECT doc_id, shingles, unnest({_band_keys_sql(4, 2)}) AS band_key FROM sig
     ),
@@ -782,7 +800,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens,
     )
 
-    from multimodal_vector_db_spark.operators.util import ensure_parallelism
+    from multimodal_vector_db_spark.operators.util import (
+        ensure_parallelism,
+        materialize,
+    )
 
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     # stage the md5 token-hash pass as its own projection: higher-order
@@ -793,8 +814,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.transform(tokens(F.lower(F.col("text"))), token_hash16).alias("hv"),
     )
-    sh = hv.select(
-        "doc_id", "lang", simhash_from_token_hashes(F.col("hv"), 16).alias("simhash")
+    # materialized: the lang-block self-join would otherwise run the
+    # tokenize+hash+fold pipeline on both sides
+    sh = materialize(
+        hv.select(
+            "doc_id",
+            "lang",
+            simhash_from_token_hashes(F.col("hv"), 16).alias("simhash"),
+        )
     )
     a, b = sh.alias("a"), sh.alias("b")
     return (

@@ -48,7 +48,10 @@ def get_spark(
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as LONG nanos and convert explicitly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM IS the executor — size it for 32
+        # concurrent task threads (expression-heavy operators generate
+        # real garbage; a small heap turns long sessions GC-bound)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
