@@ -98,11 +98,16 @@ def ivf_fit(
     n_clusters: int,
     vector_col: str = "embedding",
     seed: int = 42,
-    max_iter: int = 20,
+    max_iter: int = 10,
 ):
-    """Fit IVF coarse centroids with MLlib KMeans. Returns the list of
-    centroids (as plain python lists) — small enough to broadcast into
-    pure-expression assignment, keeping search JVM-side."""
+    """Fit IVF coarse centroids with MLlib KMeans (10 iterations — the
+    reference's own k-means budget, quantization.py:28-57). Returns the
+    centroids as plain python lists — small enough to broadcast into
+    pure-expression assignment, keeping search JVM-side.
+
+    The feature frame is cached for the fit: KMeans rescans its input
+    every iteration, so an uncached lineage would re-run the upstream
+    pipeline max_iter times."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -110,9 +115,12 @@ def ivf_fit(
         array_to_vector(F.col(vector_col).cast("array<double>")).alias(
             "features"
         )
-    )
-    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(feats)
-    return [c.tolist() for c in model.clusterCenters()]
+    ).persist()
+    try:
+        model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(feats)
+        return [c.tolist() for c in model.clusterCenters()]
+    finally:
+        feats.unpersist()
 
 
 def nearest_centroid(

@@ -86,16 +86,27 @@ def kmeans_codebooks(
     dim = len(corpus.select(vector_col).first()[0])
     assert dim % n_subquantizers == 0
     subdim = dim // n_subquantizers
-    books = []
-    for s in range(n_subquantizers):
-        feats = corpus.select(
+    # one cached pass produces every subspace slice; each per-subspace
+    # KMeans then iterates over the cached slices instead of re-reading
+    # and re-slicing the corpus max_iter times
+    sliced = corpus.select(
+        *[
             array_to_vector(
                 _slice(F.col(vector_col), s, subdim).cast("array<double>")
-            ).alias("features")
-        )
-        model = KMeans(k=n_codes, seed=seed, maxIter=max_iter).fit(feats)
-        books.append([c.tolist() for c in model.clusterCenters()])
-    return books
+            ).alias(f"f{s}")
+            for s in range(n_subquantizers)
+        ]
+    ).persist()
+    try:
+        books = []
+        for s in range(n_subquantizers):
+            model = KMeans(
+                k=n_codes, seed=seed, maxIter=max_iter, featuresCol=f"f{s}"
+            ).fit(sliced)
+            books.append([c.tolist() for c in model.clusterCenters()])
+        return books
+    finally:
+        sliced.unpersist()
 
 
 def pq_encode_codes(

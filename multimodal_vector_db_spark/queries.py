@@ -1115,6 +1115,182 @@ def q_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "attention_pooling",
+    """
+    WITH g AS (
+      SELECT label, list(embedding::DOUBLE[] ORDER BY vec_id) AS vs
+      FROM embeddings WHERE label < 5 GROUP BY label
+    ),
+    n AS (
+      SELECT label, vs,
+             list_transform(vs, v ->
+               sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(v, x -> x * x)), (a, b) -> a + b))) AS norms
+      FROM g
+    ),
+    t AS (
+      SELECT label, vs, norms,
+             list_reduce(list_prepend(0.0::DOUBLE, norms), (a, b) -> a + b) AS total
+      FROM n
+    )
+    SELECT label,
+           list_transform(generate_series(1, 64), i ->
+             round(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(generate_series(1, len(vs)),
+                 j -> vs[j][i] * (norms[j] / total))),
+               (a, b) -> a + b), 9)) AS pooled
+    FROM t
+    """,
+)
+def q_attention_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 attention pooling (video_embedder.py:153-158): norm-weighted
+    mean over same-label embeddings (frames), sequential vec_id-order
+    fold on both engines for bit equality."""
+    from multimodal_vector_db_spark.functions.vector import (
+        array_attention_pool,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("label") < 5)
+    grouped = emb.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
+            lambda s: s["embedding"],
+        ).alias("frames")
+    )
+    return grouped.select(
+        "label",
+        F.transform(
+            array_attention_pool(F.col("frames")), lambda x: F.round(x, 9)
+        ).alias("pooled"),
+    )
+
+
+@query(
+    "matryoshka_multiscale",
+    """
+    WITH dims AS (SELECT unnest([16, 32, 64]) AS dim),
+    sliced AS (
+      SELECT e.vec_id, d.dim,
+             list_transform(e.embedding[1:d.dim], x -> x::DOUBLE) AS v
+      FROM embeddings e, dims d
+      WHERE e.vec_id < 50
+    ),
+    n AS (
+      SELECT vec_id, dim, v,
+             sqrt(list_dot_product(v, v)) AS nrm
+      FROM sliced
+    )
+    SELECT vec_id, dim,
+           CASE WHEN nrm = 0 THEN v
+                ELSE list_transform(v, x -> x / nrm) END AS v_scaled
+    FROM n
+    """,
+)
+def q_matryoshka_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 multi-scale expansion (projection.py:222-263): one input row →
+    {16, 32, 64}-d truncated+renormalized variants, as an explode over
+    the dims array — the per-dim materialized-table build in one plan."""
+    from multimodal_vector_db_spark.functions.vector import slice_renormalize
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    exploded = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(F.lit(16), F.lit(32), F.lit(64))).alias("dim"),
+    )
+    out = exploded.select(
+        "vec_id",
+        "dim",
+        F.when(
+            F.col("dim") == 16, slice_renormalize("embedding", 16)
+        )
+        .when(F.col("dim") == 32, slice_renormalize("embedding", 32))
+        .otherwise(slice_renormalize("embedding", 64))
+        .alias("v_scaled"),
+    )
+    return out
+
+
+@query(
+    "tokenize_regex",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]+$')))::BIGINT AS n_alpha,
+           len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$')))::BIGINT AS n_num
+    FROM t
+    """,
+)
+def q_tokenize_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization: alpha runs / digit runs / single
+    punctuation as separate tokens (the pre-tokenizer split every BPE
+    implementation applies), with per-class counts."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+    )
+    staged = docs.select("doc_id", toks.alias("toks"))
+    return staged.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(F.col("toks"), lambda x: x.rlike("^[A-Za-z]+$"))
+        ).cast("long").alias("n_alpha"),
+        F.size(
+            F.filter(F.col("toks"), lambda x: x.rlike("^[0-9]+$"))
+        ).cast("long").alias("n_num"),
+    )
+
+
+@query(
+    "winnow_fingerprint",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN length(norm) < 8 THEN md5(norm)
+                ELSE list_aggregate(
+                  list_transform(generate_series(1, length(norm) - 7),
+                                 i -> md5(substr(norm, i, 8))), 'min')
+           END AS winnow_fp,
+           greatest(length(norm) - 7, 1)::BIGINT AS n_windows
+    FROM t
+    """,
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window document fingerprint (winnowing-style): the min
+    md5 over all 8-char windows of the normalized text — robust to
+    content reordering, the standard near-dup fingerprint for code/text
+    plagiarism detection."""
+    from multimodal_vector_db_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    staged = docs.select("doc_id", norm.alias("norm"))
+    win_min = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.length("norm") - 7),
+            lambda i: F.md5(F.col("norm").substr(i, F.lit(8))),
+        )
+    )
+    return staged.select(
+        "doc_id",
+        F.when(F.length("norm") < 8, F.md5(F.col("norm")))
+        .otherwise(win_min)
+        .alias("winnow_fp"),
+        F.greatest(F.length("norm") - 7, F.lit(1)).cast("long").alias("n_windows"),
+    )
+
+
 @query("fp16_round_trip")  # no SQL oracle: DuckDB has no half type (rows-only)
 def q_fp16_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1: FP16 storage round-trip (vector_index.py:79-91). Rows-only

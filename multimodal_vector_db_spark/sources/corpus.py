@@ -98,3 +98,30 @@ def union_corpora(*dfs: DataFrame) -> DataFrame:
 def active(items: DataFrame) -> DataFrame:
     """P7 honored: every read path filters tombstones."""
     return items.where(~F.col("deleted"))
+
+
+def scan_media_directory(
+    spark,
+    path: str,
+    extensions: list[str],
+    modality: str,
+) -> DataFrame:
+    """S3 directory scan (``build_all_indices.py:109-110``: os.listdir +
+    endswith filter) as the ``binaryFile`` source: one glob-filtered
+    distributed scan per extension, unioned. Returns
+    (path, modification_time, length, content BINARY, modality).
+
+    At 100 TB this is the ingest scan for raw media — file listing is
+    driver-side but reading is fully distributed, and the downstream
+    decode/embed runs per-partition (multimodal.extract_features).
+    """
+    dfs = [
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", f"*{ext}")
+        .load(path)
+        for ext in extensions
+    ]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out.withColumn("modality", F.lit(modality))

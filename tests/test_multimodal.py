@@ -79,3 +79,22 @@ def test_stub_decoders_raise(spark):
         decode_image(b"\x89PNG fake")
     with pytest.raises(NotImplementedError):
         load_audio(b"RIFF fake")
+
+
+def test_scan_media_directory_binary_source(spark, tmp_path):
+    # S3: extension-filtered directory scan via the binaryFile source
+    from multimodal_vector_db_spark.sources.corpus import scan_media_directory
+
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "a.mp4").write_bytes(b"\x00fake-video-a")
+    (media / "b.mov").write_bytes(b"\x01fake-video-b")
+    (media / "c.txt").write_bytes(b"not-a-video")
+    out = scan_media_directory(
+        spark, str(media), [".mp4", ".mov"], modality="video"
+    )
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in out.collect()}
+    assert set(rows) == {"a.mp4", "b.mov"}  # .txt filtered by glob
+    assert rows["a.mp4"]["content"] == b"\x00fake-video-a"
+    assert rows["a.mp4"]["modality"] == "video"
+    assert rows["a.mp4"]["length"] == 13

@@ -62,3 +62,26 @@ def test_compression_ratio():
     # quantization.py:120-124 — 512-dim fp32 → 8 one-byte codes = 256×
     assert compression_ratio(512, 8) == 256.0
     assert compression_ratio(64, 4) == 64.0
+
+
+def test_kmeans_codebooks_shapes_and_determinism(spark):
+    # Q2 scale path: MLlib KMeans per subspace slice, pinned seed
+    from multimodal_vector_db_spark.operators.quantization import (
+        kmeans_codebooks,
+        pq_encode_codes,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = kmeans_codebooks(emb, n_subquantizers=4, n_codes=8)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)
+    books2 = kmeans_codebooks(emb, n_subquantizers=4, n_codes=8)
+    assert books == books2  # pinned seed → deterministic centroids
+    out = emb.limit(50).select(
+        pq_encode_codes(F.col("embedding"), books).alias("codes")
+    ).agg(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+    ).first()
+    assert out["lo"] >= 0 and out["hi"] < 8
