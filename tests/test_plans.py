@@ -1,0 +1,88 @@
+"""Plan-quality regression tests: the physical-plan properties that make
+the operators scale are asserted here, so a refactor that silently adds
+a shuffle, loses a pushdown, or drops a broadcast fails CI — not the
+100 TB run.
+
+These mirror SURVEY.md §4's requirements: predicate pushdown to the
+parquet scan, column pruning (ReadSchema), broadcast of the small join
+side, partial (map-side) aggregation, and a shuffle-free single-query
+kNN ending in TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from multimodal_vector_db_spark import queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = Q.REGISTRY[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_knn_single_is_shuffle_free_topk(spark):
+    # scan → project(dot) → TakeOrderedAndProject: no Exchange at all —
+    # the whole query is one embarrassingly-parallel pass + driver top-k
+    p = plan_of(spark, "knn_single")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+
+
+def test_knn_filtered_pushes_predicate_to_scan(spark):
+    # the metadata predicate must reach the parquet reader (P3: no k×10
+    # over-fetch — the filter applies BEFORE ranking, at the scan)
+    p = plan_of(spark, "knn_filtered")
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", p)
+    assert any("EqualTo(label,3)" in f for f in pushed), pushed
+
+
+def test_knn_batch_broadcasts_queries(spark):
+    # corpus never shuffles: the (small) query side is broadcast and the
+    # only exchange is the per-query top-k window
+    p = plan_of(spark, "knn_batch")
+    assert "BroadcastNestedLoopJoin" in p
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_tpch_q1_prunes_columns_and_preaggregates(spark):
+    p = plan_of(spark, "tpch_q1")
+    schemas = re.findall(r"ReadSchema: [^\n]*", p)
+    assert schemas and "l_orderkey" not in schemas[0]  # pruned
+    assert "l_comment" not in schemas[0] if "l_comment" in schemas[0] else True
+    # partial + final aggregation (map-side combine before the shuffle)
+    assert p.count("HashAggregate") >= 2
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", p)
+    assert any("l_shipdate" in f for f in pushed), pushed
+
+
+def test_tpch_q3_broadcasts_dimensions(spark):
+    p = plan_of(spark, "tpch_q3")
+    assert "BroadcastHashJoin" in p
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", p)
+    assert any("EqualTo(c_mktsegment,BUILDING)" in f for f in pushed), pushed
+
+
+def test_filter_project_pushdown(spark):
+    p = plan_of(spark, "filter_project")
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", p)
+    assert any(
+        "EqualTo(l_returnflag,R)" in f and "GreaterThan(l_quantity,40" in f
+        for f in pushed
+    ), pushed
+
+
+def test_anti_and_semi_joins_use_broadcast(spark):
+    # existence joins against filtered small sides must broadcast
+    for name in ("anti_join", "semi_join"):
+        p = plan_of(spark, name)
+        assert "Broadcast" in p, name
