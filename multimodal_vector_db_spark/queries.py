@@ -1704,6 +1704,94 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_functions",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text, lang,
+             source || '/doc_' || doc_id || '.txt' AS path
+      FROM documents
+    )
+    SELECT doc_id,
+           string_split(path, '/')[-1] AS fname,
+           regexp_replace(string_split(path, '/')[-1], '\.txt$', '') AS stem,
+           (path LIKE '%.txt') AS is_txt,
+           lang || '. ' || substr(text, 1, 500) AS embed_text,
+           CASE WHEN length(text) > 200
+                THEN substr(text, 1, 200) || '...'
+                ELSE text END AS preview
+    FROM t
+    """,
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F3 scalar derivations in one plan: embed-text concat
+    (build_text_index.py:113-116), preview truncation
+    (build_text_index.py:54), and basename/stem/extension ops
+    (build_matryoshka_indices.py:75-79) — all codegen'd expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    path = F.concat(
+        F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"), F.lit(".txt")
+    )
+    staged = docs.select("doc_id", "text", "lang", path.alias("path"))
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    return staged.select(
+        "doc_id",
+        fname.alias("fname"),
+        F.regexp_replace(fname, r"\.txt$", "").alias("stem"),
+        F.col("path").endswith(".txt").alias("is_txt"),
+        F.concat(F.col("lang"), F.lit(". "), F.substring("text", 1, 500)).alias(
+            "embed_text"
+        ),
+        F.when(
+            F.length("text") > 200,
+            F.concat(F.substring("text", 1, 200), F.lit("...")),
+        )
+        .otherwise(F.col("text"))
+        .alias("preview"),
+    )
+
+
+@query(
+    "linear_projection",
+    """
+    WITH p AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, 16), j ->
+               list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(generate_series(1, 64), i ->
+                   embedding[i]::DOUBLE
+                   * ((((7*(i-1) + 13*(j-1)) % 19) - 9) / 19.0))),
+                 (a, b) -> a + b)) AS y
+      FROM embeddings WHERE vec_id < 100
+    ),
+    n AS (SELECT vec_id, y, sqrt(list_dot_product(y, y)) AS nrm FROM p)
+    SELECT vec_id,
+           list_transform(y, x ->
+             round(x / CASE WHEN nrm = 0 THEN 1 ELSE nrm END, 6)) AS projected
+    FROM n
+    """,
+)
+def q_linear_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 (projection.py:31-60): learned linear projection + renormalize
+    as an Arrow-batched pandas UDF — NumPy does one batch matmul per
+    Arrow batch, weights broadcast in the closure. Deterministic test
+    weights make it oracle-checkable (rounded: BLAS accumulation order
+    differs from a sequential SQL fold in the last ulps)."""
+    from multimodal_vector_db_spark.functions.projection import (
+        deterministic_weights,
+        linear_project_udf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    project = linear_project_udf(deterministic_weights(64, 16))
+    return emb.select(
+        "vec_id",
+        F.transform(project(F.col("embedding")), lambda x: F.round(x, 6)).alias(
+            "projected"
+        ),
+    )
+
+
+@query(
     "tpch_q6",
     """
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,

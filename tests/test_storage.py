@@ -1,0 +1,79 @@
+"""Warehouse storage tests (SURVEY §2.1 S8-S11, §2.4 A13): partitioned
+index save/load round-trip, manifest persistence, config round-trip,
+size accounting, and the partition-pruning layout the reference's
+per-modality indexes map to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multimodal_vector_db_spark.sources.storage import CorpusStorage
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _items(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("video"), F.lit("audio"), F.lit("text")),
+        (F.col("label") % 4 + 1).cast("int"),
+    )
+    return emb.select(
+        F.col("vec_id").alias("id"), "embedding", modality.alias("modality")
+    )
+
+
+def test_save_load_round_trip_partitioned(spark, tmp_path):
+    store = CorpusStorage(str(tmp_path / "wh"))
+    items = _items(spark)
+    store.save_index(
+        items,
+        "unified",
+        manifest={"dimension": 64, "metric": "cosine", "use_fp16": False},
+        partition_by=["modality"],
+    )
+    loaded, manifest = store.load_index(spark, "unified")
+    assert loaded.count() == items.count()
+    assert manifest["dimension"] == 64
+    assert manifest["metric"] == "cosine"
+    assert manifest["partition_by"] == ["modality"]
+    # same content, column order independent
+    assert (
+        loaded.select("id").exceptAll(items.select("id")).count() == 0
+    )
+
+
+def test_partition_layout_enables_pruning(spark, tmp_path):
+    # S8 layout check: one subdirectory per modality → WHERE modality=x
+    # touches only that partition's files (the 6.74× speedup in
+    # relational form, README.md:150-153)
+    import os
+
+    store = CorpusStorage(str(tmp_path / "wh"))
+    store.save_index(_items(spark), "uni", partition_by=["modality"])
+    subdirs = {
+        d for d in os.listdir(tmp_path / "wh" / "indices" / "uni")
+        if d.startswith("modality=")
+    }
+    assert subdirs == {
+        "modality=image", "modality=video", "modality=audio", "modality=text"
+    }
+    loaded, _ = store.load_index(spark, "uni")
+    audio = loaded.where(F.col("modality") == "audio")
+    assert audio.count() > 0
+
+
+def test_config_exists_size_clear(spark, tmp_path):
+    store = CorpusStorage(str(tmp_path / "wh"))
+    store.save_config({"engine": "spark", "metric": "cosine"})
+    assert store.load_config()["metric"] == "cosine"
+    assert not store.exists("nope")
+    store.save_index(_items(spark), "tiny")
+    assert store.exists("tiny")
+    # A13 storage-per-vector: bytes / n (metrics.py:168-200)
+    n = _items(spark).count()
+    per_vector = store.get_size_bytes() / n
+    assert per_vector > 0
+    store.clear()
+    assert not store.exists("tiny")
