@@ -1386,7 +1386,64 @@ def q_pq_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mmr_rerank")  # greedy sequential loop — not SQL-expressible (rows-only)
+def _mmr_oracle_sql(k: int = 5, lam: float = 0.5) -> str:
+    """Greedy MMR unrolled as k chained CTE stages (the loop is
+    sequential but FINITE — each step is one deterministic argmax, so
+    no recursion is needed). cos() mirrors reranker.py:135-138 with the
+    same epsilon and fold order as the Python driver implementation."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})) + 1e-8))"
+        )
+
+    stages = [
+        """
+    s1 AS (
+      SELECT id, v, sim, 1 AS mmr_rank FROM cand
+      ORDER BY sim DESC, rank ASC LIMIT 1
+    )"""
+    ]
+    for step in range(2, k + 1):
+        prev = [f"s{j}" for j in range(1, step)]
+        froms = ", ".join(prev)
+        not_in = ", ".join(f"{p}.id" for p in prev)
+        max_sim = (
+            f"greatest({', '.join(cos('c.v', f'{p}.v') for p in prev)})"
+            if len(prev) > 1
+            else cos("c.v", f"{prev[0]}.v")
+        )
+        stages.append(
+            f"""
+    s{step} AS (
+      SELECT c.id, c.v, c.sim, {step} AS mmr_rank
+      FROM cand c, {froms}
+      WHERE c.id NOT IN ({not_in})
+      ORDER BY ({lam} * c.sim - {1 - lam} * {max_sim}) DESC, c.rank ASC
+      LIMIT 1
+    )"""
+        )
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT id, sim, mmr_rank FROM s{j}" for j in range(1, k + 1)
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 3),
+    cand AS (
+      SELECT id, v, sim, rank FROM (
+        SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
+               list_dot_product(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]) AS sim,
+               row_number() OVER (
+                 ORDER BY list_dot_product(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]) DESC,
+                          e.vec_id ASC) AS rank
+        FROM embeddings e, q
+      ) WHERE rank <= 20
+    ),{",".join(stages)}
+    SELECT id, sim, mmr_rank::INT AS mmr_rank FROM ({union})
+    """
+
+
+@query("mmr_rerank", _mmr_oracle_sql(k=5, lam=0.5))
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1/R2 (reranker.py:17-117): distributed kNN generates the top-20
     candidates; driver-side deterministic MMR (λ=0.5) reranks to a
@@ -1397,7 +1454,10 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 3).select("embedding").first()[0]
     top = knn_search(
-        emb.select(F.col("vec_id").alias("id"), "embedding"), qvec, k=20
+        emb.select(F.col("vec_id").alias("id"), "embedding"),
+        qvec,
+        k=20,
+        payload_cols=["embedding"],  # MMR needs the vectors to diversify
     )
     cands = [r.asDict() for r in top.collect()]
     picked = rerank(cands, strategy="diversity", top_k=5)
@@ -1909,6 +1969,98 @@ def q_ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "query_id", "id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@query(
+    "ann_ivf_fixed_knn",
+    """
+    WITH cent AS (
+      SELECT (vec_id - 200)::BIGINT AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id BETWEEN 200 AND 207
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             list_dot_product(e.embedding::DOUBLE[], c.cv) AS sim
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    asg AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, cid FROM (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+        FROM scored WHERE vec_id < 10) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT q.query_id, a.vec_id AS id,
+             list_dot_product(a.embedding::DOUBLE[], q.q_emb::DOUBLE[]) AS sim
+      FROM asg a JOIN qprobe q ON a.cid = q.cid
+    ),
+    ranked AS (
+      SELECT query_id, id, sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, id ASC) AS rank
+      FROM cand
+    )
+    SELECT query_id, id, sim, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ann_ivf_fixed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with deterministic data-derived centroids (corpus rows
+    200-207), fully oracle-checked: assignment (max-dot, ties → highest
+    cid), nprobe=2 probing, cluster-pruned top-5. Same plan as the
+    KMeans-trained variant — only the quantizer fit differs (and at
+    scale the corpus is partitionBy(cluster_id), making the probe a
+    partition-pruned scan)."""
+    from multimodal_vector_db_spark.operators.ann import ivf_assign, ivf_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = [
+        r["embedding"]
+        for r in emb.where(
+            (F.col("vec_id") >= 200) & (F.col("vec_id") < 208)
+        ).orderBy("vec_id").select("embedding").collect()
+    ]
+    corpus = emb.select(F.col("vec_id").alias("id"), "embedding")
+    assigned = ivf_assign(corpus, centroids)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    out = ivf_search(assigned, queries, centroids, k=5, nprobe=2)
+    return out.select(
+        "query_id", "id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@query(
+    "json_extract_stats",
+    """
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           sum(CASE WHEN json_extract_string(props, '$.k')::BIGINT > 50
+                    THEN 1 ELSE 0 END)::BIGINT AS n_high,
+           round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON path extraction inside aggregation —
+    the schemaless-metadata escape hatch (the reference's metadata dicts,
+    vector_index.py:24) queried relationally."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(k > 50, 1).otherwise(0)).cast("long").alias("n_high"),
+        F.round(F.avg(k), 6).alias("avg_k"),
     )
 
 
