@@ -1,0 +1,74 @@
+"""Scale-out join strategies (SURVEY §4 / the 100 TB design):
+
+- **Bucketed co-located join**: both fact tables written
+  ``bucketBy(n, key)`` share a partitioning, so the join compiles with
+  NO shuffle exchange — at 100 TB the difference between re-shuffling
+  terabytes per query and reading co-located buckets.
+- **Salted join**: a skewed key (one user with 10% of events) turns one
+  reducer into the straggler. Salting fans the hot side out over
+  ``n_salts`` sub-keys and replicates the small side, restoring
+  balance. AQE's skew-join handles sort-merge skew automatically; the
+  explicit form covers broadcast-ineligible dimension joins and gives
+  deterministic plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Materialize a table bucketed (and optionally sorted) by the join
+    key. Joins between tables bucketed the same way skip the exchange."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # the in-memory catalog forgets tables across sessions but their
+    # warehouse directories persist — clear the location explicitly
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/{table_name}", ignore_errors=True)
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str
+) -> DataFrame:
+    """Join two same-bucketed saved tables on their bucket key."""
+    return spark.table(left_table).join(spark.table(right_table), on=on)
+
+
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    salt_col: str = "__salt",
+) -> DataFrame:
+    """Equi-join where ``skewed`` has heavy hitters on the join key:
+    the skewed side gets a deterministic per-row salt (hash-based, not
+    random — plans must be reproducible), the dim side is exploded
+    ``n_salts``× so every (key, salt) pair still matches exactly once.
+    Shuffle keys become (key, salt) — the hot key spreads over n_salts
+    reducers."""
+    salted_left = skewed.withColumn(
+        salt_col, F.pmod(F.hash(*[c for c in skewed.columns]), F.lit(n_salts))
+    )
+    replicated_dim = dim.withColumn(
+        salt_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),
+    )
+    out = salted_left.join(replicated_dim, on=[on, salt_col])
+    return out.drop(salt_col)

@@ -190,3 +190,58 @@ def run_available_now(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum(value)) maintained across micro-batches in the
+    state store — the arbitrary-state API the built-in windowed aggs
+    can't express (e.g. the base of a streaming anomaly detector).
+
+    Works on both streaming frames (true incremental state, checkpoint-
+    durable) and — for the test oracle — on batch frames via groupBy.
+    """
+
+    def update(key, pdf_iter, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",  # each batch appends the current running totals
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -87,3 +87,64 @@ def test_foreach_batch_upsert_is_idempotent(spark, tmp_path):
     got = spark.read.parquet(corpus)
     assert got.count() == 150  # no duplicates despite the 50-row overlap
     assert got.select("event_id").distinct().count() == 150
+
+
+def test_apply_in_pandas_with_state_accumulates(spark, tmp_path):
+    # custom stateful operator: per-user running totals must survive
+    # across separate availableNow runs via the checkpointed state store
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.streaming.ingest import running_user_totals
+
+    src = tmp_path / "state_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_state")
+    out_dir = str(tmp_path / "state_out")
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").orderBy("event_id")
+    first, second = ev.limit(200), ev.where(
+        (F.col("event_id") >= 200) & (F.col("event_id") < 400)
+    )
+    first.coalesce(1).write.parquet(str(src / "b0"))
+
+    def run():
+        stream = running_user_totals(events_stream(spark, f"{src}/*"))
+        (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    run()
+    second.coalesce(1).write.parquet(str(src / "b1"))
+    run()
+
+    # the LAST emitted row per user reflects the accumulated state
+    from pyspark.sql import Window
+
+    emitted = spark.read.parquet(out_dir)
+    latest = (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    expected = (
+        first.unionByName(second)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in latest.collect()}
+    want = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in expected.collect()}
+    assert got == want
