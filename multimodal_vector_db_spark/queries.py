@@ -1291,19 +1291,63 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fp16_round_trip")  # no SQL oracle: DuckDB has no half type (rows-only)
+@query(
+    "fp16_round_trip",
+    """
+    WITH s1 AS (
+      SELECT vec_id,
+        list_transform(embedding, xf -> struct_pack(
+          x := xf::DOUBLE,
+          e0 := CASE WHEN xf = 0 THEN 0
+                     ELSE floor(log2(abs(xf::DOUBLE)))::INT END
+        )) AS a
+      FROM embeddings
+    ),
+    s2 AS (
+      SELECT vec_id,
+        list_transform(a, s -> struct_pack(
+          x := s.x,
+          e := CASE WHEN s.x = 0 THEN 0
+                    WHEN abs(s.x) < power(2, s.e0) THEN s.e0 - 1
+                    WHEN abs(s.x) >= power(2, s.e0 + 1) THEN s.e0 + 1
+                    ELSE s.e0 END
+        )) AS a
+      FROM s1
+    ),
+    y AS (
+      SELECT vec_id,
+        list_transform(a, s ->
+          CASE WHEN s.x = 0 THEN s.x
+               ELSE round_even(s.x / power(2, greatest(s.e, -14) - 10), 0)
+                    * power(2, greatest(s.e, -14) - 10) END) AS fp16_vec
+      FROM s2
+    )
+    SELECT vec_id, fp16_vec,
+           round(sqrt(list_dot_product(fp16_vec, fp16_vec)), 6) AS fp16_norm
+    FROM y
+    """,
+)
 def q_fp16_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q1: FP16 storage round-trip (vector_index.py:79-91). Rows-only
-    check — validated in tests/test_vector_functions.py against numpy."""
+    """Q1: FP16 storage round-trip (vector_index.py:79-91) — numpy
+    ``astype(float16)`` on the Spark side, emulated BIT-EXACTLY in the
+    oracle: IEEE round-to-nearest-even at the 10-bit-mantissa quantum
+    2^(e-10) (2^-24 flushes into the subnormal range), with a
+    floor(log2)+correction exponent that survives log2's ulp error at
+    power-of-2 boundaries. fp16 values are exactly representable in
+    both float32 and double, so the hashes match with no tolerance."""
     from multimodal_vector_db_spark.functions.vector import (
         fp16_round_trip,
         l2_norm,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return emb.select(
+    staged = emb.select(
+        "vec_id", fp16_round_trip("embedding").alias("fp16_vec")
+    )
+    return staged.select(
         "vec_id",
-        F.round(l2_norm(fp16_round_trip("embedding")), 6).alias("fp16_norm"),
+        "fp16_vec",
+        F.round(l2_norm("fp16_vec"), 6).alias("fp16_norm"),
     )
 
 
