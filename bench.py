@@ -59,12 +59,16 @@ HEADLINE = [
 
 
 def build_warehouse(spark, sf_dir: str, wh_dir: str, n_files: int = 32) -> None:
-    """One-time rewrite of each table into an n-file layout (directory
-    named <table>.parquet so the query registry reads it unchanged)."""
+    """One-time rewrite of each table into a multi-file layout (directory
+    named <table>.parquet so the query registry reads it unchanged).
+    File count scales with table size — tiny dimensions stay single-file
+    (32 near-empty files would only add open/footer overhead)."""
     shutil.rmtree(wh_dir, ignore_errors=True)
     for name in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df.repartition(n_files).write.mode("overwrite").parquet(
+        n_rows = df.count()
+        parts = max(1, min(n_files, n_rows // 500))
+        df.repartition(parts).write.mode("overwrite").parquet(
             f"{wh_dir}/{name}.parquet"
         )
 
@@ -102,7 +106,8 @@ def main() -> None:
         fn(spark, wh_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 4)
 
-    # amortized per-query kNN latency over a 64-query batch
+    # amortized per-query kNN latency over a 64-query batch — the
+    # apples-to-apples number against BASELINE.md's 13.15 ms/query
     emb = spark.read.parquet(f"{wh_dir}/embeddings.parquet")
     qs = emb.where(F.col("vec_id") < 64).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -112,6 +117,17 @@ def main() -> None:
     t0 = time.time()
     knn_join(corpus, qs, k=10).write.format("noop").mode("overwrite").save()
     knn_ms_per_query = round((time.time() - t0) / 64 * 1000, 3)
+
+    # pruned variant: same queries against ONE label partition (~1/10 of
+    # the corpus) — the per-modality-index speedup (BASELINE.md 1.95
+    # ms/query, "6.74× individual vs unified") as partition pruning
+    pruned = emb.where(F.col("label") == 3).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    knn_join(pruned, qs, k=10).write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.time()
+    knn_join(pruned, qs, k=10).write.format("noop").mode("overwrite").save()
+    knn_pruned_ms_per_query = round((time.time() - t0) / 64 * 1000, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -128,6 +144,7 @@ def main() -> None:
                 "sf": sf_val,
                 "prep_sec": prep_sec,
                 "knn_ms_per_query": knn_ms_per_query,
+                "knn_pruned_ms_per_query": knn_pruned_ms_per_query,
             }
         )
     )
