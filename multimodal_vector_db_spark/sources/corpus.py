@@ -125,3 +125,38 @@ def scan_media_directory(
     for df in dfs[1:]:
         out = out.unionByName(df)
     return out.withColumn("modality", F.lit(modality))
+
+
+def parse_wiki_corpus(spark, path: str) -> DataFrame:
+    """S4 wiki-corpus parse (``build_text_index.py:25-57``) from raw
+    files: whole-file read → split on blank-line separators → first line
+    title, rest content → length filters → preview derivation. The
+    driver's oracle-checked twin over the documents table is
+    ``queries.py:q_string_pipeline``; this is the real file-source form.
+    """
+    raw = spark.read.text(path, wholetext=True)
+    chunks = raw.select(
+        F.explode(F.split("value", "\n\n\n")).alias("chunk")
+    ).where(F.length(F.trim(F.col("chunk"))) > 0)
+    parsed = chunks.select(
+        F.trim(F.element_at(F.split(F.trim(F.col("chunk")), "\n", 2), 1)).alias(
+            "title"
+        ),
+        F.trim(F.element_at(F.split(F.trim(F.col("chunk")), "\n", 2), 2)).alias(
+            "content"
+        ),
+    )
+    return parsed.where(
+        (F.length("content") > 100)
+        & (F.length("title") > 0)
+        & (F.length("title") < 100)
+    ).select(
+        "title",
+        "content",
+        F.when(
+            F.length("content") > 200,
+            F.concat(F.substring("content", 1, 200), F.lit("...")),
+        )
+        .otherwise(F.col("content"))
+        .alias("preview"),
+    )

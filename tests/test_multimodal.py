@@ -98,3 +98,25 @@ def test_scan_media_directory_binary_source(spark, tmp_path):
     assert rows["a.mp4"]["content"] == b"\x00fake-video-a"
     assert rows["a.mp4"]["modality"] == "video"
     assert rows["a.mp4"]["length"] == 13
+
+
+def test_parse_wiki_corpus_wholetext(spark, tmp_path):
+    # S4 (build_text_index.py:25-57): whole-file → blank-line chunks →
+    # title/content/preview with the reference's exact length filters
+    from multimodal_vector_db_spark.sources.corpus import parse_wiki_corpus
+
+    long_body = "word " * 50  # > 100 chars
+    corpus = tmp_path / "wiki"
+    corpus.mkdir()
+    (corpus / "wiki_00.txt").write_text(
+        f"Title One\n{long_body}\n\n\n"
+        f"Short\ntiny\n\n\n"  # content too short → filtered
+        f"{'T' * 120}\n{long_body}\n\n\n"  # title too long → filtered
+        f"Title Two\n{long_body * 2}"
+    )
+    out = parse_wiki_corpus(spark, str(corpus))
+    rows = {r["title"]: r for r in out.collect()}
+    assert set(rows) == {"Title One", "Title Two"}
+    assert rows["Title Two"]["preview"].endswith("...")
+    assert len(rows["Title Two"]["preview"]) == 203
+    assert rows["Title One"]["content"].startswith("word word")

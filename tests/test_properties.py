@@ -1,0 +1,134 @@
+"""Property-based tests (hypothesis) for the expression kernels — a
+layer the reference lacks entirely (SURVEY §5: "no property-based
+testing"). Each Spark expression is checked against an independent
+pure-Python implementation on randomized inputs, one Spark job per
+property (hypothesis generates the data, Spark evaluates in one batch).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+finite_floats = st.floats(
+    min_value=-100.0, max_value=100.0, allow_nan=False, allow_infinity=False,
+    width=32,
+)
+vectors = st.lists(finite_floats, min_size=1, max_size=16)
+
+
+def _eval_exprs(spark, rows, schema, *exprs):
+    return spark.createDataFrame(rows, schema).select(*exprs).collect()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(vectors, min_size=1, max_size=8))
+def test_l2_normalize_is_unit_or_zero(spark, vs):
+    from multimodal_vector_db_spark.functions.vector import l2_norm, l2_normalize
+
+    rows = [(v,) for v in vs]
+    out = _eval_exprs(
+        spark, rows, "v array<float>",
+        l2_norm(l2_normalize("v")).alias("n"),
+        l2_norm("v").alias("orig"),
+    )
+    for r in out:
+        if r["orig"] == 0.0:
+            assert r["n"] == 0.0
+        else:
+            assert abs(r["n"] - 1.0) < 1e-6
+
+
+@settings(max_examples=20, deadline=None)
+@given(vectors)
+def test_dot_matches_python_fold(spark, v):
+    from multimodal_vector_db_spark.functions.vector import dot
+
+    rows = [(v, list(reversed(v)))]
+    out = _eval_exprs(
+        spark, rows, "a array<float>, b array<float>", dot("a", "b").alias("d")
+    )
+    expect = 0.0
+    for x, y in zip(np.asarray(v, dtype=np.float32), np.asarray(list(reversed(v)), dtype=np.float32)):
+        expect += float(x) * float(y)
+    assert out[0]["d"] == expect  # same sequential fold → bit-equal
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(vectors.filter(lambda v: len(v) >= 4), min_size=1, max_size=6))
+def test_fp16_round_trip_matches_numpy(spark, vs):
+    from multimodal_vector_db_spark.functions.vector import fp16_round_trip
+
+    rows = [(v,) for v in vs]
+    out = _eval_exprs(
+        spark, rows, "v array<float>", fp16_round_trip("v").alias("h")
+    )
+    for r, v in zip(out, vs):
+        ref = np.asarray(v, dtype=np.float32).astype(np.float16).astype(np.float32)
+        assert r["h"] == [float(x) for x in ref]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(alphabet="abc d\t\n", min_size=0, max_size=40), min_size=1, max_size=8))
+def test_tokens_match_python_split(spark, texts):
+    from multimodal_vector_db_spark.functions.text import token_count, tokens
+
+    rows = [(t,) for t in texts]
+    out = _eval_exprs(
+        spark, rows, "t string",
+        tokens("t").alias("toks"), token_count("t").alias("n"),
+    )
+    for r, t in zip(out, texts):
+        assert r["toks"] == t.split()
+        assert r["n"] == len(t.split())
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.text(alphabet="ab c", min_size=1, max_size=30), min_size=2, max_size=6)
+)
+def test_jaccard_bounds_and_symmetry(spark, texts):
+    from multimodal_vector_db_spark.functions.text import jaccard, word_shingles
+
+    rows = [(a, b) for a in texts[:2] for b in texts[:2]]
+    out = _eval_exprs(
+        spark, rows, "a string, b string",
+        jaccard(word_shingles("a", 1), word_shingles("b", 1)).alias("j"),
+        jaccard(word_shingles("b", 1), word_shingles("a", 1)).alias("jr"),
+    )
+    for r in out:
+        if r["j"] is not None:
+            assert 0.0 <= r["j"] <= 1.0
+            assert r["j"] == r["jr"]  # symmetric
+    # identity: j(a,a) == 1 when shingle set non-empty
+    same = [r for r, (a, b) in zip(out, [(a, b) for a in texts[:2] for b in texts[:2]]) if a == b]
+    for r in same:
+        if r["j"] is not None:
+            assert abs(r["j"] - 1.0) < 1e-12
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=30))
+def test_minhash_identical_docs_collide(spark, nums):
+    # two identical token streams must have identical signatures
+    from multimodal_vector_db_spark.functions.text import (
+        minhash_signature,
+        shingle_md5_blocks,
+        word_shingles,
+    )
+
+    text = " ".join(str(n) for n in nums)
+    rows = [(text,), (text,)]
+    df = spark.createDataFrame(rows, "t string").select(
+        word_shingles("t", 2).alias("sh")
+    )
+    blocks = shingle_md5_blocks(F.col("sh"), 8)
+    staged = df.select("sh", *[b.alias(f"m{k}") for k, b in enumerate(blocks)])
+    out = staged.select(
+        minhash_signature([F.col("m0"), F.col("m1")], 8).alias("sig")
+    ).collect()
+    assert out[0]["sig"] == out[1]["sig"]
