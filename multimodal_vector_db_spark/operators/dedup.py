@@ -93,55 +93,66 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     docs = ensure_parallelism(docs)
-    # materialized once: referenced by the band join (twice) AND the
-    # jaccard verify (twice) — without this the shingle+signature
-    # pipeline would run four times. The salted md5 blocks are staged as
-    # their own projection (referenced 4× each by the signature, so
-    # CollapseProject keeps them separate): num_hashes/4 md5s per
-    # shingle, then cheap nibble-slice minima.
+    # ONE pass computes shingles → salted md5 blocks → signature → band
+    # keys (each stage's output is referenced multiple times by the
+    # next, so CollapseProject keeps them staged, no recompute)
     md5_df = docs.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
     )
     blocks = shingle_md5_blocks(F.col("shingles"), num_hashes)
     md5_df = md5_df.select(
-        "doc_id",
-        "shingles",
-        *[b.alias(f"m{k}") for k, b in enumerate(blocks)],
+        "doc_id", "shingles", *[b.alias(f"m{k}") for k, b in enumerate(blocks)]
     )
-    block_cols = [
-        F.col(f"m{k}") for k in range((num_hashes + 3) // 4)
-    ]
-    sig = materialize(
-        md5_df.select(
-            "doc_id",
-            "shingles",
-            minhash_signature(block_cols, num_hashes).alias("sig"),
+    block_cols = [F.col(f"m{k}") for k in range((num_hashes + 3) // 4)]
+    # sig MUST be its own projection: lsh_band_keys slices it once per
+    # band, and inlining the signature expression there would evaluate
+    # the full minhash (and its md5 blocks) bands× per row
+    sig_df = md5_df.select(
+        "doc_id", minhash_signature(block_cols, num_hashes).alias("sig")
+    )
+    banded = sig_df.select(
+        "doc_id",
+        F.explode(
+            lsh_band_keys(F.col("sig"), bands, rows_per_band)
+        ).alias("band_key"),
+    )
+    # pairs WITHOUT a self-join: group ids per bucket (buckets are small
+    # by LSH design) and emit the i<j combinations in-expression — one
+    # aggregation shuffle on the band key, the signature pipeline runs
+    # exactly ONCE, and no checkpoint/cache state is held
+    buckets = (
+        banded.groupBy("band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    n = F.size("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), i).alias("id_a"),
+                    F.element_at(F.col("ids"), j).alias("id_b"),
+                ),
+            ),
         )
-    )
-    # the bucket self-join carries ONLY (doc_id, band_key) — never the
-    # shingle arrays; at scale the exploded band table is the shuffle,
-    # so its rows must stay narrow
-    banded = sig.select(
-        "doc_id",
-        F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias(
-            "band_key"
-        ),
     )
     cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), on="band_key")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
-    # exact-Jaccard verify only on colliding pairs: join the (small,
-    # materialized) signature table back by id. The candidate rows are
-    # narrow, so AQE coalesces them into ~1 partition by bytes — but the
-    # verify is CPU-bound on array intersection, so spread it explicitly
-    sh = sig.select("doc_id", "shingles")
+    # exact-Jaccard verify on colliding pairs only: join back a bare
+    # shingle projection (recomputed, but WITHOUT the md5/signature work
+    # — tokenizing twice beats holding checkpointed state). Candidate
+    # rows are byte-small but the verify is CPU-bound, so spread it
+    # explicitly (AQE coalesces by bytes).
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    )
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     pairs = (
         cand.repartition(n_parts, "id_a", "id_b")
@@ -171,12 +182,10 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity pairs ≥ threshold, within a
     blocking key (all-pairs if ``block_col`` is None — quadratic; only
     for small corpora or post-LSH verification)."""
-    base = materialize(
-        ensure_parallelism(docs).select(
-            F.col(id_col).alias("doc_id"),
-            *([F.col(block_col).alias("block")] if block_col else []),
-            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-        )
+    base = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        *([F.col(block_col).alias("block")] if block_col else []),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
     )
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.doc_id") < F.col("b.doc_id")

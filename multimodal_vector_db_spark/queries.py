@@ -800,28 +800,23 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens,
     )
 
-    from multimodal_vector_db_spark.operators.util import (
-        ensure_parallelism,
-        materialize,
-    )
+    from multimodal_vector_db_spark.operators.util import ensure_parallelism
 
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     # stage the md5 token-hash pass as its own projection: higher-order
     # fns are interpreted (no CSE), so the 16 per-bit folds must read a
-    # materialized hv column instead of recomputing tokenize+md5 16x
+    # staged hv column instead of recomputing tokenize+md5 16x. The
+    # lang-block self-join recomputes this pipeline once per side —
+    # cheaper and far more predictable than holding checkpointed state.
     hv = docs.select(
         "doc_id",
         "lang",
         F.transform(tokens(F.lower(F.col("text"))), token_hash16).alias("hv"),
     )
-    # materialized: the lang-block self-join would otherwise run the
-    # tokenize+hash+fold pipeline on both sides
-    sh = materialize(
-        hv.select(
-            "doc_id",
-            "lang",
-            simhash_from_token_hashes(F.col("hv"), 16).alias("simhash"),
-        )
+    sh = hv.select(
+        "doc_id",
+        "lang",
+        simhash_from_token_hashes(F.col("hv"), 16).alias("simhash"),
     )
     a, b = sh.alias("a"), sh.alias("b")
     return (
@@ -1892,6 +1887,70 @@ def q_linear_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(project(F.col("embedding")), lambda x: F.round(x, 6)).alias(
             "projected"
         ),
+    )
+
+
+@query(
+    "stat_aggregates",
+    """
+    SELECT event_type,
+           round(stddev_samp(value), 6) AS sd,
+           round(var_samp(value), 6) AS var,
+           round(covar_samp(value, user_id), 6) AS cov_uid,
+           round(corr(value, user_id), 6) AS corr_uid,
+           round(min(value), 6) AS min_v,
+           round(max(value), 6) AS max_v
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: stddev/variance/covariance/
+    correlation per group — the summary-statistics surface of a data
+    pipeline (metrics.py:237-252 generalized)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+        F.round(F.var_samp("value"), 6).alias("var"),
+        F.round(F.covar_samp("value", F.col("user_id").cast("double")), 6).alias(
+            "cov_uid"
+        ),
+        F.round(F.corr("value", F.col("user_id").cast("double")), 6).alias(
+            "corr_uid"
+        ),
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"),
+    )
+
+
+@query(
+    "pivot_lang_source",
+    """
+    SELECT source,
+           sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS de,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS en,
+           sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS es,
+           sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS fr,
+           sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS zh
+    FROM documents GROUP BY source
+    """,
+)
+def q_pivot_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot/crosstab: documents per (source, lang) with languages as
+    columns — one shuffle, fixed pivot domain (explicit value list so
+    Spark skips the extra distinct-discovery job)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = (
+        docs.groupBy("source")
+        .pivot("lang", ["de", "en", "es", "fr", "zh"])
+        .count()
+    )
+    # pivot yields nullable counts — normalize to zero-filled BIGINT
+    return out.select(
+        "source",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ["de", "en", "es", "fr", "zh"]
+        ],
     )
 
 

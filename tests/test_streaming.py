@@ -148,3 +148,52 @@ def test_apply_in_pandas_with_state_accumulates(spark, tmp_path):
     got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in latest.collect()}
     want = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in expected.collect()}
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    # late-data semantics: events older than (max_ts - watermark) that
+    # arrive in a LATER micro-batch must be dropped from the windowed
+    # aggregation state, not merged
+    from pyspark.sql import functions as F
+
+    src_dir = tmp_path / "late_src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt_late")
+    out_dir = str(tmp_path / "late_out")
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    mid = lo + (hi - lo) // 2
+    early, late_half = ev.where(F.col("ts") < mid), ev.where(F.col("ts") >= mid)
+
+    def run():
+        stream = windowed_counts(
+            events_stream(spark, f"{src_dir}/*"),
+            window_duration="1 hour",
+            watermark="2 hours",
+        )
+        (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")  # append emits only watermark-closed windows
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    # batch 0: the NEWER half arrives first (advances the watermark far
+    # past the older half); batch 1: the OLD half arrives late
+    late_half.coalesce(1).write.parquet(str(src_dir / "b0"))
+    run()
+    early.coalesce(1).write.parquet(str(src_dir / "b1"))
+    run()
+
+    emitted = spark.read.parquet(out_dir)
+    total_emitted = emitted.agg(
+        F.coalesce(F.sum("n_events"), F.lit(0))
+    ).first()[0]
+    # if late data were NOT dropped, every event would eventually be
+    # emitted; with the watermark, the old half's contribution is gone
+    assert total_emitted < ev.count() - early.count() * 0.5
