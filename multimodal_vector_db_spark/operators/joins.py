@@ -72,3 +72,57 @@ def salted_join(
     )
     out = salted_left.join(replicated_dim, on=[on, salt_col])
     return out.drop(salt_col)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+) -> DataFrame:
+    """As-of join: for every left row, attach the most recent right row
+    (right_ts <= left_ts) within the same ``on`` key — the standard
+    event↔dimension-history alignment Spark has no native operator for.
+
+    Implementation is the scale-correct union+window form, NOT a range
+    join: both sides are tagged and unioned, one window per key ordered
+    by time carries the last-seen right payload forward, then left rows
+    are filtered back out. ONE shuffle on the key — a range/theta join
+    would be quadratic per key.
+
+    Ties (right_ts == left_ts): the right row sorts BEFORE the left row
+    (tag order), so an exactly-simultaneous right row is visible —
+    matching DuckDB ASOF JOIN's `right_ts <= left_ts` semantics.
+    """
+    from pyspark.sql import Window
+
+    lt = left.withColumn("__tag", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt = (
+        right.select(
+            on,
+            *right_payload,
+            F.lit(0).alias("__tag"),
+            F.col(right_ts).alias("__ts"),
+        )
+    )
+    both = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.select(
+        "*",
+        *[
+            F.last(
+                F.when(F.col("__tag") == 0, F.col(c)), ignorenulls=True
+            ).over(w).alias(f"__asof_{c}")
+            for c in right_payload
+        ],
+    )
+    out = carried.where(F.col("__tag") == 1).drop("__tag", "__ts")
+    for c in right_payload:
+        out = out.drop(c).withColumnRenamed(f"__asof_{c}", c)
+    return out

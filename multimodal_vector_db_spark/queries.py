@@ -1891,6 +1891,57 @@ def q_linear_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+      SELECT user_id, epoch_us(ts) AS sig_us, value AS signup_value
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT l.event_id, l.user_id, l.us,
+           r.sig_us AS signup_us, r.signup_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.us >= r.sig_us
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks natively): every click event
+    aligned with the user's most recent signup at-or-before it. The
+    union+window implementation shuffles ONCE on the key; the oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from multimodal_vector_db_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("ts div 1000")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("us")
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        us.alias("sig_us"),
+        F.col("value").alias("signup_value"),
+    )
+    out = asof_join(
+        clicks,
+        signups,
+        on="user_id",
+        left_ts="us",
+        right_ts="sig_us",
+        right_payload=["sig_us", "signup_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.col("sig_us").alias("signup_us"),
+        "signup_value",
+    )
+
+
+@query(
     "stat_aggregates",
     """
     SELECT event_type,

@@ -75,3 +75,26 @@ def test_salt_distributes_hot_key(spark):
         .count()
     )
     assert salts >= 6  # the hot key spreads over nearly all 8 sub-keys
+
+
+def test_asof_join_semantics(spark):
+    # most-recent-at-or-before semantics: exact-tie matches, in-between
+    # picks the latest earlier row, before-any-right yields NULL
+    from multimodal_vector_db_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 5), (1, 100, 10), (1, 100, 25), (2, 200, 7)],
+        "lid INT, k INT, t BIGINT",
+    ).select("lid", "k", "t")
+    right = spark.createDataFrame(
+        [(100, 10, "a"), (100, 20, "b"), (100, 30, "c")],
+        "k INT, rt BIGINT, tag STRING",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="rt", right_payload=["rt", "tag"]
+    )
+    got = {(r["lid"], r["t"]): (r["rt"], r["tag"]) for r in out.collect()}
+    assert got[(1, 5)] == (None, None)      # before any right row
+    assert got[(1, 10)] == (10, "a")        # exact tie is visible
+    assert got[(1, 25)] == (20, "b")        # latest at-or-before
+    assert got[(2, 7)] == (None, None)      # key with no right rows
