@@ -135,6 +135,19 @@ def main() -> None:
     knn_join(pruned, qs, k=10).write.format("noop").mode("overwrite").save()
     knn_pruned_ms_per_query = round((time.time() - t0) / 64 * 1000, 3)
 
+    # BLAS-blocked exact kNN (the 100 TB shape: per-partition numpy
+    # top-k, shuffle bounded by partitions×k×queries)
+    from multimodal_vector_db_spark.operators.knn import knn_join_blocked
+
+    knn_join_blocked(corpus, qs, k=10).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warm
+    t0 = time.time()
+    knn_join_blocked(corpus, qs, k=10).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    knn_blocked_ms_per_query = round((time.time() - t0) / 64 * 1000, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -151,6 +164,7 @@ def main() -> None:
                 "prep_sec": prep_sec,
                 "knn_ms_per_query": knn_ms_per_query,
                 "knn_pruned_ms_per_query": knn_pruned_ms_per_query,
+                "knn_blocked_ms_per_query": knn_blocked_ms_per_query,
             }
         )
     )

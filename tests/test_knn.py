@@ -97,3 +97,27 @@ def test_top_k_per_group_ties_deterministic(spark):
     assert got[("g1", 1)] == 1
     assert got[("g1", 2)] == 2
     assert got[("g2", 1)] == 4
+
+
+def test_knn_join_blocked_matches_exact(spark):
+    # the BLAS-blocked scale path must agree with the expression path
+    # (recall standard: scores differ in accumulation order only)
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.operators.knn import knn_join, knn_join_blocked
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("id"), "embedding").repartition(8)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = knn_join(corpus, queries, k=10)
+    blocked = knn_join_blocked(corpus, queries, k=10)
+    a = {(r["query_id"], r["id"]) for r in exact.collect()}
+    b = {(r["query_id"], r["id"]) for r in blocked.collect()}
+    recall = len(a & b) / len(a)
+    assert recall >= 0.99, recall
+    # per-query top-1 must agree exactly (no near-ties at rank 1)
+    t1a = {r["query_id"]: r["id"] for r in exact.where(F.col("rank") == 1).collect()}
+    t1b = {r["query_id"]: r["id"] for r in blocked.where(F.col("rank") == 1).collect()}
+    assert t1a == t1b
