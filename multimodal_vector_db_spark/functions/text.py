@@ -272,3 +272,42 @@ def hamming_distance(a: Column, b: Column, bits: int = 16) -> Column:
     (``bit_count`` is JVM-codegen'd in Spark and exists in DuckDB too)."""
     del bits  # signature kept for callers that pass an explicit width
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def top_unigram_fraction(toks: Column) -> Column:
+    """Fraction of tokens taken by the single most frequent token — the
+    Gopher repetition rule family ("most common word covers > X% of the
+    doc"; Rae et al. 2021, Gopher §A1.1). Pure HOF expression: count
+    each distinct token with a nested filter (docs are short; O(u·n)
+    per row inside codegen beats an explode+groupBy shuffle)."""
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return F.try_divide(top.cast("double"), F.size(toks).cast("double"))
+
+
+def word_bigrams_all(toks: Column) -> Column:
+    """ALL consecutive word bigrams (duplicates kept — unlike
+    :func:`word_shingles`, which is distinct-set semantics for Jaccard)."""
+    n = F.size(toks)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+
+
+def dup_bigram_fraction(toks: Column) -> Column:
+    """1 − distinct/total over consecutive word bigrams — the Gopher
+    "fraction of duplicate n-grams" repetition signal."""
+    big = word_bigrams_all(toks)
+    return F.try_divide(
+        (F.size(big) - F.size(F.array_distinct(big))).cast("double"),
+        F.size(big).cast("double"),
+    )

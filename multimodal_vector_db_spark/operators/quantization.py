@@ -161,3 +161,72 @@ def pq_encode(
 def compression_ratio(dim: int, n_subquantizers: int) -> float:
     """Q5 (``quantization.py:120-124``): fp32 bytes / one-byte codes."""
     return dim * 4.0 / n_subquantizers
+
+
+def adc_distance_table(
+    query_vector: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """Asymmetric-distance lookup table: ``table[s][c]`` = squared L2
+    distance between the query's subspace-s slice and centroid c of
+    codebook s. Driver-side (n_sub × n_codes doubles — tiny), sequential
+    left-to-right fold matching :func:`_sq_dist` / the DuckDB oracle.
+
+    This is the classic PQ search trick (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 §IV): after
+    this O(n_sub·n_codes·subdim) precompute, scoring a corpus row costs
+    n_sub table lookups instead of a full d-dimensional distance.
+    """
+    n_sub = len(codebooks)
+    subdim = len(codebooks[0][0])
+    table: list[list[float]] = []
+    for s in range(n_sub):
+        qs = [float(x) for x in query_vector[s * subdim : (s + 1) * subdim]]
+        row = []
+        for c in codebooks[s]:
+            d = 0.0
+            for x, y in zip(qs, c):
+                diff = x - float(y)
+                d += diff * diff
+            row.append(d)
+        table.append(row)
+    return table
+
+
+def adc_search(
+    coded: DataFrame,
+    query_vector: list[float],
+    codebooks: list[list[list[float]]],
+    k: int,
+    codes_col: str = "pq_codes",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate kNN over PQ codes by asymmetric distance computation:
+    per-row distance = Σ_s table[s][code_s], a pure codegen'd projection
+    over the broadcast lookup table → ``TakeOrderedAndProject(k)``.
+
+    The 100 TB shape of PQ search: the corpus is 32× smaller (codes,
+    not vectors), scoring is n_sub integer-indexed lookups per row,
+    zero shuffle, no Python in the hot path. Reference semantics:
+    ``quantization.py:59-118`` (codes) + ``vector_index.py:107-160``
+    (top-k contract). Distances are rounded to 6 decimals BEFORE
+    ranking so the (dist, id) order is reproducible across engines
+    (sum-of-4-doubles fold order differs at ~1e-15).
+    """
+    luts = [
+        F.array(*[F.lit(float(d)) for d in row])
+        for row in adc_distance_table(query_vector, codebooks)
+    ]
+    dist: Column | None = None
+    for s, lut in enumerate(luts):
+        term = F.element_at(
+            lut, F.element_at(F.col(codes_col), s + 1).cast("int") + 1
+        )
+        dist = term if dist is None else dist + term
+    return (
+        coded.select(
+            F.col(id_col),
+            F.round(dist, 6).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

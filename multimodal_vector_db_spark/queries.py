@@ -417,6 +417,16 @@ def q_result_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKS = r"list_filter(string_split_regex({col}, '\s+'), t -> t != '')"
 
 
+def _md5_nibbles_sql(var: str, offset: int, width: int = 8) -> str:
+    """DuckDB twin of functions.text.md5_nibbles: md5-hex nibbles
+    [offset, offset+width) → BIGINT via string position."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({var}, {offset + j + 1}, 1)) - 1) * {16 ** (width - 1 - j)}"
+        for j in range(width)
+    )
+    return f"({terms})"
+
+
 @query(
     "doc_text_stats",
     rf"""
@@ -510,6 +520,106 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(sw >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias(
             "predicted_lang"
         ),
+    )
+
+
+@query(
+    "repetition_filter",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS.format(col="lower(text)")} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id, len(toks) AS n,
+             list_max(list_transform(list_distinct(toks),
+               t -> len(list_filter(toks, x -> x = t)))) AS topc,
+             CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(generate_series(1, len(toks)-1),
+                                      i -> toks[i] || ' ' || toks[i+1])
+             END AS big
+      FROM t
+    ),
+    f AS (
+      SELECT doc_id, n::BIGINT AS n_tokens,
+             round(topc::DOUBLE / nullif(n, 0), 6) AS top_unigram_frac,
+             round((len(big) - len(list_distinct(big)))::DOUBLE
+                   / nullif(len(big), 0), 6) AS dup_bigram_frac
+      FROM m
+    )
+    SELECT doc_id, n_tokens, top_unigram_frac, dup_bigram_frac,
+           (CASE WHEN top_unigram_frac <= 0.12 AND dup_bigram_frac <= 0.05
+                 THEN 1 ELSE 0 END)::BIGINT AS keep
+    FROM f
+    """,
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): most
+    frequent unigram fraction + duplicate-bigram fraction per document,
+    with the keep/drop verdict. All codegen'd HOF expressions — the
+    shape of a 100 TB quality-filter pass (map-only, zero shuffle)."""
+    from multimodal_vector_db_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = X.tokens(F.lower(F.col("text")))
+    staged = docs.select(
+        "doc_id",
+        X.token_count(F.lower(F.col("text"))).alias("n_tokens"),
+        F.round(X.top_unigram_fraction(toks), 6).alias("top_unigram_frac"),
+        F.round(X.dup_bigram_fraction(toks), 6).alias("dup_bigram_frac"),
+    )
+    return staged.withColumn(
+        "keep",
+        (
+            (F.col("top_unigram_frac") <= 0.12)
+            & (F.col("dup_bigram_frac") <= 0.05)
+        ).cast("long"),
+    )
+
+
+@query(
+    "hash_split",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang, n_chars,
+             {_md5_nibbles_sql("md5(doc_id::VARCHAR)", 0)} % 100 AS bucket
+      FROM documents
+    ),
+    s AS (
+      SELECT lang, n_chars,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b
+    )
+    SELECT split, lang, count(*)::BIGINT AS n,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM s GROUP BY split, lang
+    """,
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-stable hash bucket
+    (md5(doc_id) mod 100 → 80/10/10): reproducible across runs, engines
+    and cluster sizes — the split recipe a training pipeline needs so
+    re-shards never migrate examples between splits. One map-side-
+    combinable groupBy; no sampling nondeterminism."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
     )
 
 
@@ -652,16 +762,6 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return dedup_keep_first(docs).agg(F.count("*").cast("long").alias("n_kept"))
-
-
-def _md5_nibbles_sql(var: str, offset: int, width: int = 8) -> str:
-    """DuckDB twin of functions.text.md5_nibbles: md5-hex nibbles
-    [offset, offset+width) → BIGINT via string position."""
-    terms = " + ".join(
-        f"(instr('0123456789abcdef', substr({var}, {offset + j + 1}, 1)) - 1) * {16 ** (width - 1 - j)}"
-        for j in range(width)
-    )
-    return f"({terms})"
 
 
 def _minhash_sig_sql(num_hashes: int) -> str:
@@ -1423,6 +1523,80 @@ def q_pq_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sq_dist(F.col("embedding"), pq_decode(F.col("codes"), books)), 6
         ).alias("recon_err"),
     )
+
+
+@query(
+    "pq_adc_knn",
+    """
+    WITH subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+    cb AS (
+      SELECT (e.vec_id - 100)::BIGINT AS code, s.sub,
+             list_transform(e.embedding[s.sub*16+1 : s.sub*16+16],
+                            x -> x::DOUBLE) AS centroid
+      FROM embeddings e, subs s
+      WHERE e.vec_id BETWEEN 100 AND 103
+    ),
+    q AS (
+      SELECT s.sub,
+             list_transform(e.embedding[s.sub*16+1 : s.sub*16+16],
+                            x -> x::DOUBLE) AS qsl
+      FROM embeddings e, subs s WHERE e.vec_id = 0
+    ),
+    dtab AS (
+      SELECT cb.sub, cb.code,
+             list_dot_product(
+               list_transform(generate_series(1, 16), i -> q.qsl[i] - cb.centroid[i]),
+               list_transform(generate_series(1, 16), i -> q.qsl[i] - cb.centroid[i])
+             ) AS d
+      FROM cb JOIN q ON cb.sub = q.sub
+    ),
+    sl AS (
+      SELECT e.vec_id, s.sub,
+             list_transform(e.embedding[s.sub*16+1 : s.sub*16+16],
+                            x -> x::DOUBLE) AS sl
+      FROM embeddings e, subs s
+    ),
+    scored AS (
+      SELECT sl.vec_id, sl.sub, cb.code,
+             list_dot_product(
+               list_transform(generate_series(1, 16), i -> sl.sl[i] - cb.centroid[i]),
+               list_transform(generate_series(1, 16), i -> sl.sl[i] - cb.centroid[i])
+             ) AS d
+      FROM sl JOIN cb ON sl.sub = cb.sub
+    ),
+    best AS (
+      SELECT vec_id, sub, code,
+             row_number() OVER (
+               PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+      FROM scored
+    ),
+    adc AS (
+      SELECT b.vec_id, sum(d.d) AS adc_dist
+      FROM best b JOIN dtab d ON b.sub = d.sub AND b.code = d.code
+      WHERE b.rn = 1 GROUP BY b.vec_id
+    )
+    SELECT vec_id, round(adc_dist, 6) AS adc_dist
+    FROM adc ORDER BY round(adc_dist, 6) ASC, vec_id ASC LIMIT 10
+    """,
+)
+def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN over PQ codes by asymmetric distance computation
+    (Jégou et al. TPAMI 2011): driver-side query↔centroid lookup table,
+    per-row distance = 4 table lookups, TakeOrderedAndProject(10). The
+    search-side counterpart of Q3/Q4 (quantization.py:59-118 +
+    vector_index.py:107-160 top-k contract) at 32× smaller corpus
+    bytes — the plan a 100 TB PQ-compressed corpus wants."""
+    from multimodal_vector_db_spark.operators.quantization import (
+        adc_search,
+        data_derived_codebooks,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = data_derived_codebooks(emb, n_subquantizers=4, n_codes=4)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    coded = pq_encode(emb.select("vec_id", "embedding"), books)
+    return adc_search(coded, qvec, books, k=10)
 
 
 def _mmr_oracle_sql(k: int = 5, lam: float = 0.5) -> str:

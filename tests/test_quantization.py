@@ -85,3 +85,55 @@ def test_kmeans_codebooks_shapes_and_determinism(spark):
         F.max(F.array_max("codes")).alias("hi"),
     ).first()
     assert out["lo"] >= 0 and out["hi"] < 8
+
+
+def test_adc_distance_table_matches_numpy(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = data_derived_codebooks(emb, n_subquantizers=4, n_codes=4)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+
+    from multimodal_vector_db_spark.operators.quantization import (
+        adc_distance_table,
+    )
+
+    table = adc_distance_table(qvec, books)
+    q = np.asarray(qvec, dtype=np.float64)
+    for s, book in enumerate(books):
+        qs = q[s * 16 : (s + 1) * 16]
+        for c, cent in enumerate(book):
+            expect = float(np.sum((qs - np.asarray(cent, dtype=np.float64)) ** 2))
+            assert abs(table[s][c] - expect) < 1e-9
+
+
+def test_adc_search_agrees_with_exact_on_decoded_vectors(spark):
+    """ADC distance == exact squared L2 against the DECODED vector —
+    the defining identity of asymmetric distance computation."""
+    from multimodal_vector_db_spark.operators.quantization import (
+        adc_search,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = data_derived_codebooks(emb, n_subquantizers=4, n_codes=4)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    coded = pq_encode(emb.select("vec_id", "embedding"), books)
+    got = adc_search(coded, qvec, books, k=5).collect()
+    assert len(got) == 5
+
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    exact = {
+        r["vec_id"]: r["d"]
+        for r in coded.select(
+            "vec_id",
+            F.round(
+                _sq_dist(pq_decode(F.col("pq_codes"), books), q), 6
+            ).alias("d"),
+        ).collect()
+    }
+    for r in got:
+        assert abs(r["adc_dist"] - exact[r["vec_id"]]) < 1e-5
+    # and the result is the true top-5 of that decoded-distance ranking
+    want = sorted(exact.items(), key=lambda kv: (kv[1], kv[0]))[:5]
+    assert [r["vec_id"] for r in got] == [vid for vid, _ in want]

@@ -109,3 +109,49 @@ def test_mean_max_attention_pool(spark):
     norms = np.linalg.norm(f64, axis=1)
     attn = (f64 * (norms / norms.sum())[:, None]).sum(axis=0)
     assert row["attn"] == pytest.approx(attn.tolist(), rel=1e-6)
+
+
+def test_repetition_metrics_known_values(spark):
+    from multimodal_vector_db_spark.functions.text import (
+        dup_bigram_fraction,
+        tokens,
+        top_unigram_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # top 'a' 3/4; bigrams [aa,aa,ab] → dup 1/3
+            (2, "x y z w"),          # all unique: top 1/4, dup 0
+            (3, "q"),                # single token: no bigrams → NULL
+        ],
+        ["id", "text"],
+    )
+    toks = tokens(F.col("text"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            top_unigram_fraction(toks).alias("tf"),
+            dup_bigram_fraction(toks).alias("df"),
+        ).collect()
+    }
+    assert abs(rows[1]["tf"] - 0.75) < 1e-9
+    assert abs(rows[1]["df"] - (1 / 3)) < 1e-9
+    assert abs(rows[2]["tf"] - 0.25) < 1e-9
+    assert rows[2]["df"] == 0.0
+    assert rows[3]["tf"] == 1.0
+    assert rows[3]["df"] is None
+
+
+def test_hash_split_is_deterministic_and_complete(spark):
+    from multimodal_vector_db_spark.queries import REGISTRY
+
+    out1 = REGISTRY["hash_split"](spark, "/root/testdata/sf0.001").collect()
+    out2 = REGISTRY["hash_split"](spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert sum(r["n"] for r in out1) == n_docs
+    splits = {r["split"] for r in out1}
+    assert splits == {"train", "val", "test"}
