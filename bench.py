@@ -73,6 +73,14 @@ def build_warehouse(spark, sf_dir: str, wh_dir: str, n_files: int = 32) -> None:
         df.repartition(parts).write.mode("overwrite").parquet(
             f"{wh_dir}/{name}.parquet"
         )
+    # the reference's per-modality indexes (build_all_indices.py, the
+    # 6.74× "individual vs unified" speedup) re-expressed as a
+    # hive-partitioned layout: WHERE label = … prunes at the FILE level,
+    # so a pruned query never opens the other partitions' data
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.repartition(4, "label").write.mode("overwrite").partitionBy(
+        "label"
+    ).parquet(f"{wh_dir}/embeddings_by_label.parquet")
 
 
 def main() -> None:
@@ -126,9 +134,12 @@ def main() -> None:
 
     # pruned variant: same queries against ONE label partition (~1/10 of
     # the corpus) — the per-modality-index speedup (BASELINE.md 1.95
-    # ms/query, "6.74× individual vs unified") as partition pruning
-    pruned = emb.where(F.col("label") == 3).select(
-        F.col("vec_id").alias("id"), "embedding"
+    # ms/query, "6.74× individual vs unified") as FILE-level partition
+    # pruning over the hive-partitioned layout
+    pruned = (
+        spark.read.parquet(f"{wh_dir}/embeddings_by_label.parquet")
+        .where(F.col("label") == 3)
+        .select(F.col("vec_id").alias("id"), "embedding")
     )
     knn_join(pruned, qs, k=10).write.format("noop").mode("overwrite").save()  # warm
     t0 = time.time()

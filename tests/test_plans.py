@@ -86,3 +86,32 @@ def test_anti_and_semi_joins_use_broadcast(spark):
     for name in ("anti_join", "semi_join"):
         p = plan_of(spark, name)
         assert "Broadcast" in p, name
+
+
+def test_partitioned_layout_prunes_files(spark, tmp_path):
+    # hive-partitioned corpus (the per-modality-index layout, SURVEY §4
+    # "partition-per-modality indexes, 6.74× speedup"): WHERE label=3
+    # must land in PartitionFilters — file-level pruning, not a row
+    # filter over the full scan
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "emb_by_label.parquet")
+    src.repartition(2, "label").write.partitionBy("label").parquet(path)
+
+    df = (
+        spark.read.parquet(path)
+        .where(F.col("label") == 3)
+        .select("vec_id", "embedding")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert re.search(r"PartitionFilters: \[[^\]]*label[^\]]*3[^\]]*\]", p), p
+    n_all = src.count()
+    n_pruned = df.count()
+    assert 0 < n_pruned < n_all
