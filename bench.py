@@ -105,20 +105,29 @@ def main() -> None:
     prep_sec = round(time.time() - t0, 4)
 
     # Warm-then-time, mirroring the reference's methodology (10 runs per
-    # query, mean reported — metrics.py:221-252): the first execution
+    # query, stats reported — metrics.py:221-252): the first execution
     # pays one-time codegen/JIT/Python-worker startup that a long-lived
-    # engine never re-pays; the mean of two timed runs damps JIT/GC
-    # noise without tripling the wall clock.
+    # engine never re-pays; the MEDIAN of three timed runs rejects the
+    # occasional GC/JIT outlier that a mean would absorb (observed 3-5×
+    # one-off spikes on otherwise-steady sub-second queries).
+    def timed_median(run, samples: int = 3) -> float:
+        run()  # warm
+        ts = []
+        for _ in range(samples):
+            t0 = time.time()
+            run()
+            ts.append(time.time() - t0)
+        return round(sorted(ts)[len(ts) // 2], 4)
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.REGISTRY[name]
-        fn(spark, wh_dir).write.format("noop").mode("overwrite").save()
-        samples = []
-        for _ in range(2):
-            t0 = time.time()
-            fn(spark, wh_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
-        times[name] = round(sum(samples) / len(samples), 4)
+        times[name] = timed_median(
+            lambda: fn(spark, wh_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
 
     # amortized per-query kNN latency over a 64-query batch — the
     # apples-to-apples number against BASELINE.md's 13.15 ms/query
@@ -127,10 +136,17 @@ def main() -> None:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     corpus = emb.select(F.col("vec_id").alias("id"), "embedding")
-    knn_join(corpus, qs, k=10).write.format("noop").mode("overwrite").save()  # warm
-    t0 = time.time()
-    knn_join(corpus, qs, k=10).write.format("noop").mode("overwrite").save()
-    knn_ms_per_query = round((time.time() - t0) / 64 * 1000, 3)
+    knn_ms_per_query = round(
+        timed_median(
+            lambda: knn_join(corpus, qs, k=10)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        / 64
+        * 1000,
+        3,
+    )
 
     # pruned variant: same queries against ONE label partition (~1/10 of
     # the corpus) — the per-modality-index speedup (BASELINE.md 1.95
@@ -141,23 +157,33 @@ def main() -> None:
         .where(F.col("label") == 3)
         .select(F.col("vec_id").alias("id"), "embedding")
     )
-    knn_join(pruned, qs, k=10).write.format("noop").mode("overwrite").save()  # warm
-    t0 = time.time()
-    knn_join(pruned, qs, k=10).write.format("noop").mode("overwrite").save()
-    knn_pruned_ms_per_query = round((time.time() - t0) / 64 * 1000, 3)
+    knn_pruned_ms_per_query = round(
+        timed_median(
+            lambda: knn_join(pruned, qs, k=10)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        / 64
+        * 1000,
+        3,
+    )
 
     # BLAS-blocked exact kNN (the 100 TB shape: per-partition numpy
     # top-k, shuffle bounded by partitions×k×queries)
     from multimodal_vector_db_spark.operators.knn import knn_join_blocked
 
-    knn_join_blocked(corpus, qs, k=10).write.format("noop").mode(
-        "overwrite"
-    ).save()  # warm
-    t0 = time.time()
-    knn_join_blocked(corpus, qs, k=10).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    knn_blocked_ms_per_query = round((time.time() - t0) / 64 * 1000, 3)
+    knn_blocked_ms_per_query = round(
+        timed_median(
+            lambda: knn_join_blocked(corpus, qs, k=10)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        / 64
+        * 1000,
+        3,
+    )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
