@@ -624,6 +624,122 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ngram_decontamination",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             {_md5_nibbles_sql("md5(doc_id::VARCHAR)", 0)} % 100 AS bucket,
+             {_TOKS.format(col="lower(text)")} AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, bucket,
+             unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                         ELSE list_distinct(list_transform(
+                           generate_series(1, len(toks)-2),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                    END) AS gram
+      FROM t
+    ),
+    train AS (SELECT doc_id AS train_doc, gram FROM g WHERE bucket < 80),
+    test AS (SELECT doc_id AS test_doc, gram FROM g WHERE bucket >= 90)
+    SELECT test_doc,
+           count(DISTINCT test.gram)::BIGINT AS n_shared_ngrams,
+           count(DISTINCT train_doc)::BIGINT AS n_train_docs
+    FROM test JOIN train ON test.gram = train.gram
+    GROUP BY test_doc
+    """,
+)
+def q_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for each TEST-split document (hash
+    bucket ≥ 90), how many of its word 3-grams also appear in any
+    TRAIN-split document, and in how many distinct train docs. The
+    standard n-gram-overlap leakage check (GPT-3 §C / PaLM style, short
+    n for short synthetic docs) as ONE equi-join on the gram key: explode
+    → shuffle by gram → aggregate — never a doc×doc comparison."""
+    from multimodal_vector_db_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    grams = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.explode(X.word_shingles(F.lower(F.col("text")), 3)).alias("gram"),
+    )
+    train = grams.where(F.col("bucket") < 80).select(
+        F.col("doc_id").alias("train_doc"), "gram"
+    )
+    test = grams.where(F.col("bucket") >= 90).select(
+        F.col("doc_id").alias("test_doc"), "gram"
+    )
+    return (
+        test.join(train, "gram")
+        .groupBy("test_doc")
+        .agg(
+            F.countDistinct("gram").cast("long").alias("n_shared_ngrams"),
+            F.countDistinct("train_doc").cast("long").alias("n_train_docs"),
+        )
+    )
+
+
+@query(
+    "source_mixing_sample",
+    f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1.0
+                  WHEN source IN ('src5','src6','src7','src8','src9') THEN 0.5
+                  ELSE 0.2 END AS rate,
+             {_md5_nibbles_sql("md5(doc_id::VARCHAR)", 0)} % 1000 AS bucket
+      FROM documents
+    )
+    SELECT source, round(any_value(rate), 6) AS rate,
+           count(*)::BIGINT AS n_total,
+           count(*) FILTER (WHERE bucket < rate * 1000)::BIGINT AS n_kept
+    FROM r GROUP BY source
+    """,
+)
+def q_source_mixing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing downsampling: per-source keep rates applied via the
+    content-stable md5 bucket (NOT rand()), so the mixture is exactly
+    reproducible across runs, engines, and cluster sizes — re-running
+    the pipeline keeps the same documents. Map-only + one
+    map-side-combinable groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    rate = (
+        F.when(
+            F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
+            F.lit(1.0),
+        )
+        .when(
+            F.col("source").isin("src5", "src6", "src7", "src8", "src9"),
+            F.lit(0.5),
+        )
+        .otherwise(F.lit(0.2))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    return (
+        docs.select("source", rate.alias("rate"), bucket.alias("bucket"))
+        .groupBy("source")
+        .agg(
+            F.round(F.first("rate"), 6).alias("rate"),
+            F.count("*").cast("long").alias("n_total"),
+            F.count(F.when(F.col("bucket") < F.col("rate") * 1000, 1))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+
+
+@query(
     "string_pipeline",
     r"""
     WITH blobs AS (

@@ -115,3 +115,12 @@ def test_partitioned_layout_prunes_files(spark, tmp_path):
     n_all = src.count()
     n_pruned = df.count()
     assert 0 < n_pruned < n_all
+
+
+def test_pq_adc_knn_is_shuffle_free_topk(spark):
+    # PQ-ADC search: encode + lookup-table distance are one codegen'd
+    # projection; top-k is TakeOrderedAndProject — NO exchange anywhere
+    # (the 32×-compressed analogue of the shuffle-free exact kNN)
+    p = plan_of(spark, "pq_adc_knn")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
