@@ -311,3 +311,52 @@ def dup_bigram_fraction(toks: Column) -> Column:
         (F.size(big) - F.size(F.array_distinct(big))).cast("double"),
         F.size(big).cast("double"),
     )
+
+
+def _salted_xxhash(salt: str):
+    # closure factory (same 2-arity pitfall as _salted_md5)
+    return lambda s: F.xxhash64(F.concat(F.lit(salt), s))
+
+
+def minhash_signature_xxhash(shingles: Column, num_hashes: int = 8) -> Column:
+    """MinHash signature via salted ``xxhash64`` — the 100 TB fast path.
+
+    md5 (the oracle-portable basis) makes the JVM format a 32-char hex
+    STRING per shingle per block and re-parse nibbles back to ints;
+    xxhash64 is one native 64-bit hash per (salt, shingle) with zero
+    string round-trip. Salts give genuinely independent hash functions
+    (the affine/Kirsch-Mitzenmacher shortcut breaks minwise independence
+    — see dedup module notes). Not oracle-checkable (DuckDB has no
+    xxhash64), so the declared query keeps md5; operators accept
+    ``hash_impl="xxhash64"`` for production use.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, _salted_xxhash(f"mh{i}:"))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_band_keys_xxhash(
+    signature: Column, bands: int, rows_per_band: int
+) -> Column:
+    """Band bucket keys as BIGINT xxhash64 of the band slice (cheaper
+    than the md5-hex string keys; bucket semantics identical)."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.array_join(
+                    F.transform(
+                        F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    "|",
+                ),
+            )
+            for b in range(bands)
+        ]
+    )

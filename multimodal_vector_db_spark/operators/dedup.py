@@ -83,6 +83,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_n: int = 2,
     verify_threshold: float | None = None,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (id_a < id_b), optionally
     verified with exact shingle Jaccard ≥ threshold.
@@ -90,33 +91,53 @@ def minhash_lsh_candidates(
     Plan: shingle → signature (narrow) → explode band keys → self
     equi-join on band key (shuffle on bucket, not on content) →
     distinct pairs → Jaccard verify on the colliding pairs only.
+
+    ``hash_impl``: ``"md5"`` (default) is the oracle-portable basis;
+    ``"xxhash64"`` is the production fast path — native 64-bit JVM
+    hashing, no hex-string round-trip (see
+    :func:`~multimodal_vector_db_spark.functions.text.minhash_signature_xxhash`).
+    Both are valid MinHash families; candidate sets differ only on
+    borderline pairs (LSH is probabilistic either way), and identical
+    documents always collide under both.
     """
     rows_per_band = num_hashes // bands
     docs = ensure_parallelism(docs)
-    # ONE pass computes shingles → salted md5 blocks → signature → band
-    # keys (each stage's output is referenced multiple times by the
-    # next, so CollapseProject keeps them staged, no recompute)
-    md5_df = docs.select(
+    # ONE pass computes shingles → hashes → signature → band keys (each
+    # stage's output is referenced multiple times by the next, so
+    # CollapseProject keeps them staged, no recompute)
+    base = docs.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
     )
-    blocks = shingle_md5_blocks(F.col("shingles"), num_hashes)
-    md5_df = md5_df.select(
-        "doc_id", "shingles", *[b.alias(f"m{k}") for k, b in enumerate(blocks)]
-    )
-    block_cols = [F.col(f"m{k}") for k in range((num_hashes + 3) // 4)]
-    # sig MUST be its own projection: lsh_band_keys slices it once per
-    # band, and inlining the signature expression there would evaluate
-    # the full minhash (and its md5 blocks) bands× per row
-    sig_df = md5_df.select(
-        "doc_id", minhash_signature(block_cols, num_hashes).alias("sig")
-    )
-    banded = sig_df.select(
-        "doc_id",
-        F.explode(
-            lsh_band_keys(F.col("sig"), bands, rows_per_band)
-        ).alias("band_key"),
-    )
+    if hash_impl == "xxhash64":
+        from multimodal_vector_db_spark.functions.text import (
+            lsh_band_keys_xxhash,
+            minhash_signature_xxhash,
+        )
+
+        sig_df = base.select(
+            "doc_id",
+            minhash_signature_xxhash(F.col("shingles"), num_hashes).alias(
+                "sig"
+            ),
+        )
+        band_expr = lsh_band_keys_xxhash(F.col("sig"), bands, rows_per_band)
+    else:
+        blocks = shingle_md5_blocks(F.col("shingles"), num_hashes)
+        md5_df = base.select(
+            "doc_id",
+            "shingles",
+            *[b.alias(f"m{k}") for k, b in enumerate(blocks)],
+        )
+        block_cols = [F.col(f"m{k}") for k in range((num_hashes + 3) // 4)]
+        # sig MUST be its own projection: lsh_band_keys slices it once
+        # per band, and inlining the signature expression there would
+        # evaluate the full minhash (and its md5 blocks) bands× per row
+        sig_df = md5_df.select(
+            "doc_id", minhash_signature(block_cols, num_hashes).alias("sig")
+        )
+        band_expr = lsh_band_keys(F.col("sig"), bands, rows_per_band)
+    banded = sig_df.select("doc_id", F.explode(band_expr).alias("band_key"))
     # pairs WITHOUT a self-join: group ids per bucket (buckets are small
     # by LSH design) and emit the i<j combinations in-expression — one
     # aggregation shuffle on the band key, the signature pipeline runs

@@ -132,3 +132,32 @@ def test_minhash_identical_docs_collide(spark, nums):
         minhash_signature([F.col("m0"), F.col("m1")], 8).alias("sig")
     ).collect()
     assert out[0]["sig"] == out[1]["sig"]
+
+
+def test_minhash_xxhash_impl_finds_planted_duplicates(spark):
+    """The xxhash64 production path: identical docs always collide
+    (identical shingle sets → identical signatures → same buckets), and
+    the Jaccard verify stage reports the same values as the md5 path
+    (verification is hash-independent)."""
+    from multimodal_vector_db_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    rows = [
+        (1, "spark shuffles data between stages on wide dependencies"),
+        (2, "spark shuffles data between stages on wide dependencies"),
+        (3, "broadcast joins avoid shuffling the large fact table side"),
+        (4, "broadcast joins avoid shuffling the large fact table side"),
+        (5, "completely unrelated text about ocean tides and moonlight"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for impl in ("md5", "xxhash64"):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_lsh_candidates(
+                docs, num_hashes=8, bands=4, hash_impl=impl
+            ).collect()
+        }
+        assert pairs.get((1, 2)) == 1.0, (impl, pairs)
+        assert pairs.get((3, 4)) == 1.0, (impl, pairs)
+        assert (1, 5) not in pairs and (2, 5) not in pairs
