@@ -251,3 +251,76 @@ def embedding_near_duplicates(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph →
+    ``(doc_id, cluster_id)`` where ``cluster_id`` is the minimum node id
+    in the component (the canonical survivor).
+
+    This is the dedup endgame: candidate-pair emitters (MinHash-LSH,
+    SimHash, embedding-cosine) find EDGES, but what a 100 TB pipeline
+    actually deletes is "everything in the cluster except one
+    representative" — and duplicate clusters are chains (A~B, B~C with
+    A~C never colliding), so pair-wise survivor picking under-deletes.
+
+    Algorithm: distributed min-label propagation. Each node starts
+    labeled with itself; each round every node takes the min label over
+    itself and its neighbors; converges to the unique fixpoint in
+    O(component diameter) rounds. Per round: one broadcast-free
+    shuffle-join (labels × symmetrized edges, both pre-partitioned on
+    the join key) + one min-aggregation. Duplicate-cluster diameters
+    are tiny in practice (near-dup similarity is near-transitive), so
+    3-5 rounds finish real corpora; ``max_iter`` bounds pathological
+    chains. Lineage is truncated per round (localCheckpoint) so plan
+    depth stays O(1) — the classic iterative-algorithm-on-Spark trap is
+    letting the DAG grow per iteration.
+
+    The result is deterministic regardless of iteration count or
+    partitioning: the fixpoint (min node id reachable from each node)
+    is unique. Singleton nodes (no edges) map to themselves when
+    ``nodes`` is given, else only nodes present in ``edges`` appear.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+    sym = materialize(sym)
+    if nodes is not None:
+        labels = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    else:
+        labels = sym.select(F.col("s").alias("node")).distinct()
+    labels = materialize(labels.select("node", F.col("node").alias("label")))
+    for _ in range(max_iter):
+        # neighbor minima: for every edge s→d, node d sees s's label
+        neighbor = (
+            sym.join(labels, sym["s"] == labels["node"])
+            .select(F.col("d").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = labels.join(neighbor, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
+        )
+        updated = materialize(updated)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("o"), "node")
+            .where(F.col("u.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

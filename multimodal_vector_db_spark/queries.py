@@ -2599,3 +2599,75 @@ def q_cross_modal_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("modality", "id", "sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical search + dedup clustering (training-data-pipeline extensions)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "join", "window", "vector"]
+
+from multimodal_vector_db_spark.operators.text_search import (  # noqa: E402
+    bm25_oracle_sql,
+    bm25_rank,
+)
+
+
+@query("bm25_search", bm25_oracle_sql(_BM25_TERMS, k=10))
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed 4-term query: per-term tf as
+    within-row array expressions (no explode), corpus stats as one
+    broadcast row, fixed-order float fold for oracle-exact scores."""
+    return bm25_rank(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+@query(
+    "dedup_clusters",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i+1])) AS shingles
+      FROM t
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))::DOUBLE
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))) >= 0.03
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+    )
+    SELECT id AS doc_id, min(label)::BIGINT AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: n-gram Jaccard pairs (≥0.03, lang-blocked) →
+    connected components by distributed min-label propagation; every doc
+    labeled with the min doc_id of its component (the canonical
+    survivor). The oracle computes the same fixpoint as a recursive-CTE
+    transitive closure — feasible at oracle scale, while the Spark path
+    is O(diameter) shuffle rounds and holds at 100 TB."""
+    from multimodal_vector_db_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, block_col="lang", threshold=0.03)
+    return connected_components(pairs, nodes=docs.select("doc_id"))
