@@ -209,3 +209,116 @@ def ivf_search(
         "query_id", "id", dot(F.col("__emb"), F.col("__q")).alias("sim")
     )
     return top_k_per_group(scored, ["query_id"], k)
+
+
+def ivf_adc_build(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC index build (Jégou et al. TPAMI 2011 §V): coarse-quantize
+    every vector to its nearest centroid, then PQ-encode the RESIDUAL
+    ``v − centroid`` (residuals have far lower energy than raw vectors,
+    so the same codebook budget quantizes them much more accurately).
+
+    Output: ``(id, cluster_id, pq_codes)`` — the entire index is
+    ``n_sub`` bytes + one small int per row, built by a single
+    shuffle-free codegen'd projection over the corpus scan. At scale,
+    write it ``partitionBy(cluster_id)`` so probes prune at the scan.
+    """
+    from multimodal_vector_db_spark.operators.quantization import (
+        pq_encode_codes,
+    )
+
+    cent_lookup = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vector_col).alias("__emb"),
+        nearest_centroid(F.col(vector_col), centroids).alias("cluster_id"),
+    )
+    resid = F.zip_with(
+        F.col("__emb"),
+        F.element_at(cent_lookup, F.col("cluster_id").cast("int") + 1),
+        lambda x, c: x.cast("double") - c,
+    )
+    return assigned.select(
+        "id",
+        "cluster_id",
+        pq_encode_codes(resid, codebooks).alias("pq_codes"),
+    )
+
+
+def _py_dot(a: list[float], b: list[float]) -> float:
+    # left-to-right fold, bit-identical to functions.vector.dot and the
+    # DuckDB list_dot_product over the same doubles
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def ivf_adc_search(
+    index: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """IVFADC search: probe the ``nprobe`` nearest coarse cells per
+    query, score candidates by asymmetric distance over the RESIDUAL
+    lookup table for that (query, cell) pair.
+
+    The per-cell LUT is the residual-PQ subtlety: the query residual
+    ``q − centroid_c`` differs per probed cell, so each (query, cell)
+    gets its own ``n_sub × n_codes`` table. Tables are built
+    driver-side (|queries|·nprobe·n_sub·n_codes doubles — KBs) and
+    shipped as one broadcast row per (query, cell); the scan side then
+    pays ``n_sub`` array lookups + a fixed-order fold per candidate
+    row — no shuffle before the final per-query top-k window over
+    candidate rows only.
+
+    Probing and distances are deterministic: centroid ranking breaks
+    ties to the HIGHER cluster id (matching :func:`nearest_centroid`'s
+    array_max), distances are rounded to 6 decimals before ranking,
+    ranks break ties to the lower id.
+    """
+    n_sub = len(codebooks)
+    probe_rows = []
+    for qid, qvec in queries:
+        sims = sorted(
+            ((_py_dot(qvec, c), cid) for cid, c in enumerate(centroids)),
+            key=lambda t: (-t[0], -t[1]),
+        )
+        for _, cid in sims[:nprobe]:
+            q_resid = [float(x) - float(c) for x, c in zip(qvec, centroids[cid])]
+            from multimodal_vector_db_spark.operators.quantization import (
+                adc_distance_table,
+            )
+
+            probe_rows.append((qid, cid, adc_distance_table(q_resid, codebooks)))
+    spark = index.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cluster_id int, lut array<array<double>>"
+    )
+    cand = index.join(
+        F.broadcast(probes),
+        index["cluster_id"] == probes["cluster_id"],
+    ).drop(probes["cluster_id"])
+    dist: Column | None = None
+    for s in range(n_sub):
+        term = F.element_at(
+            F.element_at(F.col("lut"), s + 1),
+            F.element_at(F.col("pq_codes"), s + 1).cast("int") + 1,
+        )
+        dist = term if dist is None else dist + term
+    scored = cand.select(
+        "query_id", "id", F.round(dist, 6).alias("adc_dist")
+    )
+    return top_k_per_group(
+        scored, ["query_id"], k, order_col="adc_dist", ascending=True
+    )

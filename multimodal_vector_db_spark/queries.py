@@ -2671,3 +2671,118 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, block_col="lang", threshold=0.03)
     return connected_components(pairs, nodes=docs.select("doc_id"))
+
+
+@query(
+    "ann_ivf_adc_knn",
+    """
+    WITH cent AS (
+      SELECT (vec_id - 200)::BIGINT AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id BETWEEN 200 AND 207
+    ),
+    subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+    cb AS (
+      SELECT (e.vec_id - 100)::BIGINT AS code, s.sub,
+             list_transform(e.embedding[s.sub*16+1 : s.sub*16+16],
+                            x -> x::DOUBLE) AS centroid
+      FROM embeddings e, subs s WHERE e.vec_id BETWEEN 100 AND 103
+    ),
+    casg AS (
+      SELECT vec_id, embedding, cid, cv FROM (
+        SELECT e.vec_id, e.embedding, c.cid, c.cv,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv) DESC,
+                          c.cid DESC) AS rn
+        FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+    ),
+    rsl AS (
+      SELECT a.vec_id, a.cid, s.sub,
+             list_transform(generate_series(1, 16),
+               i -> a.embedding[s.sub*16 + i]::DOUBLE - a.cv[s.sub*16 + i]) AS rsl
+      FROM casg a, subs s
+    ),
+    codes AS (
+      SELECT vec_id, cid, sub, code FROM (
+        SELECT r.vec_id, r.cid, r.sub, cb.code,
+               row_number() OVER (PARTITION BY r.vec_id, r.sub
+                 ORDER BY list_dot_product(
+                   list_transform(generate_series(1, 16), i -> r.rsl[i] - cb.centroid[i]),
+                   list_transform(generate_series(1, 16), i -> r.rsl[i] - cb.centroid[i])
+                 ) ASC, cb.code ASC) AS rn
+        FROM rsl r JOIN cb ON r.sub = cb.sub) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT query_id, q_emb, cid, cv FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.cid, c.cv,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv) DESC,
+                          c.cid DESC) AS rn
+        FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5) WHERE rn <= 2
+    ),
+    dtab AS (
+      SELECT q.query_id, q.cid, s.sub, cb.code,
+             list_dot_product(
+               list_transform(generate_series(1, 16),
+                 i -> (q.q_emb[s.sub*16 + i]::DOUBLE - q.cv[s.sub*16 + i]) - cb.centroid[i]),
+               list_transform(generate_series(1, 16),
+                 i -> (q.q_emb[s.sub*16 + i]::DOUBLE - q.cv[s.sub*16 + i]) - cb.centroid[i])
+             ) AS d
+      FROM qprobe q, subs s JOIN cb ON cb.sub = s.sub
+    ),
+    adc AS (
+      SELECT d.query_id, k.vec_id AS id, sum(d.d) AS dist
+      FROM codes k
+      JOIN dtab d ON k.cid = d.cid AND k.sub = d.sub AND k.code = d.code
+      GROUP BY d.query_id, k.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, id, round(dist, 6) AS adc_dist,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY round(dist, 6) ASC, id ASC) AS rank
+      FROM adc
+    )
+    SELECT query_id, id, adc_dist, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ann_ivf_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jégou et al. TPAMI 2011 §V): coarse IVF cells (fixed
+    centroids, rows 200-207) + PQ over the RESIDUAL v − centroid (4×4
+    data-derived codebooks, rows 100-103), nprobe=2, per-(query, cell)
+    residual lookup tables, ADC top-5. The full FAISS-style
+    compressed-ANN pipeline as one Spark plan: index build is a
+    shuffle-free projection; search is broadcast LUT join + fixed-order
+    fold + per-query top-k — at 100 TB the index is 32× smaller than
+    the corpus and probes prune at the scan via partitionBy(cluster)."""
+    from multimodal_vector_db_spark.operators.ann import (
+        ivf_adc_build,
+        ivf_adc_search,
+    )
+    from multimodal_vector_db_spark.operators.quantization import (
+        data_derived_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = [
+        r["embedding"]
+        for r in emb.where(
+            (F.col("vec_id") >= 200) & (F.col("vec_id") < 208)
+        ).orderBy("vec_id").select("embedding").collect()
+    ]
+    books = data_derived_codebooks(emb, n_subquantizers=4, n_codes=4)
+    index = ivf_adc_build(
+        emb.select(F.col("vec_id").alias("id"), "embedding"),
+        centroids,
+        books,
+    )
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.where(F.col("vec_id") < 5)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    out = ivf_adc_search(index, queries, centroids, books, k=5, nprobe=2)
+    return out.select(
+        "query_id", "id", "adc_dist", F.col("rank").cast("long").alias("rank")
+    )
