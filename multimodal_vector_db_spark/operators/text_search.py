@@ -158,3 +158,57 @@ def bm25_oracle_sql(
     ORDER BY score DESC, doc_id ASC
     LIMIT {k}
     """
+
+
+def with_rank(
+    df: DataFrame,
+    order_col: str = "score",
+    id_col: str = "doc_id",
+    ascending: bool = False,
+) -> DataFrame:
+    """Attach a deterministic dense 1-based ``rank`` column: ordered by
+    ``order_col`` (desc by default), ties broken by ``id_col`` asc.
+    Meant for small top-N candidate lists (single-partition window)."""
+    from pyspark.sql import Window
+
+    order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = Window.orderBy(order, F.col(id_col).asc())
+    return df.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k0: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    ``score(d) = Σ_r 1/(k0 + rank_r(d))`` over every ranking ``r`` that
+    returned ``d``. The standard way to combine lexical (BM25) and
+    dense (embedding) retrieval without score calibration — ranks are
+    comparable across retrievers even when scores aren't.
+
+    Each input must carry ``(id_col, rank)``. Shape: union of the
+    (tiny, already top-N) candidate lists → one groupBy on the id —
+    a single shuffle over N·|rankings| rows regardless of corpus size,
+    so fusing sits entirely after the heavy retrieval stages.
+
+    Determinism: with ≤2 rankings the per-doc sum adds ≤2 doubles
+    (commutative, order-proof); beyond that ``round(…, 6)`` absorbs
+    association order. Final ranking breaks ties by id asc.
+    """
+    tagged = None
+    for r in rankings:
+        part = r.select(
+            F.col(id_col), F.col("rank").cast("long").alias("rank")
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    assert tagged is not None
+    fused = tagged.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(k0) + F.col("rank")).cast("double")), 6
+        ).alias("rrf_score"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+    out = with_rank(fused, order_col="rrf_score", id_col=id_col)
+    return out.where(F.col("rank") <= k)

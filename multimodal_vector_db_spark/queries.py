@@ -2786,3 +2786,156 @@ def q_ann_ivf_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "id", "adc_dist", F.col("rank").cast("long").alias("rank")
     )
+
+
+from multimodal_vector_db_spark.operators.text_search import (  # noqa: E402
+    rrf_fuse,
+    with_rank,
+)
+
+_HYBRID_RRF_ORACLE = f"""
+    WITH lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      FROM ({bm25_oracle_sql(_BM25_TERMS, k=20)})
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    dense AS (
+      SELECT doc_id, rank FROM (
+        SELECT e.vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY list_dot_product(e.embedding::DOUBLE[], q.v) DESC,
+                          e.vec_id ASC) AS rank
+        FROM embeddings e, q) WHERE rank <= 20
+    ),
+    unioned AS (
+      SELECT doc_id, rank FROM lex
+      UNION ALL
+      SELECT doc_id, rank FROM dense
+    ),
+    fused AS (
+      SELECT doc_id,
+             round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+             count(*)::BIGINT AS n_sources
+      FROM unioned GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score, n_sources, rank FROM (
+      SELECT doc_id, rrf_score, n_sources,
+             row_number() OVER (
+               ORDER BY rrf_score DESC, doc_id ASC)::BIGINT AS rank
+      FROM fused) WHERE rank <= 10
+    """
+
+
+@query("hybrid_rrf_search", _HYBRID_RRF_ORACLE)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 + dense-embedding top-20
+    (query = vec_id 0, doc_id ≡ vec_id), fused by reciprocal-rank
+    fusion (k0=60, Cormack 2009), final top-10. The two candidate
+    generators are independent scans fused by a single groupBy over
+    ≤40 rows — at 100 TB each retriever does its own distributed
+    top-k (TakeOrderedAndProject / window) and fusion cost stays
+    constant."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = with_rank(bm25_rank(docs, _BM25_TERMS, k=20)).select(
+        "doc_id", "rank"
+    )
+    qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    dense_scored = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        dot(
+            F.col("embedding"), F.array(*[F.lit(float(x)) for x in qv])
+        ).alias("sim"),
+    )
+    dense = with_rank(
+        dense_scored.orderBy(F.desc("sim"), F.asc("doc_id")).limit(20),
+        order_col="sim",
+    ).select("doc_id", "rank")
+    fused = rrf_fuse([lex, dense], k=10)
+    return fused.select("doc_id", "rrf_score", "n_sources", "rank")
+
+
+from multimodal_vector_db_spark.operators.text_pipeline import (  # noqa: E402
+    chunk_documents,
+    inverted_index,
+    mask_digits,
+    pseudonymize,
+)
+
+
+@query(
+    "doc_chunking",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, greatest(0, len(toks) - 1), 10)) AS st
+      FROM t
+    )
+    SELECT doc_id, (st // 10)::BIGINT AS chunk_id,
+           len(toks[st+1 : st+20])::BIGINT AS n_tokens,
+           array_to_string(toks[st+1 : st+20], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (window=20, stride=10) — the
+    embed-prep step for RAG / long-doc pipelines. Windows are built
+    within the row (sequence → slice) and exploded: zero shuffles, and
+    chunks stay co-partitioned with their source documents."""
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), window=20, stride=10
+    )
+
+
+@query(
+    "inverted_index",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x != '')) AS toks
+      FROM documents
+    ),
+    posting AS (
+      SELECT unnest(toks) AS term, doc_id FROM t
+    )
+    SELECT term, count(*)::BIGINT AS df,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM posting GROUP BY term HAVING count(*) >= 100
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: explode distinct terms per doc → one
+    hash-agg on term → (term, df, sorted postings). The classic
+    one-shuffle index build with map-side combine; df filter keeps the
+    oracle output bounded (common terms only)."""
+    return inverted_index(_t(spark, sf_dir, "documents"), min_df=100)
+
+
+@query(
+    "pii_pseudonymize",
+    """
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+           substr(sha256('pii-salt:' || c_custkey::VARCHAR), 1, 16)
+             AS pseudonym
+    FROM customer
+    """,
+)
+def q_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing before training: digits masked out of the display
+    name, identity replaced by a salted-sha256 pseudonym (stable for
+    joins, unlinkable without the salt). Pure codegen'd projection —
+    no shuffle, pushdown-friendly."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        mask_digits("c_name").alias("masked_name"),
+        pseudonymize("c_custkey", salt="pii-salt:").alias("pseudonym"),
+    )
