@@ -2939,3 +2939,176 @@ def q_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         mask_digits("c_name").alias("masked_name"),
         pseudonymize("c_custkey", salt="pii-salt:").alias("pseudonym"),
     )
+
+
+_QUALITY_SQL = r"""
+      SELECT doc_id, source,
+             round((least(len(toks)::DOUBLE / 50.0, 1.0)
+                    + (1.0 - least(abs(coalesce(len(list_filter(toks, x -> list_contains(
+                        ['the','a','and','of','to','in','is','it'], lower(x))))::DOUBLE
+                        / nullif(len(toks), 0), 0.0) - 0.3) / 0.3, 1.0))
+                    + (1.0 - least(coalesce((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+                        / nullif(length(text), 0), 0.0) * 2.0, 1.0))) / 3.0, 6) AS quality
+      FROM (SELECT doc_id, source, text,
+                   list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
+            FROM documents)
+"""
+
+
+@query(
+    "quality_quantile_filter",
+    f"""
+    WITH s AS ({_QUALITY_SQL}),
+    m AS (
+      SELECT source, round(quantile_cont(quality, 0.5), 6) AS source_median
+      FROM s GROUP BY source
+    )
+    SELECT s.doc_id, s.source, s.quality, m.source_median
+    FROM s JOIN m USING (source)
+    WHERE s.quality >= m.source_median
+    """,
+)
+def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile gating (the 'keep the best half of every
+    domain' curation rule — a per-domain threshold beats one global
+    cutoff because sources have different score distributions). Exact
+    median per source (one partial-agg shuffle over ~|sources| rows)
+    broadcast back against the scored scan — the corpus itself never
+    re-shuffles."""
+    from multimodal_vector_db_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", X.quality_score("text").alias("quality")
+    )
+    med = scored.groupBy("source").agg(
+        F.round(F.percentile("quality", F.lit(0.5)), 6).alias("source_median")
+    )
+    return (
+        scored.join(F.broadcast(med), "source")
+        .where(F.col("quality") >= F.col("source_median"))
+        .select("doc_id", "source", "quality", "source_median")
+    )
+
+
+@query(
+    "vocab_stats",
+    r"""
+    WITH ex AS (
+      SELECT source, doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS term
+      FROM documents
+    )
+    SELECT source,
+           count(DISTINCT doc_id)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_tokens,
+           count(DISTINCT term)::BIGINT AS vocab,
+           round(count(DISTINCT term)::DOUBLE / count(*), 6) AS type_token_ratio
+    FROM ex GROUP BY source
+    """,
+)
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus vocabulary profile (n_docs, token volume,
+    vocabulary size, type-token ratio) — the standard corpus-health
+    dashboard numbers. One explode + one hash-agg; distinct-aggregates
+    expand internally to a two-level agg with map-side combine, which
+    is exactly the scalable shape."""
+    from multimodal_vector_db_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "source", "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    return ex.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("term").alias("vocab"),
+        F.round(
+            F.countDistinct("term").cast("double") / F.count("*"), 6
+        ).alias("type_token_ratio"),
+    )
+
+
+@query(
+    "doc_pagerank",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i+1])) AS shingles
+      FROM t
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))::DOUBLE
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))) >= 0.03
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    deg AS (SELECT s, count(*)::DOUBLE AS outdeg FROM edges GROUP BY s),
+    p0 AS (SELECT doc_id AS id, 1.0 / nn.n AS pr FROM documents, nn),
+    c1 AS (
+      SELECT e.d AS id, sum(p.pr / g.outdeg) AS sc
+      FROM edges e JOIN p0 p ON e.s = p.id JOIN deg g ON g.s = e.s
+      GROUP BY e.d
+    ),
+    p1 AS (
+      SELECT d0.doc_id AS id,
+             (1.0 - 0.85) / nn.n + 0.85 * coalesce(c1.sc, 0.0) AS pr
+      FROM documents d0 LEFT JOIN c1 ON c1.id = d0.doc_id, nn
+    ),
+    c2 AS (
+      SELECT e.d AS id, sum(p.pr / g.outdeg) AS sc
+      FROM edges e JOIN p1 p ON e.s = p.id JOIN deg g ON g.s = e.s
+      GROUP BY e.d
+    ),
+    p2 AS (
+      SELECT d0.doc_id AS id,
+             (1.0 - 0.85) / nn.n + 0.85 * coalesce(c2.sc, 0.0) AS pr
+      FROM documents d0 LEFT JOIN c2 ON c2.id = d0.doc_id, nn
+    ),
+    c3 AS (
+      SELECT e.d AS id, sum(p.pr / g.outdeg) AS sc
+      FROM edges e JOIN p2 p ON e.s = p.id JOIN deg g ON g.s = e.s
+      GROUP BY e.d
+    ),
+    p3 AS (
+      SELECT d0.doc_id AS id,
+             (1.0 - 0.85) / nn.n + 0.85 * coalesce(c3.sc, 0.0) AS pr
+      FROM documents d0 LEFT JOIN c3 ON c3.id = d0.doc_id, nn
+    )
+    SELECT id AS doc_id, round(pr, 6) AS pagerank FROM p3
+    """,
+)
+def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 3 fixed iterations) over the undirected
+    near-dup similarity graph (n-gram Jaccard ≥ 0.03, lang-blocked) —
+    node importance for picking canonical docs inside dup clusters and
+    weighting sources. The oracle unrolls the same three iterations as
+    chained CTEs; the Spark path materializes edges/degrees once and
+    keeps per-iteration lineage O(1), so iteration count scales without
+    plan blowup."""
+    from multimodal_vector_db_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from multimodal_vector_db_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, block_col="lang", threshold=0.03)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return pagerank(edges, docs.select("doc_id"), iterations=3)
