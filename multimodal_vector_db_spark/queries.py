@@ -3112,3 +3112,36 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     return pagerank(edges, docs.select("doc_id"), iterations=3)
+
+
+@query(
+    "event_interval_join",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts)::BIGINT AS us
+      FROM events
+    ),
+    v AS (SELECT event_id AS left_id, user_id, us AS l_us FROM e
+          WHERE event_type = 'view'),
+    p AS (SELECT event_id AS right_id, user_id, us AS r_us FROM e
+          WHERE event_type = 'purchase')
+    SELECT v.left_id, p.right_id, v.user_id,
+           (p.r_us - v.l_us)::BIGINT AS gap_us
+    FROM v JOIN p ON v.user_id = p.user_id
+     AND p.r_us >= v.l_us AND p.r_us <= v.l_us + 600000000
+    """,
+)
+def q_event_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (view→purchase attribution within 10
+    minutes, per user) — the time-bounded theta-join family the
+    reference lacks. Runs as an equi-join on user_id with the time
+    bound as a post-join filter (one co-partitioned shuffle); the SAME
+    operator is streamable: with watermarks the interval bound lets
+    Spark expire stream-stream join state (`streaming/ingest.py:
+    interval_join`)."""
+    from multimodal_vector_db_spark.streaming.ingest import interval_join
+
+    events = _t(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view")
+    purchases = events.where(F.col("event_type") == "purchase")
+    return interval_join(views, purchases, gap_seconds=600)

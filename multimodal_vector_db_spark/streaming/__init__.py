@@ -9,8 +9,10 @@ dedup-upsert into the partitioned corpus table.
 
 from multimodal_vector_db_spark.streaming.ingest import (
     EVENTS_SCHEMA,
+    dedup_within_watermark,
     events_stream,
     ingest_events_to_corpus,
+    interval_join,
     run_available_now,
     session_windowed_counts,
     windowed_counts,
@@ -18,8 +20,10 @@ from multimodal_vector_db_spark.streaming.ingest import (
 
 __all__ = [
     "EVENTS_SCHEMA",
+    "dedup_within_watermark",
     "events_stream",
     "ingest_events_to_corpus",
+    "interval_join",
     "run_available_now",
     "session_windowed_counts",
     "windowed_counts",

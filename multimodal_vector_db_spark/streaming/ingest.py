@@ -245,3 +245,68 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps a key only until the
+    watermark passes it, so state is O(keys per watermark horizon)
+    instead of O(all keys ever) — the streaming twin of the batch
+    ``dedup_exact`` query. On a batch frame falls back to plain
+    ``dropDuplicates`` (same result on static data)."""
+    timed = with_event_time(events)
+    if not events.isStreaming:
+        return timed.dropDuplicates(list(keys))
+    return timed.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    gap_seconds: int = 600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time interval join: pair each left event with right events
+    of the SAME user whose event_time lies in
+    ``[left.event_time, left.event_time + gap_seconds]``
+    (view→purchase attribution shape). Works on batch and streaming
+    frames with the identical plan; on streams the two watermarks plus
+    the time-bound condition let Spark expire join state — without the
+    interval bound a stream-stream join would buffer forever.
+
+    Returns ``(left_id, right_id, user_id, gap_us)`` with the exact
+    microsecond gap (integer arithmetic end-to-end).
+    """
+    l = with_event_time(left)
+    r = with_event_time(right)
+    if left.isStreaming:
+        l = l.withWatermark("event_time", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("event_time", watermark)
+    l = l.select(
+        F.col("event_id").alias("left_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("event_time").alias("l_time"),
+        F.expr("ts div 1000").alias("l_us"),
+    )
+    r = r.select(
+        F.col("event_id").alias("right_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("event_time").alias("r_time"),
+        F.expr("ts div 1000").alias("r_us"),
+    )
+    cond = (
+        (l["l_user"] == r["r_user"])
+        & (r["r_time"] >= l["l_time"])
+        & (r["r_time"] <= l["l_time"] + F.expr(f"INTERVAL {gap_seconds} SECONDS"))
+    )
+    return l.join(r, cond).select(
+        "left_id",
+        "right_id",
+        F.col("l_user").alias("user_id"),
+        (F.col("r_us") - F.col("l_us")).cast("long").alias("gap_us"),
+    )

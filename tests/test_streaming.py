@@ -197,3 +197,68 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # if late data were NOT dropped, every event would eventually be
     # emitted; with the watermark, the old half's contribution is gone
     assert total_emitted < ev.count() - early.count() * 0.5
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    from multimodal_vector_db_spark.streaming import (
+        events_stream,
+        interval_join,
+    )
+
+    src = _stage_events(spark, tmp_path)
+    batch_events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    bviews = batch_events.where(F.col("event_type") == "view")
+    bpurch = batch_events.where(F.col("event_type") == "purchase")
+    want = {
+        (r["left_id"], r["right_id"])
+        for r in interval_join(bviews, bpurch, gap_seconds=3600).collect()
+    }
+
+    s = events_stream(spark, src)
+    joined = interval_join(
+        s.where(F.col("event_type") == "view"),
+        s.where(F.col("event_type") == "purchase"),
+        gap_seconds=3600,
+    )
+    run_available_now(
+        joined,
+        str(tmp_path / "ckpt_ij"),
+        query_name="ij_test",
+        output_mode="append",
+    )
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in spark.sql("SELECT * FROM ij_test").collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    import shutil as _sh
+
+    from multimodal_vector_db_spark.streaming import (
+        dedup_within_watermark,
+        events_stream,
+    )
+
+    # stage the SAME file twice -> every event_id arrives twice
+    src = tmp_path / "events_dup"
+    src.mkdir()
+    _sh.copy(f"{SF_DIR}/events.parquet", src / "part-000.parquet")
+    _sh.copy(f"{SF_DIR}/events.parquet", src / "part-001.parquet")
+
+    deduped = dedup_within_watermark(events_stream(spark, str(src)))
+    run_available_now(
+        deduped,
+        str(tmp_path / "ckpt_dd"),
+        query_name="dd_test",
+        output_mode="append",
+    )
+    got = spark.sql("SELECT event_id FROM dd_test").collect()
+    n_unique = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert len(got) == len({r["event_id"] for r in got}) == n_unique
