@@ -3145,3 +3145,255 @@ def q_event_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = events.where(F.col("event_type") == "view")
     purchases = events.where(F.col("event_type") == "purchase")
     return interval_join(views, purchases, gap_seconds=600)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches & weighted sampling (scale extensions — SURVEY §2.4
+# is exact-only; these are the approximate aggregates a 100 TB corpus
+# needs). All hashes are md5 nibble-slices so the DuckDB oracles are
+# bit-identical: unlike approx_count_distinct, these estimates are
+# DETERMINISTIC functions of the input and fully hash-matched.
+# ---------------------------------------------------------------------------
+
+_TOK_STREAM = r"""
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                    t -> t != '')) AS tok
+      FROM documents
+"""
+
+
+@query(
+    "kmv_distinct",
+    rf"""
+    WITH t AS ({_TOK_STREAM}),
+    h AS (SELECT DISTINCT {_md5_nibbles_sql("md5(tok)", 0)} AS h FROM t),
+    kmin AS (SELECT h FROM h ORDER BY h LIMIT 256),
+    est AS (
+      SELECT CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+                  ELSE 1095216660480.0 / max(h)::DOUBLE END AS kmv_est,
+             count(*)::BIGINT AS k_used
+      FROM kmin
+    )
+    SELECT round(est.kmv_est, 4) AS kmv_est, est.k_used,
+           (SELECT count(DISTINCT tok) FROM t)::BIGINT AS exact_distinct
+    FROM est
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (Bar-Yossef 2002) over the corpus
+    vocabulary: keep the 256 smallest distinct 32-bit hashes, estimate
+    (k-1)·2^32/h_(k). At 100 TB this replaces the full COUNT(DISTINCT)
+    shuffle with a TakeOrdered(256) whose per-partition k-minima are
+    the mergeable sketch state (σ ≈ 1/√(k-2) ≈ 6%). Exact count
+    included for on-sheet error accounting."""
+    from multimodal_vector_db_spark.functions.sketch import (
+        kmv_estimate,
+        md5_u32,
+    )
+    from multimodal_vector_db_spark.functions.text import tokens
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+    )
+    est = kmv_estimate(toks.select(md5_u32(F.col("tok")).alias("h")), k=256)
+    exact = toks.agg(
+        F.countDistinct("tok").alias("exact_distinct")
+    )
+    return est.crossJoin(exact).select(
+        F.round("kmv_est", 4).alias("kmv_est"), "k_used", "exact_distinct"
+    )
+
+
+@query(
+    "hll_distinct",
+    rf"""
+    WITH t AS ({_TOK_STREAM}),
+    r AS (
+      SELECT {_md5_nibbles_sql("md5(tok)", 0)} % 64 AS bucket,
+             {_md5_nibbles_sql("md5(tok)", 8)} AS h2
+      FROM t
+    ),
+    reg AS (
+      SELECT bucket,
+             max(CASE WHEN h2 = 0 THEN 33 ELSE 33 - length(bin(h2)) END)
+               AS max_rho
+      FROM r GROUP BY bucket
+    ),
+    est AS (
+      SELECT round(24957716092920.445 /
+               (sum(1::BIGINT << (33 - max_rho))
+                + (64 - count(*)) * 8589934592)::DOUBLE, 4) AS hll_est,
+             count(*)::BIGINT AS n_buckets_used
+      FROM reg
+    )
+    SELECT est.hll_est, est.n_buckets_used,
+           (SELECT count(DISTINCT tok) FROM t)::BIGINT AS exact_distinct
+    FROM est
+    """,
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog (Flajolet 2007), p=6: bucket = low 6
+    bits of hash-slice 1, rank = leading zeros of hash-slice 2 via
+    length(bin(h)) — exact string arithmetic, no floating log. The
+    64-register sketch is the partial-agg state (merge = per-bucket
+    max), so a 1000-executor cluster ships 64 longs per partition.
+    Raw estimate only (linear-counting correction needs ln(), which is
+    libm-dependent); exact count included for error accounting."""
+    from multimodal_vector_db_spark.functions.sketch import (
+        hll_estimate,
+        hll_registers,
+        md5_u32,
+        md5_u32_hi,
+    )
+    from multimodal_vector_db_spark.functions.text import tokens
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+    )
+    regs = hll_registers(
+        toks.select(
+            md5_u32(F.col("tok")).alias("hb"),
+            md5_u32_hi(F.col("tok")).alias("hr"),
+        ),
+        p=6,
+    )
+    est = hll_estimate(regs, p=6)
+    exact = toks.agg(F.countDistinct("tok").alias("exact_distinct"))
+    return est.crossJoin(exact).select(
+        F.round("hll_est", 4).alias("hll_est"),
+        "n_buckets_used",
+        "exact_distinct",
+    )
+
+
+@query(
+    "cms_heavy_hitters",
+    rf"""
+    WITH t AS ({_TOK_STREAM}),
+    coords AS (
+      SELECT tok, i AS row,
+             {_md5_nibbles_sql("md5('cms' || i || ':' || tok)", 0)} % 512
+               AS bucket
+      FROM t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+    ),
+    sketch AS (
+      SELECT row, bucket, count(*)::BIGINT AS counter
+      FROM coords GROUP BY row, bucket
+    ),
+    cand AS (
+      SELECT tok AS term, count(*)::BIGINT AS exact_n
+      FROM t GROUP BY tok ORDER BY exact_n DESC, term LIMIT 20
+    ),
+    ccoords AS (
+      SELECT term, i AS row,
+             {_md5_nibbles_sql("md5('cms' || i || ':' || term)", 0)} % 512
+               AS bucket
+      FROM cand CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+    )
+    SELECT c.term, cand.exact_n, min(s.counter)::BIGINT AS cms_n
+    FROM ccoords c
+    JOIN sketch s USING (row, bucket)
+    JOIN cand ON cand.term = c.term
+    GROUP BY c.term, cand.exact_n
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode 2005), d=4 × w=512: the token-frequency
+    matrix is a plain groupBy(row, bucket).count() — 2048 cells of
+    partial-agg state regardless of corpus size — and a point query is
+    min over the 4 salted rows (never under-counts). Estimates checked
+    against exact counts for the top-20 heavy hitters."""
+    from multimodal_vector_db_spark.functions.sketch import (
+        cms_build,
+        cms_point_query,
+    )
+    from multimodal_vector_db_spark.functions.text import tokens
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+    )
+    sketch = cms_build(toks, width=512)
+    cand = (
+        toks.groupBy(F.col("tok").alias("term"))
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "term")
+        .limit(20)
+    )
+    est = cms_point_query(sketch, cand.select("term"), width=512)
+    return cand.join(
+        est.withColumnRenamed("item", "term"), on="term"
+    ).select("term", "exact_n", F.col("cms_n").cast("long").alias("cms_n"))
+
+
+@query(
+    "priority_sample_docs",
+    rf"""
+    WITH b AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN n_chars > 0 THEN
+               (n_chars * 4294967296)::DOUBLE /
+               ({_md5_nibbles_sql("md5('ps:' || doc_id::VARCHAR)", 0)} + 1)::DOUBLE
+             ELSE 0.0 END AS q
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars::BIGINT AS weight
+    FROM b ORDER BY q DESC, doc_id LIMIT 100
+    """,
+)
+def q_priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sample via priority sampling (Duffield
+    2007): priority w/u with u from a salted md5 of doc_id, keep the
+    top 100 — a pure function of the corpus, reproducible across
+    engines and re-shards (`operators/sampling.py`). One IEEE division
+    per row, no transcendentals; executes as TakeOrdered(100) with no
+    full shuffle."""
+    from multimodal_vector_db_spark.operators.sampling import priority_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return priority_sample(
+        docs.select("doc_id", "source", "n_chars"),
+        weight_col="n_chars",
+        id_col="doc_id",
+        k=100,
+    ).select("doc_id", "source", F.col("n_chars").cast("long").alias("weight"))
+
+
+@query(
+    "events_sliding_window",
+    """
+    SELECT date_trunc('hour', ts) - i * INTERVAL 1 HOUR AS window_start,
+           event_type,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i)
+    GROUP BY 1, 2
+    """,
+)
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregation: 2-hour windows every hour,
+    each event contributing to width/slide = 2 windows. Spark's
+    `window(col, '2 hours', '1 hour')` expands the overlap JVM-side
+    (one explode-free generator + hash agg); the same call is the
+    streaming form under a watermark."""
+    from multimodal_vector_db_spark.streaming.ingest import with_event_time
+
+    ev = with_event_time(_t(spark, sf_dir, "events"))
+    return (
+        ev.groupBy(
+            F.window("event_time", "2 hours", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
