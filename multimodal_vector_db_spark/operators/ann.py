@@ -178,7 +178,7 @@ def ivf_assign(
 
 def ivf_search(
     assigned_corpus: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | list[tuple[int, list[float]]],
     centroids: list[list[float]],
     k: int,
     nprobe: int,
@@ -190,15 +190,66 @@ def ivf_search(
 ) -> DataFrame:
     """IVF ANN search: per query, scan only the nprobe nearest clusters.
 
-    Join condition ``array_contains(probe_clusters, cluster_id)`` after
-    exploding the (tiny) query×probe side keeps it an equi-join on
-    cluster_id — shuffle bounded by candidate rows, prunable partitions."""
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vector_col).alias("__q"),
-        F.explode(
-            top_centroids(F.col(query_vector_col), centroids, nprobe)
-        ).alias(cluster_col),
+    The probe side ranks centroids via a broadcast centroid TABLE
+    (cross join + window), not literal array expressions: embedding the
+    centroids as literals made the plan tree O(n_clusters × dim) nodes,
+    and per-run analysis/codegen dominated the actual search (measured
+    ~7× the query time at bench scale). Ranking semantics are identical
+    to :func:`top_centroids`: sim DESC, ties to the HIGHER cid.
+
+    The corpus join is an equi-join on cluster_id with the (tiny)
+    exploded query×probe side broadcast — shuffle bounded by candidate
+    rows; over a corpus partitioned by cluster_id the probe prunes at
+    the file level.
+
+    ``queries`` may also be a list of ``(query_id, vector)`` tuples —
+    the serving path, mirroring :func:`ivf_adc_search`: the probe
+    ranking then happens driver-side (|q|·n_clusters dots, micro-
+    seconds) and the whole search is a single broadcast-join stage over
+    the pruned scan, with no probe-side shuffle in the plan."""
+    from pyspark.sql import Window
+
+    spark = assigned_corpus.sparkSession
+    if isinstance(queries, list):
+        probe_rows = []
+        for qid, qvec in queries:
+            sims = sorted(
+                ((_py_dot(qvec, c), cid) for cid, c in enumerate(centroids)),
+                key=lambda t: (-t[0], -t[1]),
+            )
+            for _, cid in sims[:nprobe]:
+                probe_rows.append((qid, [float(x) for x in qvec], cid))
+        q = spark.createDataFrame(
+            probe_rows, f"query_id long, __q array<double>, {cluster_col} int"
+        )
+        c = assigned_corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vector_col).alias("__emb"),
+            F.col(cluster_col),
+        )
+        scored = c.join(F.broadcast(q), on=cluster_col).select(
+            "query_id", "id", dot(F.col("__emb"), F.col("__q")).alias("sim")
+        )
+        return top_k_per_group(scored, ["query_id"], k)
+    cent = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            f"{cluster_col} int, __cv array<double>",
+        )
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), F.col(cluster_col).desc()
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vector_col).alias("__q"),
+        )
+        .crossJoin(cent)
+        .withColumn("__csim", dot(F.col("__q"), F.col("__cv")))
+        .withColumn("__crn", F.row_number().over(probe_w))
+        .where(F.col("__crn") <= nprobe)
+        .select("query_id", "__q", cluster_col)
     )
     c = assigned_corpus.select(
         F.col(id_col).alias("id"),
