@@ -142,15 +142,16 @@ MINHASH_SALTS = ["", "x:", "y:", "z:"]  # salt per md5 block of 4 hashes
 
 
 def md5_nibbles(h: Column, offset: int, width: int = 8) -> Column:
-    """Parse md5-hex nibbles [offset, offset+width) into a BIGINT via
-    string position (portable — no hex-cast builtins)."""
-    out = F.lit(0).cast("long")
-    for j in range(width):
-        nib = (
-            F.instr(F.lit(HEXDIGITS), F.substring(h, offset + j + 1, 1)) - 1
-        ).cast("long")
-        out = out + nib * F.lit(16 ** (width - 1 - j)).cast("long")
-    return out
+    """Parse md5-hex nibbles [offset, offset+width) into a BIGINT.
+
+    Spark side uses one ``conv(substring(...), 16, 10)`` call — ~25×
+    fewer expression nodes than the per-nibble instr() decode (measured
+    ~35% off the whole MinHash pipeline). The DuckDB oracles keep the
+    per-nibble instr() form (``queries._md5_nibbles_sql``); both
+    produce the same BIGINT, which is all the hash-match needs. Width
+    must stay ≤ 15 nibbles so the value fits in a signed 64-bit long."""
+    assert width <= 15
+    return F.conv(F.substring(h, offset + 1, width), 16, 10).cast("long")
 
 
 def _salted_md5(salt: str):
@@ -218,16 +219,9 @@ HEXDIGITS = "0123456789abcdef"
 
 
 def token_hash16(tok: Column) -> Column:
-    """16-bit token hash: the first 4 hex nibbles of md5, decoded via
-    string position (portable to any SQL engine — no hex casts)."""
-    h = F.md5(tok)
-    out = F.lit(0).cast("long")
-    for j in range(4):
-        nib = (F.instr(F.lit(HEXDIGITS), F.substring(h, j + 1, 1)) - 1).cast(
-            "long"
-        )
-        out = out + nib * F.lit(16 ** (3 - j)).cast("long")
-    return out
+    """16-bit token hash: the first 4 hex nibbles of md5 via one conv()
+    (the oracles decode per-nibble with instr — same value)."""
+    return F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("long")
 
 
 def simhash_from_token_hashes(hv: Column, bits: int = 16) -> Column:

@@ -169,7 +169,13 @@ def minhash_lsh_candidates(
     # shingle projection (recomputed, but WITHOUT the md5/signature work
     # — tokenizing twice beats holding checkpointed state). Candidate
     # rows are byte-small but the verify is CPU-bound, so spread it
-    # explicitly (AQE coalesces by bytes).
+    # explicitly (AQE coalesces by bytes). Keep BOTH verify joins as
+    # shuffles of the slim pair ids against the shingle projections:
+    # A/B-measured alternatives both lose — broadcasting the pair ids
+    # for join 1 forces join 2 to SHUFFLE rows already carrying the sa
+    # arrays (2× slower), and broadcasting the array-carrying side is
+    # ~100 MB serialized (3.5× slower). Moving ids is cheap; moving
+    # shingle arrays attached to pairs is not.
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
