@@ -3397,3 +3397,241 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Scale-path aggregates & layout (histogram quantiles, TPC-H join shapes,
+# Z-order clustering)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "histogram_quantiles",
+    """
+    WITH s AS (
+      SELECT event_type, min(value) AS mn, max(value) AS mx,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY event_type
+    ),
+    b AS (
+      SELECT e.event_type,
+             (CASE WHEN s.mx > s.mn
+                   THEN least(floor(((e.value - s.mn) / (s.mx - s.mn)) * 256),
+                              255)
+                   ELSE 0 END)::BIGINT AS bin
+      FROM events e JOIN s USING (event_type)
+    ),
+    h AS (
+      SELECT event_type, bin, count(*)::BIGINT AS cnt
+      FROM b GROUP BY event_type, bin
+    ),
+    c AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)::BIGINT
+               AS cum
+      FROM h
+    ),
+    t AS (SELECT * FROM (VALUES (0.5, 'p50'), (0.95, 'p95'), (0.99, 'p99'))
+          AS v(q, qname)),
+    sel AS (
+      SELECT c.event_type, t.qname, s.mn, s.mx, c.bin, c.cnt,
+             (c.cum - c.cnt) AS cumb, (t.q * s.n) AS target
+      FROM c JOIN s USING (event_type) CROSS JOIN t
+      WHERE (c.cum - c.cnt) < t.q * s.n AND c.cum >= t.q * s.n
+    )
+    SELECT event_type, qname,
+           round(mn + ((bin + (target - cumb) / cnt) * ((mx - mn) / 256)), 6)
+             AS est
+    FROM sel
+    """,
+)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantiles — the 100 TB percentile path. Exact
+    percentiles need a full sort per group; a 256-bin fixed-width
+    histogram is two scans of plain partial-aggregated groupBys (pass 1
+    min/max/count, pass 2 bin counts; bins merge by addition across
+    executors), then p50/p95/p99 by linear interpolation inside the
+    target bin. Deterministic — bin edges and interpolation are pure
+    IEEE arithmetic, hash-matched against the oracle (unlike
+    approx_percentile's engine-internal GK sketch). Accuracy vs exact
+    is asserted in tests/test_sketch.py."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count("*").cast("long").alias("n"),
+    )
+    b = ev.join(F.broadcast(s), on="event_type").select(
+        "event_type",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.floor(
+                    ((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")))
+                    * 256
+                ),
+                F.lit(255).cast("long"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bin"),
+    )
+    h = b.groupBy("event_type", "bin").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("bin")
+    c = h.withColumn("cum", F.sum("cnt").over(w).cast("long"))
+    t = F.broadcast(
+        spark.createDataFrame(
+            [(0.5, "p50"), (0.95, "p95"), (0.99, "p99")], "q double, qname string"
+        )
+    )
+    sel = (
+        c.join(F.broadcast(s), on="event_type")
+        .crossJoin(t)
+        .withColumn("cumb", F.col("cum") - F.col("cnt"))
+        .withColumn("target", F.col("q") * F.col("n"))
+        .where(
+            (F.col("cumb") < F.col("q") * F.col("n"))
+            & (F.col("cum") >= F.col("q") * F.col("n"))
+        )
+    )
+    return sel.select(
+        "event_type",
+        "qname",
+        F.round(
+            F.col("mn")
+            + (
+                (F.col("bin") + (F.col("target") - F.col("cumb")) / F.col("cnt"))
+                * ((F.col("mx") - F.col("mn")) / 256)
+            ),
+            6,
+        ).alias("est"),
+    )
+
+
+@query(
+    "tpch_q5",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the 6-table snowflake join. All dimension sides
+    (region→nation→supplier, customer) broadcast — lineitem, the only
+    big table, shuffles exactly once (the lineitem⋈orders equi-join);
+    the local-supplier condition c_nationkey = s_nationkey rides the
+    same join as a residual filter."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    sn = s.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        s.s_nationkey == F.col("n_nationkey"),
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(sn),
+            (li.l_suppkey == sn.s_suppkey)
+            & (c.c_nationkey == sn.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q18",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           round(big.sum_qty, 2) AS sum_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 20
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): lineitem pre-aggregates
+    to one row per order (map-side partial sum) and HAVING prunes to the
+    rare big orders BEFORE any join — the surviving set is tiny, so both
+    remaining joins broadcast it and the top-20 is a TakeOrdered."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "zorder_key",
+    f"""
+    SELECT l_orderkey, l_partkey, l_suppkey,
+           {{morton}}::BIGINT AS z
+    FROM lineitem WHERE l_orderkey < 50
+    """.replace("{morton}", __import__("multimodal_vector_db_spark.functions.layout", fromlist=["morton_code_sql"]).morton_code_sql("l_partkey", "l_suppkey", 16)),
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (l_partkey, l_suppkey) —
+    the multi-dimensional file-layout primitive: writing the table
+    sorted by this key gives every file a small (partkey, suppkey)
+    rectangle, so parquet min-max stats prune scans filtered on EITHER
+    column (`functions/layout.py:zorder_repartition`; file-level
+    pruning asserted in tests/test_layout.py). Pure bit interleaving,
+    identical in Spark and the oracle."""
+    from multimodal_vector_db_spark.functions.layout import morton_code
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 50)
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        morton_code(F.col("l_partkey"), F.col("l_suppkey"), 16).alias("z"),
+    )

@@ -1,0 +1,129 @@
+"""Z-order layout: each written file must cover a small rectangle of
+the key space, and min-max stats must prune files on EITHER column."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from multimodal_vector_db_spark.functions.layout import (
+    morton_code,
+    zorder_repartition,
+)
+
+N_FILES = 8
+
+
+def _file_ranges(path: str, cols: tuple[str, str]):
+    out = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo = {c: None for c in cols}
+        hi = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    st = col.statistics
+                    lo[name] = st.min if lo[name] is None else min(lo[name], st.min)
+                    hi[name] = st.max if hi[name] is None else max(hi[name], st.max)
+        out.append((lo, hi))
+    return out
+
+
+def test_zorder_files_are_tiles_and_prune(spark, lineitem, tmp_path):
+    cols = ("l_partkey", "l_suppkey")
+    dest = str(tmp_path / "zordered")
+    zorder_repartition(
+        lineitem.select(*cols), *cols, n_files=N_FILES
+    ).write.parquet(dest)
+
+    ranges = _file_ranges(dest, cols)
+    assert len(ranges) == N_FILES
+
+    g = lineitem.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    global_area = (g[1] - g[0] + 1) * (g[3] - g[2] + 1)
+    avg_area = sum(
+        (hi["l_partkey"] - lo["l_partkey"] + 1)
+        * (hi["l_suppkey"] - lo["l_suppkey"] + 1)
+        for lo, hi in ranges
+    ) / len(ranges)
+    # Z-order: files are rectangles ~1/N_FILES of the space; a plain
+    # sort by l_partkey would leave every file spanning the FULL
+    # l_suppkey range (avg_area ~ global_area / N_FILES on one axis
+    # only). Require a real 2-D win.
+    assert avg_area < global_area / 3
+
+    # point-predicate pruning on EACH column: the probe value must fall
+    # outside most files' [min, max]
+    for col, probe in (("l_partkey", g[0]), ("l_suppkey", g[2])):
+        containing = sum(
+            1 for lo, hi in ranges if lo[col] <= probe <= hi[col]
+        )
+        assert containing <= N_FILES // 2, (col, containing)
+
+
+def test_morton_code_bit_exact(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "a long, b long"
+    )
+    got = [
+        r["z"]
+        for r in df.select(
+            morton_code(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    ]
+
+    def ref(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    want = [ref(a, b) for a, b in [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)]]
+    assert got == want
+
+
+def test_histogram_quantiles_close_to_exact(spark):
+    from multimodal_vector_db_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    est = {
+        (r["event_type"], r["qname"]): r["est"]
+        for r in REGISTRY["histogram_quantiles"](spark, sf).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    # histogram-CDF inversion can land up to ~1 order statistic away
+    # from the interpolated exact quantile — in a sparse heavy tail that
+    # is a large VALUE gap (observed 20% of spread for p99 on ~190
+    # points), so bound each estimate by bracketing order statistics
+    # (q ± 1.5/n) instead of a value tolerance
+    exact = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        *[
+            F.percentile("value", q).alias(f"{qn}_{side}")
+            for qn, q0 in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99))
+            for side, q in (
+                ("lo", max(q0 - 0.015, 0.0)),
+                ("hi", min(q0 + 0.015, 1.0)),
+            )
+        ],
+    )
+    for r in exact.collect():
+        assert r["n"] > 150
+        for qn in ("p50", "p95", "p99"):
+            e = est[(r["event_type"], qn)]
+            assert r[f"{qn}_lo"] - 3 <= e <= r[f"{qn}_hi"] + 3, (qn, e, r)
+        assert (
+            est[(r["event_type"], "p50")]
+            <= est[(r["event_type"], "p95")]
+            <= est[(r["event_type"], "p99")]
+        )
