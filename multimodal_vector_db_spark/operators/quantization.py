@@ -51,14 +51,19 @@ def data_derived_codebooks(
     fixed corpus rows (ids start_id..start_id+n_codes-1). Not a learned
     quantizer — the fixture that makes encode/decode oracle-checkable
     without k-means nondeterminism (FIXTURES.md §6)."""
-    rows = (
+    # no .orderBy before the collect: a global sort (even of 4 rows)
+    # plans a range-partitioning SAMPLING job first — two extra jobs per
+    # call, ~2s of pure overhead at bench scale. The id filter pushes
+    # down to the scan; the driver sorts the handful of rows itself.
+    rows = sorted(
         corpus.where(
             (F.col(id_col) >= start_id) & (F.col(id_col) < start_id + n_codes)
         )
-        .orderBy(id_col)
-        .select(vector_col)
-        .collect()
+        .select(id_col, vector_col)
+        .collect(),
+        key=lambda r: r[0],
     )
+    rows = [(r[1],) for r in rows]
     dim = len(rows[0][0])
     assert dim % n_subquantizers == 0  # quantization.py:17-18
     subdim = dim // n_subquantizers
@@ -109,42 +114,56 @@ def kmeans_codebooks(
         sliced.unpersist()
 
 
+def _books_lit(codebooks: list[list[list[float]]]) -> Column:
+    """The whole codebook as one ARRAY<ARRAY<ARRAY<DOUBLE>>> literal."""
+    return F.lit(
+        [[[float(x) for x in c] for c in book] for book in codebooks]
+    )
+
+
 def pq_encode_codes(
     vector_col: Column, codebooks: list[list[list[float]]]
 ) -> Column:
     """Q3 as one expression: ARRAY<BIGINT> of per-subspace argmin codes.
-    Tie-break: lowest code (array_min on (dist, code) structs)."""
+    Tie-break: lowest code (array_min on (dist, code) structs).
+
+    Built as nested higher-order transforms over a single codebook
+    literal, not one unrolled ``_sq_dist`` tree per (sub, code): the
+    unrolled form made Catalyst analysis+codegen of a fresh plan cost
+    ~10× the actual execution at bench scale (2.6 s vs 0.2 s). The
+    arithmetic inside the lambda is the same cast-then-subtract
+    sequential fold, so distances stay oracle-bit-exact."""
     n_sub = len(codebooks)
     subdim = len(codebooks[0][0])
-    codes = []
-    for s in range(n_sub):
-        sl = _slice(vector_col, s, subdim)
-        pairs = F.array(
-            *[
-                F.struct(
-                    _sq_dist(
-                        sl, F.array(*[F.lit(float(x)) for x in c])
-                    ).alias("dist"),
-                    F.lit(code).cast("long").alias("code"),
-                )
-                for code, c in enumerate(codebooks[s])
-            ]
+    bk = _books_lit(codebooks)
+
+    def per_sub(s: Column) -> Column:
+        sl = F.slice(vector_col, s * subdim + 1, subdim)
+        pairs = F.transform(
+            F.element_at(bk, (s + 1).cast("int")),
+            lambda cent, i: F.struct(
+                _sq_dist(sl, cent).alias("dist"),
+                i.cast("long").alias("code"),
+            ),
         )
-        codes.append(F.array_min(pairs)["code"])
-    return F.array(*codes)
+        return F.array_min(pairs)["code"]
+
+    return F.transform(F.sequence(F.lit(0), F.lit(n_sub - 1)), per_sub)
 
 
 def pq_decode(codes_col: Column, codebooks: list[list[list[float]]]) -> Column:
     """Q4: codes → concatenated centroid slices (ARRAY<DOUBLE>)."""
-    parts = []
-    for s, book in enumerate(codebooks):
-        lookup = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+    n_sub = len(codebooks)
+    bk = _books_lit(codebooks)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            lambda s: F.element_at(
+                F.element_at(bk, (s + 1).cast("int")),
+                (F.element_at(codes_col, (s + 1).cast("int")) + 1).cast("int"),
+            ),
         )
-        parts.append(
-            F.element_at(lookup, F.element_at(codes_col, s + 1).cast("int") + 1)
-        )
-    return F.flatten(F.array(*parts))
+    )
 
 
 def pq_encode(
