@@ -2203,9 +2203,10 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     union+window implementation shuffles ONCE on the key; the oracle is
     DuckDB's native ASOF LEFT JOIN."""
     from multimodal_vector_db_spark.operators.joins import asof_join
+    from multimodal_vector_db_spark.streaming.ingest import ts_micros
 
     ev = _t(spark, sf_dir, "events")
-    us = F.expr("ts div 1000")
+    us = ts_micros(ev)
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", us.alias("us")
     )

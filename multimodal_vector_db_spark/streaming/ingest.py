@@ -25,20 +25,33 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: TESTDATA.md events schema (streams must declare schemas up front).
-#: ``ts`` is physically INT64 nanoseconds in the parquet (timestamp[ns]);
-#: Spark surfaces it as LongType — :func:`with_event_time` derives the
-#: microsecond TimestampType column (integer ``div``, never ``/``: ns
-#: values exceed 2^53 so double division would lose precision).
+#: ``ts`` is physically timestamp[us] in the parquet, surfaced by Spark
+#: as TIMESTAMP_NTZ; the session timezone is pinned to UTC so casting to
+#: an instant (TimestampType) is value-preserving and matches DuckDB's
+#: ``epoch_us`` reading of the same file.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+def ts_micros(events: DataFrame, ts_col: str = "ts"):
+    """Epoch-microseconds BIGINT column for ``ts_col``, whatever its
+    physical type. Handles both testdata generations: INT64 nanoseconds
+    (integer ``div``, never ``/`` — ns values exceed 2^53 so double
+    division would lose precision) and timestamp[us]/TIMESTAMP_NTZ
+    (cast to an instant under the UTC session tz, then ``unix_micros``
+    — the same value DuckDB's ``epoch_us(ts)`` yields)."""
+    dt = events.schema[ts_col].dataType
+    if isinstance(dt, T.LongType):
+        return F.expr(f"{ts_col} div 1000")
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
 
 
 def events_stream(
@@ -51,13 +64,17 @@ def events_stream(
     return reader.parquet(src_dir)
 
 
-def with_event_time(events: DataFrame, ns_col: str = "ts") -> DataFrame:
-    """Derive the event-time TimestampType column ``event_time`` from the
-    raw nanosecond LongType ``ts`` (truncating to Spark's native µs —
-    the same truncation DuckDB applies reading timestamp[ns])."""
-    return events.withColumn(
-        "event_time", F.expr(f"timestamp_micros({ns_col} div 1000)")
-    )
+def with_event_time(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Derive the event-time TimestampType column ``event_time`` from
+    ``ts`` — dtype-adaptive (see :func:`ts_micros`): legacy nanosecond
+    longs are truncated to Spark's native µs; TIMESTAMP_NTZ is cast to
+    an instant under the UTC session tz."""
+    dt = events.schema[ts_col].dataType
+    if isinstance(dt, T.LongType):
+        event_time = F.expr(f"timestamp_micros({ts_col} div 1000)")
+    else:
+        event_time = F.col(ts_col).cast("timestamp")
+    return events.withColumn("event_time", event_time)
 
 
 def windowed_counts(
@@ -116,7 +133,7 @@ def sessionize_batch(
 
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     staged = events.select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("us")
+        "user_id", "event_id", ts_micros(events).alias("us")
     )
     flagged = staged.select(
         "user_id",
@@ -291,13 +308,13 @@ def interval_join(
         F.col("event_id").alias("left_id"),
         F.col("user_id").alias("l_user"),
         F.col("event_time").alias("l_time"),
-        F.expr("ts div 1000").alias("l_us"),
+        F.unix_micros(F.col("event_time")).alias("l_us"),
     )
     r = r.select(
         F.col("event_id").alias("right_id"),
         F.col("user_id").alias("r_user"),
         F.col("event_time").alias("r_time"),
-        F.expr("ts div 1000").alias("r_us"),
+        F.unix_micros(F.col("event_time")).alias("r_us"),
     )
     cond = (
         (l["l_user"] == r["r_user"])

@@ -13,7 +13,10 @@ from multimodal_vector_db_spark.functions.layout import (
     zorder_repartition,
 )
 
-N_FILES = 8
+# 16 = 4^2 files → the ideal layout is a 4x4 tile grid, so a point
+# predicate on one column intersects ~4 tiles; 8 files would sit at
+# exactly N/2 ideal and any range-boundary straddle flakes the bound.
+N_FILES = 16
 
 
 def _file_ranges(path: str, cols: tuple[str, str]):
@@ -62,12 +65,14 @@ def test_zorder_files_are_tiles_and_prune(spark, lineitem, tmp_path):
     assert avg_area < global_area / 3
 
     # point-predicate pruning on EACH column: the probe value must fall
-    # outside most files' [min, max]
+    # outside most files' [min, max]. Ideal 4x4 grid → 4 containing
+    # files; allow a couple of range-boundary straddles. A plain sort
+    # on one column would leave the OTHER column's probe in all 16.
     for col, probe in (("l_partkey", g[0]), ("l_suppkey", g[2])):
         containing = sum(
             1 for lo, hi in ranges if lo[col] <= probe <= hi[col]
         )
-        assert containing <= N_FILES // 2, (col, containing)
+        assert containing <= 7, (col, containing)
 
 
 def test_morton_code_bit_exact(spark):
