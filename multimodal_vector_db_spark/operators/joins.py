@@ -126,3 +126,67 @@ def asof_join(
     for c in right_payload:
         out = out.drop(c).withColumnRenamed(f"__asof_{c}", c)
     return out
+
+
+def bloom_bit_positions(
+    key, m_bits: int = 4096, k_hashes: int = 3
+):
+    """``k_hashes`` Bloom bit positions for ``key`` — one md5 per hash
+    (salted ``bf{i}:``), 8 hex nibbles → BIGINT, mod ``m_bits``. Pure
+    deterministic column arithmetic, reproducible in any engine with
+    md5 (the DuckDB oracle re-derives identical positions, false
+    positives included)."""
+    key = F.col(key) if isinstance(key, str) else key
+    s = key.cast("string")
+    return [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"bf{i}:"), s)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        ).alias(f"p{i}")
+        for i in range(k_hashes)
+    ]
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Semi-join ``big`` against ``small`` WITHOUT shuffling ``big``:
+    build a Bloom filter over ``small``'s keys (the set of distinct bit
+    positions, aggregated map-side into one sorted array row), broadcast
+    it, and keep big-side rows whose ``k_hashes`` positions are all set.
+
+    This is the explicit form of Spark's runtime-row-level-filter
+    pushdown: at 100 TB the big side stays a narrow filtered scan —
+    no exchange at all — while the build side reduces to one array of
+    at most ``m_bits`` ints. It admits false positives at the usual
+    Bloom rate ((1 - e^{-kn/m})^k); follow with the exact join when
+    exactness is required — the filter has already discarded the bulk
+    of the scan before the shuffle.
+    """
+    build = (
+        small.select(
+            F.explode(F.array(*bloom_bit_positions(small_key, m_bits, k_hashes))).alias(
+                "p"
+            )
+        )
+        .agg(F.array_sort(F.collect_set("p")).alias("bits"))
+    )
+    probe = big.withColumn(
+        "__probe", F.array(*bloom_bit_positions(big_key, m_bits, k_hashes))
+    )
+    return (
+        probe.join(F.broadcast(build))
+        .where(
+            F.forall("__probe", lambda p: F.array_contains(F.col("bits"), p))
+        )
+        .drop("__probe", "bits")
+    )

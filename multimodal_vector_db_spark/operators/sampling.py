@@ -60,3 +60,34 @@ def priority_sample(
         .limit(k)
         .drop("_priority")
     )
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    stratum_col: str,
+    k_per_stratum: int,
+    id_col: str,
+    salt: str = "strat:",
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, chosen by salted
+    md5 order of the id — the exact-count counterpart of Bernoulli
+    `sampleBy` (which only hits the target fraction in expectation, a
+    real problem for small strata / eval-set carve-outs).
+
+    Deterministic: the sample is a pure function of (ids, stratum,
+    salt, k) — reproducible across engines and re-shards, like
+    `hash_split`. One shuffle on the stratum key for the row_number
+    window; at 100 TB prefer a higher-cardinality stratum or pre-
+    aggregate, since a single giant stratum serializes through one
+    window partition (salt the window key and take k from the merged
+    per-salt heads if that bites).
+    """
+    from pyspark.sql import Window
+
+    h = md5_u32(F.col(id_col).cast("string"), salt)
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k_per_stratum)
+        .drop("_rn")
+    )

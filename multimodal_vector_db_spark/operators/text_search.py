@@ -212,3 +212,64 @@ def rrf_fuse(
     )
     out = with_rank(fused, order_col="rrf_score", id_col=id_col)
     return out.where(F.col("rank") <= k)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed TF-IDF:
+    ``score = tf · (ln((N + 1) / (df + 1)) + 1)`` (the sklearn
+    ``smooth_idf`` form — never divides by zero, never goes negative).
+
+    Keyword extraction / document profiling for corpus curation. Rank
+    is computed on ``round(score, 6)`` with a term-name tie-break, so
+    the winner set is deterministic and engine-independent (raw libm
+    ``ln`` may differ in the last ulp between engines; ranking on the
+    rounded value absorbs it — same contract as BM25 above).
+
+    Scale shape: one explode → (doc, term) count [shuffle 1, map-side
+    combined], document frequencies as a second partial agg over terms
+    [shuffle 2, output ~vocab-sized], joined back on the term key; the
+    per-doc top-k window shuffles on doc_id [shuffle 3]. The df join is
+    broadcast when the vocabulary is small — for open-domain text the
+    vocab table is still tiny next to the corpus.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    n_docs = docs.count()
+    df_tbl = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    scored = tf.join(F.broadcast(df_tbl), "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf").cast("double")
+            * (
+                F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1)).cast("double"))
+                + F.lit(1.0)
+            ),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )

@@ -3636,3 +3636,356 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         morton_code(F.col("l_partkey"), F.col("l_suppkey"), 16).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus analytics round 2: TF-IDF, OLAP cube, window family, divergence,
+# graph triangles, bloom semi-join, stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tfidf_top_terms",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS.format(col="lower(text)")} AS toks FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(tf.tf * (ln((n.n + 1) / (dfreq.df + 1)) + 1), 6) AS tfidf
+      FROM tf, dfreq, n WHERE tf.term = dfreq.term
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, df, tfidf,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF keyword extraction: top-3 terms per document
+    (sklearn smooth_idf form), ranked on round(score, 6) with a term
+    tie-break so the winner set is engine-independent."""
+    from multimodal_vector_db_spark.operators.text_search import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "cube_lang_source",
+    """
+    SELECT coalesce(lang, 'ALL') AS lang,
+           coalesce(source, 'ALL') AS source,
+           count(*)::BIGINT AS n_docs,
+           round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars,
+           (grouping(lang) * 2 + grouping(source))::BIGINT AS gid
+    FROM documents GROUP BY CUBE (lang, source)
+    """,
+)
+def q_cube_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (lang, source): all 2^2 grouping sets in one pass —
+    the OLAP companion of `rollup_stats`. The average is declared as
+    exact-integer sum ÷ count (one IEEE division) so both engines hit
+    identical doubles regardless of accumulation order; grouping nulls
+    are labeled 'ALL' (data keys are non-null here). Spark executes a
+    single shuffle with partial aggregation per grouping set (Expand +
+    hash agg), not four scans."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count("*"), 6
+            ).alias("avg_chars"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "avg_chars",
+            "gid",
+        )
+    )
+
+
+@query(
+    "window_family",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, value, epoch_us(ts)::BIGINT AS us
+      FROM events WHERE user_id < 40
+    )
+    SELECT event_id, user_id,
+           (row_number() OVER w)::BIGINT AS rn,
+           (ntile(4) OVER w)::BIGINT AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           round(lag(value, 1) OVER w, 6) AS prev_value,
+           round(lead(value, 1) OVER w, 6) AS next_value,
+           round(value - first_value(value) OVER w, 6) AS delta_from_first
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    """,
+)
+def q_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic window-function family over per-user event streams:
+    row_number / ntile / percent_rank / cume_dist / lag / lead /
+    first_value, one shuffle on user_id shared by every function (all
+    declared over the SAME window spec, so Catalyst plans a single
+    Window operator). percent_rank and cume_dist are exact rationals
+    (one division), deterministic under the total (us, event_id)
+    order."""
+    from pyspark.sql import Window
+
+    from multimodal_vector_db_spark.streaming.ingest import ts_micros
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    e = ev.select(
+        "event_id", "user_id", "value", ts_micros(ev).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(F.lag("value", 1).over(w), 6).alias("prev_value"),
+        F.round(F.lead("value", 1).over(w), 6).alias("next_value"),
+        F.round(
+            F.col("value") - F.first("value").over(w), 6
+        ).alias("delta_from_first"),
+    )
+
+
+_KL_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _kl_sql() -> str:
+    counts = ",\n             ".join(
+        f"sum(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END)::BIGINT AS c_{l}"
+        for l in _KL_LANGS
+    )
+    gcounts = ",\n             ".join(
+        f"sum(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END)::BIGINT AS g_{l}"
+        for l in _KL_LANGS
+    )
+    terms = "\n        + ".join(
+        f"(CASE WHEN c_{l} > 0 THEN (c_{l}::DOUBLE / n) * "
+        f"ln((c_{l}::DOUBLE / n) / (g_{l}::DOUBLE / g_n)) ELSE 0 END)"
+        for l in _KL_LANGS
+    )
+    return f"""
+    WITH per AS (
+      SELECT source,
+             {counts},
+             count(*)::BIGINT AS n
+      FROM documents GROUP BY source
+    ),
+    corp AS (
+      SELECT {gcounts},
+             count(*)::BIGINT AS g_n
+      FROM documents
+    )
+    SELECT source, n AS n_docs,
+           round({terms}, 6) AS kl
+    FROM per, corp
+    """
+
+
+@query("source_lang_divergence", _kl_sql())
+def q_source_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the language distribution against
+    the corpus-wide distribution — the drift/skew detector that flags
+    a source whose language mix departs from the mixture target.
+
+    Determinism: the lang domain is a fixed explicit list, so the sum
+    over languages is a fixed left-associated 5-term expression chain
+    (never a cross-row float aggregation whose order the engine picks);
+    every p and q is one exact-integer division. Executes as one
+    partial-aggregated shuffle on source plus a broadcast 1-row corpus
+    total."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        *[
+            F.sum(F.when(F.col("lang") == l, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c_{l}")
+            for l in _KL_LANGS
+        ],
+        F.count("*").cast("long").alias("n"),
+    )
+    corp = docs.agg(
+        *[
+            F.sum(F.when(F.col("lang") == l, 1).otherwise(0))
+            .cast("long")
+            .alias(f"g_{l}")
+            for l in _KL_LANGS
+        ],
+        F.count("*").cast("long").alias("g_n"),
+    )
+
+    def term(l: str):
+        p = F.col(f"c_{l}").cast("double") / F.col("n")
+        q = F.col(f"g_{l}").cast("double") / F.col("g_n")
+        return F.when(F.col(f"c_{l}") > 0, p * F.log(p / q)).otherwise(
+            F.lit(0.0)
+        )
+
+    kl = term(_KL_LANGS[0])
+    for l in _KL_LANGS[1:]:
+        kl = kl + term(l)
+    return per.crossJoin(F.broadcast(corp)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(kl, 6).alias("kl"),
+    )
+
+
+_JACCARD_PAIRS_SQL = rf"""
+    t AS (
+      SELECT doc_id, lang, {_TOKS.format(col="lower(text)")} AS toks FROM documents
+    ),
+    sh AS (SELECT doc_id, lang, ({_SHINGLES}) AS shingles FROM t),
+    pairs AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE round(len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))::DOUBLE
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))),
+             6) >= 0.03
+    )
+"""
+
+
+@query(
+    "doc_triangles",
+    rf"""
+    WITH {_JACCARD_PAIRS_SQL},
+    wedge AS (
+      SELECT x.ida AS u, x.idb AS v, y.idb AS w
+      FROM pairs x JOIN pairs y ON x.ida = y.ida AND x.idb < y.idb
+    ),
+    tri AS (
+      SELECT u, v, w FROM wedge JOIN pairs p ON wedge.v = p.ida AND wedge.w = p.idb
+    ),
+    corners AS (SELECT unnest([u, v, w]) AS doc_id FROM tri)
+    SELECT doc_id, count(*)::BIGINT AS n_triangles
+    FROM corners GROUP BY doc_id
+    """,
+)
+def q_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts over the n-gram-Jaccard near-dup
+    graph — template/spam clusters are triangle-dense, organic
+    near-dups are not. Wedge-join enumeration, each triangle once
+    (`operators/graph.py:triangle_counts`)."""
+    from multimodal_vector_db_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from multimodal_vector_db_spark.operators.graph import triangle_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, block_col="lang", threshold=0.03)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return triangle_counts(edges)
+
+
+def _bloom_pos_sql(key_expr: str, i: int, m_bits: int = 4096) -> str:
+    return (
+        _md5_nibbles_sql(f"md5('bf{i}:' || {key_expr}::VARCHAR)", 0)
+        + f" % {m_bits}"
+    )
+
+
+@query(
+    "bloom_semi_join",
+    f"""
+    WITH build AS (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5),
+    bits AS (
+      SELECT array_agg(DISTINCT p) AS bits FROM (
+        SELECT unnest([{_bloom_pos_sql("s_suppkey", 0)},
+                       {_bloom_pos_sql("s_suppkey", 1)},
+                       {_bloom_pos_sql("s_suppkey", 2)}]) AS p
+        FROM build
+      )
+    )
+    SELECT l.l_suppkey, count(*)::BIGINT AS n_rows
+    FROM lineitem l, bits b
+    WHERE list_has_all(b.bits, [{_bloom_pos_sql("l.l_suppkey", 0)},
+                                {_bloom_pos_sql("l.l_suppkey", 1)},
+                                {_bloom_pos_sql("l.l_suppkey", 2)}])
+    GROUP BY l.l_suppkey
+    """,
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join: keep lineitem rows whose supplier is
+    (probably) in the nation<5 supplier set — the big side is filtered
+    by a broadcast bit-set with NO shuffle of lineitem, the explicit
+    form of runtime row-level filter pushdown
+    (`operators/joins.py:bloom_semi_join`). False positives are part of
+    the declared semantics (the oracle re-derives the identical md5 bit
+    positions, so the hash-match covers them too); an exact join
+    afterwards only touches the surviving fraction."""
+    from multimodal_vector_db_spark.operators.joins import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").where(F.col("s_nationkey") < 5)
+    kept = bloom_semi_join(
+        li.select("l_suppkey"),
+        supp.select("s_suppkey"),
+        big_key="l_suppkey",
+        small_key="s_suppkey",
+        m_bits=4096,
+        k_hashes=3,
+    )
+    return kept.groupBy("l_suppkey").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+
+
+@query(
+    "stratified_sample",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             {_md5_nibbles_sql("md5('strat:' || doc_id::VARCHAR)", 0)} AS h
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+      FROM h
+    )
+    SELECT doc_id, lang, source FROM r WHERE rn <= 20
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k stratified sample: exactly 20 documents per language by
+    salted-md5 order — the deterministic exact-count counterpart of
+    Bernoulli `sampleBy` (`operators/sampling.py:
+    stratified_exact_sample`), reproducible across engines and
+    re-shards."""
+    from multimodal_vector_db_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_exact_sample(
+        docs, stratum_col="lang", k_per_stratum=20, id_col="doc_id"
+    )
