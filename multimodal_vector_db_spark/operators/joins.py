@@ -166,27 +166,42 @@ def bloom_semi_join(
 
     This is the explicit form of Spark's runtime-row-level-filter
     pushdown: at 100 TB the big side stays a narrow filtered scan —
-    no exchange at all — while the build side reduces to one array of
-    at most ``m_bits`` ints. It admits false positives at the usual
-    Bloom rate ((1 - e^{-kn/m})^k); follow with the exact join when
-    exactness is required — the filter has already discarded the bulk
-    of the scan before the shuffle.
+    no exchange at all — while the build side reduces to one broadcast
+    row holding a dense ``m_bits``-bit bitmap packed into 64-bit words
+    (a map word-index → word, built with one tiny two-level
+    aggregation). Each probe is O(1): ``k_hashes`` map lookups + AND
+    masks per row — not a scan over the position set. It admits false
+    positives at the usual Bloom rate ((1 - e^{-kn/m})^k); follow with
+    the exact join when exactness is required — the filter has already
+    discarded the bulk of the scan before the shuffle.
     """
-    build = (
-        small.select(
-            F.explode(F.array(*bloom_bit_positions(small_key, m_bits, k_hashes))).alias(
-                "p"
-            )
+    pos = small.select(
+        F.explode(
+            F.array(*bloom_bit_positions(small_key, m_bits, k_hashes))
+        ).alias("p")
+    )
+    # pyspark's shiftleft() wrapper only takes a Python-int shift;
+    # call the SQL function directly for a column-valued shift
+    def _shl(bit_col):
+        return F.call_function(
+            "shiftleft", F.lit(1).cast("long"), bit_col.cast("int")
         )
-        .agg(F.array_sort(F.collect_set("p")).alias("bits"))
+
+    words = pos.groupBy((F.col("p") / 64).cast("long").alias("w")).agg(
+        F.bit_or(_shl(F.col("p") % 64)).alias("bits")
     )
-    probe = big.withColumn(
-        "__probe", F.array(*bloom_bit_positions(big_key, m_bits, k_hashes))
+    build = words.agg(
+        F.map_from_arrays(
+            F.collect_list("w"), F.collect_list("bits")
+        ).alias("bitmap")
     )
-    return (
-        probe.join(F.broadcast(build))
-        .where(
-            F.forall("__probe", lambda p: F.array_contains(F.col("bits"), p))
+    probed = big.join(F.broadcast(build))
+    cond = F.lit(True)
+    for p in bloom_bit_positions(big_key, m_bits, k_hashes):
+        mask = _shl(p % 64)
+        word = F.coalesce(
+            F.try_element_at(F.col("bitmap"), (p / 64).cast("long")),
+            F.lit(0).cast("long"),
         )
-        .drop("__probe", "bits")
-    )
+        cond = cond & (word.bitwiseAND(mask) == mask)
+    return probed.where(cond).drop("bitmap")
