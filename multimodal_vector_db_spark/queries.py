@@ -3989,3 +3989,155 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_exact_sample(
         docs, stratum_col="lang", k_per_stratum=20, id_col="doc_id"
     )
+
+
+@query(
+    "event_funnel",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts)::BIGINT AS us FROM events
+    ),
+    v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view'
+          GROUP BY user_id),
+    c AS (SELECT e.user_id, min(us) AS c_us
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.us >= v.v_us
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(us) AS p_us
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.us >= c.c_us
+          GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v)::BIGINT AS n_view_users,
+           (SELECT count(*) FROM c)::BIGINT AS n_click_users,
+           (SELECT count(*) FROM p)::BIGINT AS n_purchase_users
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click-after-view →
+    purchase-after-click, per user): the sequential-pattern aggregation
+    of event analytics. Three stage aggregations, each a shuffle on
+    user_id over an already-reduced per-user table — co-partitioned
+    after the first, so AQE reuses the exchange; integer-µs
+    comparisons end-to-end."""
+    from multimodal_vector_db_spark.streaming.ingest import ts_micros
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type", ts_micros(ev).alias("us"))
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("us") >= F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("us") >= F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    return (
+        v.agg(F.count("*").cast("long").alias("n_view_users"))
+        .crossJoin(c.agg(F.count("*").cast("long").alias("n_click_users")))
+        .crossJoin(
+            p.agg(F.count("*").cast("long").alias("n_purchase_users"))
+        )
+    )
+
+
+@query(
+    "weekly_deltas",
+    """
+    WITH w AS (
+      SELECT event_type, date_trunc('week', ts)::DATE AS week_start,
+             count(*)::BIGINT AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week_start, n_events,
+           (n_events - lag(n_events) OVER (
+              PARTITION BY event_type ORDER BY week_start))::BIGINT AS delta,
+           round((n_events - lag(n_events) OVER (
+              PARTITION BY event_type ORDER BY week_start))::DOUBLE
+             / lag(n_events) OVER (
+              PARTITION BY event_type ORDER BY week_start), 6) AS pct_change
+    FROM w
+    """,
+)
+def q_weekly_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week reporting rollup: per event type, weekly counts
+    with lag delta and percent change — the downsample-then-compare
+    shape of a metrics pipeline. One agg shuffle + one window on the
+    (already tiny) weekly table; exact integers into one division."""
+    from pyspark.sql import Window
+
+    from multimodal_vector_db_spark.streaming.ingest import with_event_time
+
+    ev = with_event_time(_t(spark, sf_dir, "events"))
+    # DuckDB's date_trunc('week') yields a DATE — normalize to DATE on
+    # both sides so the value canon matches
+    weekly = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("week", "event_time")).alias("week_start"),
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    prev = F.lag("n_events").over(w)
+    return weekly.select(
+        "event_type",
+        "week_start",
+        "n_events",
+        (F.col("n_events") - prev).cast("long").alias("delta"),
+        F.round(
+            (F.col("n_events") - prev).cast("double") / prev, 6
+        ).alias("pct_change"),
+    )
+
+
+@query(
+    "fuzzy_name_match",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (
+      SELECT p_name, split_part(p_name, ' ', -1) AS noun FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+    FROM blocked a JOIN blocked b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (edit-distance) self-join over part names — the
+    record-linkage primitive. Blocking on the head noun turns the
+    quadratic all-pairs into per-block pairs (the standard linkage
+    design: block on a cheap stable key, pay levenshtein only inside
+    the block); dedup to DISTINCT names first so the pair space scales
+    with vocabulary, not rows."""
+    names = (
+        _t(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("noun", F.element_at(F.split("p_name", " "), -1))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("long")
+            .alias("dist"),
+        )
+        .where(F.col("dist") <= 4)
+    )

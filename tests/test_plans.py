@@ -124,3 +124,34 @@ def test_pq_adc_knn_is_shuffle_free_topk(spark):
     p = plan_of(spark, "pq_adc_knn")
     assert "TakeOrderedAndProject" in p
     assert "Exchange" not in p
+
+
+def test_cube_is_single_expand_single_aggregate_pass(spark):
+    # CUBE must compile to ONE Expand + one partial/final hash-agg pair
+    # (a single scan), never one scan per grouping set
+    p = plan_of(spark, "cube_lang_source")
+    assert len(re.findall(r"\(\d+\) Expand", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_window_family_is_one_window_operator(spark):
+    # all seven analytic functions share the same window spec, so
+    # Catalyst must plan exactly ONE Window operator over ONE shuffle
+    p = plan_of(spark, "window_family")
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_tfidf_broadcasts_vocabulary(spark):
+    # the document-frequency (vocab-sized) table joins back via
+    # broadcast — the corpus-sized tf table must not shuffle for it
+    p = plan_of(spark, "tfidf_top_terms")
+    assert "BroadcastHashJoin" in p
+
+
+def test_weekly_deltas_windows_post_aggregate(spark):
+    # the lag window must run over the tiny weekly aggregate, meaning
+    # partial aggregation happens below the window's exchange
+    p = plan_of(spark, "weekly_deltas")
+    assert "HashAggregate" in p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1
