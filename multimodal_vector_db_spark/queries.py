@@ -4141,3 +4141,169 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("dist") <= 4)
     )
+
+
+@query(
+    "merge_upsert_docs",
+    """
+    WITH merged AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000 ELSE n_chars END
+               AS n_chars
+      FROM documents
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM merged GROUP BY source
+    """,
+)
+def q_merge_upsert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 merge/upsert (`operators/upsert.py`): a change set
+    (every 7th document re-processed with +1000 chars, version 2) is
+    merged latest-version-wins into the base corpus; the per-source
+    rollup proves every update landed exactly once and nothing else
+    moved. The oracle states the post-merge truth directly — the
+    mechanics under test live on the Spark side."""
+    from multimodal_vector_db_spark.operators.upsert import merge_upsert
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    base = docs.withColumn("version", F.lit(1))
+    updates = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .withColumn("version", F.lit(2))
+    )
+    merged = merge_upsert(base, updates, key_col="doc_id")
+    return merged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
+    "integrity_audit",
+    """
+    SELECT 'orders.custkey->customer' AS relationship,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))::BIGINT AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.orderkey->orders',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+    UNION ALL
+    SELECT 'lineitem.partkey->part',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))::BIGINT
+    UNION ALL
+    SELECT 'lineitem.suppkey->supplier',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))::BIGINT
+    UNION ALL
+    SELECT 'events.user_id->customer',
+           (SELECT count(*) FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = e.user_id))::BIGINT
+    """,
+)
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign-key
+    relationship in the warehouse — the standing data-quality gate of
+    a pipeline. Each check is a LEFT ANTI join with the dimension side
+    broadcast, so the fact tables are single narrow scans (no
+    shuffle); the five audits union into one result."""
+    fk = [
+        ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+    ]
+    parts = []
+    for label, fact, fcol, dim, dcol in fk:
+        f_df = _t(spark, sf_dir, fact).select(F.col(fcol).alias("k"))
+        d_df = _t(spark, sf_dir, dim).select(F.col(dcol).alias("k"))
+        orphans = f_df.join(F.broadcast(d_df), "k", "left_anti")
+        parts.append(
+            orphans.agg(
+                F.lit(label).alias("relationship"),
+                F.count("*").cast("long").alias("n_orphans"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+_PROFILE_COLS = [
+    ("event_id", "num"),
+    ("user_id", "num"),
+    ("value", "num"),
+    ("event_type", "str"),
+    ("props", "str"),
+]
+
+
+def _profile_sql() -> str:
+    rows = []
+    for col, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"min({col})::DOUBLE", f"max({col})::DOUBLE"
+            mns, mxs = "NULL::VARCHAR", "NULL::VARCHAR"
+        else:
+            mn, mx = "NULL::DOUBLE", "NULL::DOUBLE"
+            mns, mxs = f"min({col})", f"max({col})"
+        rows.append(
+            f"SELECT '{col}' AS column_name, count(*)::BIGINT AS n_rows,"
+            f" (count(*) - count({col}))::BIGINT AS n_null,"
+            f" count(DISTINCT {col})::BIGINT AS n_distinct,"
+            f" {mn} AS min_num, {mx} AS max_num,"
+            f" {mns} AS min_str, {mxs} AS max_str FROM events"
+        )
+    return "\nUNION ALL\n".join(rows)
+
+
+@query("table_profile", _profile_sql())
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling of the events table: row/null/
+    distinct counts plus typed min/max per column — the first query any
+    pipeline runs against a new source. Spark evaluates all five
+    columns' profiles in one logical pass (the multi-distinct
+    aggregate compiles to a single Expand, like CUBE — not five
+    scans); numeric and string extrema are kept in separate typed
+    columns so the cross-engine canon never depends on float
+    formatting."""
+    ev = _t(spark, sf_dir, "events")
+    outs = []
+    for col, kind in _PROFILE_COLS:
+        base = [
+            F.lit(col).alias("column_name"),
+            F.count("*").cast("long").alias("n_rows"),
+            (F.count("*") - F.count(col)).cast("long").alias("n_null"),
+            F.count_distinct(F.col(col)).cast("long").alias("n_distinct"),
+        ]
+        if kind == "num":
+            base += [
+                F.min(col).cast("double").alias("min_num"),
+                F.max(col).cast("double").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            ]
+        else:
+            base += [
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.min(col).alias("min_str"),
+                F.max(col).alias("max_str"),
+            ]
+        outs.append(ev.agg(*base))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -135,3 +135,40 @@ def test_tfidf_hand_computed(spark):
     )
     for r in per_doc.collect():
         assert r["n"] == r["mx"] <= 2
+
+
+def test_merge_upsert_semantics(spark):
+    from multimodal_vector_db_spark.operators.upsert import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 2)],
+        "id long, payload string, version long",
+    )
+    updates = spark.createDataFrame(
+        # update id=1 (higher version), tie on id=3 (same version →
+        # update wins), insert id=4
+        [(1, "a2", 2), (3, "c2", 2), (4, "d", 1)],
+        "id long, payload string, version long",
+    )
+    got = {
+        r["id"]: (r["payload"], r["version"])
+        for r in merge_upsert(base, updates, "id").collect()
+    }
+    assert got == {
+        1: ("a2", 2),
+        2: ("b", 1),
+        3: ("c2", 2),
+        4: ("d", 1),
+    }
+
+
+def test_merge_upsert_stale_update_ignored(spark):
+    from multimodal_vector_db_spark.operators.upsert import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "new", 5)], "id long, payload string, version long"
+    )
+    updates = spark.createDataFrame(
+        [(1, "old", 3)], "id long, payload string, version long"
+    )
+    assert merge_upsert(base, updates, "id").first()["payload"] == "new"
