@@ -262,3 +262,43 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         .count()
     )
     assert len(got) == len({r["event_id"] for r in got}) == n_unique
+
+
+def test_stream_static_enrichment_join_matches_batch(spark, tmp_path):
+    # stream-static join: the event stream enriched by a static
+    # dimension (broadcast per micro-batch, no stream-side state) —
+    # the standard serving-side enrichment shape
+    src = _stage_events(spark, tmp_path)
+    cust = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+
+    def enriched_counts(events):
+        return (
+            events.join(F.broadcast(cust), "user_id")
+            .groupBy("segment", "event_type")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
+    stream = enriched_counts(events_stream(spark, src))
+    run_available_now(
+        stream,
+        str(tmp_path / "ckpt_enrich"),
+        query_name="enrich_test",
+        output_mode="complete",
+    )
+    got = {
+        (r["segment"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM enrich_test").collect()
+    }
+    want = {
+        (r["segment"], r["event_type"]): r["n"]
+        for r in enriched_counts(
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
