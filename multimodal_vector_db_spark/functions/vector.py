@@ -146,35 +146,6 @@ def array_mean_pool(frames: Column) -> Column:
     return F.transform(summed, lambda s: s / n)
 
 
-def array_attention_pool(frames: Column) -> Column:
-    """Norm-weighted attention pooling (``video_embedder.py:153-158``):
-    ``w_i = ||f_i|| / sum_j ||f_j||``, output ``sum_i w_i * f_i`` as
-    ARRAY<DOUBLE> (un-normalized; compose with :func:`l2_normalize`).
-
-    Accumulation order is the sequential frame order of the input array
-    — the oracle twin must fold in the same order for bit equality.
-    """
-    norms = F.transform(
-        frames,
-        lambda fr: F.sqrt(
-            F.aggregate(
-                fr, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-            )
-        ),
-    )
-    total = F.aggregate(norms, F.lit(0.0), lambda acc, x: acc + x)
-    weighted = F.zip_with(
-        frames,
-        norms,
-        lambda fr, n: F.transform(fr, lambda x: x.cast("double") * (n / total)),
-    )
-    return F.aggregate(
-        weighted,
-        F.transform(F.element_at(frames, 1), lambda x: F.lit(0.0)),
-        lambda acc, fr: F.zip_with(acc, fr, lambda a, x: a + x),
-    )
-
-
 def array_max_pool(frames: Column) -> Column:
     """Element-wise max over ARRAY<ARRAY<FLOAT>> (``video_embedder.py:150-152``)."""
     return F.aggregate(
@@ -202,3 +173,19 @@ def array_attention_pool(frames: Column) -> Column:
         ),
     )
     return F.transform(weighted, lambda s: F.try_divide(s, total))
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    """Euclidean distance in DOUBLE: sequential left-to-right fold of
+    squared element differences (each element cast float→double BEFORE
+    subtracting — the same determinism contract as :func:`dot`), then
+    one IEEE-exact sqrt."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                to_double_array(a), to_double_array(b), lambda x, y: x - y
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d * d,
+        )
+    )

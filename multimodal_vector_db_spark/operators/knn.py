@@ -208,3 +208,32 @@ def knn_join_blocked(
         local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_search_l2(
+    corpus: DataFrame,
+    query_vector: list[float],
+    k: int,
+    id_col: str = "id",
+    vector_col: str = "embedding",
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Single-query exact kNN under the L2 metric (the reference's
+    ``space='l2'`` index family, vector_index.py:34-44, 139-144):
+    top-k by ascending Euclidean distance, with the reference's
+    ``similarity = 1 / (1 + dist)`` transform. Same shuffle-free plan
+    shape as :func:`knn_search` — scan → project(dist) →
+    TakeOrderedAndProject(k); ranking on round(dist, 6) with an id
+    tie-break keeps the winner set engine-exact."""
+    from multimodal_vector_db_spark.functions.vector import l2_distance
+
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    cols = payload_cols or [c for c in corpus.columns if c != vector_col]
+    scored = corpus.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in cols if c != id_col],
+        F.round(l2_distance(F.col(vector_col), q), 6).alias("dist"),
+    ).withColumn(
+        "sim", F.round(F.lit(1.0) / (F.lit(1.0) + F.col("dist")), 6)
+    )
+    return scored.orderBy(F.col("dist").asc(), F.col("id").asc()).limit(k)

@@ -4307,3 +4307,35 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+@query(
+    "knn_l2",
+    """
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 7),
+    scored AS (
+      SELECT e.vec_id AS id, e.label,
+             round(list_distance(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6)
+               AS dist
+      FROM embeddings e, q
+    )
+    SELECT id, label, dist, round(1.0 / (1.0 + dist), 6) AS sim
+    FROM scored ORDER BY dist ASC, id ASC LIMIT 10
+    """,
+)
+def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN under the L2 metric — the reference's ``space='l2'``
+    index family (vector_index.py:34-44) with its ``1/(1+d)``
+    similarity transform (vector_index.py:139-144). Same shuffle-free
+    TakeOrderedAndProject plan as the cosine path; ranking on
+    round(dist, 6) absorbs the last-ulp difference between engines'
+    distance folds."""
+    from multimodal_vector_db_spark.operators.knn import knn_search_l2
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 7).select("embedding").first()[0]
+    return knn_search_l2(
+        emb.select(F.col("vec_id").alias("id"), "label", "embedding"),
+        qvec,
+        k=10,
+    )
