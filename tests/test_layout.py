@@ -132,3 +132,67 @@ def test_histogram_quantiles_close_to_exact(spark):
             <= est[(r["event_type"], "p95")]
             <= est[(r["event_type"], "p99")]
         )
+
+
+def test_compaction_merges_small_preserves_rows(spark, lineitem, tmp_path):
+    from multimodal_vector_db_spark.operators.compaction import (
+        compact_directory,
+        plan_compaction,
+    )
+
+    src = str(tmp_path / "fragmented")
+    # simulate streaming-ingest fragmentation: 64 tiny files
+    lineitem.repartition(64).write.parquet(src)
+    dest = str(tmp_path / "compacted")
+    plan = compact_directory(spark, src, dest, target_bytes=1 << 20)
+
+    import glob
+
+    n_src = len(glob.glob(f"{src}/*.parquet"))
+    n_dest = len(glob.glob(f"{dest}/*.parquet"))
+    assert n_dest < n_src
+    # lossless: same rows, same multiset
+    a = lineitem.groupBy("l_orderkey").count().orderBy("l_orderkey").collect()
+    b = (
+        spark.read.parquet(dest)
+        .groupBy("l_orderkey")
+        .count()
+        .orderBy("l_orderkey")
+        .collect()
+    )
+    assert a == b
+    # every input file is accounted for exactly once
+    planned = sorted(p for g in plan.bins for p in g) + sorted(plan.skipped)
+    assert sorted(planned) == sorted(glob.glob(f"{src}/*.parquet"))
+
+
+def test_compaction_planner_bin_packing():
+    from multimodal_vector_db_spark.operators.compaction import (
+        plan_compaction,
+    )
+
+    sizes = {"a": 90, "b": 60, "c": 40, "d": 30, "e": 10, "big": 200}
+    plan = plan_compaction(sizes, target_bytes=100, keep_ratio=0.8)
+    # 'big' (200) and 'a' (90 >= 80) stay; the rest pack into bins <=100
+    assert "big" in plan.skipped and "a" in plan.skipped
+    for g in plan.bins:
+        assert sum(sizes[p] for p in g) <= 100
+        assert len(g) > 1
+    packed = [p for g in plan.bins for p in g]
+    assert sorted(packed + plan.skipped) == sorted(sizes)
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    # schema evolution: a later ingest adds a column; mergeSchema reads
+    # the union schema with nulls for the old files
+    old = spark.createDataFrame([(1, "a")], "id long, text string")
+    new = spark.createDataFrame(
+        [(2, "b", "en")], "id long, text string, lang string"
+    )
+    path = str(tmp_path / "evolving")
+    old.write.parquet(path)
+    new.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "text", "lang"}
+    rows = {r["id"]: r["lang"] for r in merged.collect()}
+    assert rows == {1: None, 2: "en"}
