@@ -4339,3 +4339,71 @@ def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
         qvec,
         k=10,
     )
+
+
+@query(
+    "tpch_q13",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    join (customers with zero orders must appear with c_count = 0)
+    into a double aggregation. The outer join shuffles both sides on
+    the key once; the second groupBy runs over the tiny per-customer
+    table. count(o_orderkey) counts only matched rows — the null-
+    preserving subtlety the outer join exists for."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@query(
+    "tpch_q14",
+    """
+    SELECT round(
+      100.00 * sum(CASE WHEN p_name LIKE '%widget%'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0 END)
+      / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l.l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share): conditional-sum ratio
+    over a fact⋈dim join — the dimension broadcasts, the date predicate
+    pushes to the lineitem scan, and the whole query reduces map-side
+    to one row per partition before a single-row final agg."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(
+                F.when(F.col("p_name").like("%widget%"), rev).otherwise(0.0)
+            )
+            / F.sum(rev),
+            6,
+        ).alias("promo_revenue")
+    )
