@@ -4407,3 +4407,103 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("promo_revenue")
     )
+
+
+@query(
+    "training_data_pipeline",
+    rf"""
+    WITH staged AS (
+      SELECT doc_id, source,
+             {_md5_nibbles_sql("md5(doc_id::VARCHAR)", 0)} % 100 AS bucket,
+             {_TOKS.format(col="lower(text)")} AS toks,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    quality AS (SELECT * FROM staged WHERE len(toks) >= 30),
+    keep AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY fp),
+    deduped AS (
+      SELECT q.* FROM quality q JOIN keep k ON q.doc_id = k.doc_id
+    ),
+    train AS (SELECT * FROM deduped WHERE bucket < 80),
+    test_grams AS (
+      SELECT DISTINCT unnest(
+        CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+             ELSE list_distinct(list_transform(
+               generate_series(1, len(toks)-2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        END) AS gram
+      FROM staged WHERE bucket >= 90
+    ),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT doc_id, unnest(
+              CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                   ELSE list_distinct(list_transform(
+                     generate_series(1, len(toks)-2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              END) AS gram
+            FROM train) t
+      JOIN test_grams g ON t.gram = g.gram
+    ),
+    final AS (
+      SELECT tr.* FROM train tr
+      WHERE NOT EXISTS (SELECT 1 FROM contaminated c
+                        WHERE c.doc_id = tr.doc_id)
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(len(toks))::BIGINT AS total_tokens
+    FROM final GROUP BY source
+    """,
+)
+def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end curation pipeline — the north-star flow
+    run as ONE declarative plan: quality gate (≥30 tokens) → exact
+    dedup (lowest-id survivor) → deterministic train split (md5 bucket
+    < 80) → 3-gram decontamination against the held-out test split
+    (bucket ≥ 90) → per-source accounting. Every stage is an operator
+    already oracle-checked in isolation; composing them costs three
+    shuffles total (fingerprint agg, gram join, final agg) because the
+    quality/split filters are narrow and Catalyst pipelines them into
+    the scans."""
+    from multimodal_vector_db_spark.functions import text as X
+    from multimodal_vector_db_spark.operators.dedup import dedup_keep_first
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    staged = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        bucket.alias("bucket"),
+        X.tokens(F.lower(F.col("text"))).alias("toks"),
+    )
+    quality = staged.where(F.size("toks") >= 30)
+    deduped = dedup_keep_first(quality)
+    train = deduped.where(F.col("bucket") < 80)
+    test_grams = (
+        staged.where(F.col("bucket") >= 90)
+        .select(
+            F.explode(X.word_shingles(F.lower(F.col("text")), 3)).alias(
+                "gram"
+            )
+        )
+        .distinct()
+    )
+    train_grams = train.select(
+        "doc_id",
+        F.explode(X.word_shingles(F.lower(F.col("text")), 3)).alias("gram"),
+    )
+    contaminated = (
+        train_grams.join(test_grams, "gram").select("doc_id").distinct()
+    )
+    final = train.join(contaminated, "doc_id", "left_anti")
+    return final.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("total_tokens"),
+    )
