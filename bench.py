@@ -282,6 +282,15 @@ def main() -> None:
         .save()
     )
 
+    # composed curation pipeline (quality → dedup → split →
+    # decontaminate → account) end-to-end as one plan
+    training_pipeline_sec = timed_median(
+        lambda: Q.REGISTRY["training_data_pipeline"](spark, wh_dir)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -302,6 +311,7 @@ def main() -> None:
                 "knn_ivf_recall10": knn_ivf_recall10,
                 "knn_blocked_ms_per_query": knn_blocked_ms_per_query,
                 "dedup_minhash_xxhash_sec": dedup_minhash_xxhash_sec,
+                "training_pipeline_sec": training_pipeline_sec,
             }
         )
     )
