@@ -198,3 +198,53 @@ def cms_point_query(
         .groupBy("item")
         .agg(F.min("counter").alias("cms_n"))
     )
+
+
+def kmv_set_ops(
+    hashes_a: DataFrame, hashes_b: DataFrame, k: int = 128
+) -> DataFrame:
+    """KMV sketch set algebra (Beyer et al. 2007): from the two k-min
+    sketches alone, estimate |A ∪ B|, Jaccard(A, B) and |A ∩ B|.
+
+    ``K_∪ = k smallest of (K_A ∪ K_B)`` is itself a valid KMV sketch of
+    the union (mergeability — the whole point of sketching at 100 TB:
+    per-partition sketches union with a TakeOrdered, never re-scanning);
+    ``ρ = |K_∪ ∩ K_A ∩ K_B| / |K_∪|`` is an unbiased Jaccard estimate,
+    and ``|A ∩ B| ≈ ρ · |A ∪ B|``. Exact rational ρ + one
+    multiplication keep the arithmetic engine-exact.
+
+    Returns one row: (union_est, jaccard_est, intersect_est, k_used).
+    """
+    ha = hashes_a.select(F.col(hashes_a.columns[0]).alias("h"))
+    hb = hashes_b.select(F.col(hashes_b.columns[0]).alias("h"))
+    ka = ha.distinct().orderBy("h").limit(k)
+    kb = hb.distinct().orderBy("h").limit(k)
+    ku = ka.unionAll(kb).distinct().orderBy("h").limit(k)
+    u = ku.agg(
+        F.count("*").cast("long").alias("k_used"),
+        F.max("h").alias("h_k"),
+    ).select(
+        F.when(F.col("k_used") < k, F.col("k_used").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1) * HASH_RANGE) / F.col("h_k").cast("double")
+        )
+        .alias("union_est"),
+        "k_used",
+    )
+    both = ku.join(ka, "h", "left_semi").join(kb, "h", "left_semi")
+    rho = both.agg(F.count("*").cast("long").alias("n_both"))
+    return (
+        u.crossJoin(rho)
+        .select(
+            F.round("union_est", 4).alias("union_est"),
+            F.round(
+                F.col("n_both").cast("double") / F.col("k_used"), 6
+            ).alias("jaccard_est"),
+            F.round(
+                (F.col("n_both").cast("double") / F.col("k_used"))
+                * F.col("union_est"),
+                4,
+            ).alias("intersect_est"),
+            "k_used",
+        )
+    )

@@ -4507,3 +4507,55 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.size("toks")).cast("long").alias("total_tokens"),
     )
+
+
+@query(
+    "kmv_set_ops",
+    rf"""
+    WITH a AS (
+      SELECT DISTINCT {_md5_nibbles_sql("md5(user_id::VARCHAR)", 0)} AS h
+      FROM events WHERE event_type = 'view'
+    ),
+    b AS (
+      SELECT DISTINCT {_md5_nibbles_sql("md5(user_id::VARCHAR)", 0)} AS h
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ka AS (SELECT h FROM a ORDER BY h LIMIT 128),
+    kb AS (SELECT h FROM b ORDER BY h LIMIT 128),
+    ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+           ORDER BY h LIMIT 128),
+    u AS (
+      SELECT CASE WHEN count(*) < 128 THEN count(*)::DOUBLE
+                  ELSE 545460846592.0 / max(h)::DOUBLE END AS union_est,
+             count(*)::BIGINT AS k_used
+      FROM ku
+    ),
+    rho AS (
+      SELECT count(*)::BIGINT AS n_both FROM ku
+      WHERE EXISTS (SELECT 1 FROM ka WHERE ka.h = ku.h)
+        AND EXISTS (SELECT 1 FROM kb WHERE kb.h = ku.h)
+    )
+    SELECT round(u.union_est, 4) AS union_est,
+           round(rho.n_both::DOUBLE / u.k_used, 6) AS jaccard_est,
+           round((rho.n_both::DOUBLE / u.k_used) * u.union_est, 4)
+             AS intersect_est,
+           u.k_used
+    FROM u, rho
+    """,
+)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra over viewer/purchaser user sets: union
+    cardinality, Jaccard and intersection size estimated from the two
+    128-min sketches ALONE (Beyer 2007) — the mergeable-sketch answer
+    to audience-overlap questions that would otherwise need a full
+    COUNT(DISTINCT) self-join at 100 TB."""
+    from multimodal_vector_db_spark.functions.sketch import (
+        kmv_set_ops,
+        md5_u32,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    h = md5_u32(F.col("user_id").cast("string"))
+    a = ev.where(F.col("event_type") == "view").select(h.alias("h"))
+    b = ev.where(F.col("event_type") == "purchase").select(h.alias("h"))
+    return kmv_set_ops(a, b, k=128)

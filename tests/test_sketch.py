@@ -140,3 +140,32 @@ def test_sliding_window_covers_each_event_twice(spark):
         "/root/testdata/sf0.001/events.parquet"
     ).count()
     assert out.agg(F.sum("n_events")).first()[0] == 2 * n_events
+
+
+def test_kmv_set_ops_tracks_exact(spark):
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.functions.sketch import (
+        kmv_set_ops,
+        md5_u32,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    h = md5_u32(F.col("user_id").cast("string"))
+    a = ev.where(F.col("event_type") == "view").select(h.alias("h"))
+    b = ev.where(F.col("event_type") == "purchase").select(h.alias("h"))
+    est = kmv_set_ops(a, b, k=128).first()
+
+    ua = {r["h"] for r in a.distinct().collect()}
+    ub = {r["h"] for r in b.distinct().collect()}
+    exact_union = len(ua | ub)
+    exact_inter = len(ua & ub)
+    exact_jac = exact_inter / exact_union
+
+    # k=128 → σ ≈ 9% for the union; Jaccard/intersection compound two
+    # estimators, allow a generous envelope
+    assert abs(est["union_est"] - exact_union) <= 0.35 * exact_union
+    assert abs(est["jaccard_est"] - exact_jac) <= 0.3
+    assert abs(est["intersect_est"] - exact_inter) <= max(
+        0.5 * exact_inter, 10
+    )
