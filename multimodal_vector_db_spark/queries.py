@@ -4559,3 +4559,114 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.where(F.col("event_type") == "view").select(h.alias("h"))
     b = ev.where(F.col("event_type") == "purchase").select(h.alias("h"))
     return kmv_set_ops(a, b, k=128)
+
+
+@query(
+    "hll_merge_by_lang",
+    rf"""
+    WITH t AS (
+      SELECT lang, unnest({_TOKS.format(col="lower(text)")}) AS tok
+      FROM documents
+    ),
+    r AS (
+      SELECT lang,
+             {_md5_nibbles_sql("md5(tok)", 0)} % 64 AS bucket,
+             {_md5_nibbles_sql("md5(tok)", 8)} AS h2
+      FROM t
+    ),
+    reg AS (
+      SELECT lang, bucket,
+             max(CASE WHEN h2 = 0 THEN 33 ELSE 33 - length(bin(h2)) END)
+               AS max_rho
+      FROM r GROUP BY lang, bucket
+    ),
+    per_lang AS (
+      SELECT lang,
+             round(24957716092920.445 /
+               (sum(1::BIGINT << (33 - max_rho))
+                + (64 - count(*)) * 8589934592)::DOUBLE, 4) AS hll_est
+      FROM reg GROUP BY lang
+    ),
+    merged_reg AS (
+      SELECT bucket, max(max_rho) AS max_rho FROM reg GROUP BY bucket
+    ),
+    merged AS (
+      SELECT 'ALL' AS lang,
+             round(24957716092920.445 /
+               (sum(1::BIGINT << (33 - max_rho))
+                + (64 - count(*)) * 8589934592)::DOUBLE, 4) AS hll_est
+      FROM merged_reg
+    )
+    SELECT lang, hll_est FROM per_lang
+    UNION ALL SELECT lang, hll_est FROM merged
+    """,
+)
+def q_hll_merge_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability demonstrated end-to-end: per-language
+    vocabulary sketches (64 registers each), PLUS a corpus-wide
+    estimate computed by merging the per-language REGISTERS (per-bucket
+    max) — never re-touching the token stream. This is the sketch
+    property that matters at 100 TB: partition-local sketches union in
+    O(registers), so the global answer costs a 64-row shuffle instead
+    of a second scan."""
+    from multimodal_vector_db_spark.functions.sketch import (
+        HASH_RANGE,
+        hll_alpha_m2_scaled,
+        hll_rho,
+        md5_u32,
+        md5_u32_hi,
+    )
+    from multimodal_vector_db_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    reg = (
+        toks.select(
+            "lang",
+            (md5_u32(F.col("tok")) % 64).alias("bucket"),
+            hll_rho(md5_u32_hi(F.col("tok"))).alias("rho"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    const = hll_alpha_m2_scaled(6)
+    per_lang = reg.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_used"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(33) - F.col("max_rho")).cast("long")
+        ).alias("s_used"),
+    ).select(
+        "lang",
+        F.round(
+            F.lit(const)
+            / (
+                F.col("s_used")
+                + (F.lit(64) - F.col("n_used")) * F.lit(2 * HASH_RANGE)
+            ).cast("double"),
+            4,
+        ).alias("hll_est"),
+    )
+    merged = (
+        reg.groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .agg(
+            F.count("*").cast("long").alias("n_used"),
+            F.sum(
+                F.pow(F.lit(2.0), F.lit(33) - F.col("max_rho")).cast("long")
+            ).alias("s_used"),
+        )
+        .select(
+            F.lit("ALL").alias("lang"),
+            F.round(
+                F.lit(const)
+                / (
+                    F.col("s_used")
+                    + (F.lit(64) - F.col("n_used")) * F.lit(2 * HASH_RANGE)
+                ).cast("double"),
+                4,
+            ).alias("hll_est"),
+        )
+    )
+    return per_lang.unionAll(merged)
