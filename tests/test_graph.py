@@ -77,3 +77,35 @@ def test_quantile_filter_keeps_at_least_half_per_source(spark):
         assert counts.get(src, 0) >= n // 2, (src, counts.get(src), n)
         # a threshold filter must never keep everything unless degenerate
         assert counts[src] <= n
+
+
+def test_triangle_counts_match_bruteforce_random_graph(spark):
+    import itertools
+    import random
+
+    from multimodal_vector_db_spark.operators.graph import triangle_counts
+
+    rng = random.Random(42)
+    n = 14
+    edges = [
+        (u, v) for u, v in itertools.combinations(range(n), 2)
+        if rng.random() < 0.35
+    ]
+    adj = {i: set() for i in range(n)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    want: dict[int, int] = {}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                want[x] = want.get(x, 0) + 1
+
+    df = spark.createDataFrame(
+        [(int(u), int(v)) for u, v in edges], "src long, dst long"
+    )
+    got = {
+        r["doc_id"]: r["n_triangles"]
+        for r in triangle_counts(df).collect()
+    }
+    assert got == want
