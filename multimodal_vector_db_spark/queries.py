@@ -4670,3 +4670,61 @@ def q_hll_merge_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_lang.unionAll(merged)
+
+
+@query(
+    "snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, n_chars FROM documents WHERE doc_id % 13 != 0
+    ),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN n_chars + 5 ELSE n_chars END
+               AS n_chars
+      FROM documents WHERE doc_id % 17 != 0
+    ),
+    classified AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.n_chars != n.n_chars THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT change_type, count(*)::BIGINT AS n
+    FROM classified GROUP BY change_type
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC between two corpus versions: FULL OUTER join
+    on the key classifying every row added / removed / changed /
+    unchanged — the change-detection primitive behind incremental
+    re-embedding (only 'added' + 'changed' rows re-enter the embed
+    pipeline, the 100 TB alternative to full rebuilds). One
+    co-partitioned shuffle on the key; the versions here are
+    deterministic slices of the documents table."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    old = docs.where(F.col("doc_id") % 13 != 0)
+    new = docs.where(F.col("doc_id") % 17 != 0).withColumn(
+        "n_chars",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.col("n_chars") + 5
+        ).otherwise(F.col("n_chars")),
+    )
+    o = old.select(
+        F.col("doc_id").alias("o_id"), F.col("n_chars").alias("o_chars")
+    )
+    n = new.select(
+        F.col("doc_id").alias("n_id"), F.col("n_chars").alias("n_chars2")
+    )
+    classified = o.join(n, o.o_id == n.n_id, "full_outer").select(
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .when(F.col("o_chars") != F.col("n_chars2"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type")
+    )
+    return classified.groupBy("change_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
