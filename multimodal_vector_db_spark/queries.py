@@ -4728,3 +4728,59 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classified.groupBy("change_type").agg(
         F.count("*").cast("long").alias("n")
     )
+
+
+@query(
+    "token_budget_mix",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, source, len({_TOKS.format(col="lower(text)")}) AS n_toks,
+             {_md5_nibbles_sql("md5('mix:' || doc_id::VARCHAR)", 0)} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_toks,
+             sum(n_toks) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             )::BIGINT AS cum_toks
+      FROM t
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           max(cum_toks)::BIGINT AS tokens_taken
+    FROM c WHERE cum_toks <= 2000 GROUP BY source
+    """,
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing: from each source, take documents in
+    salted-hash order until a fixed token budget (2000) fills — how a
+    training mix hits per-domain token targets exactly rather than in
+    expectation (the counts-based cousin is `source_mixing_sample`).
+    Deterministic cumulative-sum window per source; the budget filter
+    is exact integer arithmetic."""
+    from pyspark.sql import Window
+
+    from multimodal_vector_db_spark.functions import text as X
+    from multimodal_vector_db_spark.functions.sketch import md5_u32
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(X.tokens(F.lower(F.col("text")))).alias("n_toks"),
+        md5_u32(F.col("doc_id").cast("string"), "mix:").alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_toks", F.sum("n_toks").over(w).cast("long"))
+    return (
+        c.where(F.col("cum_toks") <= 2000)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("cum_toks").cast("long").alias("tokens_taken"),
+        )
+    )
