@@ -169,3 +169,38 @@ def test_kmv_set_ops_tracks_exact(spark):
     assert abs(est["intersect_est"] - exact_inter) <= max(
         0.5 * exact_inter, 10
     )
+
+
+def test_cms_per_source_sketches_merge_to_global(spark):
+    # Count-Min is LINEAR: summing per-source sketch matrices yields
+    # exactly the global sketch — the property that lets 1000 executors
+    # sketch independently and merge in O(d*w)
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.functions.sketch import cms_build
+    from multimodal_vector_db_spark.functions.text import tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    global_sketch = {
+        (r["row"], r["bucket"]): r["counter"]
+        for r in cms_build(toks.select("tok"), width=128).collect()
+    }
+    # build per-source sketches with the same coordinates
+    from multimodal_vector_db_spark.functions.sketch import cms_rows
+
+    coords = toks.select(
+        "source", F.explode(cms_rows(F.col("tok"), width=128)).alias("c")
+    ).select("source", "c.row", "c.bucket")
+    per_src = coords.groupBy("source", "row", "bucket").agg(
+        F.count("*").cast("long").alias("counter")
+    )
+    merged = {
+        (r["row"], r["bucket"]): r["m"]
+        for r in per_src.groupBy("row", "bucket")
+        .agg(F.sum("counter").cast("long").alias("m"))
+        .collect()
+    }
+    assert merged == global_sketch
