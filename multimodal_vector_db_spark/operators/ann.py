@@ -373,3 +373,74 @@ def ivf_adc_search(
     return top_k_per_group(
         scored, ["query_id"], k, order_col="adc_dist", ascending=True
     )
+
+
+def lsh_multiprobe_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    hyperplanes: list[list[float]],
+    k: int,
+    n_probes: int = 3,
+    query_id_col: str = "query_id",
+    query_vector_col: str = "q_emb",
+    id_col: str = "id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Multiprobe hyperplane LSH (Lv et al., VLDB 2007, single-bit
+    flips): each query searches its own bucket PLUS the ``n_probes-1``
+    buckets reached by flipping the hyperplane bits with the smallest
+    |margin| — the bits most likely to disagree for true neighbors.
+    The standard recall knob at fixed index cost: recall rises with
+    n_probes while the scanned fraction stays n_probes/2^H, and the
+    corpus layout (one partition per bucket) is untouched.
+
+    Deterministic: margins are bit-exact dot products; flip order ties
+    break on the hyperplane index. Probe buckets are distinct by
+    construction (each flips a different bit), so candidates never
+    duplicate and no dedup pass is needed.
+    """
+    c = add_hyperplane_buckets(
+        corpus.select(
+            F.col(id_col).alias("id"), F.col(vector_col).alias("__emb")
+        ),
+        hyperplanes,
+        "__emb",
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vector_col).alias("__q"),
+    )
+    margins = [
+        dot(F.col("__q"), F.array(*[F.lit(float(x)) for x in h]))
+        for h in hyperplanes
+    ]
+    base = hyperplane_bucket(F.col("__q"), hyperplanes)
+    pairs = F.array(
+        *[
+            F.struct(F.abs(m).alias("a"), F.lit(i).alias("i"))
+            for i, m in enumerate(margins)
+        ]
+    )
+    flip_bits = F.slice(
+        F.transform(F.array_sort(pairs), lambda s: s["i"]),
+        1,
+        n_probes - 1,
+    )
+    probe_arr = F.concat(
+        F.array(base),
+        F.transform(
+            flip_bits,
+            lambda i: base.bitwiseXOR(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), i.cast("int")
+                )
+            ),
+        ),
+    )
+    probes = q.select(
+        "query_id", "__q", F.explode(probe_arr).alias("bucket")
+    )
+    scored = c.join(probes, on="bucket").select(
+        "query_id", "id", dot(F.col("__emb"), F.col("__q")).alias("sim")
+    )
+    return top_k_per_group(scored, ["query_id"], k)

@@ -4784,3 +4784,78 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cum_toks").cast("long").alias("tokens_taken"),
         )
     )
+
+
+@query(
+    "ann_lsh_multiprobe_knn",
+    """
+    WITH hp AS (
+      SELECT vec_id AS hid, embedding::DOUBLE[] AS hv
+      FROM embeddings WHERE vec_id < 4
+    ),
+    b AS (
+      SELECT e.vec_id, e.embedding,
+             sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], hp.hv) >= 0
+                 THEN (1 << hp.hid) ELSE 0 END)::BIGINT AS bucket
+      FROM embeddings e CROSS JOIN hp
+      GROUP BY e.vec_id, e.embedding
+    ),
+    m AS (
+      SELECT e.vec_id AS query_id, hp.hid,
+             abs(list_dot_product(e.embedding::DOUBLE[], hp.hv)) AS amarg
+      FROM embeddings e CROSS JOIN hp WHERE e.vec_id < 10
+    ),
+    flips AS (
+      SELECT query_id, hid,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY amarg, hid) AS rn
+      FROM m
+    ),
+    probes AS (
+      SELECT b.vec_id AS query_id, b.bucket AS probe, b.embedding AS q_emb
+      FROM b WHERE b.vec_id < 10
+      UNION ALL
+      SELECT f.query_id, xor(b.bucket, (1::BIGINT << f.hid)), b.embedding
+      FROM flips f JOIN b ON b.vec_id = f.query_id
+      WHERE f.rn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS id,
+             list_dot_product(c.embedding::DOUBLE[], p.q_emb::DOUBLE[]) AS sim
+      FROM b c JOIN probes p ON c.bucket = p.probe
+    ),
+    ranked AS (
+      SELECT query_id, id, sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, id, sim, rank::BIGINT AS rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ann_lsh_multiprobe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH ANN (Lv 2007): base bucket + the 2 buckets from
+    flipping the smallest-|margin| hyperplane bits — 3/16 of the corpus
+    scanned per query instead of 1/16, recovering the near-boundary
+    neighbors plain LSH loses. Fully deterministic, hence
+    oracle-checked (bit-exact margins, index tie-breaks)."""
+    from multimodal_vector_db_spark.operators.ann import lsh_multiprobe_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    hyperplanes = [
+        r["embedding"]
+        for r in emb.where(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return lsh_multiprobe_knn(
+        emb.select(F.col("vec_id").alias("id"), "embedding"),
+        queries,
+        hyperplanes,
+        k=5,
+        n_probes=3,
+    )
