@@ -4859,3 +4859,72 @@ def q_ann_lsh_multiprobe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_probes=3,
     )
+
+
+@query(
+    "event_sequence_motifs",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts)::BIGINT AS us, event_id,
+             substr(event_type, 1, 1) AS ini
+      FROM events WHERE user_id < 100
+    ),
+    seqs AS (
+      SELECT user_id,
+             string_agg(ini, '' ORDER BY us, event_id) AS seq
+      FROM e GROUP BY user_id
+    )
+    SELECT user_id,
+           length(seq)::BIGINT AS seq_len,
+           ((length(seq) - length(replace(seq, 'vp', ''))) / 2)::BIGINT
+             AS n_view_purchase,
+           ((length(seq) - length(replace(seq, 'vcp', ''))) / 3)::BIGINT
+             AS n_view_click_purchase
+    FROM seqs
+    """,
+)
+def q_event_sequence_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-motif counting (MATCH_RECOGNIZE-lite): each user's
+    event history becomes an ordered initial-letter string, and motif
+    occurrences (view→purchase, view→click→purchase as IMMEDIATE
+    successions) count via length arithmetic after non-overlapping
+    replace — identical left-to-right semantics in both engines. The
+    per-user sequence is built with array_sort over (us, event_id,
+    initial) structs, so collect order never matters: one shuffle on
+    user_id, the rest is row-local string work."""
+    from multimodal_vector_db_spark.streaming.ingest import ts_micros
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    e = ev.select(
+        "user_id",
+        ts_micros(ev).alias("us"),
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ini"),
+    )
+    seqs = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("us", "event_id", "ini"))
+            ).alias("evs")
+        )
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform("evs", lambda x: x["ini"]), ""
+            ).alias("seq"),
+        )
+    )
+
+    def motif(pat: str):
+        return (
+            (F.length("seq") - F.length(F.replace(F.col("seq"), F.lit(pat))))
+            / len(pat)
+        ).cast("long")
+
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        motif("vp").alias("n_view_purchase"),
+        motif("vcp").alias("n_view_click_purchase"),
+    )
