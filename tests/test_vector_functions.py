@@ -155,3 +155,38 @@ def test_hash_split_is_deterministic_and_complete(spark):
     assert sum(r["n"] for r in out1) == n_docs
     splits = {r["split"] for r in out1}
     assert splits == {"train", "val", "test"}
+
+
+def test_center_by_group_matches_relational(spark, embeddings):
+    # grouped-map applyInPandas (matrix path) must agree with the pure
+    # relational form: broadcast per-group means + zip_with subtract
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.operators.grouped import (
+        center_embeddings_by_group,
+    )
+
+    sub = embeddings.where(F.col("vec_id") < 300)
+    got = {
+        r["vec_id"]: np.array(r["centered"])
+        for r in center_embeddings_by_group(sub).collect()
+    }
+
+    rows = sub.select("vec_id", "label", "embedding").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            np.array(r["embedding"], dtype=np.float64)
+        )
+    means = {lbl: np.mean(v, axis=0) for lbl, v in by_label.items()}
+    for r in rows:
+        want = (
+            np.array(r["embedding"], dtype=np.float64) - means[r["label"]]
+        ).astype(np.float32)
+        assert np.allclose(got[r["vec_id"]], want, atol=1e-6)
+    # centered vectors sum to ~zero within each group
+    for lbl, vecs in by_label.items():
+        ids = [r["vec_id"] for r in rows if r["label"] == lbl]
+        s = np.sum([got[i] for i in ids], axis=0)
+        assert np.abs(s).max() < 1e-2
