@@ -1,0 +1,93 @@
+"""Zone-map stats table + file-level pruning — the metadata layer that
+makes Z-order/sort layouts pay off at 100 TB.
+
+Parquet footers already carry min-max stats, but at warehouse scale
+reading every footer to plan one query is itself a large IO job (and on
+object stores, a request-cost job). Table formats therefore persist the
+per-file stats ONCE in a manifest; the planner prunes against that
+small table and opens only surviving files. This module is that layer
+in miniature: build the stats table from a directory (driver-side
+footer scan at build time — the cost is paid once, at write), then
+answer "which files can contain predicate P" with a DataFrame filter.
+
+`zorder_repartition` (functions/layout.py) makes the per-file ranges
+tight; this makes consulting them O(stats-table) instead of O(footers).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_stats_table(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """Per-file zone maps for ``cols``: (file, n_rows, <c>_min, <c>_max
+    per column), aggregated across row groups from the parquet footers.
+    Run once per write/compaction and persist next to the data; queries
+    then plan from this table alone."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        stat: dict = {"file": f, "n_rows": md.num_rows}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    mn, mx = col.statistics.min, col.statistics.max
+                    k_mn, k_mx = f"{name}_min", f"{name}_max"
+                    stat[k_mn] = (
+                        mn if k_mn not in stat else min(stat[k_mn], mn)
+                    )
+                    stat[k_mx] = (
+                        mx if k_mx not in stat else max(stat[k_mx], mx)
+                    )
+        rows.append(stat)
+    schema = "file string, n_rows long, " + ", ".join(
+        f"{c}_min long, {c}_max long" for c in cols
+    )
+    return spark.createDataFrame(
+        [
+            tuple(
+                [r["file"], r["n_rows"]]
+                + [r.get(f"{c}_{s}") for c in cols for s in ("min", "max")]
+            )
+            for r in rows
+        ],
+        schema,
+    )
+
+
+def prune_files(
+    stats: DataFrame, col: str, lo, hi
+) -> list[str]:
+    """Files whose [min, max] for ``col`` intersects [lo, hi] — the
+    candidate set a range predicate must read (files with missing stats
+    are conservatively kept)."""
+    keep = stats.where(
+        F.col(f"{col}_min").isNull()
+        | ((F.col(f"{col}_max") >= lo) & (F.col(f"{col}_min") <= hi))
+    )
+    return [r["file"] for r in keep.select("file").collect()]
+
+
+def read_pruned(
+    spark: SparkSession, stats: DataFrame, col: str, lo, hi
+) -> DataFrame:
+    """Scan ONLY the surviving files and apply the exact predicate —
+    the two-phase plan (metadata prune, then exact filter) every
+    lakehouse reader runs."""
+    files = prune_files(stats, col, lo, hi)
+    if not files:
+        raise ValueError("no files survive the predicate")
+    return spark.read.parquet(*files).where(
+        (F.col(col) >= lo) & (F.col(col) <= hi)
+    )

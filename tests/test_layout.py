@@ -196,3 +196,45 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(merged.columns) == {"id", "text", "lang"}
     rows = {r["id"]: r["lang"] for r in merged.collect()}
     assert rows == {1: None, 2: "en"}
+
+
+def test_zone_map_table_prunes_and_preserves_results(
+    spark, lineitem, tmp_path
+):
+    from multimodal_vector_db_spark.operators.pruning import (
+        build_stats_table,
+        prune_files,
+        read_pruned,
+    )
+
+    cols = ("l_partkey", "l_suppkey")
+    dest = str(tmp_path / "zo")
+    zorder_repartition(
+        lineitem.select(*cols, "l_orderkey"), *cols, n_files=N_FILES
+    ).write.parquet(dest)
+
+    stats = build_stats_table(spark, dest, list(cols))
+    assert stats.count() == N_FILES
+
+    g = lineitem.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+    lo = g[0]
+    hi = g[0] + (g[1] - g[0]) // 8  # narrow 1/8 range on one column
+    files = prune_files(stats, "l_partkey", lo, hi)
+    # the zone maps + z-order layout must actually skip files
+    assert 0 < len(files) < N_FILES
+
+    got = (
+        read_pruned(spark, stats, "l_partkey", lo, hi)
+        .groupBy()
+        .agg(F.count("*"), F.sum("l_orderkey"))
+        .first()
+    )
+    want = (
+        lineitem.where(
+            (F.col("l_partkey") >= lo) & (F.col("l_partkey") <= hi)
+        )
+        .groupBy()
+        .agg(F.count("*"), F.sum("l_orderkey"))
+        .first()
+    )
+    assert tuple(got) == tuple(want) and got[0] > 0
