@@ -4462,8 +4462,9 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup (lowest-id survivor) → deterministic train split (md5 bucket
     < 80) → 3-gram decontamination against the held-out test split
     (bucket ≥ 90) → per-source accounting. Every stage is an operator
-    already oracle-checked in isolation; composing them costs three
-    shuffles total (fingerprint agg, gram join, final agg) because the
+    already oracle-checked in isolation; composing them costs five
+    exchanges total (the fingerprint agg + its semi-join, both sides of
+    the gram join, the final agg — bounded by a plan test) because the
     quality/split filters are narrow and Catalyst pipelines them into
     the scans."""
     from multimodal_vector_db_spark.functions import text as X

@@ -155,3 +155,11 @@ def test_weekly_deltas_windows_post_aggregate(spark):
     p = plan_of(spark, "weekly_deltas")
     assert "HashAggregate" in p
     assert len(re.findall(r"\(\d+\) Window", p)) == 1
+
+
+def test_training_pipeline_shuffle_budget(spark):
+    # the composed curation pipeline must stay at <= 5 exchanges
+    # (fingerprint agg + semi-join, gram join both sides, final agg) —
+    # a regression here means a stage stopped pipelining into the scan
+    p = plan_of(spark, "training_data_pipeline")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 5, p
