@@ -38,6 +38,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Final projections must emit scalars only: the driver's canonicalizer
+# (pandas sort_values) crashes on list-typed cells. Array-valued results
+# are serialized to one canonical CSV string, with an exactly matching
+# rendering on the DuckDB side:
+#   integers — Spark array_join(cast array<string>)
+#              DuckDB array_to_string(xs, ',')
+#   doubles  — fixed-scale DECIMAL(28,9) rendering after round(x, 9)
+#              DuckDB array_to_string(list_transform(xs,
+#                v -> (round(v, 9)::DECIMAL(28,9))::VARCHAR), ',')
+# Both sides compute bit-identical doubles first (sequential folds), so
+# the rounded fixed-scale strings agree character-for-character.
+
+
+def _csv_longs(col) -> F.Column:
+    """Canonical scalar serialization of an integer array column."""
+    return F.array_join(col.cast("array<string>"), ",")
+
+
+def _csv_doubles(col, scale: int = 9) -> F.Column:
+    """Canonical scalar serialization of a double array column."""
+    return F.array_join(
+        F.transform(
+            col,
+            lambda v: F.round(v, scale)
+            .cast(f"decimal(28,{scale})")
+            .cast("string"),
+        ),
+        ",",
+    )
+
+
 # ---------------------------------------------------------------------------
 # kNN similarity joins (SURVEY §2.3 J2-J5, §2.5 W1/W2) — the defining ops
 # ---------------------------------------------------------------------------
@@ -214,7 +245,9 @@ def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*)::BIGINT AS n_lines
       FROM lineitem GROUP BY l_orderkey
     )
-    SELECT o.o_orderkey, o.o_orderstatus, p.partkeys, p.n_lines
+    SELECT o.o_orderkey, o.o_orderstatus,
+           array_to_string(p.partkeys, ',') AS partkeys,
+           p.n_lines
     FROM orders o JOIN per_order p ON o.o_orderkey = p.l_orderkey
     WHERE o.o_totalprice > 50000
     """,
@@ -232,7 +265,12 @@ def q_captions_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.where(F.col("o_totalprice") > 50000)
         .join(per_order, orders.o_orderkey == per_order.l_orderkey)
-        .select("o_orderkey", "o_orderstatus", "partkeys", "n_lines")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            _csv_longs(F.col("partkeys")).alias("partkeys"),
+            "n_lines",
+        )
     )
 
 
@@ -1258,10 +1296,12 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings GROUP BY label
     )
     SELECT label,
-           list_transform(
-             list_reduce(vs, (a, b) ->
-               list_transform(generate_series(1, 64), i -> a[i] + b[i])),
-             x -> x / len(vs)) AS centroid
+           array_to_string(list_transform(
+             list_transform(
+               list_reduce(vs, (a, b) ->
+                 list_transform(generate_series(1, 64), i -> a[i] + b[i])),
+               x -> x / len(vs)),
+             v -> (round(v, 9)::DECIMAL(28,9))::VARCHAR), ',') AS centroid
     FROM g
     """,
 )
@@ -1279,7 +1319,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("frames")
     )
     return grouped.select(
-        "label", array_mean_pool(F.col("frames")).alias("centroid")
+        "label", _csv_doubles(array_mean_pool(F.col("frames"))).alias("centroid")
     )
 
 
@@ -1346,11 +1386,13 @@ def q_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM n
     )
     SELECT label,
-           list_transform(generate_series(1, 64), i ->
-             round(list_reduce(list_prepend(0.0::DOUBLE,
-               list_transform(generate_series(1, len(vs)),
-                 j -> vs[j][i] * (norms[j] / total))),
-               (a, b) -> a + b), 9)) AS pooled
+           array_to_string(list_transform(
+             list_transform(generate_series(1, 64), i ->
+               list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(generate_series(1, len(vs)),
+                   j -> vs[j][i] * (norms[j] / total))),
+                 (a, b) -> a + b)),
+             v -> (round(v, 9)::DECIMAL(28,9))::VARCHAR), ',') AS pooled
     FROM t
     """,
 )
@@ -1371,9 +1413,7 @@ def q_attention_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return grouped.select(
         "label",
-        F.transform(
-            array_attention_pool(F.col("frames")), lambda x: F.round(x, 9)
-        ).alias("pooled"),
+        _csv_doubles(array_attention_pool(F.col("frames"))).alias("pooled"),
     )
 
 
@@ -1393,8 +1433,10 @@ def q_attention_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sliced
     )
     SELECT vec_id, dim,
-           CASE WHEN nrm = 0 THEN v
-                ELSE list_transform(v, x -> x / nrm) END AS v_scaled
+           array_to_string(list_transform(
+             CASE WHEN nrm = 0 THEN v
+                  ELSE list_transform(v, x -> x / nrm) END,
+             e -> (round(e, 9)::DECIMAL(28,9))::VARCHAR), ',') AS v_scaled
     FROM n
     """,
 )
@@ -1413,12 +1455,11 @@ def q_matryoshka_multiscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = exploded.select(
         "vec_id",
         "dim",
-        F.when(
-            F.col("dim") == 16, slice_renormalize("embedding", 16)
-        )
-        .when(F.col("dim") == 32, slice_renormalize("embedding", 32))
-        .otherwise(slice_renormalize("embedding", 64))
-        .alias("v_scaled"),
+        _csv_doubles(
+            F.when(F.col("dim") == 16, slice_renormalize("embedding", 16))
+            .when(F.col("dim") == 32, slice_renormalize("embedding", 32))
+            .otherwise(slice_renormalize("embedding", 64))
+        ).alias("v_scaled"),
     )
     return out
 
@@ -1533,7 +1574,9 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * power(2, greatest(s.e, -14) - 10) END) AS fp16_vec
       FROM s2
     )
-    SELECT vec_id, fp16_vec,
+    SELECT vec_id,
+           array_to_string(list_transform(fp16_vec,
+             v -> ((v * 16777216)::BIGINT)::VARCHAR), ',') AS fp16_vec,
            round(sqrt(list_dot_product(fp16_vec, fp16_vec)), 6) AS fp16_norm
     FROM y
     """,
@@ -1555,10 +1598,26 @@ def q_fp16_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = emb.select(
         "vec_id", fp16_round_trip("embedding").alias("fp16_vec")
     )
-    return staged.select(
+    # fp16 values are exact multiples of 2^-24 (subnormal quantum), so
+    # x * 2^24 is an exact integer in both engines — a lossless scalar
+    # serialization with no decimal-rounding dependence at all.
+    normed = staged.select(
         "vec_id",
         "fp16_vec",
         F.round(l2_norm("fp16_vec"), 6).alias("fp16_norm"),
+    )
+    return normed.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                F.col("fp16_vec"),
+                lambda v: (v.cast("double") * F.lit(16777216.0))
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("fp16_vec"),
+        "fp16_norm",
     )
 
 
@@ -1604,7 +1663,8 @@ def q_fp16_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
              flatten(list(centroid ORDER BY sub)) AS decoded
       FROM best WHERE rn = 1 GROUP BY vec_id
     )
-    SELECT a.vec_id, a.codes,
+    SELECT a.vec_id,
+           array_to_string(a.codes, ',') AS codes,
            round(list_dot_product(
              list_transform(generate_series(1, 64), i -> e.embedding[i]::DOUBLE - a.decoded[i]),
              list_transform(generate_series(1, 64), i -> e.embedding[i]::DOUBLE - a.decoded[i])
@@ -1632,12 +1692,15 @@ def q_pq_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         pq_encode_codes(F.col("embedding"), books).alias("codes"),
     )
-    return staged.select(
+    scored = staged.select(
         "vec_id",
         "codes",
         F.round(
             _sq_dist(F.col("embedding"), pq_decode(F.col("codes"), books)), 6
         ).alias("recon_err"),
+    )
+    return scored.select(
+        "vec_id", _csv_longs(F.col("codes")).alias("codes"), "recon_err"
     )
 
 
@@ -1865,10 +1928,12 @@ def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            'text' AS modality,
            octet_length(encode(text))::BIGINT AS n_bytes,
            md5(text) AS fingerprint,
-           list_transform(generate_series(0, 3), i ->
-             ((instr('0123456789abcdef', substr(md5(text), i*2+1, 1)) - 1) * 16
-              + instr('0123456789abcdef', substr(md5(text), i*2+2, 1)) - 1
-             )::DOUBLE / 255.0) AS features
+           array_to_string(list_transform(
+             list_transform(generate_series(0, 3), i ->
+               ((instr('0123456789abcdef', substr(md5(text), i*2+1, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(text), i*2+2, 1)) - 1
+               )::DOUBLE / 255.0),
+             v -> (round(v, 9)::DECIMAL(28,9))::VARCHAR), ',') AS features
     FROM documents
     """,
 )
@@ -1885,7 +1950,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multimodal_vector_db_spark.operators.util import ensure_parallelism
 
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    return extract_features(media_items_from_documents(docs), n_features=4)
+    feats = extract_features(media_items_from_documents(docs), n_features=4)
+    return feats.select(
+        "id",
+        "modality",
+        "n_bytes",
+        "fingerprint",
+        _csv_doubles(F.col("features")).alias("features"),
+    )
 
 
 @query(

@@ -85,6 +85,21 @@ def main() -> None:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        # The DRIVER's canonicalizer (pandas sort_values) crashes on any
+        # list-typed cell; reject non-scalar output schemas locally so the
+        # gate here is at least as strict as the driver's.
+        nonscalar = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if nonscalar:
+            print(
+                f"FAIL {name}: non-scalar output columns "
+                f"(driver canonicalizer rejects lists): {nonscalar}"
+            )
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"---- {name}: no oracle ({len(srows)} rows, {time.time()-t0:.1f}s)")
             n_noracle += 1
