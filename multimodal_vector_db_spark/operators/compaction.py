@@ -97,15 +97,19 @@ def compact_directory(
     commit on a real table format) stays with the caller."""
     plan = plan_compaction(list_parquet_files(src_dir), target_bytes)
     os.makedirs(dest_dir, exist_ok=True)
+    # mergeSchema: files within a bin may carry evolved schemas (columns
+    # added over time); without it Spark infers from one file and
+    # silently drops the others' extra columns — lossy "compaction".
     for i, group in enumerate(plan.bins):
         (
-            spark.read.parquet(*group)
+            spark.read.option("mergeSchema", "true")
+            .parquet(*group)
             .coalesce(1)
             .write.mode("append")
             .parquet(dest_dir)
         )
     for p in plan.skipped:
-        spark.read.parquet(p).coalesce(1).write.mode("append").parquet(
-            dest_dir
-        )
+        spark.read.option("mergeSchema", "true").parquet(p).coalesce(
+            1
+        ).write.mode("append").parquet(dest_dir)
     return plan

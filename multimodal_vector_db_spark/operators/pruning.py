@@ -32,9 +32,39 @@ def build_stats_table(
     then plan from this table alone."""
     import pyarrow.parquet as pq
 
+    # Spark SQL type of each stats column, derived from the actual
+    # parquet logical types so zone maps work for any orderable column
+    # (int / float / string / date / timestamp), not just integers.
+    _ARROW_TO_SQL = {
+        "int8": "int", "int16": "int", "int32": "int", "int64": "long",
+        "uint8": "int", "uint16": "int", "uint32": "long", "uint64": "long",
+        "float": "double", "double": "double",
+        "string": "string", "large_string": "string",
+        "date32[day]": "date", "bool": "boolean",
+    }
+
+    def _sql_type(arrow_type) -> str:
+        s = str(arrow_type)
+        if s.startswith("timestamp"):
+            return "timestamp"
+        if s.startswith("decimal"):
+            return s
+        if s not in _ARROW_TO_SQL:
+            raise TypeError(
+                f"build_stats_table: unsupported zone-map column type "
+                f"{s!r} — orderable scalar columns only"
+            )
+        return _ARROW_TO_SQL[s]
+
+    col_types: dict[str, str] = {}
     rows = []
     for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
-        md = pq.ParquetFile(f).metadata
+        pf = pq.ParquetFile(f)
+        arrow_schema = pf.schema_arrow
+        for c in cols:
+            if c in arrow_schema.names and c not in col_types:
+                col_types[c] = _sql_type(arrow_schema.field(c).type)
+        md = pf.metadata
         stat: dict = {"file": f, "n_rows": md.num_rows}
         for rg in range(md.num_row_groups):
             row_group = md.row_group(rg)
@@ -52,7 +82,9 @@ def build_stats_table(
                     )
         rows.append(stat)
     schema = "file string, n_rows long, " + ", ".join(
-        f"{c}_min long, {c}_max long" for c in cols
+        f"{c}_min {col_types.get(c, 'long')}, "
+        f"{c}_max {col_types.get(c, 'long')}"
+        for c in cols
     )
     return spark.createDataFrame(
         [

@@ -247,23 +247,34 @@ def tfidf_top_terms(
         .groupBy(id_col, "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    n_docs = docs.count()
+    # N folds into the plan lazily (1-row agg broadcast-cross-joined in)
+    # rather than docs.count() at construction time — building the query
+    # must not trigger a scan job, and the lazy form composes with
+    # caching/streaming sources.
+    n_docs_df = docs.agg(F.count("*").cast("double").alias("__n_docs"))
     df_tbl = tf.groupBy("term").agg(
         F.count("*").cast("long").alias("df")
     )
-    scored = tf.join(F.broadcast(df_tbl), "term").select(
-        F.col(id_col),
-        "term",
-        "tf",
-        "df",
-        F.round(
-            F.col("tf").cast("double")
-            * (
-                F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1)).cast("double"))
-                + F.lit(1.0)
-            ),
-            6,
-        ).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_docs_df))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("__n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1)).cast("double")
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("tfidf").desc(), F.col("term").asc()

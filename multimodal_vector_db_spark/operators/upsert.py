@@ -36,12 +36,18 @@ def merge_upsert(
     """
     b = base.withColumn("_src", F.lit(0))
     u = updates.withColumn("_src", F.lit(1))
+    # Final tie-break on a hash of the whole row: if one side itself
+    # contains duplicate (key, version) rows, the survivor is still
+    # deterministic (input order never decides).
+    merged = b.unionByName(u)
+    non_meta = [c for c in merged.columns if c != "_src"]
     w = Window.partitionBy(key_col).orderBy(
-        F.col(version_col).desc(), F.col("_src").desc()
+        F.col(version_col).desc(),
+        F.col("_src").desc(),
+        F.xxhash64(*[F.col(c) for c in non_meta]).asc(),
     )
     return (
-        b.unionByName(u)
-        .withColumn("_rn", F.row_number().over(w))
+        merged.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )

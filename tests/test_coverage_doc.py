@@ -42,3 +42,58 @@ def test_documented_names_resolve_to_code():
 
 def test_oracles_subset_of_registry():
     assert set(ORACLES) <= set(REGISTRY)
+
+
+def test_query_column_names_are_registered():
+    """In every 'query (oracle)' table column, a cell whose first
+    backticked token is a bare identifier must name a REGISTERED query —
+    a function or module reference must say so via a path-qualified
+    token (`operators/x.py:fn`) or an explicit 'function'/'not a
+    registered query' marker. Catches phantom query claims like the
+    round-1 `compression_ratio` drift."""
+    bad = []
+    in_query_table = False
+    for line in open(COVERAGE):
+        if line.startswith("|"):
+            cells = [c.strip() for c in line.strip().strip("|").split("|")]
+            if any("query" in c.lower() and "oracle" in c.lower() for c in cells):
+                in_query_table = True
+                continue
+            if in_query_table and cells and not set(cells[0]) <= {"-", " "}:
+                cell = cells[-1]
+                m = re.search(r"`([^`]+)`", cell)
+                if (
+                    m
+                    and re.fullmatch(r"[a-z][a-z0-9_]+", m.group(1))
+                    and "function" not in cell
+                    and "not a registered query" not in cell
+                    and m.group(1) not in REGISTRY
+                ):
+                    bad.append(m.group(1))
+        else:
+            in_query_table = False
+    assert not bad, f"COVERAGE.md claims unregistered queries: {bad}"
+
+
+def test_driver_window_contains_core_queries():
+    """The external harness verifies only the FIRST 50 registered
+    queries; the §2-core surface (incl. the reference's signature
+    cross-modal query) must stay inside that window."""
+    window = list(REGISTRY)[:50]
+    core = [
+        "cross_modal_routed",
+        "scalar_functions",
+        "linear_projection",
+        "knn_l2",
+        "knn_single",
+        "knn_batch",
+        "captions_join",
+        "fp16_round_trip",
+        "pq_encode_decode",
+        "multimodal_features",
+        "dedup_minhash_lsh",
+        "metrics_eval",
+        "mmr_rerank",
+    ]
+    missing = [q for q in core if q not in window]
+    assert not missing, f"core queries outside driver window: {missing}"
