@@ -6,6 +6,12 @@ parquet tables, and compares row count, schema (column names), and an
 order-insensitive value hash.
 
 Usage: python tools/check_correctness.py [sf_dir] [query_name ...]
+       python tools/check_correctness.py --json OUT.json [sf_dir]
+
+With ``--json`` a driver-format artifact (rows_match / schema_match /
+hash_match / spark_rows / oracle_rows / err per query) is written for
+every registered query — the committed evidence for queries outside the
+driver's 50-query verification window.
 """
 
 from __future__ import annotations
@@ -55,8 +61,14 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    report: dict[str, dict] = {}
 
     import duckdb
 
@@ -83,6 +95,7 @@ def main() -> None:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            report[name] = {"err": f"spark error: {e}"}
             n_fail += 1
             continue
         # The DRIVER's canonicalizer (pandas sort_values) crashes on any
@@ -98,10 +111,20 @@ def main() -> None:
                 f"FAIL {name}: non-scalar output columns "
                 f"(driver canonicalizer rejects lists): {nonscalar}"
             )
+            report[name] = {"err": f"non-scalar output columns: {nonscalar}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"---- {name}: no oracle ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            report[name] = {
+                "rows_match": None,
+                "schema_match": None,
+                "hash_match": None,
+                "spark_rows": len(srows),
+                "oracle_rows": None,
+                "err": None,
+                "note": "no oracle (rows-only check)",
+            }
             n_noracle += 1
             continue
         try:
@@ -110,6 +133,7 @@ def main() -> None:
             orows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            report[name] = {"err": f"duckdb error: {e}"}
             n_fail += 1
             continue
         problems = []
@@ -131,6 +155,14 @@ def main() -> None:
                         problems.append(f"  spark:  {a[:200]}")
                         problems.append(f"  duckdb: {b[:200]}")
                         break
+        report[name] = {
+            "rows_match": len(srows) == len(orows),
+            "schema_match": sorted(scols) == sorted(ocols),
+            "hash_match": not problems,
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "err": "; ".join(problems) if problems else None,
+        }
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems[:1]))
             for p in problems[1:]:
@@ -140,6 +172,12 @@ def main() -> None:
             print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {json_out} ({len(report)} queries)")
     if n_fail:
         sys.exit(1)
 
