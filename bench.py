@@ -141,12 +141,18 @@ def build_warehouse(spark, sf_dir: str, wh_dir: str, n_files: int = 32) -> None:
             ).alias("embedding"),
         )
     )
-    cl_centroids = ivf_fit(clustered, n_clusters=64)
-    ivf_assign(clustered, cl_centroids).repartition(
-        "cluster_id"
-    ).write.mode("overwrite").partitionBy("cluster_id").parquet(
-        f"{wh_dir}/embeddings_clustered_ivf.parquet"
+    # materialize the perturbed corpus once so the KMeans fit and the
+    # assignment read a plain parquet scan, not the perturbation lineage
+    clustered.write.mode("overwrite").parquet(
+        f"{wh_dir}/embeddings_clustered.parquet"
     )
+    clustered = spark.read.parquet(f"{wh_dir}/embeddings_clustered.parquet")
+    from multimodal_vector_db_spark.operators.ann import ivf_fit_assign
+
+    assigned, cl_centroids = ivf_fit_assign(clustered, n_clusters=64)
+    assigned.repartition("cluster_id").write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(f"{wh_dir}/embeddings_clustered_ivf.parquet")
     with open(os.path.join(wh_dir, "clustered_centroids.json"), "w") as f:
         json.dump(cl_centroids, f)
 
@@ -342,7 +348,8 @@ def main() -> None:
     knn_ann_ms_per_query = round(
         timed_median(
             lambda: ivf_search(
-                cl_corpus, qs_cl, cl_centroids, k=10, nprobe=8
+                cl_corpus, qs_cl, cl_centroids, k=10, nprobe=8,
+                probe_metric="l2",
             )
             .write.format("noop")
             .mode("overwrite")
@@ -373,7 +380,7 @@ def main() -> None:
         3,
     )
     ann_res = ivf_search(
-        cl_corpus, qs_cl, cl_centroids, k=10, nprobe=8
+        cl_corpus, qs_cl, cl_centroids, k=10, nprobe=8, probe_metric="l2"
     ).select("query_id", "id")
     n_exact_cl = exact_cl.count()
     knn_ann_recall10 = round(

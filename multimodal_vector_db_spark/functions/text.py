@@ -307,27 +307,26 @@ def dup_bigram_fraction(toks: Column) -> Column:
     )
 
 
-def _salted_xxhash(salt: str):
-    # closure factory (same 2-arity pitfall as _salted_md5)
-    return lambda s: F.xxhash64(F.concat(F.lit(salt), s))
-
-
 def minhash_signature_xxhash(shingles: Column, num_hashes: int = 8) -> Column:
-    """MinHash signature via salted ``xxhash64`` — the 100 TB fast path.
+    """MinHash signature via seeded ``xxhash64`` — the 100 TB fast path.
 
     md5 (the oracle-portable basis) makes the JVM format a 32-char hex
     STRING per shingle per block and re-parse nibbles back to ints;
-    xxhash64 is one native 64-bit hash per (salt, shingle) with zero
-    string round-trip. Salts give genuinely independent hash functions
-    (the affine/Kirsch-Mitzenmacher shortcut breaks minwise independence
-    — see dedup module notes). Not oracle-checkable (DuckDB has no
-    xxhash64), so the declared query keeps md5; operators accept
-    ``hash_impl="xxhash64"`` for production use.
+    here each hash function is the variadic ``xxhash64(lit(i), s)`` —
+    Spark chains the literal's hash into the string's hash as its seed,
+    giving an independent function per i with ZERO per-shingle string
+    allocation (an earlier salted-``concat`` variant allocated
+    salt+shingle num_hashes× per shingle and measured slower than the
+    md5 basis it was meant to beat). The affine/Kirsch-Mitzenmacher
+    shortcut is still avoided — seeded rehash preserves minwise
+    independence. Not oracle-checkable (DuckDB has no xxhash64), so the
+    declared query keeps md5; operators accept ``hash_impl="xxhash64"``
+    for production use.
     """
     return F.array(
         *[
             F.array_min(
-                F.transform(shingles, _salted_xxhash(f"mh{i}:"))
+                F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))
             )
             for i in range(num_hashes)
         ]

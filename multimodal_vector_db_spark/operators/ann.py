@@ -123,6 +123,48 @@ def ivf_fit(
         feats.unpersist()
 
 
+def ivf_fit_assign(
+    corpus: DataFrame,
+    n_clusters: int,
+    vector_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+    seed: int = 42,
+    max_iter: int = 10,
+):
+    """Fit IVF centroids AND assign every row in one pass, using the
+    fitted MLlib model's JVM-vectorized ``transform`` for assignment.
+
+    Prefer this over ``ivf_fit`` + ``ivf_assign`` for larger cluster
+    counts: :func:`nearest_centroid` embeds the centroids as literal
+    expressions — fine for ≤16 clusters, but the plan grows
+    O(n_clusters × dim) nodes and analysis/codegen dominates beyond
+    (measured: 64 clusters × 64 dims made the assignment write ~10×
+    slower than the KMeans fit itself). Returns ``(assigned_df,
+    centroids)``; the assigned frame keeps the input columns plus
+    ``cluster_col``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.withColumn(
+        "__features",
+        array_to_vector(F.col(vector_col).cast("array<double>")),
+    ).persist()
+    model = KMeans(
+        k=n_clusters,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="__features",
+        predictionCol=cluster_col,
+    ).fit(feats)
+    assigned = model.transform(feats).drop("__features")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    # The cache earned its keep during the fit's max_iter passes; drop
+    # it now rather than leak — the later assignment materialization
+    # re-reads the (cheap) input lineage once.
+    feats.unpersist(blocking=False)
+    return assigned, centroids
+
+
 def nearest_centroid(
     vector_col: Column, centroids: list[list[float]]
 ) -> Column:
@@ -187,8 +229,17 @@ def ivf_search(
     id_col: str = "id",
     vector_col: str = "embedding",
     cluster_col: str = "cluster_id",
+    probe_metric: str = "dot",
 ) -> DataFrame:
     """IVF ANN search: per query, scan only the nprobe nearest clusters.
+
+    ``probe_metric``: how query-to-centroid proximity is ranked when
+    choosing the nprobe cells. ``"dot"`` matches
+    :func:`nearest_centroid` / :func:`ivf_assign` corpora; use
+    ``"l2"`` for corpora assigned by :func:`ivf_fit_assign` (MLlib
+    KMeans assigns by Euclidean distance, and with unnormalized
+    centroids argmin-L2 ≠ argmax-dot — probing must use the same
+    metric the assignment used or boundary cells are probed wrongly).
 
     The probe side ranks centroids via a broadcast centroid TABLE
     (cross join + window), not literal array expressions: embedding the
@@ -213,10 +264,25 @@ def ivf_search(
     if isinstance(queries, list):
         probe_rows = []
         for qid, qvec in queries:
-            sims = sorted(
-                ((_py_dot(qvec, c), cid) for cid, c in enumerate(centroids)),
-                key=lambda t: (-t[0], -t[1]),
-            )
+            if probe_metric == "l2":
+                sims = sorted(
+                    (
+                        (
+                            sum((a - b) ** 2 for a, b in zip(qvec, c)),
+                            cid,
+                        )
+                        for cid, c in enumerate(centroids)
+                    ),
+                    key=lambda t: (t[0], -t[1]),
+                )
+            else:
+                sims = sorted(
+                    (
+                        (_py_dot(qvec, c), cid)
+                        for cid, c in enumerate(centroids)
+                    ),
+                    key=lambda t: (-t[0], -t[1]),
+                )
             for _, cid in sims[:nprobe]:
                 probe_rows.append((qid, [float(x) for x in qvec], cid))
         q = spark.createDataFrame(
@@ -237,16 +303,25 @@ def ivf_search(
             f"{cluster_col} int, __cv array<double>",
         )
     )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("__csim").desc(), F.col(cluster_col).desc()
-    )
+    if probe_metric == "l2":
+        from multimodal_vector_db_spark.functions.vector import l2_distance
+
+        proximity = l2_distance(F.col("__q"), F.col("__cv"))
+        probe_w = Window.partitionBy("query_id").orderBy(
+            F.col("__csim").asc(), F.col(cluster_col).desc()
+        )
+    else:
+        proximity = dot(F.col("__q"), F.col("__cv"))
+        probe_w = Window.partitionBy("query_id").orderBy(
+            F.col("__csim").desc(), F.col(cluster_col).desc()
+        )
     q = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vector_col).alias("__q"),
         )
         .crossJoin(cent)
-        .withColumn("__csim", dot(F.col("__q"), F.col("__cv")))
+        .withColumn("__csim", proximity)
         .withColumn("__crn", F.row_number().over(probe_w))
         .where(F.col("__crn") <= nprobe)
         .select("query_id", "__q", cluster_col)

@@ -45,6 +45,42 @@ def test_ivf_recall_vs_exact(spark, embeddings):
     assert _recall(exact, half, k) >= 0.5
 
 
+def test_ivf_fit_assign_model_path(spark, embeddings):
+    """ivf_fit_assign (MLlib-model assignment, the large-n_clusters
+    path) partitions the corpus, and ivf_search with the matching
+    probe_metric='l2' reaches exact recall at full probe — metric
+    consistency between assignment and probing."""
+    from multimodal_vector_db_spark.operators.ann import ivf_fit_assign
+
+    corpus = embeddings.select(F.col("vec_id").alias("id"), "embedding")
+    assigned, centroids = ivf_fit_assign(corpus, n_clusters=8)
+    counts = assigned.groupBy("cluster_id").count().collect()
+    assert sum(r["count"] for r in counts) == corpus.count()
+    assert len(counts) >= 2
+    queries = embeddings.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = knn_join(corpus, queries, k=10).collect()
+    full = ivf_search(
+        assigned, queries, centroids, k=10, nprobe=8, probe_metric="l2"
+    ).collect()
+    assert _recall(exact, full, 10) == 1.0
+    # list-queries serving path agrees with the DataFrame path
+    qlist = [
+        (r["query_id"], [float(x) for x in r["q_emb"]])
+        for r in queries.collect()
+    ]
+    served = ivf_search(
+        assigned, qlist, centroids, k=10, nprobe=4, probe_metric="l2"
+    ).collect()
+    df_half = ivf_search(
+        assigned, queries, centroids, k=10, nprobe=4, probe_metric="l2"
+    ).collect()
+    assert {(r["query_id"], r["id"]) for r in served} == {
+        (r["query_id"], r["id"]) for r in df_half
+    }
+
+
 def test_ivf_assignment_partitions_corpus(spark, embeddings):
     corpus = embeddings.select(F.col("vec_id").alias("id"), "embedding")
     centroids = ivf_fit(corpus, n_clusters=8)
