@@ -131,6 +131,70 @@ def fp16_round_trip(v: Column | str) -> Column:
     return _fp16(v)
 
 
+def sq8_params(v: Column | str) -> tuple[Column, Column]:
+    """Per-vector affine int8 (SQ8) quantization parameters
+    ``(vmin, scale)`` with ``scale = (max - min) / 255`` — the standard
+    scalar-quantization storage tier (4× smaller than fp32, vs the
+    reference's 2× fp16 tier, ``vector_index.py:79-91``).
+
+    Pure DOUBLE expressions (``array_min``/``array_max`` over the exact
+    float→double widening), bit-identical to DuckDB ``list_min`` /
+    ``list_max`` over the same doubles."""
+    e = to_double_array(v)
+    vmin = F.array_min(e)
+    return vmin, (F.array_max(e) - vmin) / F.lit(255.0)
+
+
+def sq8_encode(v: Column | str, vmin: Column, scale: Column) -> Column:
+    """SQ8 codes ``clamp(floor((x - vmin)/scale + 0.5), 0, 255)`` as
+    ARRAY<BIGINT>. ``floor(x + 0.5)`` (not a round() builtin) keeps the
+    rounding mode engine-independent; a constant vector (scale = 0)
+    encodes to all-zero codes."""
+    return F.transform(
+        to_double_array(v),
+        lambda x: F.when(scale == 0.0, F.lit(0).cast("long")).otherwise(
+            F.least(
+                F.greatest(
+                    F.floor((x - vmin) / scale + F.lit(0.5)).cast("double"),
+                    F.lit(0.0),
+                ),
+                F.lit(255.0),
+            ).cast("long")
+        ),
+    )
+
+
+def sq8_decode(codes: Column, vmin: Column, scale: Column) -> Column:
+    """Dequantize SQ8 codes back to ARRAY<DOUBLE>: ``vmin + code·scale``."""
+    return F.transform(codes, lambda c: vmin + c.cast("double") * scale)
+
+
+def sign_bits_word(v: Column | str, start: int, width: int) -> Column:
+    """Binary (sign) quantization: pack ``width`` sign bits of
+    ``v[start .. start+width-1]`` (1-based, bit i set iff element > 0)
+    into one BIGINT word — 32× storage compression and Hamming-distance
+    search via ``bit_count(xor)``, all JVM-side integer ops.
+
+    The word is built as a sum of distinct powers of two in DOUBLE
+    (exact for width ≤ 52) then cast to BIGINT, so the DuckDB oracle
+    (``list_sum(list_transform(slice, (x,i) -> 2**(i-1)))``) produces
+    the identical integer without bit-shift builtins."""
+    assert width <= 52, "double-exact packing supports ≤ 52 bits per word"
+    sliced = F.slice(F.col(v) if isinstance(v, str) else v, start, width)
+    return F.aggregate(
+        F.zip_with(
+            to_double_array(sliced),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(width - 1)),
+                lambda i: F.pow(F.lit(2.0), i.cast("double")),
+            ),
+            lambda x, p: F.when(x > 0.0, p).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+
+
 def array_mean_pool(frames: Column) -> Column:
     """Element-wise mean over an ARRAY<ARRAY<FLOAT>> of frame embeddings
     (temporal mean pooling, ``video_embedder.py:145-149``). Returns

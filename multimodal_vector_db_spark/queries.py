@@ -5006,6 +5006,253 @@ def q_event_sequence_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Quantized storage tiers beyond the reference's fp16 (SURVEY §2.9):
+# SQ8 affine int8 (4×) and binary sign-bit packing (32×) with Hamming
+# search — the standard vector-DB compression ladder, all JVM-side.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sq8_round_trip",
+    """
+    WITH d AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, e, list_min(e) AS vmin,
+             (list_max(e) - list_min(e)) / 255.0 AS scale
+      FROM d
+    ),
+    c AS (
+      SELECT vec_id, e, vmin, scale,
+        list_transform(e, x -> CASE WHEN scale = 0 THEN 0::BIGINT
+          ELSE least(greatest(floor((x - vmin) / scale + 0.5), 0), 255)::BIGINT
+          END) AS codes
+      FROM m
+    ),
+    y AS (
+      SELECT vec_id, e, codes,
+        list_transform(codes, cd -> vmin + cd * scale) AS dec
+      FROM c
+    ),
+    z AS (
+      SELECT vec_id, codes,
+        list_transform(dec, (v, i) -> v - e[i]) AS err, e
+      FROM y
+    )
+    SELECT vec_id,
+           array_to_string(list_transform(codes, cd -> cd::VARCHAR), ',')
+             AS sq8_codes,
+           round(sqrt(list_dot_product(err, err) / len(e)), 6) AS rmse
+    FROM z
+    """,
+)
+def q_sq8_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization round-trip: per-vector affine int8 codes
+    (4× storage vs fp32 — one tier below the reference's 2× fp16,
+    vector_index.py:79-91) plus the reconstruction RMSE. Every step is
+    a codegen'd expression — floor-based rounding and sequential-fold
+    error norms keep it bit-identical to the DuckDB oracle."""
+    from multimodal_vector_db_spark.functions.vector import (
+        dot as vdot,
+        sq8_decode,
+        sq8_encode,
+        sq8_params,
+        to_double_array,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = to_double_array(F.col("embedding"))
+    vmin, scale = sq8_params(F.col("embedding"))
+    staged = emb.select(
+        "vec_id",
+        e.alias("e"),
+        sq8_encode(F.col("embedding"), vmin, scale).alias("codes"),
+        sq8_decode(
+            sq8_encode(F.col("embedding"), vmin, scale), vmin, scale
+        ).alias("dec"),
+    )
+    erred = staged.select(
+        "vec_id",
+        "codes",
+        F.zip_with(F.col("dec"), F.col("e"), lambda v, x: v - x).alias("err"),
+    )
+    return erred.select(
+        "vec_id",
+        _csv_longs(F.col("codes")).alias("sq8_codes"),
+        F.round(
+            F.sqrt(vdot("err", "err") / F.size("err")), 6
+        ).alias("rmse"),
+    )
+
+
+@query(
+    "binary_hamming_knn",
+    """
+    WITH w AS (
+      SELECT vec_id,
+        list_sum(list_transform(embedding[1:32],
+          (x, i) -> CASE WHEN x > 0 THEN 2**(i-1) ELSE 0 END))::BIGINT AS w1,
+        list_sum(list_transform(embedding[33:64],
+          (x, i) -> CASE WHEN x > 0 THEN 2**(i-1) ELSE 0 END))::BIGINT AS w2
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, w1 AS q1, w2 AS q2 FROM w WHERE vec_id < 8
+    ),
+    s AS (
+      SELECT q.query_id, w.vec_id AS id,
+             (bit_count(xor(w.w1, q.q1))
+              + bit_count(xor(w.w2, q.q2)))::BIGINT AS hamming
+      FROM w, q
+    ),
+    r AS (
+      SELECT query_id, id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming ASC, id ASC) AS rank
+      FROM s
+    )
+    SELECT query_id, id, hamming, rank::BIGINT AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
+def q_binary_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized kNN: sign bits packed into two BIGINT words
+    (32× storage compression), Hamming distance = popcount(xor) — the
+    coarsest tier of the vector-DB compression ladder, and the cheapest
+    possible scan at 100 TB: the 'vector' is 16 bytes and the distance
+    is two integer instructions, no float math at all."""
+    from multimodal_vector_db_spark.functions.vector import sign_bits_word
+
+    emb = _t(spark, sf_dir, "embeddings")
+    words = emb.select(
+        "vec_id",
+        sign_bits_word("embedding", 1, 32).alias("w1"),
+        sign_bits_word("embedding", 33, 32).alias("w2"),
+    )
+    qs = words.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w1").alias("q1"),
+        F.col("w2").alias("q2"),
+    )
+    scored = (
+        words.select(F.col("vec_id").alias("id"), "w1", "w2")
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "query_id",
+            "id",
+            (
+                F.bit_count(F.col("w1").bitwiseXOR(F.col("q1")))
+                + F.bit_count(F.col("w2").bitwiseXOR(F.col("q2")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    out = top_k_per_group(
+        scored, ["query_id"], 10, order_col="hamming", ascending=True
+    )
+    return out.select(
+        "query_id", "id", "hamming", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-order layout: shard packing + source interleaving
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "shard_packing",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, md5(doc_id::VARCHAR) AS ord,
+             len({_TOKS.format(col="text")})::BIGINT AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM t
+    )
+    SELECT floor(cum_before / 20000)::BIGINT AS shard_id,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens
+    FROM c GROUP BY shard_id
+    """,
+)
+def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (operators/packing.py): shuffle the
+    corpus into a deterministic pseudo-random order (md5 of the id) and
+    cut it into ~20k-token shards — the layout step a data loader
+    consumes after curation. The oracle states the semantics as ONE
+    global cumulative window; the engine computes the identical prefix
+    sum with the two-phase distributed form (range partition →
+    parallel per-partition windows → 32-row offset window), so the
+    sequential step never scales with the corpus."""
+    from multimodal_vector_db_spark.functions import text as X
+    from multimodal_vector_db_spark.operators.packing import pack_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+        X.token_count("text").alias("n_tokens"),
+    )
+    packed = pack_shards(
+        staged, "n_tokens", 20000, order_cols=["ord", "doc_id"]
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@query(
+    "training_order_interleave",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, source, rk,
+             row_number() OVER (ORDER BY rk, source, doc_id) AS pos
+      FROM t
+    )
+    SELECT pos::BIGINT AS pos, doc_id, source FROM p WHERE pos <= 200
+    """,
+)
+def q_training_order_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-interleaved training order: shuffle within
+    each source by hash, then round-robin across sources — every
+    source appears once per cycle, the standard mixing layout for
+    multi-source training runs. The global position numbering here is
+    display-only (first 200 rows); at scale the (rk, source) pair IS
+    the order key and sharding uses the prefix-sum form of
+    operators/packing.py instead of a global window."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    t = docs.select(
+        "doc_id", "source", F.row_number().over(w_src).alias("rk")
+    )
+    w_pos = Window.orderBy("rk", "source", "doc_id")
+    return (
+        t.withColumn("pos", F.row_number().over(w_pos).cast("long"))
+        .where(F.col("pos") <= 200)
+        .select("pos", "doc_id", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering: the external correctness harness verifies the FIRST
 # 50 registered queries only, so the §2-core surface — including the
 # reference's signature cross-modal routed query

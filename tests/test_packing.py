@@ -1,0 +1,65 @@
+"""pack_shards: two-phase distributed prefix sum (operators/packing.py).
+
+Contract: shard assignment equals the single-window global formulation,
+and is invariant to the number of range partitions (the prefix sum is
+partition-agnostic by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from multimodal_vector_db_spark.operators.packing import pack_shards
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _staged(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+        F.size(F.split("text", r"\s+")).cast("long").alias("w"),
+    )
+
+
+def _single_window(df, budget):
+    w = Window.orderBy("ord", "doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return df.withColumn(
+        "shard_id",
+        F.floor(F.coalesce(F.sum("w").over(w), F.lit(0)) / budget).cast(
+            "long"
+        ),
+    )
+
+
+def test_pack_shards_equals_global_window(spark):
+    staged = _staged(spark)
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_shards(
+            staged, "w", 5000, order_cols=["ord", "doc_id"]
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["shard_id"]
+        for r in _single_window(staged, 5000).collect()
+    }
+    assert got == want
+    assert len(set(want.values())) > 1  # budget actually splits
+
+
+def test_pack_shards_partition_invariant(spark):
+    staged = _staged(spark)
+    a = pack_shards(
+        staged, "w", 5000, order_cols=["ord", "doc_id"], num_partitions=2
+    )
+    b = pack_shards(
+        staged, "w", 5000, order_cols=["ord", "doc_id"], num_partitions=16
+    )
+    ra = {r["doc_id"]: r["shard_id"] for r in a.collect()}
+    rb = {r["doc_id"]: r["shard_id"] for r in b.collect()}
+    assert ra == rb

@@ -137,3 +137,90 @@ def test_adc_search_agrees_with_exact_on_decoded_vectors(spark):
     # and the result is the true top-5 of that decoded-distance ranking
     want = sorted(exact.items(), key=lambda kv: (kv[1], kv[0]))[:5]
     assert [r["vec_id"] for r in got] == [vid for vid, _ in want]
+
+
+def test_sq8_round_trip_matches_numpy(spark):
+    """SQ8 codes and reconstruction agree with the straightforward
+    numpy formulation of per-vector affine int8 quantization."""
+    import numpy as np
+
+    from multimodal_vector_db_spark.functions.vector import (
+        sq8_decode,
+        sq8_encode,
+        sq8_params,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vmin, scale = sq8_params(F.col("embedding"))
+    got = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            sq8_encode(F.col("embedding"), vmin, scale).alias("codes"),
+            sq8_decode(
+                sq8_encode(F.col("embedding"), vmin, scale), vmin, scale
+            ).alias("dec"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert len(got) > 0
+    for r in got[:20]:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        lo, hi = v.min(), v.max()
+        sc = (hi - lo) / 255.0
+        if sc == 0:
+            want = np.zeros(len(v), dtype=np.int64)
+        else:
+            want = np.clip(np.floor((v - lo) / sc + 0.5), 0, 255).astype(
+                np.int64
+            )
+        assert list(want) == list(r["codes"])
+        dec = lo + want * sc
+        assert np.allclose(dec, np.asarray(r["dec"]), atol=0)
+        # quantization error bounded by half a step per element
+        assert np.abs(dec - v).max() <= sc / 2 + 1e-12
+
+
+def test_sign_bits_word_matches_numpy_packing(spark):
+    """Packed sign words equal the numpy bit-packing of (x > 0)."""
+    import numpy as np
+
+    from multimodal_vector_db_spark.functions.vector import sign_bits_word
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = (
+        emb.select(
+            "vec_id",
+            sign_bits_word("embedding", 1, 32).alias("w1"),
+            sign_bits_word("embedding", 33, 32).alias("w2"),
+            "embedding",
+        )
+        .orderBy("vec_id")
+        .limit(20)
+        .collect()
+    )
+    for r in got:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        bits = (v > 0).astype(np.int64)
+        w1 = int((bits[:32] * (1 << np.arange(32, dtype=np.int64))).sum())
+        w2 = int((bits[32:64] * (1 << np.arange(32, dtype=np.int64))).sum())
+        assert (r["w1"], r["w2"]) == (w1, w2)
+
+
+def test_binary_hamming_recall_beats_random(spark):
+    """Hamming top-10 over sign bits should overlap the exact cosine
+    top-10 far above the random baseline (~10/n) — sign-bit similarity
+    is a crude but real proxy for cosine on centered data."""
+    from multimodal_vector_db_spark import queries as Q
+
+    res = Q.REGISTRY["binary_hamming_knn"](spark, SF_DIR)
+    exact = Q.REGISTRY["knn_batch"](spark, SF_DIR)
+    ham = {(r["query_id"], r["id"]) for r in res.collect()}
+    ex = {
+        (r["query_id"], r["id"])
+        for r in exact.collect()
+        if r["query_id"] < 8
+    }
+    overlap = len(ham & ex) / max(len(ex), 1)
+    assert overlap >= 0.2, overlap
