@@ -103,7 +103,15 @@ def char_ngrams(text: Column | str, n: int = 3) -> Column:
 
 def word_shingles(text: Column | str, n: int = 2) -> Column:
     """Distinct word n-gram shingles → ARRAY<STRING> (for MinHash/Jaccard)."""
-    toks = tokens(F.lower(text if isinstance(text, Column) else F.col(text)))
+    return word_shingles_from_tokens(
+        tokens(F.lower(text if isinstance(text, Column) else F.col(text))), n
+    )
+
+
+def word_shingles_from_tokens(toks: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-TOKENIZED column —
+    use when the pipeline has the token array anyway, so the regex
+    split isn't evaluated a second time."""
     k = F.size(toks)
     return F.when(k < n, F.array().cast("array<string>")).otherwise(
         F.array_distinct(

@@ -4561,19 +4561,25 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = staged.where(F.size("toks") >= 30)
     deduped = dedup_keep_first(quality)
     train = deduped.where(F.col("bucket") < 80)
-    test_grams = (
-        staged.where(F.col("bucket") >= 90)
-        .select(
-            F.explode(X.word_shingles(F.lower(F.col("text")), 3)).alias(
-                "gram"
+    # production gram basis: shingle the ALREADY-tokenized column (no
+    # second regex pass) and join on xxhash64 of the gram — an 8-byte
+    # key instead of a ~25-char string for the join + both distincts.
+    # Same semantics as the oracle's string-gram join up to 64-bit hash
+    # collisions (~n²/2⁶⁵ ≈ 10⁻⁹ at this gram count; the standard
+    # decontamination basis at 100 TB, where string grams would
+    # dominate shuffle bytes).
+    def grams(df):
+        return F.explode(
+            F.transform(
+                X.word_shingles_from_tokens(F.col("toks"), 3),
+                lambda g: F.xxhash64(g),
             )
-        )
-        .distinct()
+        ).alias("gram")
+
+    test_grams = (
+        staged.where(F.col("bucket") >= 90).select(grams(staged)).distinct()
     )
-    train_grams = train.select(
-        "doc_id",
-        F.explode(X.word_shingles(F.lower(F.col("text")), 3)).alias("gram"),
-    )
+    train_grams = train.select("doc_id", grams(train))
     contaminated = (
         train_grams.join(test_grams, "gram").select("doc_id").distinct()
     )
