@@ -1,8 +1,8 @@
 """pack_shards: two-phase distributed prefix sum (operators/packing.py).
 
 Contract: shard assignment equals the single-window global formulation,
-and is invariant to the number of range partitions (the prefix sum is
-partition-agnostic by construction).
+and is invariant to bucket granularity (the prefix sum is
+bucket-agnostic by construction, given a monotone bucket expression).
 """
 
 from __future__ import annotations
@@ -10,7 +10,10 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from multimodal_vector_db_spark.operators.packing import pack_shards
+from multimodal_vector_db_spark.operators.packing import (
+    hex_prefix_bucket,
+    pack_shards,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -52,14 +55,30 @@ def test_pack_shards_equals_global_window(spark):
     assert len(set(want.values())) > 1  # budget actually splits
 
 
-def test_pack_shards_partition_invariant(spark):
+def test_pack_shards_bucket_granularity_invariant(spark):
     staged = _staged(spark)
     a = pack_shards(
-        staged, "w", 5000, order_cols=["ord", "doc_id"], num_partitions=2
+        staged,
+        "w",
+        5000,
+        order_cols=["ord", "doc_id"],
+        bucket_expr=hex_prefix_bucket("ord", 1),
     )
     b = pack_shards(
-        staged, "w", 5000, order_cols=["ord", "doc_id"], num_partitions=16
+        staged,
+        "w",
+        5000,
+        order_cols=["ord", "doc_id"],
+        bucket_expr=hex_prefix_bucket("ord", 3),
     )
     ra = {r["doc_id"]: r["shard_id"] for r in a.collect()}
     rb = {r["doc_id"]: r["shard_id"] for r in b.collect()}
     assert ra == rb
+
+
+def test_hex_prefix_bucket_is_monotone_in_key_order(spark):
+    staged = _staged(spark).withColumn("b", hex_prefix_bucket("ord", 2))
+    rows = staged.select("ord", "b").orderBy("ord").collect()
+    bs = [r["b"] for r in rows]
+    assert bs == sorted(bs)
+    assert len(set(bs)) > 10  # actually spreads
