@@ -222,11 +222,15 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = PRODUCTION_OVERRIDES.get(name, Q.REGISTRY[name])
+        # 5 samples for the sub-second headline queries: ambient-load
+        # spikes on a shared host otherwise read as per-query
+        # regressions between rounds
         times[name] = timed_median(
             lambda: fn(spark, wh_dir)
             .write.format("noop")
             .mode("overwrite")
-            .save()
+            .save(),
+            samples=5,
         )
 
     # amortized per-query kNN latency over a 64-query batch — the

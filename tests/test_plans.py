@@ -163,3 +163,33 @@ def test_training_pipeline_shuffle_budget(spark):
     # a regression here means a stage stopped pipelining into the scan
     p = plan_of(spark, "training_data_pipeline")
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 5, p
+
+
+def test_binary_rerank_window_carries_no_vectors(spark):
+    """The Hamming shortlist window must move only (query_id, id,
+    hamming[, rank]) — shuffling the float vectors through it was
+    measured 4× slower. Vectors re-enter via broadcast gather joins."""
+    p = plan_of(spark, "binary_rerank_knn")
+    # formatted mode lists each Exchange's columns in its detail block
+    exchanges = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", p
+    )
+    assert exchanges, p
+    for cols in exchanges:
+        assert "embedding" not in cols and "q_emb" not in cols, cols
+    # gather side is broadcast, never shuffled
+    assert p.count("BroadcastHashJoin") >= 2 or (
+        "BroadcastHashJoin" in p and "BroadcastNestedLoopJoin" in p
+    ), p
+
+
+def test_shard_packing_offset_window_is_the_only_global_one(spark):
+    """Two-phase prefix sum: the per-bucket windows are hash-partitioned
+    (parallel); exactly one window runs single-partition, and it sees
+    only the n_buckets-row offsets side (joined back broadcast)."""
+    p = plan_of(spark, "shard_packing")
+    # the big windows are partitioned by the bucket column
+    assert re.search(r"Arguments: hashpartitioning\(__b", p), p
+    # exactly one global (SinglePartition) exchange: the offsets window
+    assert p.count("Arguments: SinglePartition") == 1, p
+    assert "BroadcastHashJoin" in p, p
