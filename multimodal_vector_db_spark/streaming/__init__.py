@@ -14,6 +14,7 @@ from multimodal_vector_db_spark.streaming.ingest import (
     ingest_events_to_corpus,
     interval_join,
     run_available_now,
+    serve_knn_queries,
     session_windowed_counts,
     windowed_counts,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "ingest_events_to_corpus",
     "interval_join",
     "run_available_now",
+    "serve_knn_queries",
     "session_windowed_counts",
     "windowed_counts",
 ]

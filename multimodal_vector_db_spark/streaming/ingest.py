@@ -327,3 +327,55 @@ def interval_join(
         F.col("l_user").alias("user_id"),
         (F.col("r_us") - F.col("l_us")).cast("long").alias("gap_us"),
     )
+
+
+def serve_knn_queries(
+    query_stream: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    results_path: str,
+    checkpoint_dir: str,
+    query_id_col: str = "query_id",
+    query_vector_col: str = "q_emb",
+):
+    """Streaming vector-search serving: query vectors arrive on a
+    stream; each micro-batch is answered against the STATIC (indexed)
+    corpus with the very same broadcast top-k join as the batch path —
+    one operator, two execution modes. This is the Spark shape of the
+    reference's request loop (``search_engine.py:174-223``): the corpus
+    scan amortizes across the whole batch instead of one pass per
+    query.
+
+    Results append to parquet keyed by query id; replay after a failed
+    batch is made idempotent the same way as
+    :func:`ingest_events_to_corpus` — answered query ids are anti-joined
+    out before the append."""
+    from multimodal_vector_db_spark.operators.knn import knn_join
+
+    def answer(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fresh = batch.dropDuplicates([query_id_col])
+        try:
+            done = spark.read.parquet(results_path).select(
+                F.col("query_id")
+            ).distinct()
+            fresh = fresh.join(
+                done,
+                fresh[query_id_col] == done["query_id"],
+                how="left_anti",
+            )
+        except Exception:  # first batch: no results yet
+            pass
+        knn_join(
+            corpus,
+            fresh,
+            k=k,
+            query_id_col=query_id_col,
+            query_vector_col=query_vector_col,
+        ).write.mode("append").parquet(results_path)
+
+    return (
+        query_stream.writeStream.foreachBatch(answer)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -302,3 +302,53 @@ def test_stream_static_enrichment_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_knn_serving_equals_batch(spark, tmp_path):
+    """Queries served over a stream (two availableNow drains, second
+    replays an overlapping file) must produce exactly the batch
+    knn_join answers, once per query."""
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.operators.knn import knn_join
+    from multimodal_vector_db_spark.streaming import serve_knn_queries
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("id"), "embedding")
+    qs = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+    src = tmp_path / "query_stream"
+    src.mkdir()
+    qs.where(F.col("query_id") < 5).coalesce(1).write.parquet(
+        str(src / "batch_a")
+    )
+    results = str(tmp_path / "knn_results")
+    ckpt = str(tmp_path / "ckpt_knn")
+    schema = "query_id long, q_emb array<float>"
+
+    stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+    serve_knn_queries(
+        stream, corpus, k=3, results_path=results, checkpoint_dir=ckpt
+    ).start().awaitTermination(120)
+
+    # second file overlaps queries 3-4 (replay) and adds 5-7
+    qs.where(F.col("query_id") >= 3).coalesce(1).write.parquet(
+        str(src / "batch_b")
+    )
+    stream2 = spark.readStream.schema(schema).parquet(f"{src}/*")
+    serve_knn_queries(
+        stream2, corpus, k=3, results_path=results, checkpoint_dir=ckpt
+    ).start().awaitTermination(120)
+
+    got = {
+        (r["query_id"], r["id"], r["rank"])
+        for r in spark.read.parquet(results).collect()
+    }
+    want = {
+        (r["query_id"], r["id"], r["rank"])
+        for r in knn_join(corpus, qs, k=3).collect()
+    }
+    assert got == want
+    assert spark.read.parquet(results).count() == 8 * 3  # once per query
