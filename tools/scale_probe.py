@@ -1,0 +1,231 @@
+"""Scaling probe: measure the key operator families at 1x / 4x / 16x
+input size on the same local[32] box and report the time ratios.
+
+The 100 TB claim in SCALE.md is about plan SHAPE (bounded shuffles,
+pruned scans, broadcast sides). This probe adds measured evidence on
+the axis a single box can show: with cores fixed, a well-shaped
+operator should scale near-linearly in input rows (ratio_16x ~ 16),
+because its cost is one pass over the data plus bounded-size shuffles.
+Super-linear growth would expose a hidden quadratic (all-pairs join,
+unbounded window state); strongly sub-linear would mean fixed overhead
+still dominates and the probe size says nothing.
+
+Inputs are derived from the driver's sf0.1 tables by deterministic
+replication: each clone perturbs its join/dedup keys (doc text gets a
+rep token, ids are re-spaced) so key cardinality scales with the data
+— replicating identical keys would instead grow LSH buckets
+quadratically and measure a different (adversarial) workload.
+
+Run:  python tools/scale_probe.py   (writes SCALE_PROBE.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/scale_probe"
+FACTORS = [1, 4, 16]
+
+
+def timed(run, samples: int = 2) -> float:
+    run()  # warm
+    ts = []
+    for _ in range(samples):
+        t0 = time.time()
+        run()
+        ts.append(time.time() - t0)
+    return round(min(ts), 3)
+
+
+def replicate_lineitem(spark, li, factor: int, path: str) -> None:
+    out = (
+        li.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__r")
+        )
+        .withColumn(
+            "l_orderkey",
+            F.col("l_orderkey") * factor + F.col("__r"),
+        )
+        .drop("__r")
+    )
+    out.repartition(32).write.mode("overwrite").parquet(path)
+
+
+def replicate_documents(spark, docs, factor: int, path: str) -> None:
+    out = (
+        docs.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__r")
+        )
+        .withColumn("doc_id", F.col("doc_id") * factor + F.col("__r"))
+        .withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(" rep"), F.col("__r").cast("string")),
+        )
+        .drop("__r")
+    )
+    out.repartition(32).write.mode("overwrite").parquet(path)
+
+
+def replicate_embeddings(spark, emb, factor: int, path: str) -> None:
+    # xxhash-perturbed clones (same recipe as the bench's planted
+    # corpus): key spacing scales, vectors stay near their source
+    noise = 0.02
+    perturbed = (
+        emb.select(
+            "vec_id",
+            "label",
+            F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__r"),
+            "embedding",
+        )
+        .select(
+            (F.col("vec_id") * factor + F.col("__r")).alias("vec_id"),
+            "label",
+            F.transform(
+                "embedding",
+                lambda x, j: x.cast("double")
+                + F.lit(noise)
+                * (
+                    (
+                        F.pmod(
+                            F.xxhash64(F.col("vec_id"), F.col("__r"), j),
+                            F.lit(2001),
+                        )
+                        - 1000
+                    )
+                    / 1000.0
+                ),
+            ).alias("embedding"),
+        )
+    )
+    perturbed.repartition(32).write.mode("overwrite").parquet(path)
+
+
+def main() -> None:
+    from multimodal_vector_db_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from multimodal_vector_db_spark.operators.knn import knn_join
+    from multimodal_vector_db_spark.operators.packing import pack_shards
+    from multimodal_vector_db_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    shutil.rmtree(WORK, ignore_errors=True)
+    os.makedirs(WORK)
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    for f in FACTORS:
+        replicate_lineitem(spark, li, f, f"{WORK}/lineitem_{f}")
+        replicate_documents(spark, docs, f, f"{WORK}/documents_{f}")
+        replicate_embeddings(spark, emb, f, f"{WORK}/embeddings_{f}")
+
+    results: dict[str, dict] = {}
+
+    def probe(name: str, make_run) -> None:
+        secs = {}
+        for f in FACTORS:
+            secs[f] = timed(make_run(f))
+        base = secs[FACTORS[0]] or 1e-9
+        results[name] = {
+            "sec": {str(f): secs[f] for f in FACTORS},
+            "ratio_vs_1x": {
+                str(f): round(secs[f] / base, 2) for f in FACTORS
+            },
+        }
+        print(name, results[name], flush=True)
+
+    # grouped aggregation: one pass + partial aggs, expect ~linear
+    def q1_run(f):
+        t = spark.read.parquet(f"{WORK}/lineitem_{f}")
+
+        def run():
+            t.where(F.col("l_shipdate") <= F.lit("1998-09-02")).groupBy(
+                "l_returnflag", "l_linestatus"
+            ).agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.avg("l_extendedprice").alias("avg_price"),
+                F.count("*").alias("n"),
+            ).write.format("noop").mode("overwrite").save()
+
+        return run
+
+    probe("tpch_q1_agg", q1_run)
+
+    # MinHash-LSH dedup: shuffle ~ docs x bands, expect ~linear
+    def dedup_run(f):
+        t = spark.read.parquet(f"{WORK}/documents_{f}")
+
+        def run():
+            minhash_lsh_candidates(
+                t, num_hashes=8, bands=4, hash_impl="xxhash64"
+            ).write.format("noop").mode("overwrite").save()
+
+        return run
+
+    probe("dedup_minhash", dedup_run)
+
+    # exact batch kNN, 64 queries: corpus-side pass + bounded window,
+    # expect ~linear in corpus rows
+    qs = emb.where(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+    def knn_run(f):
+        t = spark.read.parquet(f"{WORK}/embeddings_{f}").select(
+            F.col("vec_id").alias("id"), "embedding"
+        )
+
+        def run():
+            knn_join(t, qs, k=10).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        return run
+
+    probe("knn_batch_64q", knn_run)
+
+    # shard packing: two windows + tiny offset window, expect ~linear
+    def pack_run(f):
+        t = spark.read.parquet(f"{WORK}/documents_{f}").select(
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("ord"),
+            F.size(F.split("text", r"\s+")).cast("long").alias("w"),
+        )
+
+        def run():
+            pack_shards(
+                t, "w", 20000, order_cols=["ord", "doc_id"]
+            ).write.format("noop").mode("overwrite").save()
+
+        return run
+
+    probe("shard_packing", pack_run)
+
+    out = {
+        "sf_dir": SF_DIR,
+        "factors": FACTORS,
+        "base_rows": {
+            "lineitem": li.count(),
+            "documents": docs.count(),
+            "embeddings": emb.count(),
+        },
+        "probes": results,
+    }
+    with open("/root/repo/SCALE_PROBE.json", "w") as fp:
+        json.dump(out, fp, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
