@@ -5421,6 +5421,153 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cohort_retention",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           (date_diff('day', f.cohort_week, a.week) / 7)::BIGINT
+             AS weeks_since,
+           count(DISTINCT a.user_id)::BIGINT AS n_users
+    FROM act a JOIN firsts f USING (user_id)
+    GROUP BY f.cohort_week, weeks_since
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active week,
+    counted in each subsequent week — the standard engagement readout
+    over the events stream. Two hash aggregations plus an equi-join on
+    user_id; every aggregate is partial-able, nothing is windowed, so
+    the plan is fully parallel at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    firsts = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(firsts, on="user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).cast("long").alias("weeks_since"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+@query(
+    "quality_psi",
+    """
+    WITH b AS (
+      SELECT source, least(n_chars // 100, 10) AS bucket FROM documents
+    ),
+    counts AS (
+      SELECT source, bucket, count(*)::DOUBLE AS cnt
+      FROM b GROUP BY source, bucket
+    ),
+    totals AS (
+      SELECT source, sum(cnt) AS tot FROM counts GROUP BY source
+    ),
+    -- Laplace-smoothed bucket shares over the FULL 0..10 bucket grid
+    grid AS (
+      SELECT t.source, g.bucket, t.tot,
+             coalesce(c.cnt, 0.0) AS cnt
+      FROM totals t
+      CROSS JOIN (SELECT unnest(generate_series(0, 10)) AS bucket) g
+      LEFT JOIN counts c ON c.source = t.source AND c.bucket = g.bucket
+    ),
+    shares AS (
+      SELECT source, bucket, (cnt + 1.0) / (tot + 11.0) AS p
+      FROM grid
+    ),
+    ref AS (SELECT bucket, p AS q FROM shares WHERE source = 'src0'),
+    terms AS (
+      SELECT s.source, s.bucket, (s.p - r.q) * ln(s.p / r.q) AS term
+      FROM shares s JOIN ref r USING (bucket)
+      WHERE s.source <> 'src0'
+    ),
+    folded AS (
+      SELECT source, list(term ORDER BY bucket) AS ts FROM terms
+      GROUP BY source
+    )
+    SELECT source,
+           round(list_reduce(list_prepend(0.0, ts), (a, x) -> a + x), 6)
+             AS psi
+    FROM folded
+    """,
+)
+def q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index of the document-length distribution,
+    each source vs the `src0` reference — the standard drift alarm for
+    a curation pipeline's input mix (PSI > 0.2 ≈ feed changed). Bucket
+    shares are Laplace-smoothed over a fixed grid (empty buckets carry
+    signal); the per-source term sum is a SORTED sequential fold so the
+    float accumulation order matches the oracle exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select(
+        "source",
+        F.least(F.floor(F.col("n_chars") / 100), F.lit(10)).alias("bucket"),
+    )
+    counts = b.groupBy("source", "bucket").agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    totals = counts.groupBy("source").agg(F.sum("cnt").alias("tot"))
+    grid = (
+        totals.crossJoin(
+            docs.sparkSession.range(0, 11).select(
+                F.col("id").alias("bucket")
+            )
+        )
+        .join(counts, on=["source", "bucket"], how="left")
+        .select(
+            "source",
+            "bucket",
+            "tot",
+            F.coalesce(F.col("cnt"), F.lit(0.0)).alias("cnt"),
+        )
+    )
+    shares = grid.select(
+        "source",
+        "bucket",
+        ((F.col("cnt") + 1.0) / (F.col("tot") + 11.0)).alias("p"),
+    )
+    ref = shares.where(F.col("source") == "src0").select(
+        "bucket", F.col("p").alias("q")
+    )
+    terms = (
+        shares.where(F.col("source") != "src0")
+        .join(F.broadcast(ref), on="bucket")
+        .select(
+            "source",
+            "bucket",
+            (
+                (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+            ).alias("term"),
+        )
+    )
+    folded = terms.groupBy("source").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "term"))),
+            lambda s: s["term"],
+        ).alias("ts")
+    )
+    return folded.select(
+        "source",
+        F.round(
+            F.aggregate(F.col("ts"), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("psi"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness harness verifies the FIRST
 # 50 registered queries only, so the §2-core surface — including the
