@@ -5422,6 +5422,73 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "maxsim_multivector_search",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT q.query_id, e.label, e.vec_id, {_DOT} AS sim
+      FROM embeddings e, q
+    ),
+    agg AS (
+      SELECT query_id, label,
+             max(sim) AS max_sim,
+             count(*)::BIGINT AS n_vectors
+      FROM scored GROUP BY query_id, label
+    ),
+    ranked AS (
+      SELECT query_id, label, max_sim, n_vectors,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY max_sim DESC, label ASC) AS rank
+      FROM agg
+    )
+    SELECT query_id, label, round(max_sim, 6) AS max_sim, n_vectors,
+           rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_maxsim_multivector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector (late-interaction) retrieval, ColBERT-style MaxSim:
+    each label group stands for a DOCUMENT represented by a bag of
+    vectors (token/chunk/frame embeddings); a document's score is the
+    MAX similarity any of its vectors achieves against the query, and
+    documents rank by that score. The Spark shape is the one that
+    matters at 100 TB: score every vector in one broadcast pass, then
+    max() is a partial-able aggregate — the per-document reduction
+    happens map-side, so the shuffle carries one row per (query,
+    document), never per vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.select("vec_id", "label", "embedding")
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "query_id",
+            "label",
+            dot("embedding", "q_emb").alias("sim"),
+        )
+    )
+    agg = scored.groupBy("query_id", "label").agg(
+        F.max("sim").alias("max_sim"),
+        F.count("*").cast("long").alias("n_vectors"),
+    )
+    out = top_k_per_group(
+        agg, ["query_id"], 3, order_col="max_sim", tie_col="label"
+    )
+    return out.select(
+        "query_id",
+        "label",
+        F.round("max_sim", 6).alias("max_sim"),
+        "n_vectors",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@query(
     "cohort_retention",
     """
     WITH act AS (
