@@ -58,7 +58,13 @@ def build_stats_table(
 
     col_types: dict[str, str] = {}
     rows = []
-    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+    # recursive: hive-partitioned layouts nest data files one directory
+    # per partition value
+    files = sorted(
+        glob.glob(os.path.join(path, "*.parquet"))
+        + glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    for f in dict.fromkeys(files):
         pf = pq.ParquetFile(f)
         arrow_schema = pf.schema_arrow
         for c in cols:

@@ -40,15 +40,33 @@ class CorpusStorage:
         name: str,
         manifest: dict[str, Any] | None = None,
         partition_by: list[str] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> None:
+        """Write the index table; with ``stats_cols``, also persist a
+        per-file zone-map table (``<name>.stats.parquet``) built once
+        from the written footers — later range queries plan from that
+        manifest-sized table instead of re-reading O(files) footers
+        (the lakehouse data-skipping pattern; see operators/pruning.py).
+        """
         path = os.path.join(self.indices_path, name)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
+        if stats_cols:
+            from multimodal_vector_db_spark.operators.pruning import (
+                build_stats_table,
+            )
+
+            build_stats_table(
+                df.sparkSession, path, stats_cols
+            ).coalesce(1).write.mode("overwrite").parquet(
+                path + ".stats.parquet"
+            )
         meta = {
             "name": name,
             "partition_by": partition_by or [],
+            "stats_cols": stats_cols or [],
             **(manifest or {}),
         }
         with open(path + ".manifest.json", "w") as f:
@@ -61,6 +79,24 @@ class CorpusStorage:
         with open(path + ".manifest.json") as f:
             manifest = json.load(f)
         return spark.read.parquet(path), manifest
+
+    def read_index_range(
+        self, spark: SparkSession, name: str, col: str, lo, hi
+    ) -> DataFrame:
+        """Range scan through the persisted zone maps: prune files from
+        the stats table, open only survivors, apply the exact predicate
+        — requires the index to have been saved with ``stats_cols``."""
+        from multimodal_vector_db_spark.operators.pruning import read_pruned
+
+        path = os.path.join(self.indices_path, name)
+        with open(path + ".manifest.json") as f:
+            manifest = json.load(f)
+        if col not in manifest.get("stats_cols", []):
+            raise ValueError(
+                f"index {name!r} has no persisted zone maps for {col!r}"
+            )
+        stats = spark.read.parquet(path + ".stats.parquet")
+        return read_pruned(spark, stats, col, lo, hi)
 
     # -- engine config (S10, storage.py:26-36) -------------------------
     def save_config(self, config: dict[str, Any]) -> None:

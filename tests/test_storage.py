@@ -77,3 +77,43 @@ def test_config_exists_size_clear(spark, tmp_path):
     assert per_vector > 0
     store.clear()
     assert not store.exists("tiny")
+
+
+def test_save_index_with_zone_maps_prunes_range_reads(spark, tmp_path):
+    """stats_cols at save time persists per-file zone maps; range reads
+    plan from that table, open only surviving files, and return exactly
+    the predicate's rows."""
+    from multimodal_vector_db_spark.operators.pruning import prune_files
+    from multimodal_vector_db_spark.sources.storage import CorpusStorage
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # range-layout on vec_id so per-file ranges are tight
+    laid_out = emb.repartitionByRange(8, "vec_id").sortWithinPartitions(
+        "vec_id"
+    )
+    storage = CorpusStorage(str(tmp_path))
+    storage.save_index(
+        laid_out, "emb_zm", manifest={"dim": 64}, stats_cols=["vec_id"]
+    )
+
+    got = storage.read_index_range(spark, "emb_zm", "vec_id", 10, 40)
+    want = emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") <= 40))
+    assert sorted(r["vec_id"] for r in got.collect()) == sorted(
+        r["vec_id"] for r in want.collect()
+    )
+
+    # and the zone maps actually pruned: the narrow range must NOT keep
+    # every file
+    import os
+
+    stats = spark.read.parquet(
+        os.path.join(str(tmp_path), "indices", "emb_zm.stats.parquet")
+    )
+    kept = prune_files(stats, "vec_id", 10, 40)
+    assert 0 < len(kept) < stats.count()
+
+    # unsaved column refuses cleanly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        storage.read_index_range(spark, "emb_zm", "label", 0, 1)
