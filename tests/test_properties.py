@@ -161,3 +161,54 @@ def test_minhash_xxhash_impl_finds_planted_duplicates(spark):
         assert pairs.get((1, 2)) == 1.0, (impl, pairs)
         assert pairs.get((3, 4)) == 1.0, (impl, pairs)
         assert (1, 5) not in pairs and (2, 5) not in pairs
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(vectors.filter(lambda v: len(v) >= 2), min_size=1, max_size=6))
+def test_sq8_codes_bounded_and_error_within_half_step(spark, vs):
+    from multimodal_vector_db_spark.functions.vector import (
+        sq8_decode,
+        sq8_encode,
+        sq8_params,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vs)]
+    vmin, scale = sq8_params(F.col("v"))
+    got = _eval_exprs(
+        spark,
+        rows,
+        "i long, v array<float>",
+        F.col("i"),
+        F.col("v"),
+        sq8_encode(F.col("v"), vmin, scale).alias("codes"),
+        sq8_decode(sq8_encode(F.col("v"), vmin, scale), vmin, scale).alias(
+            "dec"
+        ),
+    )
+    for r in got:
+        v = np.asarray(r["v"], dtype=np.float64)
+        assert all(0 <= c <= 255 for c in r["codes"])
+        step = (v.max() - v.min()) / 255.0
+        err = np.abs(np.asarray(r["dec"]) - v)
+        assert err.max() <= step / 2 + 1e-9
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.lists(finite_floats, min_size=8, max_size=8), min_size=1, max_size=6))
+def test_sign_bits_word_matches_python(spark, vs):
+    from multimodal_vector_db_spark.functions.vector import sign_bits_word
+
+    rows = [(i, v) for i, v in enumerate(vs)]
+    got = _eval_exprs(
+        spark,
+        rows,
+        "i long, v array<float>",
+        F.col("i"),
+        F.col("v"),
+        sign_bits_word("v", 1, 8).alias("w"),
+    )
+    for r in got:
+        want = sum(
+            (1 << j) for j, x in enumerate(r["v"]) if np.float64(x) > 0.0
+        )
+        assert r["w"] == want
