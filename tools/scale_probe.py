@@ -195,6 +195,27 @@ def main() -> None:
 
     probe("knn_batch_64q", knn_run)
 
+    # same workload through the blocked BLAS path: per-partition numpy
+    # matmul + local top-k, shuffle = partitions × k × queries rows.
+    # Expect near-FLAT scaling (matmul throughput ≫ per-pair expression
+    # eval) — this is the crossover evidence for knn_join_blocked being
+    # the 100 TB default.
+    from multimodal_vector_db_spark.operators.knn import knn_join_blocked
+
+    def knn_blocked_run(f):
+        t = spark.read.parquet(f"{WORK}/embeddings_{f}").select(
+            F.col("vec_id").alias("id"), "embedding"
+        )
+
+        def run():
+            knn_join_blocked(t, qs, k=10).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        return run
+
+    probe("knn_blocked_64q", knn_blocked_run)
+
     # shard packing: two windows + tiny offset window, expect ~linear
     def pack_run(f):
         t = spark.read.parquet(f"{WORK}/documents_{f}").select(
