@@ -391,6 +391,24 @@ def main() -> None:
         * 1000,
         3,
     )
+    # transparency: the blocked BLAS exact path on the same 10× corpus.
+    # At in-memory bench scale BLAS throughput beats both the window
+    # path AND IVF pruning (SCALE_PROBE.json crossover); IVF's win is
+    # scan IO it avoids, which only exists when the corpus doesn't fit
+    # page cache.
+    from multimodal_vector_db_spark.operators.knn import knn_join_blocked as _kb
+
+    knn_ann_exact_blocked_ms_per_query = round(
+        timed_median(
+            lambda: _kb(cl_corpus.select("id", "embedding"), qs_cl_df, k=10)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        / len(qs_cl)
+        * 1000,
+        3,
+    )
     ann_res = ivf_search(
         cl_corpus, qs_cl, cl_centroids, k=10, nprobe=8, probe_metric="l2"
     ).select("query_id", "id")
@@ -531,6 +549,7 @@ def main() -> None:
                 "knn_ivf_recall10": knn_ivf_recall10,
                 "knn_ann_ms_per_query": knn_ann_ms_per_query,
                 "knn_ann_exact_ms_per_query": knn_ann_exact_ms_per_query,
+                "knn_ann_exact_blocked_ms_per_query": knn_ann_exact_blocked_ms_per_query,
                 "knn_ann_recall10": knn_ann_recall10,
                 "knn_binary_rerank_ms_per_query": knn_binary_rerank_ms_per_query,
                 "knn_binary_rerank_recall10": knn_binary_rerank_recall10,

@@ -87,6 +87,7 @@ def compact_directory(
     src_dir: str,
     dest_dir: str,
     target_bytes: int = 128 * 1024 * 1024,
+    stats_cols: list[str] | None = None,
 ) -> CompactionPlan:
     """Rewrite ``src_dir`` into ``dest_dir`` with small files merged to
     ~``target_bytes``. Each bin reads only its member files and writes
@@ -94,7 +95,13 @@ def compact_directory(
     skipped files are copied through by reference (read+write without
     merging, preserving their row order). Non-destructive: the source
     directory is untouched, so the swap (atomic rename / metadata
-    commit on a real table format) stays with the caller."""
+    commit on a real table format) stays with the caller.
+
+    ``stats_cols``: compaction INVALIDATES any per-file zone-map table
+    built over the source layout (the files it names are gone); passing
+    the zone-map columns here rebuilds the stats table over the
+    compacted files (written to ``<dest_dir>.stats.parquet``) in the
+    same pass, keeping data skipping correct after maintenance."""
     plan = plan_compaction(list_parquet_files(src_dir), target_bytes)
     os.makedirs(dest_dir, exist_ok=True)
     # mergeSchema: files within a bin may carry evolved schemas (columns
@@ -112,4 +119,12 @@ def compact_directory(
         spark.read.option("mergeSchema", "true").parquet(p).coalesce(
             1
         ).write.mode("append").parquet(dest_dir)
+    if stats_cols:
+        from multimodal_vector_db_spark.operators.pruning import (
+            build_stats_table,
+        )
+
+        build_stats_table(spark, dest_dir, stats_cols).coalesce(
+            1
+        ).write.mode("overwrite").parquet(dest_dir + ".stats.parquet")
     return plan

@@ -238,3 +238,35 @@ def test_zone_map_table_prunes_and_preserves_results(
         .first()
     )
     assert tuple(got) == tuple(want) and got[0] > 0
+
+
+def test_compaction_rebuilds_zone_maps(spark, tmp_path):
+    """Compaction invalidates the old per-file stats; stats_cols
+    rebuilds them over the compacted layout and pruned reads stay
+    exact."""
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.operators.compaction import (
+        compact_directory,
+    )
+    from multimodal_vector_db_spark.operators.pruning import read_pruned
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = str(tmp_path / "small_files")
+    emb.repartitionByRange(16, "vec_id").sortWithinPartitions(
+        "vec_id"
+    ).write.parquet(src)
+
+    dest = str(tmp_path / "compacted")
+    compact_directory(
+        spark, src, dest, target_bytes=256 * 1024, stats_cols=["vec_id"]
+    )
+    stats = spark.read.parquet(dest + ".stats.parquet")
+    got = read_pruned(spark, stats, "vec_id", 5, 25)
+    want = emb.where((F.col("vec_id") >= 5) & (F.col("vec_id") <= 25))
+    assert sorted(r["vec_id"] for r in got.collect()) == sorted(
+        r["vec_id"] for r in want.collect()
+    )
+    # stats describe the compacted files, not the source layout
+    files = {r["file"] for r in stats.collect()}
+    assert all(f.startswith(dest) for f in files)
