@@ -111,11 +111,20 @@ class MultiModalSearchEngine:
         query_space: str | None = None,
         strategy: str = "distance",
         predicate: Column | None = None,
+        approximate: bool = False,
+        shortlist: int = 200,
     ) -> list[dict[str, Any]]:
         """Top-k search. Text queries embed into ``query_space``
         (default: the space implied by ``filter_content_type``, else
         clip). Only same-space rows are scored — cross-space similarity
-        is refused by construction."""
+        is refused by construction.
+
+        ``approximate=True`` routes through the binary sign-bit tier
+        (the engine's analogue of the reference's always-approximate
+        hnswlib search): a 16-byte/vector Hamming scan shortlists
+        ``shortlist`` candidates, the exact dot reranks only those.
+        Quality is a measured recall contract, not a hope — see
+        ``knn_binary_rerank_recall10`` in the bench output."""
         space = query_space or SPACE_OF.get(filter_content_type or "text", "clip")
         qvec = (
             self._embed(query, space) if isinstance(query, str) else query
@@ -125,6 +134,8 @@ class MultiModalSearchEngine:
             corpus = corpus.where(F.col("modality") == filter_content_type)
         if predicate is not None:
             corpus = corpus.filter(predicate)
+        if approximate:
+            corpus = self._binary_shortlist(corpus, qvec, shortlist)
         fetch_n = k if strategy in (None, "distance") else max(k * 4, 20)
         top = knn_search(
             corpus,
@@ -145,6 +156,34 @@ class MultiModalSearchEngine:
             for r in rows:
                 r["embedding"] = emb_by_id.get(r["id"])
         return rerank(rows, strategy=strategy, top_k=k)
+
+    def _binary_shortlist(
+        self, corpus: DataFrame, qvec: list[float], shortlist: int
+    ) -> DataFrame:
+        """Hamming-distance candidate filter over packed sign bits —
+        integer ops over 2 BIGINTs per row, the cheapest possible first
+        pass; survivors keep their full rows for the exact rerank."""
+        from multimodal_vector_db_spark.functions.vector import (
+            sign_bits_word,
+        )
+
+        half = self.dim // 2
+        q = F.array(*[F.lit(float(x)) for x in qvec])
+        q1 = sign_bits_word(q, 1, half)
+        q2 = sign_bits_word(q, half + 1, self.dim - half)
+        hamming = F.bit_count(
+            sign_bits_word("embedding", 1, half).bitwiseXOR(q1)
+        ) + F.bit_count(
+            sign_bits_word("embedding", half + 1, self.dim - half).bitwiseXOR(
+                q2
+            )
+        )
+        return (
+            corpus.withColumn("__hamming", hamming)
+            .orderBy(F.col("__hamming").asc(), F.col("id").asc())
+            .limit(shortlist)
+            .drop("__hamming")
+        )
 
     def compare_modalities(
         self, query: str, k_per_modality: int = 3

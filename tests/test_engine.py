@@ -109,3 +109,22 @@ def test_fake_embedder_properties():
     assert abs(float(np.linalg.norm(a)) - 1.0) < 1e-6
     # different space → unrelated vector
     assert abs(float(a @ c)) < 0.5
+
+
+def test_approximate_search_matches_exact_when_shortlist_covers(spark):
+    """approximate=True with shortlist >= corpus must return exactly
+    the exact path's results (the shortlist is a pure candidate
+    filter); with a tight shortlist it still finds most of the top-k."""
+    eng = MultiModalSearchEngine(spark, dim=64)
+    eng.batch_ingest(
+        [{"content": f"item number {i} text", "modality": "text"} for i in range(60)]
+    )
+    exact = eng.search("item twenty", k=5)
+    approx_full = eng.search("item twenty", k=5, approximate=True, shortlist=100)
+    assert [r["id"] for r in approx_full] == [r["id"] for r in exact]
+
+    approx_tight = eng.search("item twenty", k=5, approximate=True, shortlist=15)
+    overlap = len(
+        {r["id"] for r in approx_tight} & {r["id"] for r in exact}
+    )
+    assert overlap >= 2, overlap
