@@ -2399,6 +2399,88 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted to this schema's columns: 'late' =
+    shipped > 60 days after order date): EXISTS-style correlated filter
+    executed as a LEFT SEMI hash join — the lineitem side reduces to
+    the matching keys map-side, never materializing the pairs."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    late = o.join(
+        li,
+        (li["l_orderkey"] == o["o_orderkey"])
+        & (
+            li["l_shipdate"]
+            > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("order_count")
+    )
+
+
+@query(
+    "tpch_q16",
+    """
+    SELECT p.p_brand, p.p_size,
+           count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 7)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp stood in by the lineitem link): NOT-IN
+    exclusion as a broadcast anti join against the (tiny) blocklisted
+    supplier set, dimension filter broadcast onto the fact scan, then a
+    count-distinct aggregate (two-phase: distinct partial before the
+    final count — no row-level shuffle of duplicates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    bad = sup.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = part.where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 7)
+    ).select("p_partkey", "p_brand", "p_size")
+    joined = (
+        li.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(bad),
+            li["l_suppkey"] == bad["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    )
+    return joined.groupBy("p_brand", "p_size").agg(
+        F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt")
+    )
+
+
+@query(
     "rollup_stats",
     """
     SELECT lang, source,
