@@ -63,6 +63,8 @@ def build_warehouse(spark, sf_dir: str, wh_dir: str, n_files: int = 32) -> None:
     named <table>.parquet so the query registry reads it unchanged).
     File count scales with table size — tiny dimensions stay single-file
     (32 near-empty files would only add open/footer overhead)."""
+    from pyspark.sql import functions as F
+
     shutil.rmtree(wh_dir, ignore_errors=True)
     for name in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -88,17 +90,15 @@ def build_warehouse(spark, sf_dir: str, wh_dir: str, n_files: int = 32) -> None:
     ).parquet(f"{wh_dir}/embeddings_by_label.parquet")
 
     # IVF index build (the analogue of the reference's HNSW build phase,
-    # build_all_indices.py): fit coarse centroids once, materialize the
-    # corpus partitioned by cluster so nprobe search prunes at the file
-    # level. Centroids are persisted for the query phase.
-    from multimodal_vector_db_spark.operators.ann import ivf_assign, ivf_fit
+    # build_all_indices.py) through the product API: centroids fit +
+    # hive-partitioned corpus + persisted centroids in one call.
+    from multimodal_vector_db_spark.operators.ann import build_ivf_index
 
-    centroids = ivf_fit(emb, n_clusters=16)
-    ivf_assign(emb, centroids).repartition(1, "cluster_id").write.mode(
-        "overwrite"
-    ).partitionBy("cluster_id").parquet(f"{wh_dir}/embeddings_ivf.parquet")
-    with open(os.path.join(wh_dir, "ivf_centroids.json"), "w") as f:
-        json.dump(centroids, f)
+    build_ivf_index(
+        emb.select(F.col("vec_id").alias("id"), "embedding"),
+        f"{wh_dir}/embeddings_ivf.parquet",
+        n_clusters=16,
+    )
 
     # Planted-neighborhood corpus for the ANN operating point. Real
     # embedding corpora are clustered (near-duplicates, per-class modes)
@@ -108,8 +108,6 @@ def build_warehouse(spark, sf_dir: str, wh_dir: str, n_files: int = 32) -> None:
     # clustered corpus deterministically FROM the driver's vectors: each
     # source vector spawns 10 xxhash64-perturbed variants (its planted
     # neighborhood), 10× the corpus, then IVF-partition it.
-    from pyspark.sql import functions as F
-
     from multimodal_vector_db_spark.functions.vector import l2_normalize
 
     reps, noise = 10, 0.02
@@ -155,14 +153,9 @@ def build_warehouse(spark, sf_dir: str, wh_dir: str, n_files: int = 32) -> None:
         f"{wh_dir}/embeddings_clustered.parquet"
     )
     clustered = spark.read.parquet(f"{wh_dir}/embeddings_clustered.parquet")
-    from multimodal_vector_db_spark.operators.ann import ivf_fit_assign
-
-    assigned, cl_centroids = ivf_fit_assign(clustered, n_clusters=64)
-    assigned.repartition("cluster_id").write.mode("overwrite").partitionBy(
-        "cluster_id"
-    ).parquet(f"{wh_dir}/embeddings_clustered_ivf.parquet")
-    with open(os.path.join(wh_dir, "clustered_centroids.json"), "w") as f:
-        json.dump(cl_centroids, f)
+    build_ivf_index(
+        clustered, f"{wh_dir}/embeddings_clustered_ivf.parquet", n_clusters=64
+    )
 
 
 def main() -> None:
@@ -282,11 +275,14 @@ def main() -> None:
     # fixed per-action cost across the batch (marginal cost measured
     # ~1.5 ms/query), vs the reference's sequential single-query loop
     # (metrics.py:221-252 averages 10 runs the same way).
-    from multimodal_vector_db_spark.operators.ann import ivf_search
+    from multimodal_vector_db_spark.operators.ann import (
+        ivf_search,
+        open_ivf_index,
+    )
 
-    with open(os.path.join(wh_dir, "ivf_centroids.json")) as f:
-        centroids = json.load(f)
-    ivf_corpus = spark.read.parquet(f"{wh_dir}/embeddings_ivf.parquet")
+    ivf_corpus, centroids = open_ivf_index(
+        spark, f"{wh_dir}/embeddings_ivf.parquet"
+    )
     qs_ivf = [
         (r["vec_id"], list(r["embedding"]))
         for r in emb.where(F.col("vec_id") < 1024)
@@ -296,13 +292,12 @@ def main() -> None:
     knn_ivf_ms_per_query = round(
         timed_median(
             lambda: ivf_search(
-                ivf_corpus.select(
-                    F.col("vec_id").alias("id"), "embedding", "cluster_id"
-                ),
+                ivf_corpus.select("id", "embedding", "cluster_id"),
                 qs_ivf,
                 centroids,
                 k=10,
                 nprobe=6,
+                probe_metric="l2",
             )
             .write.format("noop")
             .mode("overwrite")
@@ -320,13 +315,12 @@ def main() -> None:
     # cells that actually contain the neighbors. nprobe=6/16 picks the
     # knee: latency is fixed-overhead-bound and flat in nprobe here
     ivf_res = ivf_search(
-        ivf_corpus.select(
-            F.col("vec_id").alias("id"), "embedding", "cluster_id"
-        ),
+        ivf_corpus.select("id", "embedding", "cluster_id"),
         qs_ivf,
         centroids,
         k=10,
         nprobe=6,
+        probe_metric="l2",
     ).select("query_id", "id")
     exact_res = knn_join(
         corpus,
@@ -346,11 +340,10 @@ def main() -> None:
     # R@10 (image_embedder.py:6-7), achievable only where the data HAS
     # neighborhood structure for the index to exploit. nprobe=8 of 64
     # scans ~1/8 of the corpus.
-    with open(os.path.join(wh_dir, "clustered_centroids.json")) as f:
-        cl_centroids = json.load(f)
-    cl_corpus = spark.read.parquet(
-        f"{wh_dir}/embeddings_clustered_ivf.parquet"
-    ).select("id", "embedding", "cluster_id")
+    cl_all, cl_centroids = open_ivf_index(
+        spark, f"{wh_dir}/embeddings_clustered_ivf.parquet"
+    )
+    cl_corpus = cl_all.select("id", "embedding", "cluster_id")
     qs_cl = [
         (r["vec_id"], [float(x) for x in r["embedding"]])
         for r in emb.where(F.col("vec_id") < 256)

@@ -519,3 +519,46 @@ def lsh_multiprobe_knn(
         "query_id", "id", dot(F.col("__emb"), F.col("__q")).alias("sim")
     )
     return top_k_per_group(scored, ["query_id"], k)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_clusters: int,
+    id_col: str = "id",
+    vector_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Materialize an IVF index as a storage artifact — the engine's
+    ``build_all_indices.py``: fit coarse centroids (MLlib KMeans), write
+    the corpus hive-partitioned by ``cluster_id`` (one file per cluster
+    partition, so nprobe search prunes whole files), persist the
+    centroids as ``<path>.centroids.json``. Build once, query many —
+    the same amortization as the reference's HNSW build.
+
+    Returns the centroids (also saved) for immediate searching."""
+    import json as _json
+
+    assigned, centroids = ivf_fit_assign(
+        corpus.select(F.col(id_col).alias("id"), F.col(vector_col).alias("embedding")),
+        n_clusters=n_clusters,
+        seed=seed,
+        max_iter=max_iter,
+    )
+    assigned.repartition("cluster_id").write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(path)
+    with open(path + ".centroids.json", "w") as f:
+        _json.dump(centroids, f)
+    return centroids
+
+
+def open_ivf_index(spark, path: str):
+    """Open a :func:`build_ivf_index` artifact: returns
+    ``(assigned_corpus, centroids)`` ready for :func:`ivf_search`."""
+    import json as _json
+
+    with open(path + ".centroids.json") as f:
+        centroids = _json.load(f)
+    return spark.read.parquet(path), centroids

@@ -298,3 +298,40 @@ def test_lsh_multiprobe_recall_dominates_single_bucket(spark, embeddings):
     # data the gain is material, not marginal
     assert r3 >= r1
     assert r3 >= min(1.0, r1 + 0.05) or r3 > 0.5
+
+
+def test_build_open_ivf_index_round_trip(spark, tmp_path):
+    """build_ivf_index -> open_ivf_index -> ivf_search returns the same
+    results as searching the in-memory assignment, and the layout is
+    hive-partitioned by cluster_id."""
+    import os
+
+    from multimodal_vector_db_spark.operators.ann import (
+        build_ivf_index,
+        ivf_search,
+        open_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("id"), "embedding")
+    path = str(tmp_path / "ivf_index")
+    centroids = build_ivf_index(corpus, path, n_clusters=4)
+
+    opened, loaded_centroids = open_ivf_index(spark, path)
+    assert loaded_centroids == centroids
+    assert any(
+        d.startswith("cluster_id=") for d in os.listdir(path)
+    )  # hive layout
+
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 4).collect()
+    ]
+    res = ivf_search(
+        opened, qs, loaded_centroids, k=5, nprobe=2, probe_metric="l2"
+    )
+    got = {(r["query_id"], r["id"], r["rank"]) for r in res.collect()}
+    assert len(got) == 4 * 5
+    # every query's own vector is its top hit (self-similarity maximal
+    # and its own cell is always probed first)
+    assert all((q, q, 1) in got for q, _ in qs)
