@@ -216,6 +216,30 @@ def main() -> None:
 
     probe("knn_blocked_64q", knn_blocked_run)
 
+    # connected components over the near-dup candidate graph — the
+    # iterative op (min-label propagation, localCheckpoint per round).
+    # The replicated corpus has ~f-sized near-dup families per source
+    # doc, so edges AND components scale with f while diameters stay
+    # small; expect ~linear wall time, NOT growth in round count.
+    from multimodal_vector_db_spark.operators.dedup import (
+        connected_components,
+    )
+
+    def cc_run(f):
+        t = spark.read.parquet(f"{WORK}/documents_{f}")
+        edges = minhash_lsh_candidates(
+            t, num_hashes=8, bands=4, hash_impl="xxhash64"
+        ).select("id_a", "id_b")
+
+        def run():
+            connected_components(edges).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        return run
+
+    probe("dedup_connected_components", cc_run)
+
     # shard packing: two windows + tiny offset window, expect ~linear
     def pack_run(f):
         t = spark.read.parquet(f"{WORK}/documents_{f}").select(
