@@ -123,35 +123,98 @@ def extract_features(media: DataFrame, n_features: int = 4) -> DataFrame:
 
 
 def decode_image(content: bytes) -> "object":
-    """S5 (``image_embedder.py:154-157``): bytes → RGB image. Real path
-    gated on PIL availability; absent here by container policy."""
+    """S5 (``image_embedder.py:154-157``): bytes → pixel array / image.
+
+    REAL for binary netpbm (P6 PPM / P5 PGM — the interchange format
+    every tool can emit): pure numpy decode, no dependencies. Other
+    formats (JPEG/PNG) need PIL, which is absent in this container —
+    those raise NotImplementedError at call time."""
+    if content[:2] in (b"P6", b"P5"):
+        from multimodal_vector_db_spark.multimodal.codecs import decode_ppm
+
+        return decode_ppm(content)
     try:
         from io import BytesIO
 
         from PIL import Image  # type: ignore[import-not-found]
     except ImportError as exc:  # pragma: no cover - PIL not installed
         raise NotImplementedError(
-            "image decode requires PIL, which is not available in this "
-            "container; the Spark-side plumbing (binary column, "
-            "mapInPandas batching) is real — swap _digest_features for "
-            "the PIL+CLIP body on a cluster with the libs installed"
+            "non-netpbm image decode requires PIL, which is not "
+            "available in this container; PPM/PGM decode IS real "
+            "(multimodal/codecs.py) — swap in the PIL body on a "
+            "cluster with the libs installed"
         ) from exc
     return Image.open(BytesIO(content)).convert("RGB")  # pragma: no cover
 
 
 def load_audio(content: bytes, sample_rate: int = 48_000) -> "object":
-    """S7 (``audio_embedder.py:213``): bytes → waveform. Gated on
-    librosa/soundfile availability; absent here."""
+    """S7 (``audio_embedder.py:213``): bytes → (sample_rate, waveform).
+
+    REAL for PCM WAV (stdlib ``wave`` + numpy, stereo→mono, [-1, 1]
+    floats — the librosa.load contract). Compressed formats (mp3/flac)
+    need soundfile/librosa, absent here — they raise at call time."""
+    if content[:4] == b"RIFF":
+        from multimodal_vector_db_spark.multimodal.codecs import decode_wav
+
+        return decode_wav(content)
     try:
         import io
 
         import soundfile  # type: ignore[import-not-found]
     except ImportError as exc:  # pragma: no cover - librosa not installed
         raise NotImplementedError(
-            "audio decode requires soundfile/librosa, not available in "
-            "this container; plumbing is real, decoder body is the stub"
+            "compressed-audio decode requires soundfile/librosa, not "
+            "available in this container; PCM WAV decode IS real "
+            "(multimodal/codecs.py)"
         ) from exc
     return soundfile.read(io.BytesIO(content))  # pragma: no cover
+
+
+#: Output of the real-decoder feature stage.
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("decoder", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Decode + featurize with the REAL codecs where the format allows:
+    netpbm images → pixel statistics, PCM WAV → signal statistics,
+    anything else → the deterministic digest fallback. Same
+    ``mapInPandas`` shape as :func:`extract_features` — Arrow batches,
+    one Python worker per partition, no shuffle."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from multimodal_vector_db_spark.multimodal import codecs
+
+        def one(b: bytes) -> tuple[str, list[float]]:
+            b = bytes(b)
+            if b[:2] in (b"P6", b"P5"):
+                return "netpbm", codecs.image_features(codecs.decode_ppm(b))
+            if b[:4] == b"RIFF":
+                return "wav", codecs.audio_features(*codecs.decode_wav(b))
+            return "digest", _digest_features(b, 4)
+
+        for pdf in it:
+            decoded = pdf["content"].map(one)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "modality": pdf["modality"],
+                    "decoder": decoded.map(lambda t: t[0]),
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "features": decoded.map(lambda t: t[1]),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=MEDIA_FEATURE_SCHEMA)
 
 
 def frame_interval(fps: Column, sample_fps: float) -> Column:

@@ -75,10 +75,12 @@ def test_frame_sampling_matches_python_reference(spark):
 
 
 def test_stub_decoders_raise(spark):
+    # formats OUTSIDE the real stdlib codecs (netpbm / PCM WAV) stay
+    # gated on PIL / soundfile
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG fake")
     with pytest.raises(NotImplementedError):
-        load_audio(b"RIFF fake")
+        load_audio(b"fLaC fake")
 
 
 def test_scan_media_directory_binary_source(spark, tmp_path):
@@ -120,3 +122,108 @@ def test_parse_wiki_corpus_wholetext(spark, tmp_path):
     assert rows["Title Two"]["preview"].endswith("...")
     assert len(rows["Title Two"]["preview"]) == 203
     assert rows["Title One"]["content"].startswith("word word")
+
+
+def test_ppm_decode_roundtrip_and_resize():
+    import numpy as np
+
+    from multimodal_vector_db_spark.multimodal.codecs import (
+        decode_ppm,
+        encode_ppm,
+        image_features,
+        resize_nearest,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(30, 20, 3), dtype=np.uint8)
+    back = decode_ppm(encode_ppm(img))
+    assert (back == img).all()
+
+    small = resize_nearest(img, 8, 8)
+    assert small.shape == (8, 8, 3)
+
+    feats = image_features(img)
+    assert len(feats) == 9
+    assert abs(feats[0] - img[:, :, 0].mean()) < 1e-9
+    assert abs(feats[4] - 20 / 30) < 1e-9
+    assert abs(sum(feats[5:]) - 1.0) < 1e-9  # histogram shares
+
+
+def test_wav_decode_roundtrip_and_features():
+    import numpy as np
+
+    from multimodal_vector_db_spark.multimodal.codecs import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    sr = 8000
+    t = np.arange(sr) / sr  # 1 second
+    tone = (np.sin(2 * np.pi * 440.0 * t) * 20000).astype(np.int16)
+    sr2, x = decode_wav(encode_wav(tone, sr))
+    assert sr2 == sr
+    assert len(x) == sr
+    assert np.abs(x).max() <= 1.0
+
+    dur, rms, zcr, centroid, rolloff = audio_features(sr2, x)
+    assert abs(dur - 1.0) < 1e-9
+    assert 0.3 < rms < 0.7  # sine RMS ~ amp/sqrt(2) ~ 0.43
+    # a pure 440 Hz tone centroids at ~440 Hz
+    assert 400 < centroid < 480, centroid
+    assert 400 < rolloff < 480, rolloff
+
+
+def test_real_decoders_via_pipeline_functions():
+    import numpy as np
+
+    from multimodal_vector_db_spark.multimodal.codecs import (
+        encode_ppm,
+        encode_wav,
+    )
+    from multimodal_vector_db_spark.multimodal.pipeline import (
+        decode_image,
+        load_audio,
+    )
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    assert decode_image(encode_ppm(img)).shape == (4, 4, 3)
+    sr, x = load_audio(encode_wav(np.zeros(100, dtype=np.int16), 16000))
+    assert sr == 16000 and len(x) == 100
+
+
+def test_extract_media_features_dispatches_by_format(spark):
+    import numpy as np
+
+    from multimodal_vector_db_spark.multimodal.codecs import (
+        audio_features,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+        image_features,
+    )
+    from multimodal_vector_db_spark.multimodal.pipeline import (
+        extract_media_features,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    wav = encode_wav(
+        (np.sin(np.arange(2000) * 0.2) * 10000).astype(np.int16), 8000
+    )
+    rows = [
+        (0, "image", bytearray(encode_ppm(img)), ("image/x-ppm", 0, "t")),
+        (1, "audio", bytearray(wav), ("audio/wav", 0, "t")),
+        (2, "text", bytearray(b"hello world"), ("text/plain", 0, "t")),
+    ]
+    from multimodal_vector_db_spark.multimodal.pipeline import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["id"]: r for r in extract_media_features(media).collect()
+    }
+    assert got[0]["decoder"] == "netpbm"
+    assert got[1]["decoder"] == "wav"
+    assert got[2]["decoder"] == "digest"
+    assert np.allclose(got[0]["features"], image_features(img))
+    assert np.allclose(got[1]["features"], audio_features(*decode_wav(wav)))
