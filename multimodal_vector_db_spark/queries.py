@@ -5571,6 +5571,98 @@ def q_maxsim_multivector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_codec_features",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5(doc_id::VARCHAR)
+               || md5(doc_id::VARCHAR || 'x')
+               || md5(doc_id::VARCHAR || 'y') AS hexes
+      FROM documents WHERE doc_id < 200
+    ),
+    m AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, 2), c ->
+          list_sum(list_transform(generate_series(0, 11), k ->
+            ('0x' || substring(hexes, 2 * (c + 3 * k) + 1, 2))::BIGINT
+          )) / 12.0) AS chan
+      FROM h
+    )
+    SELECT doc_id,
+           round(chan[1], 6) AS mean_r,
+           round(chan[2], 6) AS mean_g,
+           round(chan[3], 6) AS mean_b,
+           4.0 / 3.0 AS aspect
+    FROM m
+    """,
+)
+def q_media_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under oracle check: build a 4×3 binary PPM per
+    document (header + 36 md5-derived payload bytes), push it through
+    the actual netpbm codec + pixel featurizer in ``mapInPandas``
+    (multimodal/codecs.py — byte parsing, reshape, channel means), and
+    let DuckDB re-derive the expected channel means INDEPENDENTLY from
+    the hex strings. A decoder bug (stride, channel order, header
+    skew) breaks the hash match — this is the decode path's
+    correctness gate, not a digest stand-in."""
+    from pyspark.sql import types as T
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    d = F.col("doc_id").cast("string")
+    hexes = F.concat(
+        F.md5(d), F.md5(F.concat(d, F.lit("x"))), F.md5(F.concat(d, F.lit("y")))
+    )
+    header_hex = "P6\n4 3\n255\n".encode().hex()
+    media = docs.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit(header_hex)), F.unhex(F.substring(hexes, 1, 72))
+        ).alias("content"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+            T.StructField("aspect", T.DoubleType()),
+        ]
+    )
+
+    def decode_batches(it):
+        import pandas as pd
+
+        from multimodal_vector_db_spark.multimodal.codecs import (
+            decode_ppm,
+            image_features,
+        )
+
+        for pdf in it:
+            feats = pdf["content"].map(
+                lambda b: image_features(decode_ppm(bytes(b)))
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mean_r": feats.map(lambda f: f[0]),
+                    "mean_g": feats.map(lambda f: f[1]),
+                    "mean_b": feats.map(lambda f: f[2]),
+                    "aspect": feats.map(lambda f: f[4]),
+                }
+            )
+
+    decoded = media.mapInPandas(decode_batches, schema=out_schema)
+    return decoded.select(
+        "doc_id",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "aspect",
+    )
+
+
+@query(
     "cohort_retention",
     """
     WITH act AS (
