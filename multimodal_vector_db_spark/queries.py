@@ -5663,6 +5663,109 @@ def q_media_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audio_codec_features",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5(doc_id::VARCHAR)
+               || md5(doc_id::VARCHAR || 'x')
+               || md5(doc_id::VARCHAR || 'y') AS hexes
+      FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, 23), k ->
+          CASE WHEN ('0x' || substring(hexes, 4*k+3, 2))::BIGINT >= 128
+               THEN ('0x' || substring(hexes, 4*k+1, 2))::BIGINT
+                    + 256 * ('0x' || substring(hexes, 4*k+3, 2))::BIGINT
+                    - 65536
+               ELSE ('0x' || substring(hexes, 4*k+1, 2))::BIGINT
+                    + 256 * ('0x' || substring(hexes, 4*k+3, 2))::BIGINT
+          END) AS smp
+      FROM h
+    )
+    SELECT doc_id,
+      round(24.0 / 8000.0, 6) AS duration,
+      round(sqrt(list_sum(list_transform(smp,
+        v -> (v::DOUBLE / 32768) * (v::DOUBLE / 32768))) / 24.0), 6) AS rms,
+      round(list_sum(list_transform(generate_series(1, 23), k ->
+        abs((CASE WHEN smp[k+1] < 0 THEN 1 ELSE 0 END)
+            - (CASE WHEN smp[k] < 0 THEN 1 ELSE 0 END)))) / 23.0, 6) AS zcr
+    FROM s
+    """,
+)
+def q_audio_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under oracle check — the WAV twin of
+    `media_codec_features`: build a 24-sample PCM WAV per document
+    (fixed RIFF header + md5-derived int16 payload) inside the plan,
+    decode it with the actual stdlib-wave codec in ``mapInPandas``
+    (multimodal/codecs.py — framing, endianness, sign, [-1,1]
+    scaling), and let DuckDB re-derive duration/RMS/zero-crossing-rate
+    independently from the hex strings. An endianness or sign bug in
+    the decoder breaks the hash match."""
+    import struct
+
+    from pyspark.sql import types as T
+
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + 48)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + struct.pack("<I", 48)
+    )
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    d = F.col("doc_id").cast("string")
+    hexes = F.concat(
+        F.md5(d), F.md5(F.concat(d, F.lit("x"))), F.md5(F.concat(d, F.lit("y")))
+    )
+    media = docs.select(
+        "doc_id",
+        F.concat(F.unhex(F.lit(hdr.hex())), F.unhex(hexes)).alias("content"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("duration", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zcr", T.DoubleType()),
+        ]
+    )
+
+    def decode_batches(it):
+        import pandas as pd
+
+        from multimodal_vector_db_spark.multimodal.codecs import (
+            audio_features,
+            decode_wav,
+        )
+
+        for pdf in it:
+            feats = pdf["content"].map(
+                lambda b: audio_features(*decode_wav(bytes(b)))
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "duration": feats.map(lambda f: f[0]),
+                    "rms": feats.map(lambda f: f[1]),
+                    "zcr": feats.map(lambda f: f[2]),
+                }
+            )
+
+    decoded = media.mapInPandas(decode_batches, schema=out_schema)
+    return decoded.select(
+        "doc_id",
+        F.round("duration", 6).alias("duration"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+    )
+
+
+@query(
     "cohort_retention",
     """
     WITH act AS (
