@@ -158,3 +158,65 @@ def audio_features(sr: int, x: np.ndarray) -> list[float]:
         cum = np.cumsum(power)
         rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * total))])
     return [n / float(sr), rms, zcr, centroid, rolloff]
+
+
+# -- Y4M video ---------------------------------------------------------------
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(N, H, W) uint8 luma-only frames → YUV4MPEG2 bytes (C420 with
+    flat chroma). Test/data-generation twin of :func:`decode_y4m`."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    out = io.BytesIO()
+    out.write(b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C420\n" % (w, h, fps))
+    chroma = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    for i in range(n):
+        out.write(b"FRAME\n")
+        out.write(frames[i].tobytes())
+        out.write(chroma)  # U plane
+        out.write(chroma)  # V plane
+    return out.getvalue()
+
+
+def decode_y4m(content: bytes) -> tuple[float, np.ndarray]:
+    """YUV4MPEG2 (C420) → (fps, luma frames as (N, H, W) uint8).
+
+    The one video container that is pure headers + raw planes — the
+    zero-dependency REAL video decode path (everything else needs
+    ffmpeg/cv2, gated in pipeline.py). Chroma planes are skipped; the
+    luma plane is what frame statistics and perceptual hashes use."""
+    nl = content.index(b"\n")
+    header = content[:nl].split(b" ")
+    if header[0] != b"YUV4MPEG2":
+        raise ValueError(f"not a y4m stream: {header[0]!r}")
+    w = h = None
+    fps = 25.0
+    for tok in header[1:]:
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+        elif tok.startswith(b"F"):
+            num, den = tok[1:].split(b":")
+            fps = int(num) / int(den)
+        elif tok.startswith(b"C") and tok not in (b"C420", b"C420jpeg",
+                                                  b"C420mpeg2"):
+            raise ValueError(f"only C420 supported: {tok!r}")
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    luma_sz = w * h
+    frame_sz = luma_sz + 2 * ((h // 2) * (w // 2))
+    pos = nl + 1
+    frames = []
+    while pos < len(content):
+        fe = content.index(b"\n", pos)
+        if content[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        pos = fe + 1
+        luma = np.frombuffer(content[pos:pos + luma_sz], dtype=np.uint8)
+        if len(luma) != luma_sz:
+            raise ValueError("truncated y4m frame")
+        frames.append(luma.reshape(h, w))
+        pos += frame_sz
+    return fps, np.stack(frames) if frames else np.zeros((0, h, w), np.uint8)

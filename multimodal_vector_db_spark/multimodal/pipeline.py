@@ -217,6 +217,54 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=MEDIA_FEATURE_SCHEMA)
 
 
+#: Output of the y4m frame-explosion stage.
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.LongType()),
+        T.StructField("frame_no", T.LongType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("luma_mean", T.DoubleType()),
+        T.StructField("luma_std", T.DoubleType()),
+    ]
+)
+
+
+def video_frames_from_y4m(
+    media: DataFrame, id_col: str = "video_id", content_col: str = "content"
+) -> DataFrame:
+    """REAL video decode (S6 upstream): YUV4MPEG2 bytes → one row per
+    frame with luma statistics, via ``mapInPandas``. Composes directly
+    with :func:`sample_frame_plan` (the reference's fps-driven frame
+    sampler, ``video_embedder.py:82-114``) and the A3 temporal pooling
+    operators — the full video path with zero native dependencies."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from multimodal_vector_db_spark.multimodal.codecs import decode_y4m
+
+        for pdf in it:
+            out: dict[str, list] = {
+                "video_id": [],
+                "frame_no": [],
+                "fps": [],
+                "luma_mean": [],
+                "luma_std": [],
+            }
+            for vid, content in zip(pdf[id_col], pdf[content_col]):
+                fps, frames = decode_y4m(bytes(content))
+                for i in range(frames.shape[0]):
+                    f = frames[i].astype("float64")
+                    out["video_id"].append(vid)
+                    out["frame_no"].append(i)
+                    out["fps"].append(float(fps))
+                    out["luma_mean"].append(float(f.mean()))
+                    out["luma_std"].append(float(f.std()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)
+
+
 def frame_interval(fps: Column, sample_fps: float) -> Column:
     """``max(1, int(video_fps / sample_fps))`` — video_embedder.py:98."""
     return F.greatest(

@@ -5766,6 +5766,65 @@ def q_audio_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "video_codec_features",
+    """
+    WITH h AS (
+      SELECT doc_id FROM documents WHERE doc_id < 200
+    ),
+    f AS (
+      SELECT doc_id, unnest(generate_series(0, 1)) AS frame_no FROM h
+    ),
+    m AS (
+      SELECT doc_id, frame_no,
+             md5(doc_id::VARCHAR || frame_no::VARCHAR) AS hx
+      FROM f
+    )
+    SELECT doc_id, frame_no::BIGINT AS frame_no,
+           round(list_sum(list_transform(generate_series(0, 15), k ->
+             ('0x' || substring(hx, 2*k+1, 2))::BIGINT)) / 16.0, 6)
+             AS luma_mean
+    FROM m
+    """,
+)
+def q_video_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode under oracle check — the Y4M member of the
+    codec trio: build a 2-frame 4×4 YUV4MPEG2 stream per document
+    (header + FRAME markers + md5-derived luma planes + flat chroma)
+    inside the plan, decode it with the actual y4m codec in
+    ``mapInPandas`` (multimodal/codecs.py — header parse, plane
+    strides, frame framing), and let DuckDB re-derive each frame's
+    luma mean independently. A plane-stride or frame-offset bug breaks
+    the hash match."""
+    from multimodal_vector_db_spark.multimodal.pipeline import (
+        video_frames_from_y4m,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    d = F.col("doc_id").cast("string")
+    hdr_hex = b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\n".hex()
+    frame_marker = b"FRAME\n".hex()
+    chroma = F.substring(F.md5(F.concat(d, F.lit("c"))), 1, 16)
+    media = docs.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit(hdr_hex)),
+            F.unhex(F.lit(frame_marker)),
+            F.unhex(F.md5(F.concat(d, F.lit("0")))),
+            F.unhex(chroma),
+            F.unhex(F.lit(frame_marker)),
+            F.unhex(F.md5(F.concat(d, F.lit("1")))),
+            F.unhex(chroma),
+        ).alias("content"),
+    )
+    frames = video_frames_from_y4m(media, id_col="doc_id")
+    return frames.select(
+        F.col("video_id").alias("doc_id"),
+        "frame_no",
+        F.round("luma_mean", 6).alias("luma_mean"),
+    )
+
+
+@query(
     "cohort_retention",
     """
     WITH act AS (

@@ -227,3 +227,70 @@ def test_extract_media_features_dispatches_by_format(spark):
     assert got[2]["decoder"] == "digest"
     assert np.allclose(got[0]["features"], image_features(img))
     assert np.allclose(got[1]["features"], audio_features(*decode_wav(wav)))
+
+
+def test_y4m_decode_roundtrip():
+    import numpy as np
+
+    from multimodal_vector_db_spark.multimodal.codecs import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = np.random.RandomState(11)
+    frames = rng.randint(0, 256, size=(5, 6, 8), dtype=np.uint8)
+    fps, back = decode_y4m(encode_y4m(frames, fps=10))
+    assert fps == 10.0
+    assert back.shape == (5, 6, 8)
+    assert (back == frames).all()
+
+
+def test_y4m_video_pipeline_sample_and_pool(spark):
+    """REAL video path end-to-end: y4m bytes -> decode -> one row per
+    frame -> relational frame sampling (S6) -> temporal mean pool (A3).
+    The pooled per-video luma means must equal direct numpy."""
+    import numpy as np
+
+    from multimodal_vector_db_spark.multimodal.codecs import (
+        decode_y4m,
+        encode_y4m,
+    )
+    from multimodal_vector_db_spark.multimodal.pipeline import (
+        sample_frame_plan,
+        video_frames_from_y4m,
+    )
+
+    rng = np.random.RandomState(5)
+    vids = {
+        vid: rng.randint(0, 256, size=(12, 4, 4), dtype=np.uint8)
+        for vid in (0, 1)
+    }
+    rows = [
+        (vid, bytearray(encode_y4m(f, fps=4))) for vid, f in vids.items()
+    ]
+    media = spark.createDataFrame(rows, "video_id long, content binary")
+
+    frames = video_frames_from_y4m(media)
+    got_frames = frames.where(F.col("video_id") == 0).count()
+    assert got_frames == 12
+
+    sampled = sample_frame_plan(
+        frames, "video_id", "frame_no", "fps", sample_fps=2.0, max_frames=4
+    )
+    # fps=4, sample_fps=2 -> interval 2 -> frames 0,2,4,6 kept (max 4)
+    kept = sorted(
+        r["frame_no"]
+        for r in sampled.where(F.col("video_id") == 0).collect()
+    )
+    assert kept == [0, 2, 4, 6]
+
+    pooled = sampled.groupBy("video_id").agg(
+        F.avg("luma_mean").alias("pooled")
+    )
+    for r in pooled.collect():
+        expect = float(
+            np.mean(
+                [vids[r["video_id"]][i].mean() for i in (0, 2, 4, 6)]
+            )
+        )
+        assert abs(r["pooled"] - expect) < 1e-9
