@@ -361,3 +361,34 @@ def lsh_band_keys_xxhash(
             for b in range(bands)
         ]
     )
+
+
+def hashing_embed(text: Column | str, dim: int = 64) -> Column:
+    """REAL text embedding by feature hashing (the HashingTF family):
+    whitespace tokens hash into ``dim`` buckets (md5-prefix mod dim —
+    replayable in any engine), bucket counts form the term-frequency
+    vector, L2-normalized so dot product = cosine. A genuine lexical
+    embedder — documents sharing vocabulary land near each other — and
+    a pure Column expression, so embed + search stays whole-stage
+    codegen'd end to end (the oracle-checkable counterpart of the
+    model-gated CLIP path in embedders/real.py).
+
+    This per-row form evaluates dim × n_tokens comparisons — fine for
+    documents; for very long texts explode + groupBy(bucket) is the
+    same math with a shuffle instead."""
+    from multimodal_vector_db_spark.functions.vector import l2_normalize
+
+    toks = tokens(F.lower(text if isinstance(text, Column) else F.col(text)))
+    buckets = F.transform(
+        toks,
+        lambda t: F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+            F.lit(dim),
+        ),
+    )
+    tf = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.size(F.filter(buckets, lambda b: b == i.cast("long")))
+        .cast("double"),
+    )
+    return l2_normalize(tf)

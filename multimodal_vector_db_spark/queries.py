@@ -5825,6 +5825,63 @@ def q_video_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "feature_hashing_knn",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS.format(col="lower(text)")} AS toks FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+        list_transform(toks,
+          tk -> ('0x' || substring(md5(tk), 1, 8))::BIGINT % 64) AS buckets
+      FROM t
+    ),
+    v AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, 63),
+          i -> len(list_filter(buckets, bk -> bk = i))::DOUBLE) AS tf
+      FROM b
+    ),
+    n AS (
+      SELECT doc_id,
+        CASE WHEN sqrt(list_dot_product(tf, tf)) = 0 THEN tf
+             ELSE list_transform(tf,
+               x -> x / sqrt(list_dot_product(tf, tf))) END AS v
+      FROM v
+    ),
+    q AS (SELECT v AS qv FROM n WHERE doc_id = 0)
+    SELECT n.doc_id AS id, round(list_dot_product(n.v, q.qv), 6) AS sim
+    FROM n, q ORDER BY sim DESC, id ASC LIMIT 10
+    """,
+)
+def q_feature_hashing_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL text embedding + search, fully oracle-checked end to end:
+    feature-hashing TF vectors (the HashingTF family — tokens hash to
+    64 buckets, counts L2-normalized) computed as pure Column
+    expressions, then cosine top-10 against document 0. Unlike the
+    digest fake, this is a genuine lexical embedder — documents
+    sharing vocabulary score high — and unlike the CLIP path it needs
+    no model weights, so the ENTIRE embed→search pipeline is inside
+    whole-stage codegen and replayable by the SQL oracle."""
+    from multimodal_vector_db_spark.functions.text import hashing_embed
+
+    docs = _t(spark, sf_dir, "documents")
+    embedded = docs.select(
+        "doc_id", hashing_embed("text", 64).alias("v")
+    )
+    qvec = embedded.where(F.col("doc_id") == 0).select("v").first()[0]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        embedded.select(
+            F.col("doc_id").alias("id"),
+            F.round(dot(F.col("v"), q), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("id").asc())
+        .limit(10)
+    )
+
+
+@query(
     "cohort_retention",
     """
     WITH act AS (
