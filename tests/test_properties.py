@@ -212,3 +212,29 @@ def test_sign_bits_word_matches_python(spark, vs):
             (1 << j) for j, x in enumerate(r["v"]) if np.float64(x) > 0.0
         )
         assert r["w"] == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_codec_round_trips_random(spark, h, w, seed):
+    """PPM and WAV codecs round-trip arbitrary payload shapes."""
+    from multimodal_vector_db_spark.multimodal.codecs import (
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+
+    n = h * w * 4
+    samples = rng.randint(-32768, 32767, size=n, dtype=np.int16)
+    sr, x = decode_wav(encode_wav(samples, 8000))
+    assert sr == 8000
+    assert np.allclose(x, samples.astype(np.float64) / 32768.0)
