@@ -257,6 +257,51 @@ def main() -> None:
 
     probe("shard_packing", pack_run)
 
+    # skew-join remedy, measured: a fact table where ONE key holds 80%
+    # of all rows, shuffle-joined (broadcast disabled — the situation
+    # when the dim side is too big to broadcast) plain vs salted. AQE's
+    # skew-join split does NOT fire here (the hot partition stays under
+    # its 256 MB byte threshold while being 25× the others by rows), so
+    # the hot reducer serializes — the gap salting closes. Run at 16×
+    # (9.6M rows) where the straggler actually shows.
+    from multimodal_vector_db_spark.operators.joins import salted_join
+
+    fact = spark.read.parquet(f"{WORK}/lineitem_16").select(
+        F.when(F.col("l_orderkey") % 10 < 8, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 100_000)
+        .alias("k"),
+        "l_extendedprice",
+    )
+    dim = spark.range(0, 100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("grp")
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain_sec = timed(
+            lambda: fact.join(dim, on="k")
+            .groupBy("grp")
+            .agg(F.sum("l_extendedprice").alias("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        salted_sec = timed(
+            lambda: salted_join(fact, dim, on="k", n_salts=32)
+            .groupBy("grp")
+            .agg(F.sum("l_extendedprice").alias("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    results["skew_join_16x"] = {
+        "sec": {"plain_shuffle": plain_sec, "salted": salted_sec},
+        "speedup": round(plain_sec / max(salted_sec, 1e-9), 2),
+    }
+    print("skew_join_16x", results["skew_join_16x"], flush=True)
+
     out = {
         "sf_dir": SF_DIR,
         "factors": FACTORS,
