@@ -166,10 +166,34 @@ def ivf_fit_assign(
 
 
 def nearest_centroid(
-    vector_col: Column, centroids: list[list[float]]
+    vector_col: Column,
+    centroids: list[list[float]],
+    metric: str = "dot",
 ) -> Column:
-    """Index of the max-dot-product centroid (vectors L2-normalized →
-    same ranking as min-L2). Pure expression over the broadcast list."""
+    """Index of the nearest centroid as a pure expression over the
+    broadcast list. ``metric="dot"`` = max dot product (ties → higher
+    cid, matching array_max); ``metric="l2"`` = min Euclidean distance
+    (ties → higher cid), the MLlib-KMeans assignment rule — use it for
+    centroids that came from :func:`ivf_fit_assign`/
+    :func:`build_ivf_index` so appends agree with the build."""
+    if metric == "l2":
+        from multimodal_vector_db_spark.functions.vector import l2_distance
+
+        pairs = F.array(
+            *[
+                F.struct(
+                    (
+                        -l2_distance(
+                            vector_col,
+                            F.array(*[F.lit(float(x)) for x in c]),
+                        )
+                    ).alias("sim"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.array_max(pairs)["cid"]
     pairs = F.array(
         *[
             F.struct(
@@ -209,12 +233,14 @@ def ivf_assign(
     centroids: list[list[float]],
     vector_col: str = "embedding",
     cluster_col: str = "cluster_id",
+    metric: str = "dot",
 ) -> DataFrame:
     """Assign every row its coarse cluster. At scale, write the corpus
     ``partitionBy(cluster_col)`` so nprobe search becomes partition
-    pruning at the parquet scan."""
+    pruning at the parquet scan. ``metric`` must match how the
+    centroids were produced (see :func:`nearest_centroid`)."""
     return corpus.withColumn(
-        cluster_col, nearest_centroid(F.col(vector_col), centroids)
+        cluster_col, nearest_centroid(F.col(vector_col), centroids, metric)
     )
 
 
@@ -603,3 +629,37 @@ def open_lsh_index(spark, path: str):
     with open(path + ".hyperplanes.json") as f:
         hyperplanes = _json.load(f)
     return spark.read.parquet(path), hyperplanes
+
+
+def ivf_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "id",
+    vector_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance — the reference's ``add_vectors``
+    (``vector_index.py:94-103``) at the index level: assign new rows to
+    the EXISTING centroids (broadcast expression, no refit) and append
+    them into the hive partitions. Centroids drift as the corpus grows;
+    monitor with the `embedding_drift` query and rebuild via
+    :func:`build_ivf_index` when per-cell cohesion degrades — the same
+    build-vs-maintain trade every IVF deployment makes."""
+    import json as _json
+
+    with open(path + ".centroids.json") as f:
+        centroids = _json.load(f)
+    # L2 assignment: build_ivf_index centroids come from MLlib KMeans,
+    # which assigns by Euclidean distance — appends must use the same
+    # rule or boundary cells land in different partitions than a
+    # rebuild would put them
+    assigned = ivf_assign(
+        new_vectors.select(
+            F.col(id_col).alias("id"), F.col(vector_col).alias("embedding")
+        ),
+        centroids,
+        metric="l2",
+    )
+    assigned.repartition("cluster_id").write.mode("append").partitionBy(
+        "cluster_id"
+    ).parquet(path)

@@ -370,3 +370,48 @@ def test_build_open_lsh_index_round_trip(spark, tmp_path):
     )
     got = lsh_bucket_knn(corpus, qs, planes, k=5)
     assert got.count() > 0
+
+
+def test_ivf_append_maintains_searchable_index(spark, tmp_path):
+    """Appended vectors are assigned to existing centroids and become
+    findable without a refit; the original rows are untouched."""
+    from multimodal_vector_db_spark.operators.ann import (
+        build_ivf_index,
+        ivf_append,
+        ivf_search,
+        open_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.where(F.col("vec_id") < 150).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    rest = emb.where(F.col("vec_id") >= 150).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    path = str(tmp_path / "ivf_grow")
+    build_ivf_index(first, path, n_clusters=4)
+    n_before = spark.read.parquet(path).count()
+
+    ivf_append(spark, path, rest)
+    opened, centroids = open_ivf_index(spark, path)
+    assert opened.count() == emb.count()
+    assert n_before == 150
+
+    # an appended vector finds itself (its own cell is probed first;
+    # probing uses the same L2 rule the MLlib build + append assign by)
+    probe_id = int(
+        emb.where(F.col("vec_id") >= 150).agg(F.min("vec_id")).first()[0]
+    )
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == probe_id)
+        .select("embedding")
+        .first()[0]
+    ]
+    res = ivf_search(
+        opened, [(probe_id, qvec)], centroids, k=3, nprobe=2,
+        probe_metric="l2",
+    )
+    top = res.where(F.col("rank") == 1).first()
+    assert top["id"] == probe_id
