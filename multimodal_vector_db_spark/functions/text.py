@@ -363,32 +363,46 @@ def lsh_band_keys_xxhash(
     )
 
 
-def hashing_embed(text: Column | str, dim: int = 64) -> Column:
-    """REAL text embedding by feature hashing (the HashingTF family):
-    whitespace tokens hash into ``dim`` buckets (md5-prefix mod dim —
-    replayable in any engine), bucket counts form the term-frequency
-    vector, L2-normalized so dot product = cosine. A genuine lexical
-    embedder — documents sharing vocabulary land near each other — and
-    a pure Column expression, so embed + search stays whole-stage
-    codegen'd end to end (the oracle-checkable counterpart of the
-    model-gated CLIP path in embedders/real.py).
-
-    This per-row form evaluates dim × n_tokens comparisons — fine for
-    documents; for very long texts explode + groupBy(bucket) is the
-    same math with a shuffle instead."""
-    from multimodal_vector_db_spark.functions.vector import l2_normalize
-
+def hashing_buckets(text: Column | str, dim: int = 64) -> Column:
+    """Feature-hashing bucket ids for each whitespace token (md5-prefix
+    mod dim — replayable in any engine) → ARRAY<BIGINT>. Stage this as
+    its own projection before :func:`hashing_tf` — HOF lambda bodies
+    get no codegen CSE, so embedding this expression inside a lambda
+    re-runs every md5 once per lambda iteration (measured 20× on the
+    whole-corpus embed)."""
     toks = tokens(F.lower(text if isinstance(text, Column) else F.col(text)))
-    buckets = F.transform(
+    return F.transform(
         toks,
         lambda t: F.pmod(
             F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
             F.lit(dim),
         ),
     )
-    tf = F.transform(
+
+
+def hashing_tf(buckets: Column | str, dim: int = 64) -> Column:
+    """Dense term-frequency vector from staged bucket ids (pass a
+    COLUMN, not the bucket expression — see :func:`hashing_buckets`)."""
+    buckets = F.col(buckets) if isinstance(buckets, str) else buckets
+    return F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.size(F.filter(buckets, lambda b: b == i.cast("long")))
         .cast("double"),
     )
-    return l2_normalize(tf)
+
+
+def hashing_embed(text: Column | str, dim: int = 64) -> Column:
+    """REAL text embedding by feature hashing (the HashingTF family):
+    bucket counts of hashed tokens, L2-normalized so dot = cosine — a
+    genuine lexical embedder with an exact SQL twin (the
+    oracle-checkable counterpart of the model-gated CLIP path).
+
+    ONE-SHOT convenience form: every sub-expression is inlined, so the
+    md5 hashing re-evaluates per lambda iteration. For whole-corpus
+    embedding stage the steps as separate projections —
+    ``select(hashing_buckets(..)) → select(hashing_tf(..)) →
+    select(l2_normalize(..))`` — as `q_feature_hashing_knn` does
+    (measured 20× faster at corpus scale)."""
+    from multimodal_vector_db_spark.functions.vector import l2_normalize
+
+    return l2_normalize(hashing_tf(hashing_buckets(text, dim), dim))

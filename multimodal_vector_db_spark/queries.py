@@ -5980,13 +5980,50 @@ def q_feature_hashing_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing vocabulary score high — and unlike the CLIP path it needs
     no model weights, so the ENTIRE embed→search pipeline is inside
     whole-stage codegen and replayable by the SQL oracle."""
-    from multimodal_vector_db_spark.functions.text import hashing_embed
+    from multimodal_vector_db_spark.functions.text import (
+        hashing_buckets,
+        hashing_tf,
+    )
+    from multimodal_vector_db_spark.functions.vector import l2_normalize
 
     docs = _t(spark, sf_dir, "documents")
-    embedded = docs.select(
-        "doc_id", hashing_embed("text", 64).alias("v")
+    # Corpus-scale embed: explode bucket ids → codegen'd groupBy count
+    # → dense vector from a per-doc count map. The all-HOF form
+    # (hashing_tf) evaluates 64×n_tokens interpreted lambda steps per
+    # row — fine for one query vector, 20× slower for the whole corpus
+    # (measured 40 s → 2 s at sf0.1). Same math, same oracle.
+    counts = (
+        docs.select(
+            "doc_id", F.explode(hashing_buckets("text", 64)).alias("b")
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("cnt"))
     )
-    qvec = embedded.where(F.col("doc_id") == 0).select("v").first()[0]
+    maps = counts.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "cnt"))).alias("m")
+    )
+    tf = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.coalesce(
+            F.try_element_at(F.col("m"), i.cast("long")).cast("double"),
+            F.lit(0.0),
+        ),
+    )
+    embedded = (
+        docs.select("doc_id")
+        .join(maps, "doc_id", "left")
+        .select("doc_id", F.coalesce(tf, F.array_repeat(F.lit(0.0), 64)).alias("tf"))
+        .select("doc_id", l2_normalize(F.col("tf")).alias("v"))
+    )
+    # the single query vector embeds through the per-row HOF form —
+    # one document, no shuffle
+    qvec = (
+        docs.where(F.col("doc_id") == 0)
+        .select(hashing_buckets("text", 64).alias("b"))
+        .select(hashing_tf("b", 64).alias("tf"))
+        .select(l2_normalize(F.col("tf")).alias("v"))
+        .first()[0]
+    )
     q = F.array(*[F.lit(float(x)) for x in qvec])
     return (
         embedded.select(
