@@ -293,10 +293,23 @@ def connected_components(
     is unique. Singleton nodes (no edges) map to themselves when
     ``nodes`` is given, else only nodes present in ``edges`` appear.
     """
-    sym = edges.select(
-        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
-    ).union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
-    sym = materialize(sym)
+    # symmetrize in ONE pass over the edge lineage: a union of two
+    # selects evaluates the (often expensive — Jaccard/LSH join)
+    # upstream twice before the materialization even starts
+    sym = materialize(
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("s"), F.col(src_col).alias("d")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.s", "e.d")
+    )
     if nodes is not None:
         labels = nodes.select(F.col(nodes.columns[0]).alias("node"))
     else:

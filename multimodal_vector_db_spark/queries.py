@@ -3380,11 +3380,20 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, block_col="lang", threshold=0.03)
+    # symmetrize in one pass — a unionAll of two selects would run the
+    # (expensive) Jaccard pair join twice
     edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     return pagerank(edges, docs.select("doc_id"), iterations=3)
 
 
