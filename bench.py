@@ -384,6 +384,35 @@ def main() -> None:
         * 1000,
         3,
     )
+    # the latency↔recall tradeoff curve over nprobe — the operating
+    # knob every IVF deployment tunes; one point per nprobe against the
+    # same exact ground truth
+    n_exact_cl = exact_cl.count()
+    knn_ann_curve = {}
+    for _np in (2, 4, 8, 16):
+        _sec = timed_median(
+            lambda: ivf_search(
+                cl_corpus, qs_cl, cl_centroids, k=10, nprobe=_np,
+                probe_metric="l2",
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        _hits = (
+            ivf_search(
+                cl_corpus, qs_cl, cl_centroids, k=10, nprobe=_np,
+                probe_metric="l2",
+            )
+            .select("query_id", "id")
+            .join(exact_cl, on=["query_id", "id"])
+            .count()
+        )
+        knn_ann_curve[str(_np)] = {
+            "ms_per_query": round(_sec / len(qs_cl) * 1000, 3),
+            "recall10": round(_hits / n_exact_cl, 4),
+        }
+
     # transparency: the blocked BLAS exact path on the same 10× corpus.
     # At in-memory bench scale BLAS throughput beats both the window
     # path AND IVF pruning (SCALE_PROBE.json crossover); IVF's win is
@@ -405,7 +434,6 @@ def main() -> None:
     ann_res = ivf_search(
         cl_corpus, qs_cl, cl_centroids, k=10, nprobe=8, probe_metric="l2"
     ).select("query_id", "id")
-    n_exact_cl = exact_cl.count()
     knn_ann_recall10 = round(
         ann_res.join(exact_cl, on=["query_id", "id"]).count() / n_exact_cl, 4
     )
@@ -544,6 +572,7 @@ def main() -> None:
                 "knn_ann_exact_ms_per_query": knn_ann_exact_ms_per_query,
                 "knn_ann_exact_blocked_ms_per_query": knn_ann_exact_blocked_ms_per_query,
                 "knn_ann_recall10": knn_ann_recall10,
+                "knn_ann_nprobe_curve": knn_ann_curve,
                 "knn_binary_rerank_ms_per_query": knn_binary_rerank_ms_per_query,
                 "knn_binary_rerank_recall10": knn_binary_rerank_recall10,
                 "knn_blocked_ms_per_query": knn_blocked_ms_per_query,
