@@ -72,6 +72,72 @@ def test_tpch_q3_broadcasts_dimensions(spark):
     assert any("EqualTo(c_mktsegment,BUILDING)" in f for f in pushed), pushed
 
 
+def test_tpch_q7_broadcasts_both_nation_arms(spark):
+    # supplier⋈nation and customer⋈nation arms broadcast (nation
+    # pre-filtered to the two names); the only shuffle pair is
+    # lineitem⋈orders + the final aggregation
+    p = plan_of(spark, "tpch_q7")
+    assert p.count("BroadcastHashJoin") >= 3  # s⋈n, c⋈n, li⋈arms
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", p)
+    assert any("l_shipdate" in f for f in pushed), pushed
+
+
+def test_tpch_q8_single_fact_shuffle(spark):
+    # all dimension arms broadcast; conditional-aggregate market share
+    # is ONE aggregation pass (partial + final), not two subqueries
+    p = plan_of(spark, "tpch_q8")
+    assert p.count("BroadcastHashJoin") >= 4
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", p)
+    assert any("EqualTo(p_type,ECONOMY)" in f for f in pushed), pushed
+    assert any("o_orderdate" in f for f in pushed), pushed
+
+
+def test_tpch_q9_pushes_name_filter_to_part_scan(spark):
+    p = plan_of(spark, "tpch_q9")
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", p)
+    assert any("StringContains(p_name,red)" in f for f in pushed), pushed
+    assert "BroadcastHashJoin" in p
+
+
+def test_tpch_q12_is_one_conditional_aggregation_pass(spark):
+    # both priority counts come from ONE partial+final aggregation over
+    # the joined stream — no second scan of either fact table
+    p = plan_of(spark, "tpch_q12")
+    assert p.count("HashAggregate") >= 2  # partial + final
+    locs = re.findall(r"Location: [^\n]*?(\w+)\.parquet", p)
+    assert locs.count("lineitem") == 1 and locs.count("orders") == 1, locs
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", p)
+    assert any("l_shipdate" in f for f in pushed), pushed
+
+
+def test_tpch_q15_preaggregates_before_rank(spark):
+    # revenue partial-aggregates map-side; the argmax window runs over
+    # the |suppliers|-row aggregate, and the 1-row winner broadcasts
+    p = plan_of(spark, "tpch_q15")
+    assert p.count("HashAggregate") >= 2
+    assert "Window" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_tpch_q17_broadcasts_decorrelated_thresholds(spark):
+    # the per-part AVG subquery decorrelates to a broadcast of
+    # |filtered parts| threshold rows — the probe lineitem never shuffles
+    p = plan_of(spark, "tpch_q17")
+    assert "BroadcastHashJoin" in p
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", p)
+    assert any("EqualTo(p_brand,Brand#3)" in f for f in pushed), pushed
+
+
+def test_tpch_q22_anti_join_and_scalar_threshold(spark):
+    # NOT EXISTS lowers to a LeftAnti join; the scalar AVG threshold is
+    # a 1-row broadcast (never a collected driver constant)
+    p = plan_of(spark, "tpch_q22")
+    assert "LeftAnti" in p
+    assert "Broadcast" in p
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", p)
+    assert any("o_orderdate" in f for f in pushed), pushed
+
+
 def test_filter_project_pushdown(spark):
     p = plan_of(spark, "filter_project")
     pushed = re.findall(r"PushedFilters: \[[^\]]*\]", p)
