@@ -6603,6 +6603,123 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bpe_pair_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    pairs AS (
+      SELECT ts[g.i] || ' ' || ts[g.i + 1] AS pair
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g
+    )
+    SELECT pair, count(*)::BIGINT AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT 20
+    """,
+)
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training iteration at corpus scale (Sennrich 2016): count
+    every adjacent token pair, rank by frequency — the merge-candidate
+    table a tokenizer trainer consumes. The pair expansion is a map-side
+    zip_with over two shifted slices (array ops, no Python, no join);
+    the only shuffle is the pair-count aggregation, map-side-combined
+    because adjacent-pair frequency is algebraic. Top-20 is a
+    TakeOrderedAndProject with a deterministic pair tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("ts"))
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "pii_redact",
+    """
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' contact user' || doc_id::VARCHAR
+                       || '@example.com or 555-' || (doc_id % 10000)::VARCHAR
+                  ELSE text END AS text
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>',
+                              'g'),
+               '555-[0-9]+', '<PHONE>', 'g') AS clean
+      FROM seeded
+    )
+    SELECT sum(CASE WHEN clean LIKE '%<EMAIL>%' THEN 1 ELSE 0 END)::BIGINT
+             AS docs_with_email,
+           sum(CASE WHEN clean LIKE '%<PHONE>%' THEN 1 ELSE 0 END)::BIGINT
+             AS docs_with_phone,
+           sum(CASE WHEN clean LIKE '%@%' THEN 1 ELSE 0 END)::BIGINT
+             AS residual_at
+    FROM red
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (email/phone redaction) — the curation stage every
+    released corpus runs. The driver corpus is synthetic word-soup with
+    no PII, so the PII is PLANTED deterministically in-plan (doc_id%3
+    docs get an email + phone) and then redacted; the audit counts
+    redactions and asserts zero residual '@'. Pure codegen'd
+    regexp_replace chain — map-only, no shuffle before the final
+    1-row audit aggregate; patterns restricted to the Java∩RE2 regex
+    dialect so both engines replace identical spans."""
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-"),
+                (F.col("doc_id") % 10000).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.col("text"), "[A-Za-z0-9._]+@[A-Za-z0-9.]+", "<EMAIL>"
+        ),
+        "555-[0-9]+",
+        "<PHONE>",
+    )
+    red = seeded.select(clean.alias("clean"))
+    return red.agg(
+        F.sum(F.when(F.col("clean").contains("<EMAIL>"), 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_email"),
+        F.sum(F.when(F.col("clean").contains("<PHONE>"), 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_phone"),
+        F.sum(F.when(F.col("clean").contains("@"), 1).otherwise(0))
+        .cast("long")
+        .alias("residual_at"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness harness verifies the FIRST
 # 50 registered queries only, so the §2-core surface — including the
