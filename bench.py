@@ -245,6 +245,25 @@ def main() -> None:
         3,
     )
 
+    # full latency distribution for the flagship metric — the
+    # reference reports mean/median/p95/p99/qps over 10 runs per query
+    # (metrics.py:237-252); same methodology over 10 timed batch runs
+    _samples = []
+    for _ in range(10):
+        _t0 = time.time()
+        knn_join(corpus, qs, k=10).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        _samples.append((time.time() - _t0) / 64 * 1000)
+    _samples.sort()
+    knn_latency_stats = {
+        "mean_ms": round(sum(_samples) / len(_samples), 3),
+        "median_ms": round(_samples[len(_samples) // 2], 3),
+        "p95_ms": round(_samples[int(len(_samples) * 0.95) - 1], 3),
+        "p99_ms": round(_samples[-1], 3),
+        "qps": round(1000.0 / (sum(_samples) / len(_samples)), 1),
+    }
+
     # pruned variant: same queries against ONE label partition (~1/10 of
     # the corpus) — the per-modality-index speedup (BASELINE.md 1.95
     # ms/query, "6.74× individual vs unified") as FILE-level partition
@@ -267,10 +286,15 @@ def main() -> None:
     )
 
     # IVF ANN path (the apples-to-apples number against the reference's
-    # HNSW: ITS 13.15/1.95 ms are approximate searches too). nprobe=6 of
-    # 16 clusters scans ~3/8 of the corpus; probes are ranked driver-
-    # side from the broadcast centroids (the serving path — one
-    # broadcast-join stage, no probe-side shuffle). The 1024-query batch
+    # HNSW: ITS 13.15/1.95 ms are approximate searches too). nprobe=12
+    # of 16 clusters: latency here is fixed-overhead-bound and FLAT in
+    # nprobe (measured 2.0-2.8 ms/query from nprobe 6 through 14), so
+    # the published operating point is chosen for recall — ≥0.9 R@10 on
+    # the near-isotropic driver corpus, the reference's own ANN quality
+    # bar (image_embedder.py:6-7) — while staying ~3× below the exact
+    # path. Probes are ranked driver-side from the broadcast centroids
+    # (the serving path — one broadcast-join stage, no probe-side
+    # shuffle). The 1024-query batch
     # reflects Spark's serving shape — a throughput engine amortizes
     # fixed per-action cost across the batch (marginal cost measured
     # ~1.5 ms/query), vs the reference's sequential single-query loop
@@ -296,7 +320,7 @@ def main() -> None:
                 qs_ivf,
                 centroids,
                 k=10,
-                nprobe=6,
+                nprobe=12,
                 probe_metric="l2",
             )
             .write.format("noop")
@@ -309,17 +333,17 @@ def main() -> None:
     )
     # recall@10 of the IVF config vs exact brute force over the same
     # queries — the reference's own validation standard for ANN paths.
-    # The driver's synthetic embeddings are near-isotropic, so recall is
-    # roughly the scanned corpus fraction (no cluster structure to
-    # exploit); on real, clustered embeddings the same config probes the
-    # cells that actually contain the neighbors. nprobe=6/16 picks the
-    # knee: latency is fixed-overhead-bound and flat in nprobe here
+    # The driver's synthetic embeddings are near-isotropic (recall needs
+    # a high scanned fraction BY CONSTRUCTION — no cluster structure to
+    # exploit; measured 0.77 at nprobe=6, 0.86 at 8, 0.98 at 12); the
+    # clustered-corpus operating point below shows the structured-data
+    # case where nprobe≪n_clusters already reaches recall 1.0.
     ivf_res = ivf_search(
         ivf_corpus.select("id", "embedding", "cluster_id"),
         qs_ivf,
         centroids,
         k=10,
-        nprobe=6,
+        nprobe=12,
         probe_metric="l2",
     ).select("query_id", "id")
     exact_res = knn_join(
@@ -565,6 +589,7 @@ def main() -> None:
                 "sf": sf_val,
                 "prep_sec": prep_sec,
                 "knn_ms_per_query": knn_ms_per_query,
+                "knn_latency_stats": knn_latency_stats,
                 "knn_pruned_ms_per_query": knn_pruned_ms_per_query,
                 "knn_ivf_ms_per_query": knn_ivf_ms_per_query,
                 "knn_ivf_recall10": knn_ivf_recall10,
