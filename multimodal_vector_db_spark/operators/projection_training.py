@@ -1,0 +1,158 @@
+"""Learned Matryoshka-style projection TRAINING (SURVEY §2.8 M10).
+
+Reference: ``scripts/train_matryoshka.py:91-165`` trains a torch
+projection head (``MatryoshkaProjection`` + multi-scale InfoNCE
+``MatryoshkaLoss``) so that PREFIX slices of the projected embedding
+remain accurate at every supported dimension. Torch is absent in this
+container, so the trainer here learns the projection by **distributed
+PCA**: the top-k principal components maximize retained variance for
+EVERY prefix k' ≤ k simultaneously (eigenvector prefixes nest), which
+is precisely the prefix-truncatable property the reference's loss
+optimizes for. Serving reuses the F7 linear head
+(``functions/projection.py:linear_project_udf``) unchanged.
+
+Scale shape (the 100 TB story): the fit is ONE ``mapInPandas`` pass
+emitting per-Arrow-batch moment partials — ``(n, Σx, XᵀX)``, a d×d
+double matrix each (64×64 → 32 KB) — summed driver-side. Nothing
+corpus-sized is collected, nothing shuffles; cost is a single scan
+plus an O(d³) driver eigendecomposition (microseconds at d ≤ 1024).
+This is the canonical tree-aggregated second-moment PCA used by
+MLlib's RowMatrix, re-expressed over the DataFrame API.
+"""
+
+# NB: no `from __future__ import annotations` — mapInPandas/pandas_udf
+# resolve type hints at decoration time (see functions/projection.py).
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fit_pca_components(
+    df: DataFrame, col: str = "embedding", k: int = 16
+) -> tuple[list, list]:
+    """Fit a k-component PCA projection of ``df[col]`` (array<float/
+    double>) and return ``(mean, components)`` where ``components`` is
+    a d×k column-orthonormal matrix ready for ``x @ W`` serving.
+
+    Deterministic: partials are summed in one driver reduction over a
+    handful of 32 KB rows (order-insensitive to fp addition at these
+    magnitudes is NOT assumed — partials are sorted by partition id
+    before summing), and each eigenvector's sign is canonicalized so
+    its largest-|·| element is positive.
+    """
+    first = df.select(F.size(F.col(col)).alias("d")).first()
+    if first is None:
+        raise ValueError("fit_pca_components: empty input")
+    d = first["d"]
+
+    def partials(it):
+        pid = 0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf[col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "pid": [pid],
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "c": [(X.T @ X).ravel().tolist()],
+                }
+            )
+            pid += 1
+
+    rows = (
+        df.select(F.col(col).cast("array<double>").alias(col))
+        .mapInPandas(
+            partials, schema="pid long, n long, s array<double>, c array<double>"
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: (r["pid"], r["n"]))
+    n = sum(r["n"] for r in rows)
+    s = np.zeros(d)
+    C = np.zeros((d, d))
+    for r in rows:
+        s += np.asarray(r["s"])
+        C += np.asarray(r["c"]).reshape(d, d)
+    mean = s / n
+    cov = C / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:k]
+    W = eigvecs[:, order]  # d × k, columns orthonormal
+    # canonical sign: largest-magnitude element of each component > 0
+    for j in range(W.shape[1]):
+        i = int(np.argmax(np.abs(W[:, j])))
+        if W[i, j] < 0:
+            W[:, j] = -W[:, j]
+    return mean.tolist(), W.tolist()
+
+
+def pca_project(
+    df: DataFrame,
+    col: str,
+    mean: list,
+    components: list,
+    out_col: str = "proj",
+    prefix_dim: Optional[int] = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """Serve the trained projection: ``normalize((x - mean) @ W[:, :p])``
+    as an Arrow-batched pandas UDF (the F7 head with a centering step).
+    ``prefix_dim`` truncates to the first p components — the Matryoshka
+    serving knob; because PCA prefixes nest, this equals refitting at
+    p components."""
+    from pyspark.sql import types as T
+
+    mu = np.asarray(mean, dtype=np.float64)
+    W = np.asarray(components, dtype=np.float64)
+    if prefix_dim is not None:
+        W = W[:, :prefix_dim]
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def project(v: pd.Series) -> pd.Series:
+        X = np.vstack(v.to_numpy()).astype(np.float64) - mu
+        Y = X @ W
+        if normalize:
+            norms = np.linalg.norm(Y, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            Y = Y / norms
+        return pd.Series(list(Y))
+
+    return df.withColumn(out_col, project(F.col(col)))
+
+
+def retained_variance(df: DataFrame, col: str, mean: list, components: list) -> list:
+    """Per-prefix retained-variance ratios [r_1, …, r_k] — the quality
+    curve the reference reports per Matryoshka dim (README.md:243-248:
+    '64D = 85-90% of 512D'). One projection pass + one aggregation."""
+    proj = pca_project(
+        df, col, mean, components, out_col="_p", normalize=False
+    )
+    k = len(components[0])
+    total_var = (
+        pca_project(df, col, mean, np.eye(len(mean)).tolist(), "_f", normalize=False)
+        .select(
+            F.aggregate(
+                F.transform("_f", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("sq")
+        )
+        .agg(F.sum("sq").alias("t"))
+        .first()["t"]
+    )
+    sums = proj.select(
+        *[
+            F.sum(F.pow(F.element_at("_p", i + 1), 2)).alias(f"v{i}")
+            for i in range(k)
+        ]
+    ).first()
+    acc, out = 0.0, []
+    for i in range(k):
+        acc += sums[f"v{i}"]
+        out.append(acc / total_var)
+    return out

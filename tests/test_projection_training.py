@@ -1,0 +1,148 @@
+"""M10 Matryoshka-style projection training (distributed PCA): the
+properties the reference's trainer promises — prefix-truncatable
+projections that preserve retrieval quality — validated against the
+driver's embeddings corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from multimodal_vector_db_spark.operators.projection_training import (
+    fit_pca_components,
+    pca_project,
+    retained_variance,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def fitted(emb):
+    return fit_pca_components(emb, "embedding", k=16)
+
+
+def test_components_are_orthonormal(fitted):
+    _, W = fitted
+    W = np.asarray(W)
+    assert W.shape[1] == 16
+    gram = W.T @ W
+    assert np.allclose(gram, np.eye(16), atol=1e-9)
+
+
+def test_prefixes_nest(emb, fitted):
+    # the Matryoshka property BY CONSTRUCTION: a k=8 fit equals the
+    # first 8 components of the k=16 fit (same data, canonical signs) —
+    # what the reference trains a multi-scale loss to approximate
+    _, W16 = fitted
+    _, W8 = fit_pca_components(emb, "embedding", k=8)
+    assert np.allclose(np.asarray(W16)[:, :8], np.asarray(W8), atol=1e-9)
+
+
+def test_fit_is_deterministic(emb, fitted):
+    mean2, W2 = fit_pca_components(emb, "embedding", k=16)
+    assert np.allclose(np.asarray(fitted[0]), np.asarray(mean2))
+    assert np.allclose(np.asarray(fitted[1]), np.asarray(W2))
+
+
+def test_retained_variance_monotone_and_ordered(emb, fitted):
+    mean, W = fitted
+    rv = retained_variance(emb, "embedding", mean, W)
+    assert all(b >= a - 1e-12 for a, b in zip(rv, rv[1:]))  # cumulative
+    # each component adds no more variance than its predecessor
+    gains = [rv[0]] + [b - a for a, b in zip(rv, rv[1:])]
+    assert all(g2 <= g1 + 1e-9 for g1, g2 in zip(gains, gains[1:]))
+    assert 0 < rv[-1] <= 1 + 1e-9
+
+
+def test_projection_beats_naive_truncation_for_retrieval(spark, emb, fitted):
+    # retrieval quality check at 16 of 64 dims: top-10 cosine neighbor
+    # overlap vs the full-space ground truth must be at least as good
+    # through the TRAINED projection as through F4 naive truncation
+    # (truncate+renormalize) — the reason M10 training exists
+    # (train_matryoshka.py's promise, README.md:243-248).
+    mean, W = fitted
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    full_sim = Xn @ Xn.T
+    np.fill_diagonal(full_sim, -np.inf)
+    truth = np.argsort(-full_sim, axis=1)[:, :10]
+
+    def topk_overlap(Y):
+        Yn = Y / np.clip(np.linalg.norm(Y, axis=1, keepdims=True), 1e-12, None)
+        sim = Yn @ Yn.T
+        np.fill_diagonal(sim, -np.inf)
+        got = np.argsort(-sim, axis=1)[:, :10]
+        return np.mean(
+            [len(set(a) & set(b)) / 10.0 for a, b in zip(truth, got)]
+        )
+
+    pca_recall = topk_overlap((X - np.asarray(mean)) @ np.asarray(W))
+    naive_recall = topk_overlap(X[:, :16])
+    # the driver corpus is near-isotropic — no projection can beat the
+    # information limit (measured ~0.27 for ANY 16 of 64 isotropic
+    # dims), so the claim here is relative: trained ≥ naive truncation
+    assert pca_recall >= naive_recall - 1e-9
+
+
+def test_trained_projection_shines_on_structured_data(spark):
+    # where data HAS low-rank structure (real embedding corpora do —
+    # class modes, near-duplicates), the trained 16-d projection must
+    # preserve class-neighborhood retrieval while naive truncation
+    # degrades: 8 seed directions ⊕ isotropic noise, basis-rotated so
+    # the signal spreads across ALL 64 raw dims (truncation can't just
+    # keep "the signal dims"). Criterion is cluster-membership recall
+    # @10 — the label-based recall the reference reports — not exact
+    # neighbor overlap, because within-cluster ORDER is noise-driven
+    # and removing noise is the projection's job.
+    rng = np.random.RandomState(7)
+    n_seed, per, noise = 8, 30, 0.9
+    seeds = rng.randn(n_seed, 64)
+    Q_, _ = np.linalg.qr(rng.randn(64, 64))
+    X = np.vstack([s + noise * rng.randn(per, 64) for s in seeds]) @ Q_
+    labels = np.repeat(np.arange(n_seed), per)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+    mean, W = fit_pca_components(df, "embedding", k=16)
+
+    def membership_recall(Y, k=10):
+        Yn = Y / np.clip(np.linalg.norm(Y, axis=1, keepdims=True), 1e-12, None)
+        sim = Yn @ Yn.T
+        np.fill_diagonal(sim, -np.inf)
+        got = np.argsort(-sim, axis=1)[:, :k]
+        return float(np.mean(labels[got] == labels[:, None]))
+
+    pca_recall = membership_recall((X - np.asarray(mean)) @ np.asarray(W))
+    naive_recall = membership_recall(X[:, :16])
+    assert pca_recall > 0.97, (pca_recall, naive_recall)
+    assert pca_recall > naive_recall + 0.1, (pca_recall, naive_recall)
+
+
+def test_spark_serving_matches_numpy(emb, fitted):
+    mean, W = fitted
+    out = (
+        pca_project(emb, "embedding", mean, W, out_col="p", prefix_dim=8)
+        .select("vec_id", "p")
+        .orderBy("vec_id")
+        .limit(5)
+        .collect()
+    )
+    X = np.vstack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.orderBy("vec_id").limit(5).collect()
+        ]
+    )
+    Y = (X - np.asarray(mean)) @ np.asarray(W)[:, :8]
+    Y = Y / np.linalg.norm(Y, axis=1, keepdims=True)
+    got = np.vstack([np.asarray(r["p"]) for r in out])
+    assert np.allclose(got, Y, atol=1e-12)

@@ -60,6 +60,21 @@ def replicate_lineitem(spark, li, factor: int, path: str) -> None:
     out.repartition(32).write.mode("overwrite").parquet(path)
 
 
+def replicate_orders(spark, orders, factor: int, path: str) -> None:
+    # key spacing mirrors replicate_lineitem so the fact-fact join key
+    # (orderkey) stays consistent across the replicated pair; dimension
+    # keys (custkey) are left alone — facts grow, dims stay fixed,
+    # which is how a real warehouse scales
+    out = (
+        orders.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__r")
+        )
+        .withColumn("o_orderkey", F.col("o_orderkey") * factor + F.col("__r"))
+        .drop("__r")
+    )
+    out.repartition(32).write.mode("overwrite").parquet(path)
+
+
 def replicate_documents(spark, docs, factor: int, path: str) -> None:
     out = (
         docs.select(
@@ -125,8 +140,10 @@ def main() -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     for f in FACTORS:
         replicate_lineitem(spark, li, f, f"{WORK}/lineitem_{f}")
+        replicate_orders(spark, orders, f, f"{WORK}/orders_{f}")
         replicate_documents(spark, docs, f, f"{WORK}/documents_{f}")
         replicate_embeddings(spark, emb, f, f"{WORK}/embeddings_{f}")
 
@@ -161,6 +178,47 @@ def main() -> None:
         return run
 
     probe("tpch_q1_agg", q1_run)
+
+    # snowflake join (the TPC-H Q8 shape): replicated fact pair
+    # lineitem⋈orders (the single shuffle) + fixed broadcast dimension
+    # arms. Expect ~linear: shuffle volume grows with the facts, the
+    # broadcast sides don't grow at all.
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet").where(
+        F.col("p_type") == "ECONOMY"
+    )
+    supp_nat = (
+        spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+        .join(
+            F.broadcast(spark.read.parquet(f"{SF_DIR}/nation.parquet")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+
+    def snowflake_run(f):
+        lif = spark.read.parquet(f"{WORK}/lineitem_{f}")
+        of = spark.read.parquet(f"{WORK}/orders_{f}")
+
+        def run():
+            vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            (
+                lif.join(F.broadcast(part), lif.l_partkey == part.p_partkey)
+                .join(of, lif.l_orderkey == of.o_orderkey)
+                .join(
+                    F.broadcast(supp_nat), lif.l_suppkey == F.col("s_suppkey")
+                )
+                .groupBy(
+                    F.year("o_orderdate").alias("o_year"), F.col("nation")
+                )
+                .agg(F.sum(vol).alias("volume"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+
+        return run
+
+    probe("snowflake_join_q8", snowflake_run)
 
     # MinHash-LSH dedup: shuffle ~ docs x bands, expect ~linear
     def dedup_run(f):
