@@ -6603,6 +6603,44 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("pca_matryoshka_knn")  # rows-only: eigendecomposition is
+# engine-specific (like the KMeans IVF fit); properties pytest-pinned
+# in tests/test_projection_training.py
+def q_pca_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 trained-projection serving: fit a 16-component PCA on the
+    corpus (distributed moment partials → driver eigh,
+    operators/projection_training.py), project corpus + queries through
+    the SAME learned head at prefix_dim=8 (the Matryoshka truncation
+    knob — prefixes nest by construction), then exact top-5 kNN in the
+    projected space. The trained analogue of matryoshka_knn's naive
+    truncate+renormalize (reference scripts/train_matryoshka.py)."""
+    from multimodal_vector_db_spark.operators.projection_training import (
+        fit_pca_components,
+        pca_project,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), "embedding")
+    mean, W = fit_pca_components(corpus, "embedding", k=16)
+    proj = pca_project(
+        corpus, "embedding", mean, W, out_col="p", prefix_dim=8
+    ).select("id", "p")
+    queries = pca_project(
+        emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        "embedding",
+        mean,
+        W,
+        out_col="q_emb",
+        prefix_dim=8,
+    ).select("query_id", "q_emb")
+    out = knn_join(proj.withColumnRenamed("p", "embedding"), queries, k=5)
+    return out.select(
+        "query_id", "id", "sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
 @query(
     "bpe_pair_stats",
     """
