@@ -75,6 +75,19 @@ def test_query_column_names_are_registered():
     assert not bad, f"COVERAGE.md claims unregistered queries: {bad}"
 
 
+def test_bench_headline_names_resolve():
+    # a registry rename must not silently break the driver's bench run:
+    # every HEADLINE entry needs a REGISTRY impl and (being a timed,
+    # user-facing query) an oracle twin
+    import bench
+
+    from multimodal_vector_db_spark import queries as Q
+
+    for name in bench.HEADLINE:
+        assert name in Q.REGISTRY, name
+        assert name in Q.ORACLES, name
+
+
 def test_driver_window_contains_core_queries():
     """The external harness verifies only the FIRST 50 registered
     queries; the §2-core surface (incl. the reference's signature
