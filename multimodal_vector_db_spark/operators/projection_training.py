@@ -38,10 +38,10 @@ def fit_pca_components(
     a d×k column-orthonormal matrix ready for ``x @ W`` serving.
 
     Deterministic: partials are summed in one driver reduction over a
-    handful of 32 KB rows (order-insensitive to fp addition at these
-    magnitudes is NOT assumed — partials are sorted by partition id
-    before summing), and each eigenvector's sign is canonicalized so
-    its largest-|·| element is positive.
+    handful of 32 KB rows — fp-addition order-insensitivity is NOT
+    assumed; partials carry a (partition, batch) total order and are
+    sorted before summing — and each eigenvector's sign is
+    canonicalized so its largest-|·| element is positive.
     """
     first = df.select(F.size(F.col(col)).alias("d")).first()
     if first is None:
@@ -49,20 +49,27 @@ def fit_pca_components(
     d = first["d"]
 
     def partials(it):
-        pid = 0
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part = ctx.partitionId() if ctx is not None else 0
+        batch = 0
         for pdf in it:
             if len(pdf) == 0:
                 continue
             X = np.vstack(pdf[col].to_numpy()).astype(np.float64)
             yield pd.DataFrame(
                 {
-                    "pid": [pid],
+                    # total order (partition, batch) so the driver-side
+                    # fp summation has ONE deterministic order, not
+                    # whatever collect() happened to return
+                    "pid": [part * 1_000_000 + batch],
                     "n": [len(X)],
                     "s": [X.sum(axis=0).tolist()],
                     "c": [(X.T @ X).ravel().tolist()],
                 }
             )
-            pid += 1
+            batch += 1
 
     rows = (
         df.select(F.col(col).cast("array<double>").alias(col))
@@ -71,7 +78,7 @@ def fit_pca_components(
         )
         .collect()
     )
-    rows.sort(key=lambda r: (r["pid"], r["n"]))
+    rows.sort(key=lambda r: r["pid"])
     n = sum(r["n"] for r in rows)
     s = np.zeros(d)
     C = np.zeros((d, d))
