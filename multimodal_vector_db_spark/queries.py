@@ -6685,6 +6685,56 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouped_split",
+    f"""
+    WITH b AS (
+      SELECT source, n_chars,
+             {_md5_nibbles_sql("md5(source)", 0)} % 10 AS bucket
+      FROM documents
+    ),
+    s AS (
+      SELECT source, n_chars,
+             CASE WHEN bucket < 8 THEN 'train'
+                  WHEN bucket < 9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b
+    )
+    SELECT split,
+           count(DISTINCT source)::BIGINT AS n_sources,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM s GROUP BY split
+    """,
+)
+def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe grouped split: the split is assigned per SOURCE
+    (domain), not per document — near-duplicate and same-provenance
+    docs land on the same side of the train/eval boundary, the
+    standard contamination control `hash_split`'s per-doc bucketing
+    cannot give. Same content-stable md5 basis (here on the group
+    key), so membership never migrates across re-shards; one
+    map-side-combinable aggregation."""
+    from multimodal_vector_db_spark.functions.text import md5_nibbles
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = md5_nibbles(F.md5(F.col("source")), 0, 8) % 10
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket < 9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@query(
     "pii_redact",
     """
     WITH seeded AS (
