@@ -117,6 +117,24 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
             index, qvecs, centroids, k=3, nprobe=2, probe_metric="l2"
         ).show()
 
+    # 8. Train a Matryoshka-style projection (distributed PCA — one
+    #    mapInPandas moment pass, driver eigh) and search in the
+    #    truncatable 8-d prefix space.
+    from multimodal_vector_db_spark.operators.projection_training import (
+        fit_pca_components,
+        pca_project,
+    )
+
+    mean, W = fit_pca_components(corpus, "embedding", k=16)
+    proj = pca_project(
+        corpus, "embedding", mean, W, out_col="embedding8", prefix_dim=8
+    ).select("id", F.col("embedding8").alias("embedding"))
+    q8 = pca_project(
+        qs, "q_emb", mean, W, out_col="q8", prefix_dim=8
+    ).select("query_id", F.col("q8").alias("q_emb"))
+    print("== kNN in the trained 8-d Matryoshka prefix space ==")
+    knn_join(proj, q8, k=3).show()
+
     spark.stop()
 
 
