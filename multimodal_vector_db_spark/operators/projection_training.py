@@ -132,6 +132,38 @@ def pca_project(
     return df.withColumn(out_col, project(F.col(col)))
 
 
+def save_projection(path: str, mean: list, components: list) -> None:
+    """Persist trained projection weights as JSON — the hand-off the
+    reference's trainer makes to the serving engine (its engine
+    'consumes the saved weights only'; here both halves are in-repo).
+    Weights are d×k doubles (a few KB) — driver-side JSON, not a
+    distributed write."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "mean": mean,
+                "components": components,
+                "in_dim": len(mean),
+                "out_dim": len(components[0]),
+            },
+            f,
+        )
+
+
+def load_projection(path: str) -> tuple[list, list]:
+    """Load weights saved by :func:`save_projection` → (mean,
+    components), ready for :func:`pca_project`."""
+    import json
+
+    with open(path) as f:
+        obj = json.load(f)
+    return obj["mean"], obj["components"]
+
+
 def retained_variance(df: DataFrame, col: str, mean: list, components: list) -> list:
     """Per-prefix retained-variance ratios [r_1, …, r_k] — the quality
     curve the reference reports per Matryoshka dim (README.md:243-248:

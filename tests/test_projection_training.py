@@ -127,6 +127,19 @@ def test_trained_projection_shines_on_structured_data(spark):
     assert pca_recall > naive_recall + 0.1, (pca_recall, naive_recall)
 
 
+def test_save_load_round_trip(tmp_path, fitted):
+    from multimodal_vector_db_spark.operators.projection_training import (
+        load_projection,
+        save_projection,
+    )
+
+    mean, W = fitted
+    p = str(tmp_path / "weights" / "pca.json")
+    save_projection(p, mean, W)
+    mean2, W2 = load_projection(p)
+    assert mean2 == mean and W2 == W
+
+
 def test_spark_serving_matches_numpy(emb, fitted):
     mean, W = fitted
     out = (
