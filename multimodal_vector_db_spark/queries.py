@@ -6667,11 +6667,14 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject with a deterministic pair tie-break."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.split("text", " ").alias("ts"))
+    # greatest(…, 0): slice() under ANSI rejects negative lengths, so an
+    # empty/1-token document must degrade to an empty pair list
+    n_pairs = F.greatest(F.size("ts") - 1, F.lit(0))
     pairs = toks.select(
         F.explode(
             F.zip_with(
-                F.slice(F.col("ts"), 1, F.size("ts") - 1),
-                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                F.slice(F.col("ts"), 1, n_pairs),
+                F.slice(F.col("ts"), 2, n_pairs),
                 lambda a, b: F.concat_ws(" ", a, b),
             )
         ).alias("pair")
