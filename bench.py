@@ -264,6 +264,25 @@ def main() -> None:
         "qps": round(1000.0 / (sum(_samples) / len(_samples)), 1),
     }
 
+    # batch-amortization point: the same exact scan at a 256-query
+    # batch — Spark is a throughput engine, so fixed per-action cost
+    # (job scheduling, codegen dispatch) amortizes across the batch;
+    # the reference's sequential per-query loop cannot amortize at all
+    qs256 = emb.where(F.col("vec_id") < 256).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    knn_ms_per_query_256 = round(
+        timed_median(
+            lambda: knn_join(corpus, qs256, k=10)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        / 256
+        * 1000,
+        3,
+    )
+
     # pruned variant: same queries against ONE label partition (~1/10 of
     # the corpus) — the per-modality-index speedup (BASELINE.md 1.95
     # ms/query, "6.74× individual vs unified") as FILE-level partition
@@ -625,6 +644,7 @@ def main() -> None:
                 "prep_sec": prep_sec,
                 "knn_ms_per_query": knn_ms_per_query,
                 "knn_latency_stats": knn_latency_stats,
+                "knn_ms_per_query_256": knn_ms_per_query_256,
                 "knn_pruned_ms_per_query": knn_pruned_ms_per_query,
                 "knn_ivf_ms_per_query": knn_ivf_ms_per_query,
                 "knn_ivf_recall10": knn_ivf_recall10,
