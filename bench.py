@@ -158,6 +158,282 @@ def build_warehouse(spark, sf_dir: str, wh_dir: str, n_files: int = 32) -> None:
     )
 
 
+# --- reference-scale corpus (apples-to-apples vs BASELINE.md) ---------
+#
+# BASELINE.md's headline latencies (13.15 ms unified / 1.95 ms
+# per-modality, README.md:150-153) are measured on 44,444 × 512-d
+# L2-normalized fp16-round-tripped vectors with the reference's exact
+# modality split (31,783 image / 7,010 video / 2,000 audio / 3,651
+# text, README.md:16-22). The driver's testdata embeddings are
+# 2,000 × 64-d — ~180× fewer FLOPs per scan — so the small-corpus
+# numbers aren't comparable. This block synthesizes a corpus with the
+# reference's EXACT shape (same row count, dim, normalization, fp16
+# storage, modality split) deterministically from xxhash64 — no new
+# deps, no RNG — and re-measures every headline kNN metric on it.
+#
+# Structure: planted neighborhoods (10 perturbed variants per base
+# vector), mirroring real embedding corpora, which are clustered —
+# that structure is what both HNSW and IVF exploit. Queries are FRESH
+# perturbations of the first 256 bases (held out of the corpus), so
+# every query has true near neighbors it has never seen.
+
+REF_N = 44_444
+REF_DIM = 512
+REF_REPS = 10
+REF_NOISE = 0.25
+# (modality, exclusive upper id bound) — reference split, README.md:16-22
+REF_MODALITY_BOUNDS = [
+    ("image", 31_783),
+    ("video", 38_793),
+    ("audio", 40_793),
+    ("text", 44_444),
+]
+
+
+def _ref_synth(ids_df, noise_seed: int):
+    """512-d deterministic vectors: base pattern from xxhash64(base_id, j)
+    plus a ±REF_NOISE perturbation from xxhash64(noise_seed, id, j);
+    L2-normalized then fp16-round-tripped (the reference's storage
+    contract, vector_index.py:79-91). The raw transform, the normalize,
+    and the fp16 UDF are SEPARATE projections: l2_normalize references
+    its input twice and higher-order-function bodies get no codegen CSE
+    (same trap documented at build_warehouse's perturbation step)."""
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.functions.vector import (
+        fp16_round_trip,
+        l2_normalize,
+    )
+
+    raw = ids_df.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(REF_DIM - 1)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.lit(11), F.col("base_id"), j), F.lit(2001))
+                - 1000
+            )
+            / 1000.0
+            + F.lit(REF_NOISE)
+            * (
+                F.pmod(
+                    F.xxhash64(F.lit(noise_seed), F.col("id"), j), F.lit(2001)
+                )
+                - 1000
+            )
+            / 1000.0,
+        ).alias("raw"),
+    )
+    normed = raw.select("id", l2_normalize(F.col("raw")).alias("n"))
+    return normed.select("id", fp16_round_trip(F.col("n")).alias("embedding"))
+
+
+def build_ref_scale(spark, wh_dir: str) -> None:
+    """Materialize the reference-shape corpus + its per-modality layout +
+    IVF index (the build-once phase, billed to prep like the reference's
+    HNSW build in build_all_indices.py)."""
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.operators.ann import build_ivf_index
+
+    ids = spark.range(REF_N).select(
+        "id", F.floor(F.col("id") / REF_REPS).alias("base_id")
+    )
+    corpus = _ref_synth(ids, noise_seed=1)
+    modality = F.when(F.col("id") < REF_MODALITY_BOUNDS[0][1], "image")
+    for name, bound in REF_MODALITY_BOUNDS[1:]:
+        modality = modality.when(F.col("id") < bound, name)
+    corpus = corpus.withColumn("modality", modality)
+    corpus.repartition(32).write.mode("overwrite").parquet(
+        f"{wh_dir}/ref44k.parquet"
+    )
+    corpus = spark.read.parquet(f"{wh_dir}/ref44k.parquet")
+    # per-modality hive layout — the reference's individual-modality
+    # indexes as FILE-level partition pruning; spread each modality over
+    # up to 8 files so a pruned scan still parallelizes
+    corpus.repartition(32, "modality", F.pmod("id", F.lit(8))).write.mode(
+        "overwrite"
+    ).partitionBy("modality").parquet(f"{wh_dir}/ref44k_by_modality.parquet")
+    build_ivf_index(
+        corpus.select("id", "embedding"),
+        f"{wh_dir}/ref44k_ivf.parquet",
+        n_clusters=128,
+    )
+    # 256 held-out queries: fresh perturbations of bases 0..255 (ids
+    # offset past the corpus id space; a disjoint noise stream)
+    qvecs = _ref_synth(
+        spark.range(256).select(
+            (F.col("id") + 10_000_000).alias("id"),
+            F.col("id").alias("base_id"),
+        ),
+        noise_seed=77,
+    )
+    qvecs.select(
+        (F.col("id") - 10_000_000).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    ).repartition(1).write.mode("overwrite").parquet(
+        f"{wh_dir}/ref44k_queries.parquet"
+    )
+
+
+def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
+    """Measure the BASELINE.md comparables on the reference-shape corpus:
+    exact kNN (window + blocked), per-modality pruned, IVF operating
+    points with recall@10 against exact ground truth."""
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.operators.ann import (
+        ivf_search,
+        open_ivf_index,
+    )
+    from multimodal_vector_db_spark.operators.knn import (
+        knn_join,
+        knn_join_blocked,
+    )
+
+    corpus = (
+        spark.read.parquet(f"{wh_dir}/ref44k.parquet")
+        .select("id", "embedding")
+    )
+    qdf = spark.read.parquet(f"{wh_dir}/ref44k_queries.parquet")
+    qdf64 = qdf.where(F.col("query_id") < 64)
+
+    out: dict = {
+        "corpus": {
+            "rows": REF_N,
+            "dim": REF_DIM,
+            "modalities": {
+                "image": 31_783,
+                "video": 7_010,
+                "audio": 2_000,
+                "text": 3_651,
+            },
+            "storage": "fp16-round-tripped float32, L2-normalized",
+        },
+        "baseline": {
+            "unified_hnsw_ms_per_query": 13.15,
+            "per_modality_hnsw_ms_per_query": 1.95,
+        },
+    }
+
+    # exact ground truth for every recall figure below (float64 BLAS)
+    exact_pairs = knn_join_blocked(corpus, qdf, k=10).select(
+        "query_id", "id"
+    )
+    exact_pairs.cache()
+    n_exact = exact_pairs.count()
+
+    # exact kNN, window form (the registry/oracle path) — 64-query batch
+    out["exact_window_ms_per_query"] = round(
+        timed_median(
+            lambda: knn_join(corpus, qdf64, k=10)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        / 64
+        * 1000,
+        3,
+    )
+    # exact kNN, blocked BLAS form (the production 100 TB shape)
+    out["exact_blocked_ms_per_query"] = round(
+        timed_median(
+            lambda: knn_join_blocked(corpus, qdf64, k=10)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        / 64
+        * 1000,
+        3,
+    )
+    out["exact_blocked_ms_per_query_256"] = round(
+        timed_median(
+            lambda: knn_join_blocked(corpus, qdf, k=10)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        / 256
+        * 1000,
+        3,
+    )
+
+    # per-modality pruned search (the reference's 1.95 ms comparison:
+    # individual-modality indexes ≈ partition-pruned scans). Same 64
+    # queries against each modality partition; file-level pruning.
+    by_mod = spark.read.parquet(f"{wh_dir}/ref44k_by_modality.parquet")
+    pruned: dict = {}
+    for mod, _ in REF_MODALITY_BOUNDS:
+        sub = by_mod.where(F.col("modality") == mod).select(
+            "id", "embedding"
+        )
+        pruned[mod] = round(
+            timed_median(
+                lambda: knn_join_blocked(sub, qdf64, k=10)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            / 64
+            * 1000,
+            3,
+        )
+    pruned["mean"] = round(
+        sum(pruned[m] for m, _ in REF_MODALITY_BOUNDS) / 4, 3
+    )
+    out["pruned_blocked_ms_per_query"] = pruned
+
+    # IVF ANN operating curve: serving path (driver-ranked probes over
+    # broadcast centroids, one broadcast-join stage), 256-query batch,
+    # recall@10 vs the exact ground truth
+    ivf_corpus, centroids = open_ivf_index(
+        spark, f"{wh_dir}/ref44k_ivf.parquet"
+    )
+    ivf_corpus = ivf_corpus.select("id", "embedding", "cluster_id")
+    qs_list = [
+        (r["query_id"], [float(x) for x in r["q_emb"]])
+        for r in qdf.collect()
+    ]
+    curve: dict = {}
+    for nprobe in (4, 8, 16):
+        sec = timed_median(
+            lambda: ivf_search(
+                ivf_corpus, qs_list, centroids, k=10, nprobe=nprobe,
+                probe_metric="l2",
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        hits = (
+            ivf_search(
+                ivf_corpus, qs_list, centroids, k=10, nprobe=nprobe,
+                probe_metric="l2",
+            )
+            .select("query_id", "id")
+            .join(exact_pairs, on=["query_id", "id"])
+            .count()
+        )
+        curve[str(nprobe)] = {
+            "ms_per_query": round(sec / len(qs_list) * 1000, 3),
+            "recall10": round(hits / n_exact, 4),
+        }
+    out["ivf_nprobe_curve"] = curve
+    # published operating point: the cheapest nprobe meeting the
+    # reference's own ~95% R@10 quality bar (image_embedder.py:6-7)
+    ok = [
+        (int(np_), v)
+        for np_, v in curve.items()
+        if v["recall10"] >= 0.95
+    ]
+    if ok:
+        np_best, v = min(ok, key=lambda t: t[1]["ms_per_query"])
+        out["ivf_operating_point"] = {"nprobe": np_best, **v}
+    exact_pairs.unpersist()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pyspark.sql import functions as F
@@ -175,9 +451,20 @@ def main() -> None:
         ".bench_warehouse",
         os.path.basename(sf_dir.rstrip("/")),
     )
+    # SPARK_GRAFT_BENCH_SECTIONS=headline limits the run to the headline
+    # query loop (used by tools/bench_repeat.py for cheap median-of-N
+    # artifacts); default "all" runs every section.
+    sections = os.environ.get("SPARK_GRAFT_BENCH_SECTIONS", "all")
+
     t0 = time.time()
     build_warehouse(spark, sf_dir, wh_dir)
     prep_sec = round(time.time() - t0, 4)
+
+    ref_scale_build_sec = None
+    if sections == "all":
+        t0 = time.time()
+        build_ref_scale(spark, wh_dir)
+        ref_scale_build_sec = round(time.time() - t0, 4)
 
     # Warm-then-time, mirroring the reference's methodology (10 runs per
     # query, stats reported — metrics.py:221-252): the first execution
@@ -185,14 +472,24 @@ def main() -> None:
     # engine never re-pays; the MEDIAN of three timed runs rejects the
     # occasional GC/JIT outlier that a mean would absorb (observed 3-5×
     # one-off spikes on otherwise-steady sub-second queries).
-    def timed_median(run, samples: int = 3) -> float:
+    def timed_samples(run, samples: int = 3) -> list[float]:
         run()  # warm
         ts = []
         for _ in range(samples):
             t0 = time.time()
             run()
             ts.append(time.time() - t0)
-        return round(sorted(ts)[len(ts) // 2], 4)
+        return sorted(ts)
+
+    def _median(ts: list[float]) -> float:
+        n = len(ts)
+        mid = (
+            ts[n // 2] if n % 2 else (ts[n // 2 - 1] + ts[n // 2]) / 2.0
+        )
+        return round(mid, 4)
+
+    def timed_median(run, samples: int = 3) -> float:
+        return _median(timed_samples(run, samples))
 
     # Production-path overrides for the timed headline: the registry
     # version of dedup_minhash_lsh hashes shingles with md5 hex strings
@@ -213,18 +510,46 @@ def main() -> None:
     PRODUCTION_OVERRIDES = {"dedup_minhash_lsh": _dedup_minhash_production}
 
     times: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = PRODUCTION_OVERRIDES.get(name, Q.REGISTRY[name])
         # 5 samples for the sub-second headline queries: ambient-load
         # spikes on a shared host otherwise read as per-query
         # regressions between rounds
-        times[name] = timed_median(
+        ts = timed_samples(
             lambda: fn(spark, wh_dir)
             .write.format("noop")
             .mode("overwrite")
             .save(),
             samples=5,
         )
+        times[name] = _median(ts)
+        # [min, max] of the 5 sorted samples — the per-query spread the
+        # round-over-round comparison needs to separate noise from
+        # regression (shared-host CPU steal wobbles single runs ~2×)
+        spreads[name] = [round(ts[0], 4), round(ts[-1], 4)]
+
+    if sections == "headline":
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        try:
+            sf_v: float | str = float(sf)
+        except ValueError:
+            sf_v = sf
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_total",
+                    "value": round(sum(times.values()), 4),
+                    "unit": "sec",
+                    "queries": times,
+                    "queries_spread": spreads,
+                    "sf": sf_v,
+                    "prep_sec": prep_sec,
+                    "sections": "headline",
+                }
+            )
+        )
+        return
 
     # amortized per-query kNN latency over a 64-query batch — the
     # apples-to-apples number against BASELINE.md's 13.15 ms/query
@@ -256,12 +581,24 @@ def main() -> None:
         ).save()
         _samples.append((time.time() - _t0) / 64 * 1000)
     _samples.sort()
+
+    def _nearest_rank(sorted_xs: list[float], p: float) -> float:
+        # nearest-rank percentile: index ceil(p·n) − 1 (so p95 of 10
+        # samples is the 10th element, not the 9th)
+        import math
+
+        return sorted_xs[max(0, math.ceil(p * len(sorted_xs)) - 1)]
+
     knn_latency_stats = {
         "mean_ms": round(sum(_samples) / len(_samples), 3),
-        "median_ms": round(_samples[len(_samples) // 2], 3),
-        "p95_ms": round(_samples[int(len(_samples) * 0.95) - 1], 3),
-        "p99_ms": round(_samples[-1], 3),
+        "median_ms": round(_median(_samples), 3),
+        "p95_ms": round(_nearest_rank(_samples, 0.95), 3),
+        "p99_ms": round(_nearest_rank(_samples, 0.99), 3),
         "qps": round(1000.0 / (sum(_samples) / len(_samples)), 1),
+        # methodology: each sample is a 64-query batch wall time / 64, so
+        # percentiles are over BATCH MEANS — tighter than the reference's
+        # per-query percentiles (metrics.py:237-252) by construction
+        "note": "percentiles over 10 batch-mean samples (64-query batches), not per-query latencies",
     }
 
     # batch-amortization point: the same exact scan at a 256-query
@@ -609,7 +946,7 @@ def main() -> None:
     ckpt = os.path.join(wh_dir, "_stream_ckpt")
     shutil.rmtree(ckpt, ignore_errors=True)
     t0 = time.time()
-    run_available_now(
+    n_batches = run_available_now(
         windowed_counts(
             events_stream(
                 spark, f"{wh_dir}/events.parquet", max_files_per_trigger=4
@@ -625,8 +962,14 @@ def main() -> None:
         "rows": ev_rows,
         "sec": streaming_sec,
         "rows_per_sec": round(ev_rows / max(streaming_sec, 1e-9)),
-        "microbatches": 8,
+        # actual count from the query's progress log, not assumed from
+        # the source file layout (which varies with sf / build config)
+        "microbatches": n_batches,
     }
+
+    # reference-scale comparables (44,444 × 512-d — BASELINE.md's shape)
+    ref_scale = ref_scale_bench(spark, wh_dir, timed_median)
+    ref_scale["build_sec"] = ref_scale_build_sec
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -640,6 +983,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 4),
                 "unit": "sec",
                 "queries": times,
+                "queries_spread": spreads,
                 "sf": sf_val,
                 "prep_sec": prep_sec,
                 "knn_ms_per_query": knn_ms_per_query,
@@ -659,6 +1003,7 @@ def main() -> None:
                 "dedup_minhash_md5_oracle_sec": dedup_minhash_md5_oracle_sec,
                 "training_pipeline_sec": training_pipeline_sec,
                 "streaming_ingest": streaming_ingest,
+                "ref_scale": ref_scale,
             }
         )
     )

@@ -62,8 +62,11 @@ def fit_pca_components(
                 {
                     # total order (partition, batch) so the driver-side
                     # fp summation has ONE deterministic order, not
-                    # whatever collect() happened to return
-                    "pid": [part * 1_000_000 + batch],
+                    # whatever collect() happened to return. Stride is
+                    # part << 40: no partition can emit 2^40 Arrow
+                    # batches, so pid ranges provably never overlap
+                    # (a 1e6 stride could in principle collide).
+                    "pid": [(part << 40) | batch],
                     "n": [len(X)],
                     "s": [X.sum(axis=0).tolist()],
                     "c": [(X.T @ X).ravel().tolist()],
@@ -172,11 +175,18 @@ def retained_variance(df: DataFrame, col: str, mean: list, components: list) -> 
         df, col, mean, components, out_col="_p", normalize=False
     )
     k = len(components[0])
+    # total sum of squares = Σ‖x − μ‖²: a plain JVM expression over the
+    # centered column — no d×d identity-projection UDF pass (which
+    # materialized full d-dim arrays per row just to square-sum them)
+    mu_arr = F.array(*[F.lit(float(m)) for m in mean])
     total_var = (
-        pca_project(df, col, mean, np.eye(len(mean)).tolist(), "_f", normalize=False)
-        .select(
+        df.select(
             F.aggregate(
-                F.transform("_f", lambda x: x * x),
+                F.zip_with(
+                    F.col(col).cast("array<double>"),
+                    mu_arr,
+                    lambda x, m: (x - m) * (x - m),
+                ),
                 F.lit(0.0),
                 lambda a, x: a + x,
             ).alias("sq")

@@ -195,9 +195,11 @@ def run_available_now(
     query_name: str = "mvdb_stream",
     output_mode: str = "complete",
     timeout_s: int = 120,
-) -> None:
+) -> int:
     """Drain everything currently in the source into an in-memory sink
-    table named ``query_name``, then stop (hermetic test harness)."""
+    table named ``query_name``, then stop (hermetic test harness).
+    Returns the number of micro-batches actually executed (from the
+    query's own progress log — never assume it from source layout)."""
     q = (
         df.writeStream.format("memory")
         .queryName(query_name)
@@ -207,6 +209,8 @@ def run_available_now(
         .start()
     )
     q.awaitTermination(timeout_s)
+    last = q.lastProgress
+    return int(last["batchId"]) + 1 if last else 0
 
 
 RUNNING_TOTALS_SCHEMA = T.StructType(

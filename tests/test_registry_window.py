@@ -1,0 +1,48 @@
+"""Pin the driver-visible registry window.
+
+The external correctness harness verifies exactly the FIRST 50 entries
+of ``Q.REGISTRY`` (registration order). A mis-ordered insert anywhere in
+the query modules would silently swap the checked set — this test turns
+that invariant from a memory note into a hard failure.
+
+The expected list is the exact window recorded in CORRECTNESS_r02.json
+(all 50 green). Changing the window is allowed but must be DELIBERATE:
+update this list in the same commit and re-verify with
+``tools/check_correctness.py``.
+"""
+
+from multimodal_vector_db_spark import queries as Q
+
+DRIVER_WINDOW = [
+    "knn_single", "knn_batch", "knn_filtered", "groupby_count",
+    "topk_per_group", "filter_project", "captions_join", "anti_join",
+    "union_distinct", "orders_topk", "cumulative_window", "result_overlap",
+    "doc_text_stats", "doc_quality", "lang_id", "repetition_filter",
+    "hash_split", "ngram_decontamination", "source_mixing_sample",
+    "string_pipeline", "percentile_stats", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "near_dup_embedding", "metrics_eval", "map_metric", "contamination",
+    "label_centroids", "matryoshka_knn", "attention_pooling",
+    "matryoshka_multiscale", "tokenize_regex", "winnow_fingerprint",
+    "fp16_round_trip", "pq_encode_decode", "pq_adc_knn", "mmr_rerank",
+    "distance_transforms", "index_stats", "multimodal_features",
+    "frame_sampling", "events_tumbling_window", "sessionization",
+    "tpch_q1", "cross_modal_routed", "scalar_functions",
+    "linear_projection", "knn_l2",
+]
+
+
+def test_registry_window_is_pinned():
+    assert list(Q.REGISTRY)[:50] == DRIVER_WINDOW
+
+
+def test_every_window_query_has_an_oracle():
+    # every driver-checked query must have an oracle SQL pair (the
+    # strong hash gate, not the weaker rows-only check)
+    for name in DRIVER_WINDOW:
+        assert name in Q.ORACLES, f"{name} lost its oracle"
+
+
+def test_every_oracle_has_a_query():
+    for name in Q.ORACLES:
+        assert name in Q.REGISTRY, f"oracle {name} has no query"
