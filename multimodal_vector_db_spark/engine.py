@@ -91,6 +91,107 @@ class MultiModalSearchEngine:
     def ingest_content(self, content: str, modality: str = "text", **meta) -> None:
         self.batch_ingest([{"content": content, "modality": modality, **meta}])
 
+    def batch_ingest_df(
+        self,
+        df: DataFrame,
+        content_col: str = "content",
+        modality_col: str = "modality",
+        display_name_col: str | None = None,
+        embed_udf: Callable[[Column, str], Column] | None = None,
+    ) -> None:
+        """Bulk ingestion — the distributed twin of :meth:`batch_ingest`
+        (reference ``search_engine.py:81-172``). Embedding runs on the
+        EXECUTORS via the Arrow-batched pandas UDF (``embedders/fake.py``
+        — the same hash-seeded generator as the driver path, so vectors
+        are bit-identical), and ids are assigned contiguously with a
+        two-phase prefix sum over partition counts — no driver-side
+        Python loop, no global single-partition window. Use this above
+        ~10⁴ rows; ``batch_ingest`` is the interactive list-of-dicts
+        path.
+
+        ``embed_udf(col, space) -> Column`` overrides the embedder for
+        engines constructed with a custom ``embed_fn`` (the default fake
+        UDF would not match it); ``embedders/real.py`` provides the
+        CLIP/CLAP-backed equivalent.
+        """
+        from pyspark.sql import Window
+
+        from multimodal_vector_db_spark.embedders.fake import fake_embed
+
+        ef = embed_udf or (
+            lambda col, space: fake_embed(col, space=space, dim=self.dim)
+        )
+        start_id = 0
+        if self.items is not None:
+            start_id = (
+                self.items.agg(F.max("id").alias("m")).first()["m"] or -1
+            ) + 1
+
+        # pin the partition layout: the pid-count job and the id-assign
+        # job must observe the SAME partitioning (AQE may otherwise
+        # re-plan the scan between actions)
+        src = df.withColumn("__pid", F.spark_partition_id()).persist()
+        counts = {
+            r["__pid"]: r["cnt"]
+            for r in src.groupBy("__pid")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        running, offsets = 0, []
+        for pid in sorted(counts):
+            offsets.append((pid, running))
+            running += counts[pid]
+        off_df = F.broadcast(
+            self.spark.createDataFrame(offsets, "__pid int, __off long")
+        )
+        # within-partition row numbers: the window key is __pid itself,
+        # so each shuffle group is exactly one input partition — a
+        # balanced exchange, never a global sort into one task
+        w = Window.partitionBy("__pid").orderBy(
+            F.col(content_col), F.col(modality_col)
+        )
+        space = F.coalesce(
+            F.create_map(
+                *[F.lit(x) for kv in SPACE_OF.items() for x in kv]
+            )[F.col(modality_col)],
+            F.lit("clip"),
+        )
+        display = (
+            F.col(display_name_col)
+            if display_name_col is not None
+            else F.concat(
+                F.lit("item_"), F.col("__new_id").cast("string")
+            )
+        )
+        new = (
+            src.join(off_df, on="__pid")
+            .withColumn("__rn", F.row_number().over(w) - 1)
+            .withColumn(
+                "__new_id", F.lit(start_id) + F.col("__off") + F.col("__rn")
+            )
+            .withColumn("__space", space)
+            .select(
+                F.col("__new_id").alias("id"),
+                F.col(modality_col).alias("modality"),
+                F.col("__space").alias("space"),
+                F.when(
+                    F.col("__space") == "clap",
+                    ef(F.col(content_col), "clap"),
+                )
+                .otherwise(ef(F.col(content_col), "clip"))
+                .alias("embedding"),
+                F.lit(self.dim).alias("dim"),
+                F.lit(False).alias("deleted"),
+                F.col(content_col).alias("content"),
+                display.alias("display_name"),
+            )
+        )
+        self.items = (
+            new
+            if self.items is None
+            else self.items.unionByName(new, allowMissingColumns=True)
+        )
+
     def remove(self, ids: list[int]) -> None:
         """Soft delete — and unlike the reference's write-only tombstone
         (vector_index.py:212-222), every search honors it."""
@@ -136,25 +237,17 @@ class MultiModalSearchEngine:
             corpus = corpus.filter(predicate)
         if approximate:
             corpus = self._binary_shortlist(corpus, qvec, shortlist)
-        fetch_n = k if strategy in (None, "distance") else max(k * 4, 20)
-        top = knn_search(
-            corpus,
-            qvec,
-            k=fetch_n,
-            payload_cols=[
-                c for c in corpus.columns if c not in ("embedding", "dim")
-            ],
-        )
+        diversity = strategy not in (None, "distance")
+        fetch_n = max(k * 4, 20) if diversity else k
+        # diversity reranking needs the candidates' vectors: carry the
+        # embedding column THROUGH the top-k as a payload column (the
+        # same single-plan shape as q_mmr_rerank) instead of a second
+        # isin() re-fetch job — one Spark action per search, not two
+        payload = [c for c in corpus.columns if c not in ("embedding", "dim")]
+        if diversity:
+            payload.append("embedding")
+        top = knn_search(corpus, qvec, k=fetch_n, payload_cols=payload)
         rows = [r.asDict() for r in top.collect()]
-        if strategy not in (None, "distance"):
-            emb_by_id = {
-                r["id"]: r["embedding"]
-                for r in corpus.select("id", "embedding")
-                .where(F.col("id").isin([x["id"] for x in rows]))
-                .collect()
-            }
-            for r in rows:
-                r["embedding"] = emb_by_id.get(r["id"])
         return rerank(rows, strategy=strategy, top_k=k)
 
     def _binary_shortlist(

@@ -5,6 +5,7 @@ instead of real CLIP/CLAP (SURVEY.md §5 layer 3)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from multimodal_vector_db_spark.embedders.fake import fake_embed_numpy
 from multimodal_vector_db_spark.engine import MultiModalSearchEngine
@@ -128,3 +129,86 @@ def test_approximate_search_matches_exact_when_shortlist_covers(spark):
         {r["id"] for r in approx_tight} & {r["id"] for r in exact}
     )
     assert overlap >= 2, overlap
+
+
+def test_diversity_search_is_single_job(spark):
+    """The diversity strategy must carry embeddings THROUGH the top-k as
+    payload (one Spark job), not re-fetch them with a second isin()
+    action — asserted via the scheduler's job counter."""
+    eng = MultiModalSearchEngine(spark, dim=32)
+    eng.batch_ingest(
+        [{"content": f"doc {i} about topic {i % 3}", "modality": "text"}
+         for i in range(30)]
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+
+    sc = spark.sparkContext
+    sc.setJobGroup("diversity_probe", "diversity search job count")
+    out = eng.search("doc 7 about topic 1", k=5, strategy="diversity")
+    jobs = len(tracker.getJobIdsForGroup("diversity_probe") or [])
+    sc.setJobGroup(None, None)
+
+    assert len(out) == 5
+    assert all(r.get("embedding") is not None for r in out)
+    # one collect == one job (a second embedding re-fetch would add one)
+    assert jobs == 1, f"diversity search ran {jobs} jobs, expected 1"
+
+
+def test_bulk_ingest_df_matches_driver_path(spark):
+    """batch_ingest_df (distributed UDF embedding + prefix-sum ids) must
+    produce bit-identical vectors to the driver-side batch_ingest for
+    the same (content, modality) rows — 10^4 rows through the UDF."""
+    import pandas as pd
+
+    n = 10_000
+    rows = [
+        {"content": f"bulk document number {i}",
+         "modality": ("text", "image", "audio")[i % 3]}
+        for i in range(n)
+    ]
+    src = spark.createDataFrame(pd.DataFrame(rows)).repartition(8)
+
+    eng = MultiModalSearchEngine(spark, dim=32)
+    eng.batch_ingest_df(src)
+    got = {
+        (r["content"], r["modality"]): (r["space"], r["embedding"])
+        for r in eng.items.collect()
+    }
+    assert len(got) == n
+    # ids are contiguous 0..n-1
+    ids = sorted(r["id"] for r in eng.items.select("id").collect())
+    assert ids == list(range(n))
+
+    # spot-check bit-identity against the driver-side embedder on a
+    # deterministic sample (full 10^4 driver-side loop would be slow)
+    for i in range(0, n, 997):
+        content = f"bulk document number {i}"
+        modality = ("text", "image", "audio")[i % 3]
+        space, emb = got[(content, modality)]
+        expected = fake_embed_numpy(content, space, 32).tolist()
+        assert emb == expected, (content, modality)
+
+    # appending more rows continues the id sequence
+    eng.batch_ingest_df(
+        spark.createDataFrame(
+            [("extra doc", "text")], "content string, modality string"
+        )
+    )
+    assert eng.items.count() == n + 1
+    assert eng.items.agg(F.max("id")).first()[0] == n
+
+
+def test_bulk_ingest_df_searchable(spark):
+    """Rows ingested via the bulk path are immediately searchable with
+    self-similarity 1 (same contract as the driver path)."""
+    eng = MultiModalSearchEngine(spark, dim=32)
+    eng.batch_ingest_df(
+        spark.createDataFrame(
+            [(f"needle number {i}", "text") for i in range(50)],
+            "content string, modality string",
+        )
+    )
+    out = eng.search("needle number 7", k=1)
+    assert out[0]["content"] == "needle number 7"
+    assert out[0]["sim"] == pytest.approx(1.0, abs=1e-5)
