@@ -205,10 +205,46 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     shingle_n: int = 2,
     threshold: float = 0.5,
+    max_block_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold, within a
     blocking key (all-pairs if ``block_col`` is None — quadratic; only
-    for small corpora or post-LSH verification)."""
+    for small corpora or post-LSH verification).
+
+    **Scale bound — this is the VERIFY form, not the discovery path.**
+    The in-block self-join expands every block of ``m`` rows into
+    ``m·(m−1)/2`` pairs, so the largest block's cardinality must stay
+    ≪ √(pair budget): a 1M-row block is ~5·10¹¹ pairs. A low-cardinality
+    key like ``lang`` is near-degenerate on a real corpus (one language
+    ≈ most documents → in-block all-pairs). At corpus scale use
+    :func:`minhash_lsh_candidates` for discovery and feed ONLY its
+    candidate pairs here for exact verification. ``max_block_rows``
+    enforces the bound at plan-build time (one cheap count over the
+    blocked input); pass ``None`` to skip the pre-count (e.g. inside
+    tight pipelines where the block sizes are already known).
+    """
+    if max_block_rows is not None:
+        if block_col is None:
+            n = docs.count()
+            if n > max_block_rows:
+                raise ValueError(
+                    f"ngram_jaccard_pairs: all-pairs over {n} rows exceeds "
+                    f"max_block_rows={max_block_rows} (~{n*(n-1)//2:.0f} "
+                    "pairs). Use minhash_lsh_candidates for discovery, or "
+                    "pass max_block_rows=None to force."
+                )
+        else:
+            biggest = (
+                docs.groupBy(block_col).count().agg(F.max("count")).first()[0]
+            )
+            if biggest is not None and biggest > max_block_rows:
+                raise ValueError(
+                    f"ngram_jaccard_pairs: largest '{block_col}' block has "
+                    f"{biggest} rows (> max_block_rows={max_block_rows}); "
+                    "the in-block self-join would be quadratic in that "
+                    "block. Use minhash_lsh_candidates for discovery, or "
+                    "pass max_block_rows=None to force."
+                )
     base = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         *([F.col(block_col).alias("block")] if block_col else []),

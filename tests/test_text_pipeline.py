@@ -95,3 +95,27 @@ def test_with_rank_orders_and_breaks_ties(spark):
     )
     got = {r["doc_id"]: r["rank"] for r in with_rank(df).collect()}
     assert got == {2: 1, 3: 2, 1: 3}
+
+
+def test_ngram_jaccard_block_guard(spark):
+    """The quadratic-expansion guard: a block larger than max_block_rows
+    raises at plan-build time; raising the cap (or None) permits it."""
+    import pytest as _pytest
+
+    from multimodal_vector_db_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "same block", f"word{i} common tokens here") for i in range(40)],
+        "doc_id long, lang string, text string",
+    )
+    with _pytest.raises(ValueError, match="largest 'lang' block"):
+        ngram_jaccard_pairs(docs, block_col="lang", max_block_rows=10)
+    with _pytest.raises(ValueError, match="all-pairs over"):
+        ngram_jaccard_pairs(docs, max_block_rows=10)
+    # permitted when under the cap or explicitly unbounded
+    ok = ngram_jaccard_pairs(docs, block_col="lang", max_block_rows=100)
+    assert ok.columns == ["id_a", "id_b", "jaccard"]
+    unbounded = ngram_jaccard_pairs(docs, max_block_rows=None)
+    assert unbounded.count() >= 0
