@@ -400,7 +400,7 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
         sec = timed_median(
             lambda: ivf_search(
                 ivf_corpus, qs_list, centroids, k=10, nprobe=nprobe,
-                probe_metric="l2",
+                probe_metric="l2", probe_rank_impl="blas",
             )
             .write.format("noop")
             .mode("overwrite")
@@ -409,7 +409,7 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
         hits = (
             ivf_search(
                 ivf_corpus, qs_list, centroids, k=10, nprobe=nprobe,
-                probe_metric="l2",
+                probe_metric="l2", probe_rank_impl="blas",
             )
             .select("query_id", "id")
             .join(exact_pairs, on=["query_id", "id"])
@@ -677,7 +677,7 @@ def main() -> None:
                 centroids,
                 k=10,
                 nprobe=12,
-                probe_metric="l2",
+                probe_metric="l2", probe_rank_impl="blas",
             )
             .write.format("noop")
             .mode("overwrite")
@@ -700,7 +700,7 @@ def main() -> None:
         centroids,
         k=10,
         nprobe=12,
-        probe_metric="l2",
+        probe_metric="l2", probe_rank_impl="blas",
     ).select("query_id", "id")
     exact_res = knn_join(
         corpus,
@@ -734,7 +734,7 @@ def main() -> None:
         timed_median(
             lambda: ivf_search(
                 cl_corpus, qs_cl, cl_centroids, k=10, nprobe=8,
-                probe_metric="l2",
+                probe_metric="l2", probe_rank_impl="blas",
             )
             .write.format("noop")
             .mode("overwrite")
@@ -773,7 +773,7 @@ def main() -> None:
         _sec = timed_median(
             lambda: ivf_search(
                 cl_corpus, qs_cl, cl_centroids, k=10, nprobe=_np,
-                probe_metric="l2",
+                probe_metric="l2", probe_rank_impl="blas",
             )
             .write.format("noop")
             .mode("overwrite")
@@ -782,7 +782,7 @@ def main() -> None:
         _hits = (
             ivf_search(
                 cl_corpus, qs_cl, cl_centroids, k=10, nprobe=_np,
-                probe_metric="l2",
+                probe_metric="l2", probe_rank_impl="blas",
             )
             .select("query_id", "id")
             .join(exact_cl, on=["query_id", "id"])

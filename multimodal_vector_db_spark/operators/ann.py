@@ -256,6 +256,7 @@ def ivf_search(
     vector_col: str = "embedding",
     cluster_col: str = "cluster_id",
     probe_metric: str = "dot",
+    probe_rank_impl: str = "exact",
 ) -> DataFrame:
     """IVF ANN search: per query, scan only the nprobe nearest clusters.
 
@@ -288,6 +289,55 @@ def ivf_search(
 
     spark = assigned_corpus.sparkSession
     if isinstance(queries, list):
+        if probe_rank_impl == "blas":
+            # Vectorized probe ranking: one numpy matmul replaces the
+            # per-(query, centroid) Python loops — at 512-d × 128
+            # centroids × 256 queries the exact path is ~17M interpreted
+            # float ops (~10 s of pure driver time PER SEARCH), the
+            # matmul is ~10 ms. FP accumulation order differs from the
+            # sequential fold, so a pair of exactly-tied centroids could
+            # rank differently — use "exact" (the default) where results
+            # must replay an oracle bit-for-bit; "blas" for serving and
+            # benchmarks. Tie-break matches exact: proximity first,
+            # HIGHER cid wins ties (lexsort on (-cid) secondary).
+            import numpy as np
+
+            C = np.asarray(centroids, dtype=np.float64)  # (nc, d)
+            Qm = np.asarray([v for _, v in queries], dtype=np.float64)
+            if probe_metric == "l2":
+                prox = (
+                    (Qm * Qm).sum(axis=1)[:, None]
+                    - 2.0 * (Qm @ C.T)
+                    + (C * C).sum(axis=1)[None, :]
+                )  # smaller = closer
+            else:
+                prox = -(Qm @ C.T)  # higher dot = closer
+            nc = C.shape[0]
+            cids = np.arange(nc)
+            # per query: order by (prox asc, cid desc)
+            order = np.lexsort(
+                (np.broadcast_to(-cids, prox.shape), prox), axis=1
+            )[:, :nprobe]
+            probe_rows = [
+                (qid, [float(x) for x in qvec], int(cid))
+                for (qid, qvec), row in zip(queries, order)
+                for cid in row
+            ]
+            q = spark.createDataFrame(
+                probe_rows,
+                f"query_id long, __q array<double>, {cluster_col} int",
+            )
+            c = assigned_corpus.select(
+                F.col(id_col).alias("id"),
+                F.col(vector_col).alias("__emb"),
+                F.col(cluster_col),
+            )
+            scored = c.join(F.broadcast(q), on=cluster_col).select(
+                "query_id",
+                "id",
+                dot(F.col("__emb"), F.col("__q")).alias("sim"),
+            )
+            return top_k_per_group(scored, ["query_id"], k)
         probe_rows = []
         for qid, qvec in queries:
             if probe_metric == "l2":

@@ -415,3 +415,32 @@ def test_ivf_append_maintains_searchable_index(spark, tmp_path):
     )
     top = res.where(F.col("rank") == 1).first()
     assert top["id"] == probe_id
+
+
+def test_ivf_probe_rank_blas_matches_exact(spark, embeddings):
+    """The vectorized (numpy) probe-ranking path must choose the same
+    probe cells — and therefore return identical results — as the
+    sequential-fold exact path on real (non-tied) distances, for both
+    probe metrics."""
+    corpus = embeddings.select(F.col("vec_id").alias("id"), "embedding")
+    centroids = ivf_fit(corpus, n_clusters=8)
+    assigned = ivf_assign(corpus, centroids)
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in embeddings.where(F.col("vec_id") < 12).collect()
+    ]
+    for metric in ("dot", "l2"):
+        exact = sorted(
+            tuple(r)
+            for r in ivf_search(
+                assigned, qs, centroids, k=5, nprobe=3, probe_metric=metric
+            ).collect()
+        )
+        blas = sorted(
+            tuple(r)
+            for r in ivf_search(
+                assigned, qs, centroids, k=5, nprobe=3,
+                probe_metric=metric, probe_rank_impl="blas",
+            ).collect()
+        )
+        assert exact == blas, metric

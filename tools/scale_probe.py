@@ -75,6 +75,20 @@ def replicate_orders(spark, orders, factor: int, path: str) -> None:
     out.repartition(32).write.mode("overwrite").parquet(path)
 
 
+def replicate_events(spark, events, factor: int, path: str) -> None:
+    # distinct event ids per replica; timestamps unchanged (the windowed
+    # agg's state size is bounded by (windows × event_types) regardless
+    # of row count — the property this probe demonstrates)
+    out = (
+        events.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__r")
+        )
+        .withColumn("event_id", F.col("event_id") * factor + F.col("__r"))
+        .drop("__r")
+    )
+    out.repartition(32).write.mode("overwrite").parquet(path)
+
+
 def replicate_documents(spark, docs, factor: int, path: str) -> None:
     out = (
         docs.select(
@@ -314,6 +328,48 @@ def main() -> None:
         return run
 
     probe("shard_packing", pack_run)
+
+    # Structured Streaming ingest at 1×/4×/16× events: drain the
+    # watermarked windowed-agg pipeline as an incremental availableNow
+    # run (maxFilesPerTrigger=4 over the 32-file layout → real
+    # checkpointed microbatches). Expect ≤ linear wall-time growth —
+    # per-batch fixed overhead (trigger planning, state-store commit)
+    # amortizes as batches carry more rows.
+    from multimodal_vector_db_spark.streaming.ingest import (
+        events_stream,
+        run_available_now,
+        windowed_counts,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    for f in FACTORS:
+        replicate_events(spark, events, f, f"{WORK}/events_{f}")
+    stream_res = {"sec": {}, "rows_per_sec": {}, "microbatches": {}, "ratio_vs_1x": {}}
+    for f in FACTORS:
+        n_rows = spark.read.parquet(f"{WORK}/events_{f}").count()
+        ckpt = f"{WORK}/stream_ckpt_{f}"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        t0 = time.time()
+        n_batches = run_available_now(
+            windowed_counts(
+                events_stream(spark, f"{WORK}/events_{f}", max_files_per_trigger=4)
+            ),
+            ckpt,
+            query_name=f"probe_stream_{f}",
+            output_mode="complete",
+            timeout_s=600,
+        )
+        sec = round(time.time() - t0, 3)
+        stream_res["sec"][str(f)] = sec
+        stream_res["rows_per_sec"][str(f)] = round(n_rows / max(sec, 1e-9))
+        stream_res["microbatches"][str(f)] = n_batches
+    base = stream_res["sec"]["1"] or 1e-9
+    for f in FACTORS:
+        stream_res["ratio_vs_1x"][str(f)] = round(
+            stream_res["sec"][str(f)] / base, 2
+        )
+    results["streaming_ingest"] = stream_res
+    print("streaming_ingest", stream_res, flush=True)
 
     # skew-join remedy, measured: a fact table where ONE key holds 80%
     # of all rows, shuffle-joined (broadcast disabled — the situation
