@@ -250,8 +250,9 @@ def build_ref_scale(spark, wh_dir: str) -> None:
     corpus = spark.read.parquet(f"{wh_dir}/ref44k.parquet")
     # per-modality hive layout — the reference's individual-modality
     # indexes as FILE-level partition pruning; spread each modality over
-    # up to 8 files so a pruned scan still parallelizes
-    corpus.repartition(32, "modality", F.pmod("id", F.lit(8))).write.mode(
+    # up to 16 files so a pruned scan still parallelizes (parquet only
+    # splits at row-group granularity — files ARE the parallelism here)
+    corpus.repartition(64, "modality", F.pmod("id", F.lit(16))).write.mode(
         "overwrite"
     ).partitionBy("modality").parquet(f"{wh_dir}/ref44k_by_modality.parquet")
     build_ivf_index(
@@ -279,7 +280,17 @@ def build_ref_scale(spark, wh_dir: str) -> None:
 def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
     """Measure the BASELINE.md comparables on the reference-shape corpus:
     exact kNN (window + blocked), per-modality pruned, IVF operating
-    points with recall@10 against exact ground truth."""
+    points with recall@10 against exact ground truth.
+
+    Scan-granularity confs are scoped to this section: the 44k × 512-d
+    corpus is only ~91 MB, and the default file bin-packing
+    (maxPartitionBytes=128m, openCostInBytes=4m) packs the whole scan
+    into 1-2 tasks — measured 2/32 cores busy, a ~15× slowdown on the
+    scoring stages (higher-order-function dots are interpreted eval,
+    CPU-bound, so scan parallelism IS the throughput). 3 MB target
+    splits it ~30 ways. On a real 100 TB corpus the defaults are right;
+    this knob corrects for a benchmark corpus far below one task's
+    worth of data."""
     from pyspark.sql import functions as F
 
     from multimodal_vector_db_spark.operators.ann import (
@@ -290,6 +301,11 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
         knn_join,
         knn_join_blocked,
     )
+
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(3 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(256 * 1024))
 
     corpus = (
         spark.read.parquet(f"{wh_dir}/ref44k.parquet")
@@ -360,8 +376,10 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
     )
 
     # per-modality pruned search (the reference's 1.95 ms comparison:
-    # individual-modality indexes ≈ partition-pruned scans). Same 64
-    # queries against each modality partition; file-level pruning.
+    # individual-modality indexes ≈ partition-pruned scans). Full
+    # 256-query batch against each modality partition (the fixed
+    # ~0.8 s/action scheduling floor of local mode otherwise dominates
+    # a 64-query batch); file-level pruning.
     by_mod = spark.read.parquet(f"{wh_dir}/ref44k_by_modality.parquet")
     pruned: dict = {}
     for mod, _ in REF_MODALITY_BOUNDS:
@@ -370,12 +388,12 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
         )
         pruned[mod] = round(
             timed_median(
-                lambda: knn_join_blocked(sub, qdf64, k=10)
+                lambda: knn_join_blocked(sub, qdf, k=10)
                 .write.format("noop")
                 .mode("overwrite")
                 .save()
             )
-            / 64
+            / 256
             * 1000,
             3,
         )
@@ -384,9 +402,14 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
     )
     out["pruned_blocked_ms_per_query"] = pruned
 
-    # IVF ANN operating curve: serving path (driver-ranked probes over
-    # broadcast centroids, one broadcast-join stage), 256-query batch,
-    # recall@10 vs the exact ground truth
+    # IVF ANN operating curve: the blocked BLAS serving path (zero
+    # candidate duplication, probed-cluster partition pruning, local
+    # top-k per Arrow batch — operators/ann.py:ivf_search_blocked),
+    # 256-query batch, recall@10 vs the exact ground truth. The joined
+    # ivf_search form stays the oracle path; at 512-d its interpreted
+    # HOF scoring is ~30× this (measured 45 s vs 1.5 s per search).
+    from multimodal_vector_db_spark.operators.ann import ivf_search_blocked
+
     ivf_corpus, centroids = open_ivf_index(
         spark, f"{wh_dir}/ref44k_ivf.parquet"
     )
@@ -398,18 +421,18 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
     curve: dict = {}
     for nprobe in (4, 8, 16):
         sec = timed_median(
-            lambda: ivf_search(
+            lambda: ivf_search_blocked(
                 ivf_corpus, qs_list, centroids, k=10, nprobe=nprobe,
-                probe_metric="l2", probe_rank_impl="blas",
+                probe_metric="l2",
             )
             .write.format("noop")
             .mode("overwrite")
             .save()
         )
         hits = (
-            ivf_search(
+            ivf_search_blocked(
                 ivf_corpus, qs_list, centroids, k=10, nprobe=nprobe,
-                probe_metric="l2", probe_rank_impl="blas",
+                probe_metric="l2",
             )
             .select("query_id", "id")
             .join(exact_pairs, on=["query_id", "id"])
@@ -431,6 +454,8 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
         np_best, v = min(ok, key=lambda t: t[1]["ms_per_query"])
         out["ivf_operating_point"] = {"nprobe": np_best, **v}
     exact_pairs.unpersist()
+    spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+    spark.conf.set("spark.sql.files.openCostInBytes", old_open)
     return out
 
 

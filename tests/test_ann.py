@@ -444,3 +444,37 @@ def test_ivf_probe_rank_blas_matches_exact(spark, embeddings):
             ).collect()
         )
         assert exact == blas, metric
+
+
+def test_ivf_search_blocked_matches_ivf_search(spark, embeddings):
+    """The BLAS-blocked IVF serving path must return the same (query,
+    id) sets as the joined form for the same nprobe (scores differ only
+    in fp accumulation order)."""
+    from multimodal_vector_db_spark.operators.ann import ivf_search_blocked
+
+    corpus = embeddings.select(F.col("vec_id").alias("id"), "embedding")
+    centroids = ivf_fit(corpus, n_clusters=8)
+    assigned = ivf_assign(corpus, centroids)
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in embeddings.where(F.col("vec_id") < 12).collect()
+    ]
+    joined = ivf_search(
+        assigned, qs, centroids, k=5, nprobe=3, probe_metric="l2",
+        probe_rank_impl="blas",
+    ).collect()
+    blocked = ivf_search_blocked(
+        assigned, qs, centroids, k=5, nprobe=3, probe_metric="l2"
+    ).collect()
+
+    def pairs(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["id"])
+        return out
+
+    assert pairs(joined) == pairs(blocked)
+    # sims agree to float tolerance
+    j = {(r["query_id"], r["id"]): r["sim"] for r in joined}
+    for r in blocked:
+        assert abs(j[(r["query_id"], r["id"])] - r["sim"]) < 1e-9
