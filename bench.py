@@ -19,9 +19,12 @@ Two phases:
    with a noop write (full computation, no driver collect overhead).
 
 Extra top-level field ``knn_ms_per_query``: amortized per-query latency
-of a 64-query exact kNN batch over the embeddings corpus — the
-apples-to-apples number against BASELINE.md's 13.15 ms/query (HNSW,
-44k×512-d) and 1.95 ms/query (per-modality).
+of a 64-query exact kNN batch over the driver's embeddings corpus
+(2,000 × 64-d). The ``ref_scale`` block is the apples-to-apples
+comparison against BASELINE.md: every kNN metric re-measured on a
+synthesized corpus with the reference's exact shape — 44,444 × 512-d,
+L2-normalized, fp16-round-tripped, reference modality split — vs its
+13.15 ms/query (unified HNSW) and 1.95 ms/query (per-modality).
 """
 
 from __future__ import annotations

@@ -340,3 +340,24 @@ class MultiModalSearchEngine:
             "dimension": self.dim,
             "metric": "cosine",
         }
+
+    def sql(self, query: str) -> DataFrame:
+        """Drive the engine with plain SQL: the live (non-deleted)
+        corpus is exposed as the view ``items`` and the vector SQL
+        functions (``vec_dot``, ``vec_normalize``, …) are installed —
+        see :mod:`multimodal_vector_db_spark.sql` for the dialect
+        notes. Example::
+
+            eng.sql(\"\"\"
+                SELECT id, display_name,
+                       vec_dot(CAST(embedding AS ARRAY<DOUBLE>),
+                               vec_normalize(ARRAY(...))) AS sim
+                FROM items WHERE modality = 'image'
+                ORDER BY sim DESC LIMIT 10
+            \"\"\")
+        """
+        from multimodal_vector_db_spark.sql import register_functions
+
+        active(self.items).createOrReplaceTempView("items")
+        register_functions(self.spark)
+        return self.spark.sql(query)

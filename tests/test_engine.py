@@ -212,3 +212,19 @@ def test_bulk_ingest_df_searchable(spark):
     out = eng.search("needle number 7", k=1)
     assert out[0]["content"] == "needle number 7"
     assert out[0]["sim"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_engine_sql_surface(spark):
+    """eng.sql(): the corpus is queryable as the `items` view with the
+    vector SQL functions installed; soft-deleted rows are excluded."""
+    eng = MultiModalSearchEngine(spark, dim=32)
+    eng.batch_ingest(
+        [{"content": f"sql item {i}", "modality": "text"} for i in range(10)]
+    )
+    eng.remove([3])
+    out = eng.sql(
+        "SELECT COUNT(*) AS n, MAX(vec_norm(CAST(embedding AS ARRAY<DOUBLE>))) AS mx "
+        "FROM items"
+    ).first()
+    assert out["n"] == 9
+    assert abs(out["mx"] - 1.0) < 1e-5
