@@ -25,7 +25,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multimodal_vector_db_spark.embedders.fake import fake_embed_numpy
-from multimodal_vector_db_spark.operators.knn import knn_search
+from multimodal_vector_db_spark.operators.knn import (
+    knn_search,
+    knn_search_blocked,
+)
 from multimodal_vector_db_spark.operators.rerank import rerank
 from multimodal_vector_db_spark.sources.corpus import (
     active,
@@ -36,14 +39,30 @@ from multimodal_vector_db_spark.sources.storage import CorpusStorage
 #: modality → embedding space (README.md:36)
 SPACE_OF = {"image": "clip", "video": "clip", "text": "clip", "audio": "clap"}
 
+#: canonical items schema (batch_ingest and the SQL view agree on this)
+_ITEMS_SCHEMA = (
+    "id long, modality string, space string, "
+    "embedding array<float>, dim int, deleted boolean, "
+    "content string, display_name string"
+)
+
 
 class MultiModalSearchEngine:
+    #: corpus_rows × dim above which ``search`` routes scoring through
+    #: the blocked BLAS scorer instead of the interpreted HOF dot.
+    #: Measured crossover: the HOF projection is CPU-bound interpreted
+    #: eval (~10 ns/multiply-add end-to-end); at 10⁶ cells that is
+    #: already ~10 ms of pure scoring vs a sub-ms BLAS call — while
+    #: below it the mapInPandas Arrow round-trip overhead dominates.
+    BLOCKED_THRESHOLD_CELLS = 1_000_000
+
     def __init__(
         self,
         spark: SparkSession,
         items: DataFrame | None = None,
         dim: int = 64,
         embed_fn: Callable[[str, str], list[float]] | None = None,
+        blocked_threshold_cells: int | None = None,
     ):
         self.spark = spark
         self.dim = dim
@@ -52,6 +71,17 @@ class MultiModalSearchEngine:
             lambda text, space: fake_embed_numpy(text, space, dim).tolist()
         )
         self.items = items
+        self.blocked_threshold_cells = (
+            self.BLOCKED_THRESHOLD_CELLS
+            if blocked_threshold_cells is None
+            else blocked_threshold_cells
+        )
+        # row count for the scorer dispatch: maintained incrementally by
+        # the ingest paths (no count job per search); None = unknown →
+        # computed once lazily (parquet metadata count) and cached.
+        # Soft deletes don't decrement — an upper bound only ever errs
+        # toward the faster scorer.
+        self._n_rows: int | None = 0 if items is None else None
 
     # -- ingestion (search_engine.py:81-172) ---------------------------
     def batch_ingest(self, rows: list[dict[str, Any]]) -> None:
@@ -78,15 +108,12 @@ class MultiModalSearchEngine:
                     r.get("display_name", f"item_{start_id + i}"),
                 )
             )
-        schema = (
-            "id long, modality string, space string, "
-            "embedding array<float>, dim int, deleted boolean, "
-            "content string, display_name string"
-        )
-        new = self.spark.createDataFrame(data, schema)
+        new = self.spark.createDataFrame(data, _ITEMS_SCHEMA)
         self.items = new if self.items is None else self.items.unionByName(
             new, allowMissingColumns=True
         )
+        if self._n_rows is not None:
+            self._n_rows += len(rows)
 
     def ingest_content(self, content: str, modality: str = "text", **meta) -> None:
         self.batch_ingest([{"content": content, "modality": modality, **meta}])
@@ -163,34 +190,49 @@ class MultiModalSearchEngine:
                 F.lit("item_"), F.col("__new_id").cast("string")
             )
         )
-        new = (
-            src.join(off_df, on="__pid")
-            .withColumn("__rn", F.row_number().over(w) - 1)
-            .withColumn(
-                "__new_id", F.lit(start_id) + F.col("__off") + F.col("__rn")
-            )
-            .withColumn("__space", space)
-            .select(
-                F.col("__new_id").alias("id"),
-                F.col(modality_col).alias("modality"),
-                F.col("__space").alias("space"),
-                F.when(
-                    F.col("__space") == "clap",
-                    ef(F.col(content_col), "clap"),
+        try:
+            new = (
+                src.join(off_df, on="__pid")
+                .withColumn("__rn", F.row_number().over(w) - 1)
+                .withColumn(
+                    "__new_id", F.lit(start_id) + F.col("__off") + F.col("__rn")
                 )
-                .otherwise(ef(F.col(content_col), "clip"))
-                .alias("embedding"),
-                F.lit(self.dim).alias("dim"),
-                F.lit(False).alias("deleted"),
-                F.col(content_col).alias("content"),
-                display.alias("display_name"),
+                .withColumn("__space", space)
+                .select(
+                    F.col("__new_id").alias("id"),
+                    F.col(modality_col).alias("modality"),
+                    F.col("__space").alias("space"),
+                    F.when(
+                        F.col("__space") == "clap",
+                        ef(F.col(content_col), "clap"),
+                    )
+                    .otherwise(ef(F.col(content_col), "clip"))
+                    .alias("embedding"),
+                    F.lit(self.dim).alias("dim"),
+                    F.lit(False).alias("deleted"),
+                    F.col(content_col).alias("content"),
+                    display.alias("display_name"),
+                )
             )
-        )
+            # Materialize NOW and truncate lineage: ids derived from the
+            # pinned partition layout are frozen into the checkpointed
+            # blocks, so `src`'s cache can be released immediately —
+            # repeated bulk ingests no longer accumulate pinned blocks
+            # for the session lifetime. (Eager embedding also matches the
+            # reference's ingest-time embedding semantics,
+            # search_engine.py:81-172. On a multi-node cluster prefer
+            # `spark.sparkContext.setCheckpointDir` + `.checkpoint()` for
+            # executor-loss durability; local mode has no such loss mode.)
+            new = new.localCheckpoint(eager=True)
+        finally:
+            src.unpersist()
         self.items = (
             new
             if self.items is None
             else self.items.unionByName(new, allowMissingColumns=True)
         )
+        if self._n_rows is not None:
+            self._n_rows += running  # total of the partition counts
 
     def remove(self, ids: list[int]) -> None:
         """Soft delete — and unlike the reference's write-only tombstone
@@ -214,11 +256,28 @@ class MultiModalSearchEngine:
         predicate: Column | None = None,
         approximate: bool = False,
         shortlist: int = 200,
+        scorer: str = "auto",
     ) -> list[dict[str, Any]]:
         """Top-k search. Text queries embed into ``query_space``
         (default: the space implied by ``filter_content_type``, else
         clip). Only same-space rows are scored — cross-space similarity
         is refused by construction.
+
+        **Scorer dispatch** (``scorer="auto"``, the default): when
+        ``corpus_rows × dim`` exceeds ``blocked_threshold_cells``,
+        scoring routes through the blocked BLAS scorer
+        (:func:`~multimodal_vector_db_spark.operators.knn.knn_search_blocked`
+        — per-partition matmul + local top-k, ``TakeOrdered`` over
+        ``partitions × k`` candidates), with payload columns re-fetched
+        by broadcasting the k winners back onto a two-column-pruned
+        corpus scan. Below the threshold the codegen'd HOF-dot plan of
+        :func:`~multimodal_vector_db_spark.operators.knn.knn_search`
+        wins (no Arrow round-trip). The reference's search is *always*
+        its fast path (``vector_index.py:131`` hnswlib); ours is too —
+        at its 44k × 512-d scale the HOF form measures 214 ms/query vs
+        ~5 ms blocked (BENCH ref_scale). ``scorer="hof"`` /
+        ``"blocked"`` force a path (parity tests; both return identical
+        winner sets — scores differ only in fp accumulation order).
 
         ``approximate=True`` routes through the binary sign-bit tier
         (the engine's analogue of the reference's always-approximate
@@ -246,9 +305,34 @@ class MultiModalSearchEngine:
         payload = [c for c in corpus.columns if c not in ("embedding", "dim")]
         if diversity:
             payload.append("embedding")
-        top = knn_search(corpus, qvec, k=fetch_n, payload_cols=payload)
+        use_blocked = scorer == "blocked" or (
+            scorer == "auto"
+            and not approximate  # shortlist already capped the corpus
+            and self._corpus_rows() * self.dim >= self.blocked_threshold_cells
+        )
+        if use_blocked:
+            winners = knn_search_blocked(corpus, qvec, k=fetch_n)
+            pay = [c for c in payload if c != "id"]
+            # broadcast the ≤fetch_n winner rows onto a payload-only
+            # corpus scan (vector column pruned out unless diversity
+            # needs it) — still ONE action at collect
+            top = (
+                corpus.select("id", *pay)
+                .join(F.broadcast(winners), on="id")
+                .select("id", *pay, "sim")
+                .orderBy(F.col("sim").desc(), F.col("id").asc())
+            )
+        else:
+            top = knn_search(corpus, qvec, k=fetch_n, payload_cols=payload)
         rows = [r.asDict() for r in top.collect()]
         return rerank(rows, strategy=strategy, top_k=k)
+
+    def _corpus_rows(self) -> int:
+        """Cached row count for the scorer dispatch; counts once
+        (parquet metadata-backed for loaded corpora) when unknown."""
+        if self._n_rows is None:
+            self._n_rows = self.items.count() if self.items is not None else 0
+        return self._n_rows
 
     def _binary_shortlist(
         self, corpus: DataFrame, qvec: list[float], shortlist: int
@@ -358,6 +442,13 @@ class MultiModalSearchEngine:
         """
         from multimodal_vector_db_spark.sql import register_functions
 
-        active(self.items).createOrReplaceTempView("items")
+        if self.items is None:
+            # fresh engine: expose an EMPTY items view with the canonical
+            # schema rather than raising AttributeError — SQL exploration
+            # (DESCRIBE items, SELECT ... WHERE false) works pre-ingest
+            empty = self.spark.createDataFrame([], _ITEMS_SCHEMA)
+            empty.createOrReplaceTempView("items")
+        else:
+            active(self.items).createOrReplaceTempView("items")
         register_functions(self.spark)
         return self.spark.sql(query)

@@ -606,10 +606,13 @@ def ivf_search_blocked(
     id_col: str = "id",
     vector_col: str = "embedding",
     cluster_col: str = "cluster_id",
-    probe_metric: str = "l2",
+    probe_metric: str = "dot",
 ) -> DataFrame:
     """IVF batch serving at scale: BLAS scoring, zero candidate-row
     duplication — the 100 TB shape of :func:`ivf_search`'s serving path.
+    ``probe_metric`` defaults to ``"dot"`` — the SAME default as
+    :func:`ivf_search` — so swapping one function for the other probes
+    identical cells without extra keywords.
 
     :func:`ivf_search` joins the probe table to the corpus, which
     materializes one (candidate × query) row PER PAIR — each dragging a

@@ -210,6 +210,61 @@ def knn_join_blocked(
     )
 
 
+def knn_search_blocked(
+    corpus: DataFrame,
+    query_vector: list[float],
+    k: int,
+    id_col: str = "id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Single-query exact kNN at scale — the degenerate (|queries|=1)
+    fast path of :func:`knn_join_blocked`, without the per-query
+    ranking window the batch form pays.
+
+    Each partition scores its Arrow batches with one BLAS
+    matrix-vector product and emits only its local top-k ``(id, sim)``
+    rows; the global top-k is a plain ``ORDER BY … LIMIT k`` —
+    Catalyst plans that as ``TakeOrderedAndProject`` over at most
+    ``num_partitions × k`` candidate rows, no shuffle of corpus data,
+    no window exchange. This is the scorer ``engine.search`` dispatches
+    to above its size×dim threshold (the interpreted HOF dot benches
+    214 ms/query at 44k×512-d; this form ~5 ms — see BENCH ref_scale).
+
+    Returns ``(id, sim)`` only — fetch payload columns by joining the
+    k-row result back to the corpus (broadcast the k rows), which keeps
+    the scoring scan pruned to two columns.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    q = np.asarray(query_vector, dtype=np.float64)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def local_topk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf[vector_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            s = X @ q
+            kk = min(k, len(pdf))
+            top = np.lexsort((ids, -s))[:kk]
+            yield pd.DataFrame({"id": ids[top], "sim": s[top]})
+
+    local = corpus.select(
+        F.col(id_col).alias(id_col), F.col(vector_col).alias(vector_col)
+    ).mapInPandas(local_topk, schema=out_schema)
+    return local.orderBy(F.col("sim").desc(), F.col("id").asc()).limit(k)
+
+
 def knn_search_l2(
     corpus: DataFrame,
     query_vector: list[float],

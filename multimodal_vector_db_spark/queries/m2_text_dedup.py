@@ -599,7 +599,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multimodal_vector_db_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, block_col="lang", threshold=0.03)
+    return ngram_jaccard_pairs(
+        docs, block_col="lang", threshold=0.03, max_block_rows=None
+    )
 
 
 def _simhash_sql_16(toks_expr: str) -> str:

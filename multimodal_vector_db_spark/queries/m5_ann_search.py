@@ -341,7 +341,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, block_col="lang", threshold=0.03)
+    pairs = ngram_jaccard_pairs(
+        docs, block_col="lang", threshold=0.03, max_block_rows=None
+    )
     return connected_components(pairs, nodes=docs.select("doc_id"))
 
 
@@ -780,7 +782,9 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multimodal_vector_db_spark.operators.graph import pagerank
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, block_col="lang", threshold=0.03)
+    pairs = ngram_jaccard_pairs(
+        docs, block_col="lang", threshold=0.03, max_block_rows=None
+    )
     # symmetrize in one pass — a unionAll of two selects would run the
     # (expensive) Jaccard pair join twice
     edges = pairs.select(

@@ -281,7 +281,9 @@ def q_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multimodal_vector_db_spark.operators.graph import triangle_counts
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, block_col="lang", threshold=0.03)
+    pairs = ngram_jaccard_pairs(
+        docs, block_col="lang", threshold=0.03, max_block_rows=None
+    )
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )

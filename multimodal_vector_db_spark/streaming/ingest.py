@@ -209,8 +209,14 @@ def run_available_now(
         .start()
     )
     q.awaitTermination(timeout_s)
-    last = q.lastProgress
-    return int(last["batchId"]) + 1 if last else 0
+    # Count THIS run's progress events. ``lastProgress.batchId + 1``
+    # overcounts when the checkpoint dir is reused across runs (batchId
+    # continues from the prior run's offsets); ``recentProgress`` is
+    # per-query-object, so every entry here belongs to this run. The
+    # buffer retains the last 100 progress events
+    # (spark.sql.streaming.numRecentProgressUpdates) — more micro-batches
+    # than any availableNow drain this harness performs.
+    return len(q.recentProgress)
 
 
 RUNNING_TOTALS_SCHEMA = T.StructType(

@@ -228,3 +228,75 @@ def test_engine_sql_surface(spark):
     ).first()
     assert out["n"] == 9
     assert abs(out["mx"] - 1.0) < 1e-5
+
+
+def test_search_scorer_dispatch_parity(spark):
+    """scorer='blocked' (the >threshold path: BLAS scoring + broadcast
+    payload re-fetch) must return the same ids/payload as scorer='hof',
+    for both plain and diversity strategies."""
+    eng = MultiModalSearchEngine(spark, dim=32)
+    eng.batch_ingest(
+        [{"content": f"dispatch doc {i} topic {i % 5}", "modality": "text"}
+         for i in range(80)]
+    )
+    hof = eng.search("dispatch doc 7 topic 2", k=5, scorer="hof")
+    blk = eng.search("dispatch doc 7 topic 2", k=5, scorer="blocked")
+    assert [r["id"] for r in hof] == [r["id"] for r in blk]
+    assert [r["content"] for r in hof] == [r["content"] for r in blk]
+    for a, b in zip(hof, blk):
+        assert a["sim"] == pytest.approx(b["sim"], abs=1e-9)
+
+    div_h = eng.search("dispatch doc 7 topic 2", k=5, strategy="diversity",
+                       scorer="hof")
+    div_b = eng.search("dispatch doc 7 topic 2", k=5, strategy="diversity",
+                       scorer="blocked")
+    assert [r["id"] for r in div_h] == [r["id"] for r in div_b]
+    # the blocked diversity path re-fetched real embeddings
+    assert all(r.get("embedding") is not None for r in div_b)
+
+
+def test_search_auto_dispatch_threshold(spark):
+    """auto dispatch: a tiny threshold forces the blocked scorer and
+    results are unchanged; the default threshold keeps small corpora on
+    the HOF plan (cells well under 10^6)."""
+    eng = MultiModalSearchEngine(spark, dim=32, blocked_threshold_cells=1)
+    eng.batch_ingest(
+        [{"content": f"auto item {i}", "modality": "text"} for i in range(40)]
+    )
+    assert eng._corpus_rows() == 40
+    auto = eng.search("auto item 3", k=4)          # routed blocked
+    hof = eng.search("auto item 3", k=4, scorer="hof")
+    assert [r["id"] for r in auto] == [r["id"] for r in hof]
+
+
+def test_sql_on_fresh_engine(spark):
+    """eng.sql() before any ingest exposes an EMPTY items view with the
+    canonical schema instead of raising."""
+    eng = MultiModalSearchEngine(spark, dim=32)
+    out = eng.sql("SELECT COUNT(*) AS n FROM items").first()
+    assert out["n"] == 0
+    cols = eng.sql("SELECT * FROM items").columns
+    assert cols == ["id", "modality", "space", "embedding", "dim",
+                    "deleted", "content", "display_name"]
+
+
+def test_bulk_ingest_releases_source_cache(spark):
+    """batch_ingest_df must not leave the raw source pinned in executor
+    memory: after ingest the only surviving storage is the checkpointed
+    items block (≤ +1 persistent RDD per ingest)."""
+    import pandas as pd
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    eng = MultiModalSearchEngine(spark, dim=32)
+    for round_ in range(2):
+        src = spark.createDataFrame(pd.DataFrame(
+            [{"content": f"cache probe {round_}-{i}", "modality": "text"}
+             for i in range(200)]
+        )).repartition(4)
+        eng.batch_ingest_df(src)
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 2, (before, after)
+    assert eng.items.count() == 400
+    ids = [r["id"] for r in eng.items.select("id").collect()]
+    assert sorted(ids) == list(range(400))

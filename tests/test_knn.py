@@ -121,3 +121,41 @@ def test_knn_join_blocked_matches_exact(spark):
     t1a = {r["query_id"]: r["id"] for r in exact.where(F.col("rank") == 1).collect()}
     t1b = {r["query_id"]: r["id"] for r in blocked.where(F.col("rank") == 1).collect()}
     assert t1a == t1b
+
+
+def test_knn_search_blocked_matches_knn_search(spark):
+    """The single-query blocked scorer (engine.search's scale path) must
+    return the same winner ids as the HOF plan, sims equal to fp
+    tolerance, for several query vectors."""
+    from multimodal_vector_db_spark.operators.knn import (
+        knn_search,
+        knn_search_blocked,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("id"), "embedding").repartition(8)
+    for qid in (0, 17, 101):
+        q = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        hof = knn_search(corpus, q, k=10).collect()
+        blk = knn_search_blocked(corpus, q, k=10).collect()
+        assert [r["id"] for r in hof] == [r["id"] for r in blk]
+        for a, b in zip(hof, blk):
+            assert abs(a["sim"] - b["sim"]) < 1e-9
+
+
+def test_knn_search_blocked_fewer_rows_than_k(spark):
+    from multimodal_vector_db_spark.operators.knn import knn_search_blocked
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = (
+        emb.where(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("id"), "embedding")
+        .repartition(8)  # most partitions empty
+    )
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = knn_search_blocked(corpus, q, k=10).collect()
+    assert len(out) == 3
+    assert out[0]["id"] == 0  # self-hit first
