@@ -184,6 +184,10 @@ REF_N = 44_444
 REF_DIM = 512
 REF_REPS = 10
 REF_NOISE = 0.25
+#: mixture-regime noise: 3× looser than the planted corpus — per-element
+#: noise var (0.75²/3) vs base var (1/3) → intra-cluster cos ≈
+#: 1/√(1+0.5625) ≈ 0.80
+REF_NOISE_HARD = 0.75
 # (modality, exclusive upper id bound) — reference split, README.md:16-22
 REF_MODALITY_BOUNDS = [
     ("image", 31_783),
@@ -193,7 +197,7 @@ REF_MODALITY_BOUNDS = [
 ]
 
 
-def _ref_synth(ids_df, noise_seed: int):
+def _ref_synth(ids_df, noise_seed: int, noise_amp: float = REF_NOISE):
     """512-d deterministic vectors: base pattern from xxhash64(base_id, j)
     plus a ±REF_NOISE perturbation from xxhash64(noise_seed, id, j);
     L2-normalized then fp16-round-tripped (the reference's storage
@@ -217,7 +221,7 @@ def _ref_synth(ids_df, noise_seed: int):
                 - 1000
             )
             / 1000.0
-            + F.lit(REF_NOISE)
+            + F.lit(noise_amp)
             * (
                 F.pmod(
                     F.xxhash64(F.lit(noise_seed), F.col("id"), j), F.lit(2001)
@@ -277,6 +281,73 @@ def build_ref_scale(spark, wh_dir: str) -> None:
         F.col("embedding").alias("q_emb"),
     ).repartition(1).write.mode("overwrite").parquet(
         f"{wh_dir}/ref44k_queries.parquet"
+    )
+
+    # --- hard-regime variants for the IVF operating curve ------------
+    # The planted-neighborhood corpus above makes IVF recall easy
+    # (intra-cluster cos ~0.97 → each query's true top-10 sits in one
+    # cell). Two harder corpora at the SAME shape grade the operating
+    # point honestly:
+    #
+    # 1. isotropic — every row its own base, no structure at all. The
+    #    worst case for ANY partition-pruned index: a query's true
+    #    neighbors land in near-uniformly-random cells, so recall ≈
+    #    fraction of corpus scanned BY CONSTRUCTION (curse of
+    #    dimensionality at 512-d), and the honest operating point is
+    #    the blocked exact scan.
+    # 2. mixture — planted neighborhoods with 3× looser noise
+    #    (intra-cluster cos ~0.8, vs ~0.97 planted / ~0 isotropic):
+    #    clusters exist but bleed into each other, so nprobe genuinely
+    #    trades recall for latency. Real embedding corpora sit between
+    #    this and the planted regime.
+    iso = _ref_synth(
+        spark.range(REF_N).select("id", F.col("id").alias("base_id")),
+        noise_seed=3,
+    )
+    iso.repartition(32).write.mode("overwrite").parquet(
+        f"{wh_dir}/ref44k_iso.parquet"
+    )
+    build_ivf_index(
+        spark.read.parquet(f"{wh_dir}/ref44k_iso.parquet"),
+        f"{wh_dir}/ref44k_iso_ivf.parquet",
+        n_clusters=128,
+    )
+    iso_q = _ref_synth(
+        spark.range(256).select(
+            (F.col("id") + 20_000_000).alias("id"),
+            (F.col("id") + 20_000_000).alias("base_id"),  # unseen bases
+        ),
+        noise_seed=5,
+    )
+    iso_q.select(
+        (F.col("id") - 20_000_000).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    ).repartition(1).write.mode("overwrite").parquet(
+        f"{wh_dir}/ref44k_iso_queries.parquet"
+    )
+
+    mix = _ref_synth(ids, noise_seed=7, noise_amp=REF_NOISE_HARD)
+    mix.repartition(32).write.mode("overwrite").parquet(
+        f"{wh_dir}/ref44k_mix.parquet"
+    )
+    build_ivf_index(
+        spark.read.parquet(f"{wh_dir}/ref44k_mix.parquet"),
+        f"{wh_dir}/ref44k_mix_ivf.parquet",
+        n_clusters=128,
+    )
+    mix_q = _ref_synth(
+        spark.range(256).select(
+            (F.col("id") + 30_000_000).alias("id"),
+            F.col("id").alias("base_id"),  # perturb SEEN bases 0..255
+        ),
+        noise_seed=9,
+        noise_amp=REF_NOISE_HARD,
+    )
+    mix_q.select(
+        (F.col("id") - 30_000_000).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    ).repartition(1).write.mode("overwrite").parquet(
+        f"{wh_dir}/ref44k_mix_queries.parquet"
     )
 
 
@@ -468,6 +539,138 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
     if ok:
         np_best, v = min(ok, key=lambda t: t[1]["ms_per_query"])
         out["ivf_operating_point"] = {"nprobe": np_best, **v}
+
+    # -- facade serving (engine.search, auto dispatch) ----------------
+    # The user-facing path at the reference's own scale: a single
+    # search() call end-to-end (embed-skip: vector query; blocked BLAS
+    # dispatch fires at 44,444 × 512 = 22.7M cells ≫ the 1M threshold;
+    # payload re-fetched via broadcast join; rows collected to the
+    # driver exactly as the reference's search returns a list). The
+    # reference's comparable is 13.15 ms/query (unified HNSW) — and its
+    # search is ALWAYS its fast path, so ours is timed on the default.
+    from multimodal_vector_db_spark.engine import MultiModalSearchEngine
+
+    items = spark.read.parquet(f"{wh_dir}/ref44k.parquet").select(
+        "id",
+        "modality",
+        F.lit("clip").alias("space"),
+        "embedding",
+        F.lit(REF_DIM).alias("dim"),
+        F.lit(False).alias("deleted"),
+        F.concat(F.lit("content "), F.col("id")).alias("content"),
+        F.concat(F.lit("ref_"), F.col("id")).alias("display_name"),
+    )
+    eng = MultiModalSearchEngine(spark, items=items, dim=REF_DIM)
+    q0 = [
+        float(x)
+        for x in qdf.where(F.col("query_id") == 0).first()["q_emb"]
+    ]
+    assert (
+        eng._corpus_rows() * REF_DIM >= eng.blocked_threshold_cells
+    ), "facade bench must exercise the blocked dispatch"
+    out["facade_search_ms"] = round(
+        timed_median(lambda: eng.search(q0, k=10)) * 1000, 3
+    )
+    # diversity (MMR) at full dimension: score-first, then re-fetch the
+    # 40-candidate payload INCLUDING the 2 KB embedding column via the
+    # broadcast join — the vector payload never rides the scoring scan
+    out["facade_diversity_ms"] = round(
+        timed_median(lambda: eng.search(q0, k=10, strategy="diversity"))
+        * 1000,
+        3,
+    )
+    # transparency: the pre-dispatch HOF facade path at the same scale
+    out["facade_search_hof_ms"] = round(
+        timed_median(lambda: eng.search(q0, k=10, scorer="hof")) * 1000, 3
+    )
+    # batched facade serving — the shape Spark amortizes (the reference
+    # baseline is itself a 100-query sequential loop's mean): 256
+    # queries end-to-end through search_batch (scoring + payload fetch
+    # + driver assembly), per-query cost. Single-query facade latency
+    # above is floored by local-mode job scheduling (~2 small actions);
+    # THIS row is the per-query serving cost at depth.
+    q256 = [
+        [float(x) for x in r["q_emb"]]
+        for r in qdf.orderBy("query_id").collect()
+    ]
+    out["facade_batch_ms_per_query"] = round(
+        timed_median(lambda: eng.search_batch(q256, k=10)) / 256 * 1000, 3
+    )
+
+    # -- hard-regime IVF curves (isotropic + mixture corpora) ---------
+    def _ivf_curve(corpus_name: str, probes: tuple[int, ...]) -> dict:
+        c_corpus, c_centroids = open_ivf_index(
+            spark, f"{wh_dir}/{corpus_name}_ivf.parquet"
+        )
+        c_corpus = c_corpus.select("id", "embedding", "cluster_id")
+        c_qdf = spark.read.parquet(f"{wh_dir}/{corpus_name}_queries.parquet")
+        plain = spark.read.parquet(f"{wh_dir}/{corpus_name}.parquet").select(
+            "id", "embedding"
+        )
+        truth = knn_join_blocked(plain, c_qdf, k=10).select("query_id", "id")
+        truth.cache()
+        n_truth = truth.count()
+        c_qs = [
+            (r["query_id"], [float(x) for x in r["q_emb"]])
+            for r in c_qdf.collect()
+        ]
+        cv: dict = {}
+        for nprobe in probes:
+            sec = timed_median(
+                lambda: ivf_search_blocked(
+                    c_corpus, c_qs, c_centroids, k=10, nprobe=nprobe,
+                    probe_metric="l2",
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            hits = (
+                ivf_search_blocked(
+                    c_corpus, c_qs, c_centroids, k=10, nprobe=nprobe,
+                    probe_metric="l2",
+                )
+                .select("query_id", "id")
+                .join(truth, on=["query_id", "id"])
+                .count()
+            )
+            cv[str(nprobe)] = {
+                "ms_per_query": round(sec / len(c_qs) * 1000, 3),
+                "recall10": round(hits / n_truth, 4),
+            }
+        truth.unpersist()
+        return cv
+
+    # isotropic: recall ≈ scanned fraction by construction (512-d, no
+    # structure) — the honest operating point on such data is the exact
+    # blocked scan (exact_blocked_ms_per_query_256 above), which already
+    # beats the 13.15 ms approximate baseline. nprobe spans to full scan
+    # so the curve SHOWS the degeneration instead of hiding it.
+    out["ivf_nprobe_curve_isotropic"] = _ivf_curve(
+        "ref44k_iso", (32, 64, 96, 128)
+    )
+    iso_ok = [
+        (int(np_), v)
+        for np_, v in out["ivf_nprobe_curve_isotropic"].items()
+        if v["recall10"] >= 0.95
+    ]
+    if iso_ok:
+        np_best, v = min(iso_ok, key=lambda t: t[1]["ms_per_query"])
+        out["ivf_operating_point_isotropic"] = {"nprobe": np_best, **v}
+    # mixture (intra-cluster cos ~0.8): nprobe genuinely trades recall
+    # for latency — the graded hard-but-structured regime
+    out["ivf_nprobe_curve_mixture"] = _ivf_curve(
+        "ref44k_mix", (8, 16, 32, 64)
+    )
+    mix_ok = [
+        (int(np_), v)
+        for np_, v in out["ivf_nprobe_curve_mixture"].items()
+        if v["recall10"] >= 0.95
+    ]
+    if mix_ok:
+        np_best, v = min(mix_ok, key=lambda t: t[1]["ms_per_query"])
+        out["ivf_operating_point_mixture"] = {"nprobe": np_best, **v}
+
     exact_pairs.unpersist()
     spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
     spark.conf.set("spark.sql.files.openCostInBytes", old_open)
@@ -1016,37 +1219,79 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(sum(times.values()), 4),
-                "unit": "sec",
-                "queries": times,
-                "queries_spread": spreads,
-                "sf": sf_val,
-                "prep_sec": prep_sec,
-                "knn_ms_per_query": knn_ms_per_query,
-                "knn_latency_stats": knn_latency_stats,
-                "knn_ms_per_query_256": knn_ms_per_query_256,
-                "knn_pruned_ms_per_query": knn_pruned_ms_per_query,
-                "knn_ivf_ms_per_query": knn_ivf_ms_per_query,
-                "knn_ivf_recall10": knn_ivf_recall10,
-                "knn_ann_ms_per_query": knn_ann_ms_per_query,
-                "knn_ann_exact_ms_per_query": knn_ann_exact_ms_per_query,
-                "knn_ann_exact_blocked_ms_per_query": knn_ann_exact_blocked_ms_per_query,
-                "knn_ann_recall10": knn_ann_recall10,
-                "knn_ann_nprobe_curve": knn_ann_curve,
-                "knn_binary_rerank_ms_per_query": knn_binary_rerank_ms_per_query,
-                "knn_binary_rerank_recall10": knn_binary_rerank_recall10,
-                "knn_blocked_ms_per_query": knn_blocked_ms_per_query,
-                "dedup_minhash_md5_oracle_sec": dedup_minhash_md5_oracle_sec,
-                "training_pipeline_sec": training_pipeline_sec,
-                "streaming_ingest": streaming_ingest,
-                "ref_scale": ref_scale,
-            }
-        )
+
+    # Full detail (curves, spreads, prose notes) goes to a FILE — the
+    # driver captures only a bounded tail of stdout and must be able to
+    # parse the final line, so that line stays compact and scalar-only
+    # (round 3's driver artifact recorded "parsed": null when the
+    # ref_scale block pushed the line past the capture window).
+    detail = {
+        "metric": "headline_total",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "queries_spread": spreads,
+        "sf": sf_val,
+        "prep_sec": prep_sec,
+        "knn_ms_per_query": knn_ms_per_query,
+        "knn_latency_stats": knn_latency_stats,
+        "knn_ms_per_query_256": knn_ms_per_query_256,
+        "knn_pruned_ms_per_query": knn_pruned_ms_per_query,
+        "knn_ivf_ms_per_query": knn_ivf_ms_per_query,
+        "knn_ivf_recall10": knn_ivf_recall10,
+        "knn_ann_ms_per_query": knn_ann_ms_per_query,
+        "knn_ann_exact_ms_per_query": knn_ann_exact_ms_per_query,
+        "knn_ann_exact_blocked_ms_per_query": knn_ann_exact_blocked_ms_per_query,
+        "knn_ann_recall10": knn_ann_recall10,
+        "knn_ann_nprobe_curve": knn_ann_curve,
+        "knn_binary_rerank_ms_per_query": knn_binary_rerank_ms_per_query,
+        "knn_binary_rerank_recall10": knn_binary_rerank_recall10,
+        "knn_blocked_ms_per_query": knn_blocked_ms_per_query,
+        "dedup_minhash_md5_oracle_sec": dedup_minhash_md5_oracle_sec,
+        "training_pipeline_sec": training_pipeline_sec,
+        "streaming_ingest": streaming_ingest,
+        "ref_scale": ref_scale,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(f"full detail -> {detail_path}", file=sys.stderr)
+
+    rs = ref_scale
+    compact = {
+        "metric": "headline_total",
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+        "prep_sec": prep_sec,
+        "knn_ms_per_query": knn_ms_per_query,
+        "knn_ms_per_query_256": knn_ms_per_query_256,
+        "knn_ivf_ms_per_query": knn_ivf_ms_per_query,
+        "knn_ivf_recall10": knn_ivf_recall10,
+        "knn_blocked_ms_per_query": knn_blocked_ms_per_query,
+        "streaming_rows_per_sec": streaming_ingest["rows_per_sec"],
+        # ref-scale headline scalars vs BASELINE.md (13.15 ms unified /
+        # 1.95 ms per-modality approximate HNSW)
+        "ref": {
+            "exact_blocked_ms_256": rs["exact_blocked_ms_per_query_256"],
+            "exact_window_ms": rs["exact_window_ms_per_query"],
+            "pruned_mean_ms": rs["pruned_blocked_ms_per_query"]["mean"],
+            "facade_ms": rs["facade_search_ms"],
+            "facade_batch_ms_per_query": rs["facade_batch_ms_per_query"],
+            "facade_diversity_ms": rs["facade_diversity_ms"],
+            "ivf_op_point": rs.get("ivf_operating_point"),
+            "ivf_op_point_mixture": rs.get("ivf_operating_point_mixture"),
+        },
+        "detail": "bench_detail.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) >= 1900:  # stay inside the driver's tail-capture window
+        compact.pop("ref", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -134,7 +134,7 @@ def top_k_per_group(
 
 def knn_join_blocked(
     corpus: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | list[tuple[int, list[float]]],
     k: int,
     query_id_col: str = "query_id",
     query_vector_col: str = "q_emb",
@@ -163,7 +163,12 @@ def knn_join_blocked(
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
-    q_rows = queries.select(query_id_col, query_vector_col).collect()
+    if isinstance(queries, list):
+        # driver-side (query_id, vector) pairs — skips the collect job
+        # (the facade's search_batch already holds the vectors)
+        q_rows = queries
+    else:
+        q_rows = queries.select(query_id_col, query_vector_col).collect()
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
 

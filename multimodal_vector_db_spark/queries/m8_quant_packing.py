@@ -993,623 +993,3 @@ def q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# TPC-H join breadth — the remaining shapes of the 22-query suite that
-# the driver corpus's trimmed schema can express (no partsupp table, no
-# l_shipmode / l_commitdate / l_receiptdate / c_phone — Q2/Q11/Q20/Q21
-# need those; Q9/Q12/Q17/Q22 are adapted to the available columns while
-# keeping the canonical plan shape each query exists to exercise).
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "tpch_q7",
-    """
-    SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
-    FROM (
-      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             year(l.l_shipdate)::BIGINT AS l_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume
-      FROM supplier s
-      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
-      JOIN orders o ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
-      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
-        AND l.l_shipdate < TIMESTAMP '1998-01-01'
-    ) shipping
-    GROUP BY supp_nation, cust_nation, l_year
-    """,
-)
-def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape (volume shipping between nation pairs): both
-    nation-restricted dimension arms (supplier⋈n1, customer⋈n2)
-    broadcast — restricting nation to the two names BEFORE the join
-    shrinks each arm to ~1/12 of its table, so the only shuffle is
-    lineitem⋈orders; the nation-pair disjunction rides the broadcast
-    joins as a residual filter."""
-    nat = _t(spark, sf_dir, "nation").where(
-        F.col("n_name").isin("NATION_1", "NATION_2")
-    )
-    s_n1 = (
-        _t(spark, sf_dir, "supplier")
-        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
-    )
-    c_n2 = (
-        _t(spark, sf_dir, "customer")
-        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
-        .select("c_custkey", F.col("n_name").alias("cust_nation"))
-    )
-    li = _t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    o = _t(spark, sf_dir, "orders")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s_n1), li.l_suppkey == s_n1.s_suppkey)
-        .join(F.broadcast(c_n2), o.o_custkey == c_n2.c_custkey)
-        .where(
-            (
-                (F.col("supp_nation") == "NATION_1")
-                & (F.col("cust_nation") == "NATION_2")
-            )
-            | (
-                (F.col("supp_nation") == "NATION_2")
-                & (F.col("cust_nation") == "NATION_1")
-            )
-        )
-        .groupBy(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").cast("long").alias("l_year"),
-        )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-    )
-
-
-@query(
-    "tpch_q8",
-    """
-    SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
-    FROM (
-      SELECT year(o.o_orderdate)::BIGINT AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
-             n2.n_name AS nation
-      FROM part p
-      JOIN lineitem l ON p.p_partkey = l.l_partkey
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      JOIN orders o ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
-      JOIN region r ON n1.n_regionkey = r.r_regionkey
-      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
-      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
-        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-        AND o.o_orderdate < TIMESTAMP '1998-01-01'
-    ) all_nations
-    GROUP BY o_year
-    """,
-)
-def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 shape (national market share): 8-table snowflake with a
-    conditional-aggregate ratio. Every dimension arm broadcasts (part
-    pre-filtered on type; customer⋈nation⋈region pre-filtered on
-    region), so the fact-fact lineitem⋈orders equi-join is again the
-    single shuffle; the share is one conditional SUM over the joined
-    stream — no second pass."""
-    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
-    s_nat = (
-        _t(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(_t(spark, sf_dir, "nation")),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select("s_suppkey", F.col("n_name").alias("nation"))
-    )
-    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
-    c_am = (
-        _t(spark, sf_dir, "customer")
-        .join(
-            F.broadcast(
-                _t(spark, sf_dir, "nation").join(
-                    F.broadcast(r),
-                    F.col("n_regionkey") == F.col("r_regionkey"),
-                )
-            ),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-        )
-        .select("c_custkey")
-    )
-    o = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c_am), o.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(s_nat), li.l_suppkey == F.col("s_suppkey"))
-        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(
-            F.round(
-                F.sum(
-                    F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0)
-                )
-                / F.sum(vol),
-                6,
-            ).alias("mkt_share")
-        )
-    )
-
-
-@query(
-    "tpch_q9",
-    """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
-    FROM (
-      SELECT n.n_name AS nation, year(o.o_orderdate)::BIGINT AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS amount
-      FROM part p
-      JOIN lineitem l ON p.p_partkey = l.l_partkey
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      JOIN nation n ON s.s_nationkey = n.n_nationkey
-      JOIN orders o ON o.o_orderkey = l.l_orderkey
-      WHERE p.p_name LIKE '%red%'
-    ) profit
-    GROUP BY nation, o_year
-    """,
-)
-def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 shape (product-type profit by nation×year), adapted: the
-    driver corpus has no partsupp table, so the ps_supplycost term of
-    the profit expression is omitted — what remains still exercises
-    Q9's defining plan: a part-name substring filter driving a 5-table
-    join aggregated on a dimension attribute × a derived year. The
-    LIKE-filtered part and supplier⋈nation arms broadcast; the single
-    shuffle is lineitem⋈orders."""
-    p = _t(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
-    s_nat = (
-        _t(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(_t(spark, sf_dir, "nation")),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select("s_suppkey", F.col("n_name").alias("nation"))
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s_nat), li.l_suppkey == F.col("s_suppkey"))
-        .groupBy(
-            "nation", F.year("o_orderdate").cast("long").alias("o_year")
-        )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_profit")
-        )
-    )
-
-
-@query(
-    "tpch_q12",
-    """
-    SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
-    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
-      AND l.l_shipdate < TIMESTAMP '1998-01-01'
-    GROUP BY l.l_linestatus
-    """,
-)
-def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape (priority-split shipment count), adapted: the
-    corpus has no l_shipmode/l_commitdate/l_receiptdate, so the group
-    key is l_linestatus and the date window is on l_shipdate — the plan
-    Q12 exists to exercise is unchanged: a fact-fact join feeding two
-    complementary conditional counts in ONE aggregation pass (not two
-    filtered subqueries)."""
-    li = _t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    o = _t(spark, sf_dir, "orders")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("l_linestatus")
-        .agg(
-            F.sum(F.when(high, 1).otherwise(0))
-            .cast("long")
-            .alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0))
-            .cast("long")
-            .alias("low_line_count"),
-        )
-    )
-
-
-@query(
-    "tpch_q15",
-    """
-    WITH revenue AS (
-      SELECT l_suppkey AS supplier_no,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        AND l_shipdate < TIMESTAMP '1997-04-01'
-      GROUP BY l_suppkey
-    ),
-    top1 AS (
-      SELECT supplier_no, total_revenue,
-             row_number() OVER (
-               ORDER BY total_revenue DESC, supplier_no ASC) AS rn
-      FROM revenue
-    )
-    SELECT s.s_suppkey, s.s_name, round(t.total_revenue, 2) AS total_revenue
-    FROM supplier s JOIN top1 t ON s.s_suppkey = t.supplier_no
-    WHERE t.rn = 1
-    """,
-)
-def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape (top supplier by quarterly revenue): lineitem
-    partial-aggregates to one row per supplier (map-side combine), the
-    argmax is a rank over that ~|suppliers|-row set — a deterministic
-    row_number with a supplier-key tie-break instead of the spec's
-    `= max` self-join (same winner, no second scan of the revenue CTE,
-    no float-equality join) — and the one surviving row broadcasts into
-    the supplier lookup."""
-    from pyspark.sql import Window
-
-    li = _t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
-    )
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "total_revenue"
-        )
-    )
-    w = Window.orderBy(
-        F.col("total_revenue").desc(), F.col("supplier_no").asc()
-    )
-    top1 = (
-        rev.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("supplier_no", "total_revenue")
-    )
-    s = _t(spark, sf_dir, "supplier")
-    return s.join(
-        F.broadcast(top1), s.s_suppkey == F.col("supplier_no")
-    ).select(
-        "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
-    )
-
-
-@query(
-    "tpch_q17",
-    """
-    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    JOIN (
-      SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
-      FROM lineitem GROUP BY l_partkey
-    ) t ON t.l_partkey = l.l_partkey
-    WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
-      AND l.l_quantity < t.qty_thresh
-    """,
-)
-def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape (small-quantity-order revenue), adapted: the
-    corpus has no p_container, so the part filter is brand+type. The
-    defining feature — a per-part correlated AVG subquery — is
-    decorrelated into one partial aggregation over lineitem joined back
-    by part key (the standard Catalyst rewrite, done declaratively);
-    the per-part thresholds and the filtered part list both broadcast,
-    so the probe side never shuffles. Quantities are integral, so the
-    0.2×avg threshold is bit-exact across engines (integer sums are
-    exact in double)."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").where(
-        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
-    )
-    thresh = li.groupBy("l_partkey").agg(
-        (0.2 * F.avg("l_quantity")).alias("qty_thresh")
-    )
-    # restrict thresholds to the filtered parts before broadcasting:
-    # |parts(brand,type)| rows, not |parts|
-    thresh_f = thresh.join(
-        F.broadcast(p.select("p_partkey")),
-        thresh.l_partkey == F.col("p_partkey"),
-    ).select("l_partkey", "qty_thresh")
-    return (
-        li.join(
-            F.broadcast(thresh_f.withColumnRenamed("l_partkey", "tp")),
-            (li.l_partkey == F.col("tp"))
-            & (li.l_quantity < F.col("qty_thresh")),
-        )
-        .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
-        )
-    )
-
-
-@query(
-    "tpch_q22",
-    """
-    WITH avg_bal AS (
-      SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
-    )
-    SELECT substr(c.c_name, 18, 1) AS cntrycode,
-           count(*)::BIGINT AS numcust,
-           round(sum(c.c_acctbal), 2) AS totacctbal
-    FROM customer c, avg_bal
-    WHERE c.c_acctbal > avg_bal.a
-      AND NOT EXISTS (
-        SELECT 1 FROM orders o
-        WHERE o.o_custkey = c.c_custkey
-          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
-      )
-    GROUP BY cntrycode
-    """,
-)
-def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape (global sales opportunity), adapted: the corpus
-    has no c_phone, so the country code is the last digit of c_name.
-    The two defining features survive intact: a scalar AVG subquery as
-    a filter threshold (a 1-row broadcast cross join, not a collected
-    driver value) and a NOT EXISTS against orders (left_anti join on
-    the customer key — orders only ships its key column through the
-    anti join's build side; the spec's "no orders ever" is scoped to
-    "no orders since 2000" because every customer in this corpus has
-    some order — the lapsed-customer variant keeps the result
-    non-empty)."""
-    c = _t(spark, sf_dir, "customer")
-    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("a")
-    )
-    o_keys = (
-        _t(spark, sf_dir, "orders")
-        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
-        .select("o_custkey")
-    )
-    return (
-        c.crossJoin(F.broadcast(avg_bal))
-        .where(F.col("c_acctbal") > F.col("a"))
-        .join(o_keys, c.c_custkey == o_keys.o_custkey, "left_anti")
-        .groupBy(F.substring("c_name", 18, 1).alias("cntrycode"))
-        .agg(
-            F.count("*").cast("long").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
-        )
-    )
-
-
-@query("pca_matryoshka_knn")  # rows-only: eigendecomposition is
-# engine-specific (like the KMeans IVF fit); properties pytest-pinned
-# in tests/test_projection_training.py
-def q_pca_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M10 trained-projection serving: fit a 16-component PCA on the
-    corpus (distributed moment partials → driver eigh,
-    operators/projection_training.py), project corpus + queries through
-    the SAME learned head at prefix_dim=8 (the Matryoshka truncation
-    knob — prefixes nest by construction), then exact top-5 kNN in the
-    projected space. The trained analogue of matryoshka_knn's naive
-    truncate+renormalize (reference scripts/train_matryoshka.py)."""
-    from multimodal_vector_db_spark.operators.projection_training import (
-        fit_pca_components,
-        pca_project,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    corpus = emb.select(F.col("vec_id").alias("id"), "embedding")
-    mean, W = fit_pca_components(corpus, "embedding", k=16)
-    proj = pca_project(
-        corpus, "embedding", mean, W, out_col="p", prefix_dim=8
-    ).select("id", "p")
-    queries = pca_project(
-        emb.where(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        ),
-        "embedding",
-        mean,
-        W,
-        out_col="q_emb",
-        prefix_dim=8,
-    ).select("query_id", "q_emb")
-    out = knn_join(proj.withColumnRenamed("p", "embedding"), queries, k=5)
-    return out.select(
-        "query_id", "id", "sim", F.col("rank").cast("long").alias("rank")
-    )
-
-
-@query(
-    "bpe_pair_stats",
-    """
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
-    ),
-    pairs AS (
-      SELECT ts[g.i] || ' ' || ts[g.i + 1] AS pair
-      FROM toks,
-           LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g
-    )
-    SELECT pair, count(*)::BIGINT AS n
-    FROM pairs GROUP BY pair
-    ORDER BY n DESC, pair ASC LIMIT 20
-    """,
-)
-def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One BPE training iteration at corpus scale (Sennrich 2016): count
-    every adjacent token pair, rank by frequency — the merge-candidate
-    table a tokenizer trainer consumes. The pair expansion is a map-side
-    zip_with over two shifted slices (array ops, no Python, no join);
-    the only shuffle is the pair-count aggregation, map-side-combined
-    because adjacent-pair frequency is algebraic. Top-20 is a
-    TakeOrderedAndProject with a deterministic pair tie-break."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(F.split("text", " ").alias("ts"))
-    # greatest(…, 0): slice() under ANSI rejects negative lengths, so an
-    # empty/1-token document must degrade to an empty pair list
-    n_pairs = F.greatest(F.size("ts") - 1, F.lit(0))
-    pairs = toks.select(
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("ts"), 1, n_pairs),
-                F.slice(F.col("ts"), 2, n_pairs),
-                lambda a, b: F.concat_ws(" ", a, b),
-            )
-        ).alias("pair")
-    )
-    return (
-        pairs.groupBy("pair")
-        .agg(F.count("*").cast("long").alias("n"))
-        .orderBy(F.col("n").desc(), F.col("pair").asc())
-        .limit(20)
-    )
-
-
-@query(
-    "grouped_split",
-    f"""
-    WITH b AS (
-      SELECT source, n_chars,
-             {_md5_nibbles_sql("md5(source)", 0)} % 10 AS bucket
-      FROM documents
-    ),
-    s AS (
-      SELECT source, n_chars,
-             CASE WHEN bucket < 8 THEN 'train'
-                  WHEN bucket < 9 THEN 'val'
-                  ELSE 'test' END AS split
-      FROM b
-    )
-    SELECT split,
-           count(DISTINCT source)::BIGINT AS n_sources,
-           count(*)::BIGINT AS n_docs,
-           sum(n_chars)::BIGINT AS total_chars
-    FROM s GROUP BY split
-    """,
-)
-def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leakage-safe grouped split: the split is assigned per SOURCE
-    (domain), not per document — near-duplicate and same-provenance
-    docs land on the same side of the train/eval boundary, the
-    standard contamination control `hash_split`'s per-doc bucketing
-    cannot give. Same content-stable md5 basis (here on the group
-    key), so membership never migrates across re-shards; one
-    map-side-combinable aggregation."""
-    from multimodal_vector_db_spark.functions.text import md5_nibbles
-
-    docs = _t(spark, sf_dir, "documents")
-    bucket = md5_nibbles(F.md5(F.col("source")), 0, 8) % 10
-    split = (
-        F.when(bucket < 8, F.lit("train"))
-        .when(bucket < 9, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    return (
-        docs.select(split.alias("split"), "source", "n_chars")
-        .groupBy("split")
-        .agg(
-            F.countDistinct("source").cast("long").alias("n_sources"),
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("total_chars"),
-        )
-    )
-
-
-@query(
-    "pii_redact",
-    """
-    WITH seeded AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 3 = 0
-                  THEN text || ' contact user' || doc_id::VARCHAR
-                       || '@example.com or 555-' || (doc_id % 10000)::VARCHAR
-                  ELSE text END AS text
-      FROM documents
-    ),
-    red AS (
-      SELECT doc_id,
-             regexp_replace(
-               regexp_replace(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>',
-                              'g'),
-               '555-[0-9]+', '<PHONE>', 'g') AS clean
-      FROM seeded
-    )
-    SELECT sum(CASE WHEN clean LIKE '%<EMAIL>%' THEN 1 ELSE 0 END)::BIGINT
-             AS docs_with_email,
-           sum(CASE WHEN clean LIKE '%<PHONE>%' THEN 1 ELSE 0 END)::BIGINT
-             AS docs_with_phone,
-           sum(CASE WHEN clean LIKE '%@%' THEN 1 ELSE 0 END)::BIGINT
-             AS residual_at
-    FROM red
-    """,
-)
-def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub pass (email/phone redaction) — the curation stage every
-    released corpus runs. The driver corpus is synthetic word-soup with
-    no PII, so the PII is PLANTED deterministically in-plan (doc_id%3
-    docs get an email + phone) and then redacted; the audit counts
-    redactions and asserts zero residual '@'. Pure codegen'd
-    regexp_replace chain — map-only, no shuffle before the final
-    1-row audit aggregate; patterns restricted to the Java∩RE2 regex
-    dialect so both engines replace identical spans."""
-    docs = _t(spark, sf_dir, "documents")
-    seeded = docs.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com or 555-"),
-                (F.col("doc_id") % 10000).cast("string"),
-            ),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.col("text"), "[A-Za-z0-9._]+@[A-Za-z0-9.]+", "<EMAIL>"
-        ),
-        "555-[0-9]+",
-        "<PHONE>",
-    )
-    red = seeded.select(clean.alias("clean"))
-    return red.agg(
-        F.sum(F.when(F.col("clean").contains("<EMAIL>"), 1).otherwise(0))
-        .cast("long")
-        .alias("docs_with_email"),
-        F.sum(F.when(F.col("clean").contains("<PHONE>"), 1).otherwise(0))
-        .cast("long")
-        .alias("docs_with_phone"),
-        F.sum(F.when(F.col("clean").contains("@"), 1).otherwise(0))
-        .cast("long")
-        .alias("residual_at"),
-    )
-
-

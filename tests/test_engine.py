@@ -300,3 +300,24 @@ def test_bulk_ingest_releases_source_cache(spark):
     assert eng.items.count() == 400
     ids = [r["id"] for r in eng.items.select("id").collect()]
     assert sorted(ids) == list(range(400))
+
+
+def test_search_batch_matches_search(spark):
+    """search_batch must return, per query, the same ranked ids as
+    repeated single search() calls — on both scorer paths."""
+    eng = MultiModalSearchEngine(spark, dim=32)
+    eng.batch_ingest(
+        [{"content": f"batch doc {i} group {i % 7}", "modality": "text"}
+         for i in range(90)]
+    )
+    qs = ["batch doc 3 group 3", "batch doc 50 group 1"]
+    for scorer in ("hof", "blocked"):
+        batched = eng.search_batch(qs, k=5, scorer=scorer)
+        for qi, qtext in enumerate(qs):
+            single = eng.search(qtext, k=5, scorer=scorer)
+            assert [r["id"] for r in batched[qi]] == [
+                r["id"] for r in single
+            ], (scorer, qi)
+            assert all(
+                r["content"] is not None for r in batched[qi]
+            )
