@@ -269,7 +269,7 @@ class MultiModalSearchEngine:
         (:func:`~multimodal_vector_db_spark.operators.knn.knn_search_blocked`
         — per-partition matmul + local top-k, ``TakeOrdered`` over
         ``partitions × k`` candidates), with payload columns re-fetched
-        by broadcasting the k winners back onto a two-column-pruned
+        by a pushed ``id IN (...)`` point-lookup over a column-pruned
         corpus scan. Below the threshold the codegen'd HOF-dot plan of
         :func:`~multimodal_vector_db_spark.operators.knn.knn_search`
         wins (no Arrow round-trip). The reference's search is *always*

@@ -28,9 +28,13 @@ def test_documented_names_resolve_to_code():
         if "_" in c and c not in REGISTRY
     }
     source = ""
-    for f in glob.glob(
-        "/root/repo/multimodal_vector_db_spark/**/*.py", recursive=True
-    ) + glob.glob("/root/repo/tests/*.py"):
+    for f in (
+        glob.glob(
+            "/root/repo/multimodal_vector_db_spark/**/*.py", recursive=True
+        )
+        + glob.glob("/root/repo/tests/*.py")
+        + ["/root/repo/bench.py"]  # bench metric keys are citable too
+    ):
         source += open(f).read()
     phantoms = [
         c
