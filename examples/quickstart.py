@@ -41,6 +41,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     for r in eng.search("fox", k=3):
         print(f"  #{r['id']} {r['display_name']} sim={r['sim']:.4f}")
 
+    # 2b. Batch search — one job amortized over every query (above the
+    #     rows×dim threshold this dispatches to the blocked BLAS scorer
+    #     automatically; the reference's batch_search loops per query).
+    print("== batch search ==")
+    for qi, hits in eng.search_batch(["fox", "dog playing"], k=2).items():
+        print(f"  q{qi}: {[r['display_name'] for r in hits]}")
+
     # 3. The reference's signature cross-modal comparison, as ONE plan.
     print("== cross-modal compare: 'dog' ==")
     eng.compare_modalities("dog", k_per_modality=1).show(truncate=False)
