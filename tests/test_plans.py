@@ -259,3 +259,47 @@ def test_shard_packing_offset_window_is_the_only_global_one(spark):
     # exactly one global (SinglePartition) exchange: the offsets window
     assert p.count("Arguments: SinglePartition") == 1, p
     assert "BroadcastHashJoin" in p, p
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_knn_search_blocked_is_shuffle_free(spark):
+    """The blocked single-query scorer must stay a map-only pass:
+    two-column scan → mapInPandas local top-k → TakeOrderedAndProject.
+    No Exchange — the global top-k merges ≤ partitions×k driver-side."""
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.operators.knn import knn_search_blocked
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("id"), "embedding")
+    q = [0.1] * 64
+    p = _explain(knn_search_blocked(corpus, q, k=10))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+    # the scoring scan reads ONLY (id, embedding)
+    m = re.search(r"ReadSchema: struct<([^>]*)", p)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",")
+    ) <= {"vec_id", "embedding"}, p
+
+
+def test_blocked_payload_fetch_pushes_in_filter(spark):
+    """engine.search's blocked path re-fetches payload with a literal
+    id IN (...) predicate — it must reach the parquet scan as a pushed
+    filter over a pruned (no-vector) ReadSchema."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    fetch = docs.select("vec_id", "label").where(
+        F.col("vec_id").isin([1, 5, 9])
+    )
+    p = _explain(fetch)
+    assert re.search(r"PushedFilters: \[.*[Ii]n\(vec_id", p), p
+    m = re.search(r"ReadSchema: struct<([^>]*)", p)
+    assert m and "embedding" not in m.group(1), p
