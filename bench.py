@@ -414,7 +414,15 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
             "cell; the small-corpus IVF section (near-isotropic "
             "driver data) shows the hard regime (recall 0.78-0.98 "
             "across nprobe 6-12 of 16). Real embedding corpora lie "
-            "between the two."
+            "between the two — which is why ivf_nprobe_curve_isotropic "
+            "and ivf_nprobe_curve_mixture grade the hard regimes at "
+            "full 512-d explicitly. facade_search_ms and "
+            "facade_diversity_ms are single-call WALL times: two "
+            "local-mode job schedulings floor them at ~0.5-0.8 s "
+            "regardless of corpus size; facade_batch_ms_per_query is "
+            "the per-query serving cost once that fixed cost "
+            "amortizes (256-query depth; the reference baseline is "
+            "itself a sequential-loop mean)."
         ),
     }
 
@@ -1279,9 +1287,11 @@ def main() -> None:
             "exact_blocked_ms_256": rs["exact_blocked_ms_per_query_256"],
             "exact_window_ms": rs["exact_window_ms_per_query"],
             "pruned_mean_ms": rs["pruned_blocked_ms_per_query"]["mean"],
-            "facade_ms": rs["facade_search_ms"],
             "facade_batch_ms_per_query": rs["facade_batch_ms_per_query"],
-            "facade_diversity_ms": rs["facade_diversity_ms"],
+            # single-call wall times (2 local-mode job schedulings —
+            # NOT per-query cost; see bench_detail notes)
+            "facade_single_wall_ms": rs["facade_search_ms"],
+            "facade_diversity_wall_ms": rs["facade_diversity_ms"],
             "ivf_op_point": rs.get("ivf_operating_point"),
             "ivf_op_point_mixture": rs.get("ivf_operating_point_mixture"),
         },
