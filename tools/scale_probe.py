@@ -288,6 +288,39 @@ def main() -> None:
 
     probe("knn_blocked_64q", knn_blocked_run)
 
+    # the user-facing serving path end-to-end: engine.search_batch
+    # (auto-dispatch → blocked scorer at ≥1M cells, payload fetched
+    # via broadcast join of winner ids, driver-side assembly). Expect
+    # near-flat like knn_blocked: the extra payload pass is a pruned
+    # no-vector scan and the winner count is fixed at queries×k.
+    from multimodal_vector_db_spark.engine import MultiModalSearchEngine
+
+    qvecs64 = [[float(x) for x in r["q_emb"]] for r in qs.collect()]
+
+    def facade_batch_run(f):
+        t = spark.read.parquet(f"{WORK}/embeddings_{f}")
+        items = t.select(
+            F.col("vec_id").alias("id"),
+            F.lit("text").alias("modality"),
+            F.lit("clip").alias("space"),
+            "embedding",
+            F.lit(64).alias("dim"),
+            F.lit(False).alias("deleted"),
+            F.concat(F.lit("doc "), F.col("vec_id")).alias("content"),
+            F.concat(F.lit("d_"), F.col("vec_id")).alias("display_name"),
+        )
+        eng = MultiModalSearchEngine(spark, items=items, dim=64)
+        # force the scale path at every factor (1× is 2k×64d = 128k
+        # cells, under the default 1M-cell dispatch threshold)
+        eng.blocked_threshold_cells = 1
+
+        def run():
+            eng.search_batch(qvecs64, k=10)
+
+        return run
+
+    probe("facade_search_batch_64q", facade_batch_run)
+
     # connected components over the near-dup candidate graph — the
     # iterative op (min-label propagation, localCheckpoint per round).
     # The replicated corpus has ~f-sized near-dup families per source
