@@ -61,6 +61,30 @@ HEADLINE = [
 ]
 
 
+#: bump when build_warehouse/build_ref_scale OUTPUT changes — the
+#: sentinel skip below reuses a build only if this version matches.
+BUILD_VERSION = "r4-1"
+
+
+def _build_cached(build_fn, sentinel_path: str, tag: str) -> bool:
+    """Run ``build_fn`` unless a matching sentinel says this exact build
+    (version + tag) already exists on disk. Every artifact both builders
+    write is a PURE deterministic function of (source tables, constants
+    in this file), so reuse is safe; the sentinel is written only after
+    a fully successful build, so a crashed half-build is rebuilt.
+    Returns True if the build ran (False = skipped)."""
+    stamp = f"{BUILD_VERSION}:{tag}"
+    try:
+        if open(sentinel_path).read() == stamp:
+            return False
+    except OSError:
+        pass
+    build_fn()
+    with open(sentinel_path, "w") as fh:
+        fh.write(stamp)
+    return True
+
+
 def build_warehouse(spark, sf_dir: str, wh_dir: str, n_files: int = 32) -> None:
     """One-time rewrite of each table into a multi-file layout (directory
     named <table>.parquet so the query registry reads it unchanged).
@@ -707,14 +731,26 @@ def main() -> None:
     # artifacts); default "all" runs every section.
     sections = os.environ.get("SPARK_GRAFT_BENCH_SECTIONS", "all")
 
+    # Deterministic builds are sentinel-cached across invocations (the
+    # per-round harness runs this script several times back-to-back;
+    # rebuilding identical corpora each run is pure waste). A warehouse
+    # rebuild rmtree's wh_dir, which also clears the ref-scale stamp.
     t0 = time.time()
-    build_warehouse(spark, sf_dir, wh_dir)
+    _build_cached(
+        lambda: build_warehouse(spark, sf_dir, wh_dir),
+        os.path.join(wh_dir, ".warehouse.stamp"),
+        f"wh:{sf_dir}",
+    )
     prep_sec = round(time.time() - t0, 4)
 
     ref_scale_build_sec = None
     if sections == "all":
         t0 = time.time()
-        build_ref_scale(spark, wh_dir)
+        _build_cached(
+            lambda: build_ref_scale(spark, wh_dir),
+            os.path.join(wh_dir, ".ref_scale.stamp"),
+            "ref44k",
+        )
         ref_scale_build_sec = round(time.time() - t0, 4)
 
     # Warm-then-time, mirroring the reference's methodology (10 runs per
