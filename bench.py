@@ -736,10 +736,13 @@ def main() -> None:
     # rebuilding identical corpora each run is pure waste). A warehouse
     # rebuild rmtree's wh_dir, which also clears the ref-scale stamp.
     t0 = time.time()
+    # source mtime in the stamp: if the input tables were ever
+    # regenerated, the cache invalidates itself
+    src_mtime = int(os.path.getmtime(f"{sf_dir}/lineitem.parquet"))
     _build_cached(
         lambda: build_warehouse(spark, sf_dir, wh_dir),
         os.path.join(wh_dir, ".warehouse.stamp"),
-        f"wh:{sf_dir}",
+        f"wh:{sf_dir}:{src_mtime}",
     )
     prep_sec = round(time.time() - t0, 4)
 
