@@ -598,7 +598,7 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
         for x in qdf.where(F.col("query_id") == 0).first()["q_emb"]
     ]
     assert (
-        eng._corpus_rows() * REF_DIM >= eng.blocked_threshold_cells
+        eng._corpus_rows() * REF_DIM >= eng._single_threshold()
     ), "facade bench must exercise the blocked dispatch"
     out["facade_search_ms"] = round(
         timed_median(lambda: eng.search(q0, k=10)) * 1000, 3

@@ -48,13 +48,19 @@ _ITEMS_SCHEMA = (
 
 
 class MultiModalSearchEngine:
-    #: corpus_rows × dim above which ``search`` routes scoring through
-    #: the blocked BLAS scorer instead of the interpreted HOF dot.
-    #: Measured crossover: the HOF projection is CPU-bound interpreted
-    #: eval (~10 ns/multiply-add end-to-end); at 10⁶ cells that is
-    #: already ~10 ms of pure scoring vs a sub-ms BLAS call — while
-    #: below it the mapInPandas Arrow round-trip overhead dominates.
-    BLOCKED_THRESHOLD_CELLS = 1_000_000
+    #: corpus_rows × dim above which BATCH scoring routes through the
+    #: blocked BLAS form. Measured crossover (local[32], this box): at
+    #: 0.13M cells the codegen'd window form wins a 64-query batch
+    #: (6.2 vs 8.3 ms/query); at 2.05M cells blocked wins 2.2×
+    #: (SCALE_PROBE knn_batch_64q 1.19 s vs knn_blocked_64q 0.54 s);
+    #: at 22.7M cells it wins 21× (204 vs 9.6 ms/query, BENCH
+    #: ref_scale). Single-query dispatch uses 8× this (see
+    #: ``_single_threshold``): with only one query the window/HOF plan
+    #: has no per-pair blow-up to amortize away, while mapInPandas pays
+    #: ~0.25 s fixed Python-worker/Arrow cost — measured HOF still 2.6×
+    #: faster at 1.28M cells (0.17 vs 0.43 s) with blocked first
+    #: winning at 22.7M cells (536 vs 620 ms facade wall).
+    BLOCKED_THRESHOLD_CELLS = 2_000_000
 
     def __init__(
         self,
@@ -264,7 +270,9 @@ class MultiModalSearchEngine:
         is refused by construction.
 
         **Scorer dispatch** (``scorer="auto"``, the default): when
-        ``corpus_rows × dim`` exceeds ``blocked_threshold_cells``,
+        ``corpus_rows × dim`` exceeds 8× ``blocked_threshold_cells``
+        (the single-query crossover sits ~8× above the batch one —
+        measurements at ``BLOCKED_THRESHOLD_CELLS``),
         scoring routes through the blocked BLAS scorer
         (:func:`~multimodal_vector_db_spark.operators.knn.knn_search_blocked`
         — per-partition matmul + local top-k, ``TakeOrdered`` over
@@ -308,7 +316,7 @@ class MultiModalSearchEngine:
         use_blocked = scorer == "blocked" or (
             scorer == "auto"
             and not approximate  # shortlist already capped the corpus
-            and self._corpus_rows() * self.dim >= self.blocked_threshold_cells
+            and self._corpus_rows() * self.dim >= self._single_threshold()
         )
         if use_blocked:
             # Two small actions, each the cheapest possible shape:
@@ -428,6 +436,13 @@ class MultiModalSearchEngine:
         if self._n_rows is None:
             self._n_rows = self.items.count() if self.items is not None else 0
         return self._n_rows
+
+    def _single_threshold(self) -> int:
+        """Single-query dispatch threshold: 8× the batch one (see
+        ``BLOCKED_THRESHOLD_CELLS`` for the measurements behind both).
+        Derived, so a caller-supplied ``blocked_threshold_cells``
+        scales both dispatches consistently."""
+        return self.blocked_threshold_cells * 8
 
     def _binary_shortlist(
         self, corpus: DataFrame, qvec: list[float], shortlist: int
