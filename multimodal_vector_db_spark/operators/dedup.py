@@ -379,3 +379,128 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def duplicated_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    hash_basis: str = "xxhash64",
+) -> DataFrame:
+    """Span-level exact-substring deduplication: maximal token spans
+    whose every length-``n`` token window occurs in ``>= min_docs``
+    distinct documents (the scalable n-gram-hash approximation of the
+    suffix-array method in "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499 — the reference engine has no
+    counterpart; this extends its dedup surface at the span level).
+
+    Returns one row per merged span: ``(doc_id, span_start, span_end)``
+    with token positions, end-exclusive.
+
+    Scale design: the n-gram explode is linear in total tokens; the
+    duplicate-key detection is one groupBy on the gram key with
+    map-side partial aggregation, and the mark-back is a shuffle join
+    on the same key (never a broadcast — at 100 TB the duplicated-gram
+    set is itself huge). Span merging is a per-document window —
+    partitioned by doc_id, so it parallelizes across documents and
+    never sees more rows per partition than one document's n-grams.
+
+    ``hash_basis='xxhash64'`` keys the shuffle on an 8-byte hash
+    (production: ~10x smaller shuffle payload than gram strings);
+    ``'string'`` keys on the raw n-gram text (collision-free; the
+    oracle-twin basis used by the registered query).
+    """
+    from pyspark.sql import Window
+
+    from multimodal_vector_db_spark.functions.text import tokens
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    grams_arr = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        "doc_id", F.posexplode(grams_arr).alias("pos", "gram")
+    )
+    if hash_basis == "xxhash64":
+        grams = grams.select(
+            "doc_id", "pos", F.xxhash64("gram").alias("gram")
+        )
+    dup_keys = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    marks = grams.join(dup_keys, "gram", "left_semi").select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + n).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = marks.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return flagged.groupBy("doc_id", "island").agg(
+        F.min("s").alias("span_start"), F.max("e").alias("span_end")
+    )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    hash_basis: str = "xxhash64",
+) -> DataFrame:
+    """Per-document summary of :func:`duplicated_ngram_spans`:
+    ``(doc_id, n_tokens, n_spans, dup_tokens, kept_tokens,
+    dup_fraction)`` — the numbers a curation pipeline thresholds on
+    before cutting the spans out. Documents with no duplicated spans
+    are kept with zero counts (left join from the corpus)."""
+    from multimodal_vector_db_spark.functions.text import tokens
+
+    spans = duplicated_ngram_spans(
+        docs, n=n, id_col=id_col, text_col=text_col,
+        min_docs=min_docs, hash_basis=hash_basis,
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start"))
+        .cast("long")
+        .alias("dup_tokens"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+        (F.col("n_tokens") - F.coalesce("dup_tokens", F.lit(0)))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)).cast("double")
+            / F.nullif(F.col("n_tokens"), F.lit(0)).cast("double"),
+            6,
+        ).alias("dup_fraction"),
+    )

@@ -205,3 +205,34 @@ def bloom_semi_join(
         )
         cond = cond & (word.bitwiseAND(mask) == mask)
     return probed.where(cond).drop("bitmap")
+
+
+def frequency_split_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    weight_col: str,
+    head_rows: int = 1024,
+) -> DataFrame:
+    """Inner join where the ``head_rows`` heaviest build-side keys (by
+    ``weight_col``) are broadcast and the long tail is shuffle-joined.
+
+    The Zipf-skew pattern: joining token-level rows back to a global
+    frequency table sends every occurrence of a hot key ("the") to one
+    reducer. Salting (``salted_join``) fixes this by replication; the
+    frequency split fixes it by routing the hot head through a
+    broadcast hash join (no shuffle at all for the skewed rows) while
+    the tail — huge in cardinality, flat in frequency — takes the
+    normal shuffle join. ``orderBy().limit()`` on the build side
+    compiles to TakeOrdered (no global sort), and the anti-join that
+    carves the probe side is itself against the broadcast head.
+    """
+    head = F.broadcast(
+        right.orderBy(F.col(weight_col).desc(), key).limit(head_rows)
+    )
+    tail = right.join(head.select(key), key, "left_anti")
+    hot = left.join(head, key, "inner")
+    cold = left.join(head.select(key), key, "left_anti").join(
+        tail, key, "inner"
+    )
+    return hot.unionByName(cold)

@@ -119,3 +119,68 @@ def test_ngram_jaccard_block_guard(spark):
     assert ok.columns == ["id_a", "id_b", "jaccard"]
     unbounded = ngram_jaccard_pairs(docs, max_block_rows=None)
     assert unbounded.count() >= 0
+
+
+def test_duplicated_span_boundaries_and_merge(spark):
+    """Known shared runs produce exact merged spans; unique text none."""
+    from multimodal_vector_db_spark.operators.dedup import (
+        duplicate_span_stats,
+        duplicated_ngram_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1a u1b {shared} u1c u1d"),
+            (2, f"{shared} v2a v2b v2c v2d v2e"),
+            (3, "only unique words appear in this document here"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in duplicated_ngram_spans(docs, n=4).collect()
+    }
+    # doc 1: tokens 2..8 shared run; 4-grams at pos 2,3,4 merge to [2, 8)
+    assert spans[1] == (2, 8)
+    assert spans[2] == (0, 6)
+    assert 3 not in spans
+    stats = {
+        r["doc_id"]: r for r in duplicate_span_stats(docs, n=4).collect()
+    }
+    assert stats[1]["dup_tokens"] == 6 and stats[1]["n_spans"] == 1
+    assert stats[1]["kept_tokens"] == stats[1]["n_tokens"] - 6
+    assert stats[3]["n_spans"] == 0 and stats[3]["dup_fraction"] == 0.0
+
+
+def test_span_hash_basis_parity(spark):
+    """xxhash64 production basis == raw-string oracle basis."""
+    from multimodal_vector_db_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(
+        map(tuple, duplicate_span_stats(docs, hash_basis="xxhash64").collect())
+    )
+    b = sorted(
+        map(tuple, duplicate_span_stats(docs, hash_basis="string").collect())
+    )
+    assert a == b and len(a) == docs.count()
+
+
+def test_frequency_split_join_parity(spark):
+    """Skew-split join == plain shuffle join, including hot keys."""
+    from multimodal_vector_db_spark.functions.text import tokens
+    from multimodal_vector_db_spark.operators.joins import (
+        frequency_split_join,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").cast("long").alias("gf"))
+    split = frequency_split_join(tok, freq, "tok", "gf", head_rows=16)
+    plain = tok.join(freq, "tok").select(*split.columns)
+    assert sorted(map(tuple, split.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
