@@ -504,3 +504,62 @@ def duplicate_span_stats(
             6,
         ).alias("dup_fraction"),
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    hash_basis: str = "xxhash64",
+) -> DataFrame:
+    """The removal half of span-level dedup: re-emit every document
+    with its duplicated spans (from :func:`duplicated_ngram_spans`)
+    cut out of the token stream — ``(doc_id, n_tokens, kept_tokens,
+    cleaned_text)``.
+
+    The cut happens entirely in-plan: spans collapse to one small
+    array<struct> per document (span count per doc is tiny — spans are
+    merged maximal islands), and a nested higher-order filter drops
+    tokens whose position falls inside any span. No Python UDF, no
+    per-token join — the only extra cost over the span detection is
+    one per-doc aggregation plus a doc-keyed join back to the corpus.
+    """
+    from multimodal_vector_db_spark.functions.text import tokens
+
+    spans = duplicated_ngram_spans(
+        docs, n=n, id_col=id_col, text_col=text_col,
+        min_docs=min_docs, hash_basis=hash_basis,
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("st"),
+                F.col("span_end").alias("en"),
+            )
+        ).alias("spans")
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    joined = base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce(
+            "spans", F.array().cast("array<struct<st:int,en:int>>")
+        ).alias("spans"),
+    )
+    kept = F.filter(
+        "toks",
+        lambda x, i: ~F.exists(
+            "spans", lambda p: (i >= p.st) & (i < p.en)
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )

@@ -187,3 +187,56 @@ def q_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_token_freq"
         ),
     )
+
+
+@query(
+    "dup_span_cleaned",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS.format(col="text")} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, u.i - 1 AS pos,
+             array_to_string(toks[u.i : u.i + {_SPAN_N - 1}], ' ') AS gram
+      FROM t, UNNEST(range(1, greatest(len(toks) - {_SPAN_N} + 2, 1))) AS u(i)
+    ),
+    d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    h AS (SELECT doc_id, pos AS s, pos + {_SPAN_N} AS e FROM g
+          WHERE gram IN (SELECT gram FROM d)),
+    w AS (SELECT doc_id, s, e,
+            max(e) OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM h),
+    i AS (SELECT doc_id, s, e,
+            sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS UNBOUNDED PRECEDING) AS island
+          FROM w),
+    sp AS (SELECT doc_id, island, min(s) AS st, max(e) AS en
+           FROM i GROUP BY 1, 2),
+    spl AS (SELECT doc_id, list([st, en]) AS spans FROM sp GROUP BY doc_id),
+    k AS (SELECT t.doc_id, t.toks,
+            list_filter(t.toks, (x, i) ->
+              len(list_filter(coalesce(s.spans, [[0, 0]]),
+                  p -> i - 1 >= p[1] AND i - 1 < p[2])) = 0) AS kept
+          FROM t LEFT JOIN spl s USING (doc_id))
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           len(kept)::BIGINT AS kept_tokens,
+           coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+    FROM k
+    """,
+)
+def q_dup_span_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of span dedup: each document re-emitted with
+    its cross-document duplicated 8-gram spans cut from the token
+    stream — the operator a curation pipeline actually ships. The cut
+    is a nested higher-order filter over an in-plan span list (no UDF,
+    no per-token join; see operators/dedup.py:remove_duplicated_spans)."""
+    from multimodal_vector_db_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    return remove_duplicated_spans(
+        _t(spark, sf_dir, "documents"), n=_SPAN_N, hash_basis="string"
+    )

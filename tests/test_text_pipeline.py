@@ -184,3 +184,30 @@ def test_frequency_split_join_parity(spark):
     assert sorted(map(tuple, split.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_remove_duplicated_spans_cleaned_text(spark):
+    """Cleaned text drops exactly the shared run; untouched docs pass
+    through; a fully-duplicated doc empties to ''."""
+    from multimodal_vector_db_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1a u1b {shared} u1c u1d"),
+            (2, shared),
+            (3, "only unique words appear in this document here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(docs, n=4).collect()
+    }
+    assert out[1]["cleaned_text"] == "u1a u1b u1c u1d"
+    assert out[1]["kept_tokens"] == 4 and out[1]["n_tokens"] == 10
+    assert out[2]["cleaned_text"] == "" and out[2]["kept_tokens"] == 0
+    assert out[3]["cleaned_text"].startswith("only unique")
+    assert out[3]["kept_tokens"] == out[3]["n_tokens"]
