@@ -140,6 +140,7 @@ def replicate_embeddings(spark, emb, factor: int, path: str) -> None:
 
 def main() -> None:
     from multimodal_vector_db_spark.operators.dedup import (
+        duplicate_span_stats,
         minhash_lsh_candidates,
     )
     from multimodal_vector_db_spark.operators.knn import knn_join
@@ -246,6 +247,22 @@ def main() -> None:
         return run
 
     probe("dedup_minhash", dedup_run)
+
+    # span-level exact-substring dedup: n-gram explode is linear in
+    # total tokens; dup-key groupBy + mark-back join shuffle on the
+    # gram hash; per-doc window bounded by one doc's grams. Replicated
+    # docs multiply the duplicated-gram groups x f, so ~linear overall.
+    def span_run(f):
+        t = spark.read.parquet(f"{WORK}/documents_{f}")
+
+        def run():
+            duplicate_span_stats(t).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        return run
+
+    probe("dedup_span", span_run)
 
     # exact batch kNN, 64 queries: corpus-side pass + bounded window,
     # expect ~linear in corpus rows
