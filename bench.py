@@ -1211,6 +1211,21 @@ def main() -> None:
         .save()
     )
 
+    # span-level exact-substring dedup, xxhash64 production basis —
+    # full detect+merge+stats pass over the documents table
+    from multimodal_vector_db_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    dedup_span_sec = timed_median(
+        lambda: duplicate_span_stats(
+            spark.read.parquet(f"{wh_dir}/documents.parquet")
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
     # composed curation pipeline (quality → dedup → split →
     # decontaminate → account) end-to-end as one plan
     training_pipeline_sec = timed_median(
@@ -1295,6 +1310,7 @@ def main() -> None:
         "knn_binary_rerank_recall10": knn_binary_rerank_recall10,
         "knn_blocked_ms_per_query": knn_blocked_ms_per_query,
         "dedup_minhash_md5_oracle_sec": dedup_minhash_md5_oracle_sec,
+        "dedup_span_sec": dedup_span_sec,
         "training_pipeline_sec": training_pipeline_sec,
         "streaming_ingest": streaming_ingest,
         "ref_scale": ref_scale,

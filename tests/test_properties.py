@@ -238,3 +238,59 @@ def test_codec_round_trips_random(spark, h, w, seed):
     sr, x = decode_wav(encode_wav(samples, 8000))
     assert sr == 8000
     assert np.allclose(x, samples.astype(np.float64) / 32768.0)
+
+
+token_words = st.sampled_from(["aa", "bb", "cc", "dd"])
+tiny_docs = st.lists(
+    st.lists(token_words, min_size=0, max_size=12), min_size=2, max_size=6
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(tiny_docs)
+def test_duplicated_span_invariants(spark, docs):
+    """Structural invariants of span dedup on adversarial tiny corpora
+    (4-word alphabet forces heavy n-gram collisions): spans are
+    disjoint, in-bounds, each at least n tokens long, and the stats
+    view is exactly consistent with the spans view and the cleaned
+    view."""
+    from multimodal_vector_db_spark.operators.dedup import (
+        duplicate_span_stats,
+        duplicated_ngram_spans,
+        remove_duplicated_spans,
+    )
+
+    n = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans: dict[int, list[tuple[int, int]]] = {}
+    for r in duplicated_ngram_spans(df, n=n).collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    for i, toks in enumerate(docs):
+        ss = sorted(spans.get(i, []))
+        for (s0, e0), (s1, e1) in zip(ss, ss[1:]):
+            assert e0 < s1  # disjoint AND non-adjacent (maximal merge)
+        for s0, e0 in ss:
+            assert 0 <= s0 < e0 <= len(toks)
+            assert e0 - s0 >= n
+    stats = {r["doc_id"]: r for r in duplicate_span_stats(df, n=n).collect()}
+    cleaned = {
+        r["doc_id"]: r for r in remove_duplicated_spans(df, n=n).collect()
+    }
+    assert set(stats) == set(range(len(docs)))
+    for i, toks in enumerate(docs):
+        ss = spans.get(i, [])
+        dup = sum(e - s for s, e in ss)
+        assert stats[i]["n_tokens"] == len(toks)
+        assert stats[i]["n_spans"] == len(ss)
+        assert stats[i]["dup_tokens"] == dup
+        assert stats[i]["kept_tokens"] == len(toks) - dup
+        assert cleaned[i]["kept_tokens"] == len(toks) - dup
+        expect_kept = [
+            t
+            for p, t in enumerate(toks)
+            if not any(s <= p < e for s, e in ss)
+        ]
+        assert cleaned[i]["cleaned_text"] == " ".join(expect_kept)
