@@ -563,3 +563,66 @@ def remove_duplicated_spans(
         F.size(kept).cast("long").alias("kept_tokens"),
         F.array_join(kept, " ").alias("cleaned_text"),
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    metric: str = "dot",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster
+    the embedding space, then detect semantic near-duplicates only
+    WITHIN each cluster — the pairwise scan is bounded by the largest
+    cluster, never the corpus. Vectors are assumed L2-normalized (dot
+    = cosine, the convention of :func:`embedding_near_duplicates`).
+
+    Survivor rule (deterministic keep-first): a row is dropped iff a
+    LOWER-id member of its cluster clears ``threshold`` against it.
+    Returns ``(id, cluster_id, kept)`` for every input row.
+
+    Scale: assignment is a map-only broadcast argmax over the centroid
+    list (no shuffle); the pair detection shuffles on cluster_id and
+    costs sum(|cluster|^2) — the centroid count is SemDeDup's own knob
+    for bounding that, and a skewed giant cluster is the signal to
+    refit with more centroids (the same guard philosophy as
+    ngram_jaccard_pairs' max_block_rows).
+    """
+    from multimodal_vector_db_spark.operators.ann import ivf_assign
+
+    assigned = ivf_assign(
+        emb.select(
+            F.col(id_col).alias("id"), F.col(vector_col).alias("v")
+        ),
+        centroids,
+        vector_col="v",
+        metric=metric,
+    )
+    a = assigned.select(
+        F.col("id").alias("id_a"),
+        F.col("cluster_id").alias("ca"),
+        F.col("v").alias("va"),
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"),
+        F.col("cluster_id").alias("cb"),
+        F.col("v").alias("vb"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("ca") == F.col("cb"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .where(dot(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return assigned.join(dropped, "id", "left").select(
+        "id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("__drop").isNull().alias("kept"),
+    )

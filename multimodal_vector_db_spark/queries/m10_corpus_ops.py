@@ -240,3 +240,50 @@ def q_dup_span_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicated_spans(
         _t(spark, sf_dir, "documents"), n=_SPAN_N, hash_basis="string"
     )
+
+
+@query(
+    "semantic_dedup",
+    """
+    WITH cent AS (
+      SELECT (vec_id - 200)::BIGINT AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id BETWEEN 200 AND 207
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
+             list_dot_product(e.embedding::DOUBLE[], c.cv) AS sim
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    asg AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT vec_id, v, cid,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    drp AS (
+      SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+       AND list_dot_product(a.v, b.v) >= 0.3
+    )
+    SELECT asg.vec_id AS id, asg.cid AS cluster_id,
+           (drp.vec_id IS NULL) AS kept
+    FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: deterministic data-derived
+    centroids (corpus rows 200-207, the ann_ivf_fixed_knn convention),
+    within-cluster cosine >= 0.3, keep-lowest-id survivor per near-dup
+    pair. Fully oracle-checked — assignment tie-break (max dot, ties ->
+    highest cid) matches operators/ann.py:nearest_centroid."""
+    from multimodal_vector_db_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = [
+        r["embedding"]
+        for r in emb.where(
+            (F.col("vec_id") >= 200) & (F.col("vec_id") < 208)
+        ).orderBy("vec_id").select("embedding").collect()
+    ]
+    return semantic_dedup(emb, centroids, threshold=0.3)

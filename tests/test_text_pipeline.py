@@ -211,3 +211,33 @@ def test_remove_duplicated_spans_cleaned_text(spark):
     assert out[2]["cleaned_text"] == "" and out[2]["kept_tokens"] == 0
     assert out[3]["cleaned_text"].startswith("only unique")
     assert out[3]["kept_tokens"] == out[3]["n_tokens"]
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    """Near-identical vectors in the SAME cluster dedup keep-first;
+    the same similarity across DIFFERENT clusters is untouched (the
+    SemDeDup property)."""
+    from multimodal_vector_db_spark.operators.dedup import semantic_dedup
+
+    c0, c1 = [1.0, 0.0], [0.0, 1.0]
+    rows = [
+        (1, [1.0, 0.0]),     # cluster 0
+        (2, [0.999, 0.045]), # cluster 0, near-dup of 1 -> dropped
+        (3, [0.0, 1.0]),     # cluster 1
+        (4, [0.045, 0.999]), # cluster 1, near-dup of 3 -> dropped
+        (5, [0.7, 0.714]),   # cluster 1 (dot .714 vs .7), far from 3/4
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = {
+        r["id"]: r
+        for r in semantic_dedup(emb, [c0, c1], threshold=0.98).collect()
+    }
+    assert [out[i]["kept"] for i in (1, 2, 3, 4, 5)] == [
+        True, False, True, False, True,
+    ]
+    assert out[2]["cluster_id"] == 0 and out[4]["cluster_id"] == 1
+    # raise threshold above every pairwise dot: nothing dropped
+    out2 = semantic_dedup(emb, [c0, c1], threshold=1.01).collect()
+    assert all(r["kept"] for r in out2)
