@@ -520,6 +520,42 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
     )
     out["pruned_blocked_ms_per_query"] = pruned
 
+    # Matryoshka truncation at ref scale: retained R@10 vs the 512-d
+    # exact ground truth with truncate+renormalize on BOTH corpus and
+    # query sides (slice_renormalize — the reference's
+    # projection.py:196-220 semantics). Reference README.md:243-248
+    # claims 85-90% of 512-d accuracy at 64D, 92-95% at 128D, 96-98%
+    # at 256D, with speedups from the smaller dot products; this
+    # measures both on the identical corpus.
+    from multimodal_vector_db_spark.functions.vector import (
+        slice_renormalize,
+    )
+
+    mat: dict = {}
+    for mdim in (64, 128, 256):
+        c_t = corpus.select(
+            "id", slice_renormalize("embedding", mdim).alias("embedding")
+        )
+        q_t = qdf.select(
+            "query_id", slice_renormalize("q_emb", mdim).alias("q_emb")
+        )
+        sec = timed_median(
+            lambda c=c_t, q=q_t: knn_join_blocked(c, q, k=10)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        pairs = knn_join_blocked(c_t, q_t, k=10).select("query_id", "id")
+        mat[str(mdim)] = {
+            "ms_per_query": round(sec / 256 * 1000, 3),
+            "retained_r10": round(
+                pairs.join(exact_pairs, on=["query_id", "id"]).count()
+                / n_exact,
+                4,
+            ),
+        }
+    out["matryoshka_retention"] = mat
+
     # IVF ANN operating curve: the blocked BLAS serving path (zero
     # candidate duplication, probed-cluster partition pruning, local
     # top-k per Arrow batch — operators/ann.py:ivf_search_blocked),

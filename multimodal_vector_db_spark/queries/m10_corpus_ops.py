@@ -1,7 +1,8 @@
 """Round-4 corpus-pipeline additions: span-level exact-substring
-dedup, deterministic epoch shuffling, and corpus-frequency rarity
-scoring — training-data operations past the reference's surface
-(graded first-class alongside SURVEY.md §2).
+dedup (detect + cut), deterministic epoch shuffling, corpus-frequency
+rarity scoring, and SemDeDup semantic dedup — training-data
+operations past the reference's surface (graded first-class alongside
+SURVEY.md §2).
 
 Appended to the package manifest AFTER m9; every query here registers
 past the driver's 50-query window and is verified by the committed

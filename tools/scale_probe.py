@@ -362,6 +362,30 @@ def main() -> None:
 
     probe("dedup_connected_components", cc_run)
 
+    # SemDeDup semantic dedup: centroid count scales with the corpus
+    # (8 x f — SemDeDup's own design: k grows with N so per-cluster
+    # pair cost stays bounded). Assignment is a broadcast argmax;
+    # pair scan shuffles on cluster_id.
+    def semdedup_run(f):
+        from multimodal_vector_db_spark.operators.dedup import (
+            semantic_dedup,
+        )
+
+        t = spark.read.parquet(f"{WORK}/embeddings_{f}")
+        cents = [
+            r["embedding"]
+            for r in t.orderBy("vec_id").limit(8 * f).collect()
+        ]
+
+        def run():
+            semantic_dedup(t, cents, threshold=0.3).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        return run
+
+    probe("semantic_dedup", semdedup_run)
+
     # shard packing: two windows + tiny offset window, expect ~linear
     def pack_run(f):
         t = spark.read.parquet(f"{WORK}/documents_{f}").select(
