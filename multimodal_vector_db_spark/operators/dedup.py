@@ -626,3 +626,250 @@ def semantic_dedup(
         F.col("cluster_id").cast("long").alias("cluster_id"),
         F.col("__drop").isNull().alias("kept"),
     )
+
+
+def semantic_dedup_blocked(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    metric: str = "dot",
+    chunk_rows: int = 2048,
+) -> DataFrame:
+    """BLAS serving twin of :func:`semantic_dedup` — same semantics,
+    same ``(id, cluster_id, kept)`` output, built for the 100 TB
+    corpus pass rather than oracle bit-replay.
+
+    Two stages replace the expression-tree assignment and the
+    interpreted pair join:
+
+    1. **Assignment** is one ``mapInPandas`` matmul per Arrow batch
+       against the broadcast centroid matrix — O(rows × k × d) flops in
+       BLAS, vs :func:`~.ann.nearest_centroid`'s O(k × d) literal
+       expression tree evaluated interpretively per row (the probe
+       measured that form going superlinear as SemDeDup's centroid
+       count grows with the corpus). Tie-break matches exactly:
+       max-dot / min-L2, ties to the HIGHER cid.
+    2. **Pair scan** is ``applyInPandas`` per cluster: rows sorted by
+       id, chunked Gram matrix ``G = V[s:e] @ V.T``, a row dropped iff
+       any LOWER-id row in its cluster clears ``threshold``. Per
+       cluster that is O(|c|²·d) flops in BLAS with memory
+       O(|c|·d + chunk·|c|) — never the corpus. One shuffle, on
+       cluster_id (the exact form pays the same shuffle, then
+       interprets every pair dot).
+
+    Cluster size is SemDeDup's own bound: k grows with N so |c| stays
+    roughly constant; a giant skewed cluster is the signal to refit
+    with more centroids, not to raise ``chunk_rows``.
+
+    Scores differ from :func:`semantic_dedup` only in fp accumulation
+    order (BLAS vs sequential fold), so kept/cluster flips require a
+    pair sitting within ~1 ulp of ``threshold`` or an exact centroid
+    tie — parity on real corpora is pinned in ``test_dedup.py``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, d)
+    nc = C.shape[0]
+    use_l2 = metric == "l2"
+    c_sq = (C * C).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vector_col].to_numpy()).astype(np.float64)
+            S = V @ C.T
+            if use_l2:
+                prox = (V * V).sum(axis=1)[:, None] - 2.0 * S + c_sq[None, :]
+                cid = (nc - 1) - np.argmin(prox[:, ::-1], axis=1)
+            else:
+                cid = (nc - 1) - np.argmax(S[:, ::-1], axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "cluster_id": cid.astype(np.int64),
+                    "v": pdf[vector_col],
+                }
+            )
+
+    src = emb.select(id_col, vector_col)
+    vec_type = src.schema[vector_col].dataType.simpleString()
+    assigned = src.mapInPandas(
+        assign, schema=f"id long, cluster_id long, v {vec_type}"
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        V = np.vstack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        n = len(ids)
+        kept = np.ones(n, dtype=bool)
+        col_idx = np.arange(n)[None, :]
+        for s in range(0, n, chunk_rows):
+            e = min(s + chunk_rows, n)
+            G = V[s:e] @ V.T  # (e-s, n)
+            lower = col_idx < np.arange(s, e)[:, None]
+            kept[s:e] = ~((G >= threshold) & lower).any(axis=1)
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cluster_id": pdf["cluster_id"].to_numpy()[order],
+                "kept": kept,
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        scan, schema="id long, cluster_id long, kept boolean"
+    )
+
+
+def minhash_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 2,
+    hash_impl: str = "md5",
+) -> DataFrame:
+    """``(doc_id, sig)`` MinHash signature index of a corpus — the
+    artifact an incremental pipeline persists ONCE (8 bigints per doc,
+    ~100 B/row at any corpus size) so later ingest batches dedup
+    against history without ever re-reading historical text
+    (:func:`incremental_near_duplicates`). Same signature families as
+    :func:`minhash_lsh_candidates` (md5 = oracle-portable, xxhash64 =
+    production)."""
+    base = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    )
+    if hash_impl == "xxhash64":
+        from multimodal_vector_db_spark.functions.text import (
+            minhash_signature_xxhash,
+        )
+
+        return base.select(
+            "doc_id",
+            minhash_signature_xxhash(F.col("shingles"), num_hashes).alias(
+                "sig"
+            ),
+        )
+    blocks = shingle_md5_blocks(F.col("shingles"), num_hashes)
+    md5_df = base.select(
+        "doc_id", *[b.alias(f"m{k}") for k, b in enumerate(blocks)]
+    )
+    block_cols = [F.col(f"m{k}") for k in range((num_hashes + 3) // 4)]
+    return md5_df.select(
+        "doc_id", minhash_signature(block_cols, num_hashes).alias("sig")
+    )
+
+
+def incremental_near_duplicates(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+    est_threshold: float = 0.5,
+    hash_impl: str = "md5",
+) -> DataFrame:
+    """Dedup an ingest BATCH against an existing corpus's
+    :func:`minhash_index` — the shape a continuously-refreshed 100 TB
+    training set actually needs: the increment is signed and LSH-joined
+    against the stored signatures; historical text is never touched and
+    the batch is never self-joined.
+
+    Per new doc: band keys of both sides equi-join (shuffle ∝
+    rows × bands on BOTH sides — store the index pre-bucketed by band
+    key and the historical half prunes to the matching buckets),
+    colliding pairs score the MinHash Jaccard ESTIMATE (fraction of
+    agreeing signature components — the standard index-only verify;
+    exact-shingle verification would defeat the no-history-scan
+    point). Output one row per batch doc:
+
+    ``(doc_id, n_candidates, n_dup_matches, best_match_id,
+    best_est_jaccard, is_dup)`` — ``best_*`` are the highest-estimate
+    historical match at/above ``est_threshold`` (ties → lowest
+    historical id; ``-1`` / ``-1.0`` when none), ``n_candidates``
+    counts all bucket collisions.
+    """
+    rows_per_band = num_hashes // bands
+    if hash_impl == "xxhash64":
+        from multimodal_vector_db_spark.functions.text import (
+            lsh_band_keys_xxhash as _band_keys,
+        )
+    else:
+        _band_keys = lsh_band_keys
+    new_sig = minhash_index(
+        new_docs, text_col, id_col, num_hashes, shingle_n, hash_impl
+    )
+    bk = _band_keys(F.col("sig"), bands, rows_per_band)
+    nb = new_sig.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("sig").alias("sn"),
+        F.explode(bk).alias("band_key"),
+    )
+    hb = index.select(
+        F.col("doc_id").alias("old_id"),
+        F.col("sig").alias("so"),
+        F.explode(bk).alias("band_key"),
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sn"), F.col("so"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes)),
+        6,
+    )
+    cand = (
+        nb.join(hb, on="band_key")
+        .select("new_id", "old_id", "sn", "so")
+        .distinct()
+        .select("new_id", "old_id", est.alias("est_jaccard"))
+    )
+    hit = F.col("est_jaccard") >= F.lit(est_threshold)
+    # best match via one struct-max: (est asc, -old_id asc) ranks the
+    # highest estimate first and breaks ties to the LOWEST historical id
+    best = F.max(
+        F.when(
+            hit,
+            F.struct(
+                F.col("est_jaccard").alias("e"),
+                (-F.col("old_id")).alias("nid"),
+            ),
+        )
+    )
+    agg = cand.groupBy("new_id").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(hit.cast("long")).alias("n_dup_matches"),
+        best.alias("b"),
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .join(agg.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce(F.col("n_dup_matches"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_matches"),
+            F.coalesce(-F.col("b.nid"), F.lit(-1))
+            .cast("long")
+            .alias("best_match_id"),
+            F.coalesce(F.col("b.e"), F.lit(-1.0)).alias(
+                "best_est_jaccard"
+            ),
+            (F.coalesce(F.col("n_dup_matches"), F.lit(0)) > 0).alias(
+                "is_dup"
+            ),
+        )
+    )

@@ -15,7 +15,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._core import _t, query
-from .m2_text_dedup import _TOKS, _md5_nibbles_sql
+from .m2_text_dedup import (
+    _SHINGLES,
+    _TOKS,
+    _band_keys_sql,
+    _md5_nibbles_sql,
+    _minhash_sig_sql,
+)
 
 _SPAN_N = 8
 
@@ -243,9 +249,11 @@ def q_dup_span_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "semantic_dedup",
-    """
+# Shared by semantic_dedup and its BLAS serving twin: the blocked
+# form's output is discrete (longs + booleans — no accumulated floats
+# in the result), so it can carry the FULL value-hash oracle, unlike
+# the blocked kNN paths whose sim doubles differ in fp order.
+_SEMDEDUP_SQL = """
     WITH cent AS (
       SELECT (vec_id - 200)::BIGINT AS cid, embedding::DOUBLE[] AS cv
       FROM embeddings WHERE vec_id BETWEEN 200 AND 207
@@ -270,8 +278,10 @@ def q_dup_span_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT asg.vec_id AS id, asg.cid AS cluster_id,
            (drp.vec_id IS NULL) AS kept
     FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id
-    """,
-)
+    """
+
+
+@query("semantic_dedup", _SEMDEDUP_SQL)
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: deterministic data-derived
     centroids (corpus rows 200-207, the ann_ivf_fixed_knn convention),
@@ -288,3 +298,106 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("vec_id").select("embedding").collect()
     ]
     return semantic_dedup(emb, centroids, threshold=0.3)
+
+
+@query("semantic_dedup_blocked", _SEMDEDUP_SQL)
+def q_semantic_dedup_blocked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The BLAS serving form of SemDeDup (mapInPandas argmax
+    assignment + per-cluster chunked Gram scan,
+    operators/dedup.py:semantic_dedup_blocked) against the SAME full
+    oracle as `semantic_dedup`: its (id, cluster_id, kept) output is
+    discrete, so the value hash pins that the fast path makes the
+    identical keep/drop decisions — stronger than the rows-only checks
+    the float-emitting blocked kNN paths get."""
+    from multimodal_vector_db_spark.operators.dedup import (
+        semantic_dedup_blocked,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = [
+        r["embedding"]
+        for r in emb.where(
+            (F.col("vec_id") >= 200) & (F.col("vec_id") < 208)
+        ).orderBy("vec_id").select("embedding").collect()
+    ]
+    return semantic_dedup_blocked(emb, centroids, threshold=0.3)
+
+
+@query(
+    "incremental_dedup",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS.format(col="lower(text)")} AS toks FROM documents
+    ),
+    sh AS (SELECT doc_id, ({_SHINGLES}) AS shingles FROM t),
+    mt AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> md5(s)) AS m0,
+             list_transform(shingles, s -> md5('x:' || s)) AS m1
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {_minhash_sig_sql(8)} AS sig FROM mt),
+    hist AS (SELECT doc_id, sig FROM sig WHERE doc_id % 5 <> 0),
+    newb AS (SELECT doc_id, sig FROM sig WHERE doc_id % 5 = 0),
+    hb AS (SELECT doc_id, sig,
+                  unnest({_band_keys_sql(4, 2)}) AS band_key FROM hist),
+    nb AS (SELECT doc_id, sig,
+                  unnest({_band_keys_sql(4, 2)}) AS band_key FROM newb),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS old_id,
+             n.sig AS sn, h.sig AS so
+      FROM nb n JOIN hb h USING (band_key)
+    ),
+    est AS (
+      SELECT new_id, old_id,
+             round(len(list_filter(range(1, 9), i -> sn[i] = so[i]))::DOUBLE
+                   / 8.0, 6) AS ej
+      FROM cand
+    ),
+    sel AS (
+      SELECT new_id, old_id, ej,
+             row_number() OVER (PARTITION BY new_id
+                                ORDER BY ej DESC, old_id ASC) AS rn
+      FROM est WHERE ej >= 0.5
+    ),
+    agg AS (
+      SELECT new_id, count(*)::BIGINT AS n_candidates,
+             sum(CASE WHEN ej >= 0.5 THEN 1 ELSE 0 END)::BIGINT
+               AS n_dup_matches
+      FROM est GROUP BY 1
+    )
+    SELECT nw.doc_id,
+           coalesce(a.n_candidates, 0)::BIGINT AS n_candidates,
+           coalesce(a.n_dup_matches, 0)::BIGINT AS n_dup_matches,
+           coalesce(b.old_id, -1)::BIGINT AS best_match_id,
+           coalesce(b.ej, -1.0) AS best_est_jaccard,
+           coalesce(a.n_dup_matches, 0) > 0 AS is_dup
+    FROM newb nw
+    LEFT JOIN agg a ON nw.doc_id = a.new_id
+    LEFT JOIN (SELECT * FROM sel WHERE rn = 1) b ON nw.doc_id = b.new_id
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch dedup against a stored corpus signature index —
+    docs with doc_id % 5 = 0 play the incoming batch, the rest the
+    indexed history (operators/dedup.py:minhash_index +
+    incremental_near_duplicates). Verification is the MinHash Jaccard
+    ESTIMATE (signature agreement fraction), so historical text is
+    never re-read — the refresh shape a 100 TB training set needs."""
+    from multimodal_vector_db_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    return incremental_near_duplicates(
+        batch,
+        minhash_index(hist, num_hashes=8),
+        num_hashes=8,
+        bands=4,
+        est_threshold=0.5,
+    )

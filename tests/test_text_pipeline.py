@@ -241,3 +241,72 @@ def test_semantic_dedup_within_cluster_only(spark):
     # raise threshold above every pairwise dot: nothing dropped
     out2 = semantic_dedup(emb, [c0, c1], threshold=1.01).collect()
     assert all(r["kept"] for r in out2)
+
+
+def test_semantic_dedup_blocked_matches_exact(spark, embeddings):
+    """The BLAS serving form must reproduce the expression form's
+    (id, cluster_id, kept) exactly on a real corpus, for both
+    assignment metrics — the output is discrete, so any fp-order
+    divergence would surface as a flipped row here. chunk_rows=7
+    forces the Gram scan across many chunk boundaries."""
+    from multimodal_vector_db_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_blocked,
+    )
+
+    cents = [
+        r["embedding"]
+        for r in embeddings.orderBy("vec_id").limit(6).collect()
+    ]
+    for metric in ("dot", "l2"):
+        exact = sorted(
+            tuple(r)
+            for r in semantic_dedup(
+                embeddings, cents, threshold=0.3, metric=metric
+            ).collect()
+        )
+        blocked = sorted(
+            tuple(r)
+            for r in semantic_dedup_blocked(
+                embeddings, cents, threshold=0.3, metric=metric,
+                chunk_rows=7,
+            ).collect()
+        )
+        assert exact == blocked, metric
+
+
+def test_incremental_dedup_against_index(spark):
+    """A batch doc that duplicates an indexed historical doc is
+    flagged with the right best-match; a novel doc passes with zero
+    candidates. History text is never consumed by the batch pass —
+    only the (doc_id, sig) index."""
+    from multimodal_vector_db_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_index,
+    )
+
+    dup_text = "the quick brown fox jumps over the lazy dog again"
+    hist = spark.createDataFrame(
+        [
+            (1, dup_text),
+            (2, "completely different historical content about ships"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, dup_text),  # exact dup of 1 -> sig agreement 1.0
+            (11, "novel words that never appeared before anywhere xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental_near_duplicates(
+            batch, minhash_index(hist)
+        ).collect()
+    }
+    assert out[10]["is_dup"] and out[10]["best_match_id"] == 1
+    assert out[10]["best_est_jaccard"] == 1.0
+    assert not out[11]["is_dup"] and out[11]["n_candidates"] == 0
+    assert out[11]["best_match_id"] == -1

@@ -35,6 +35,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/scale_probe"
 FACTORS = [1, 4, 16]
 
+# Subset mode: `python tools/scale_probe.py name [name ...]` runs only
+# the named probes and MERGES their rows into the existing
+# SCALE_PROBE.json; replicated inputs under /tmp are reused if present,
+# so a single row can be (re)measured without the full sweep.
+ONLY = set(sys.argv[1:])
+
+
+def _want(name: str) -> bool:
+    return not ONLY or name in ONLY
+
 
 def timed(run, samples: int = 2) -> float:
     run()  # warm
@@ -148,8 +158,9 @@ def main() -> None:
     from multimodal_vector_db_spark.session import get_spark
 
     spark = get_spark("scale_probe")
-    shutil.rmtree(WORK, ignore_errors=True)
-    os.makedirs(WORK)
+    if not (ONLY and os.path.isdir(WORK)):
+        shutil.rmtree(WORK, ignore_errors=True)
+        os.makedirs(WORK)
 
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -157,6 +168,10 @@ def main() -> None:
 
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     for f in FACTORS:
+        # embeddings is written last per factor, so its presence means
+        # the whole factor's replication completed on a prior run
+        if ONLY and os.path.isdir(f"{WORK}/embeddings_{f}"):
+            continue
         replicate_lineitem(spark, li, f, f"{WORK}/lineitem_{f}")
         replicate_orders(spark, orders, f, f"{WORK}/orders_{f}")
         replicate_documents(spark, docs, f, f"{WORK}/documents_{f}")
@@ -165,6 +180,8 @@ def main() -> None:
     results: dict[str, dict] = {}
 
     def probe(name: str, make_run) -> None:
+        if not _want(name):
+            return
         secs = {}
         for f in FACTORS:
             secs[f] = timed(make_run(f))
@@ -386,6 +403,30 @@ def main() -> None:
 
     probe("semantic_dedup", semdedup_run)
 
+    # BLAS serving twin — the expression form above is the oracle
+    # transparency row (its assignment is an O(k x d) literal tree
+    # re-evaluated per row, so k growing with the corpus goes
+    # superlinear); this is the shape the corpus pass actually ships.
+    def semdedup_blocked_run(f):
+        from multimodal_vector_db_spark.operators.dedup import (
+            semantic_dedup_blocked,
+        )
+
+        t = spark.read.parquet(f"{WORK}/embeddings_{f}")
+        cents = [
+            r["embedding"]
+            for r in t.orderBy("vec_id").limit(8 * f).collect()
+        ]
+
+        def run():
+            semantic_dedup_blocked(
+                t, cents, threshold=0.3
+            ).write.format("noop").mode("overwrite").save()
+
+        return run
+
+    probe("semantic_dedup_blocked", semdedup_blocked_run)
+
     # shard packing: two windows + tiny offset window, expect ~linear
     def pack_run(f):
         t = spark.read.parquet(f"{WORK}/documents_{f}").select(
@@ -409,41 +450,44 @@ def main() -> None:
     # checkpointed microbatches). Expect ≤ linear wall-time growth —
     # per-batch fixed overhead (trigger planning, state-store commit)
     # amortizes as batches carry more rows.
-    from multimodal_vector_db_spark.streaming.ingest import (
-        events_stream,
-        run_available_now,
-        windowed_counts,
-    )
+    if _want("streaming_ingest"):
+        from multimodal_vector_db_spark.streaming.ingest import (
+            events_stream,
+            run_available_now,
+            windowed_counts,
+        )
 
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    for f in FACTORS:
-        replicate_events(spark, events, f, f"{WORK}/events_{f}")
-    stream_res = {"sec": {}, "rows_per_sec": {}, "microbatches": {}, "ratio_vs_1x": {}}
-    for f in FACTORS:
-        n_rows = spark.read.parquet(f"{WORK}/events_{f}").count()
-        ckpt = f"{WORK}/stream_ckpt_{f}"
-        shutil.rmtree(ckpt, ignore_errors=True)
-        t0 = time.time()
-        n_batches = run_available_now(
-            windowed_counts(
-                events_stream(spark, f"{WORK}/events_{f}", max_files_per_trigger=4)
-            ),
-            ckpt,
-            query_name=f"probe_stream_{f}",
-            output_mode="complete",
-            timeout_s=600,
-        )
-        sec = round(time.time() - t0, 3)
-        stream_res["sec"][str(f)] = sec
-        stream_res["rows_per_sec"][str(f)] = round(n_rows / max(sec, 1e-9))
-        stream_res["microbatches"][str(f)] = n_batches
-    base = stream_res["sec"]["1"] or 1e-9
-    for f in FACTORS:
-        stream_res["ratio_vs_1x"][str(f)] = round(
-            stream_res["sec"][str(f)] / base, 2
-        )
-    results["streaming_ingest"] = stream_res
-    print("streaming_ingest", stream_res, flush=True)
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        for f in FACTORS:
+            if ONLY and os.path.isdir(f"{WORK}/events_{f}"):
+                continue
+            replicate_events(spark, events, f, f"{WORK}/events_{f}")
+        stream_res = {"sec": {}, "rows_per_sec": {}, "microbatches": {}, "ratio_vs_1x": {}}
+        for f in FACTORS:
+            n_rows = spark.read.parquet(f"{WORK}/events_{f}").count()
+            ckpt = f"{WORK}/stream_ckpt_{f}"
+            shutil.rmtree(ckpt, ignore_errors=True)
+            t0 = time.time()
+            n_batches = run_available_now(
+                windowed_counts(
+                    events_stream(spark, f"{WORK}/events_{f}", max_files_per_trigger=4)
+                ),
+                ckpt,
+                query_name=f"probe_stream_{f}",
+                output_mode="complete",
+                timeout_s=600,
+            )
+            sec = round(time.time() - t0, 3)
+            stream_res["sec"][str(f)] = sec
+            stream_res["rows_per_sec"][str(f)] = round(n_rows / max(sec, 1e-9))
+            stream_res["microbatches"][str(f)] = n_batches
+        base = stream_res["sec"]["1"] or 1e-9
+        for f in FACTORS:
+            stream_res["ratio_vs_1x"][str(f)] = round(
+                stream_res["sec"][str(f)] / base, 2
+            )
+        results["streaming_ingest"] = stream_res
+        print("streaming_ingest", stream_res, flush=True)
 
     # skew-join remedy, measured: a fact table where ONE key holds 80%
     # of all rows, shuffle-joined (broadcast disabled — the situation
@@ -452,43 +496,44 @@ def main() -> None:
     # its 256 MB byte threshold while being 25× the others by rows), so
     # the hot reducer serializes — the gap salting closes. Run at 16×
     # (9.6M rows) where the straggler actually shows.
-    from multimodal_vector_db_spark.operators.joins import salted_join
+    if _want("skew_join_16x"):
+        from multimodal_vector_db_spark.operators.joins import salted_join
 
-    fact = spark.read.parquet(f"{WORK}/lineitem_16").select(
-        F.when(F.col("l_orderkey") % 10 < 8, F.lit(0))
-        .otherwise(F.col("l_orderkey") % 100_000)
-        .alias("k"),
-        "l_extendedprice",
-    )
-    dim = spark.range(0, 100_000).select(
-        F.col("id").alias("k"), (F.col("id") % 97).alias("grp")
-    )
-    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        plain_sec = timed(
-            lambda: fact.join(dim, on="k")
-            .groupBy("grp")
-            .agg(F.sum("l_extendedprice").alias("s"))
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
+        fact = spark.read.parquet(f"{WORK}/lineitem_16").select(
+            F.when(F.col("l_orderkey") % 10 < 8, F.lit(0))
+            .otherwise(F.col("l_orderkey") % 100_000)
+            .alias("k"),
+            "l_extendedprice",
         )
-        salted_sec = timed(
-            lambda: salted_join(fact, dim, on="k", n_salts=32)
-            .groupBy("grp")
-            .agg(F.sum("l_extendedprice").alias("s"))
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
+        dim = spark.range(0, 100_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("grp")
         )
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
-    results["skew_join_16x"] = {
-        "sec": {"plain_shuffle": plain_sec, "salted": salted_sec},
-        "speedup": round(plain_sec / max(salted_sec, 1e-9), 2),
-    }
-    print("skew_join_16x", results["skew_join_16x"], flush=True)
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plain_sec = timed(
+                lambda: fact.join(dim, on="k")
+                .groupBy("grp")
+                .agg(F.sum("l_extendedprice").alias("s"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            salted_sec = timed(
+                lambda: salted_join(fact, dim, on="k", n_salts=32)
+                .groupBy("grp")
+                .agg(F.sum("l_extendedprice").alias("s"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        results["skew_join_16x"] = {
+            "sec": {"plain_shuffle": plain_sec, "salted": salted_sec},
+            "speedup": round(plain_sec / max(salted_sec, 1e-9), 2),
+        }
+        print("skew_join_16x", results["skew_join_16x"], flush=True)
 
     out = {
         "sf_dir": SF_DIR,
@@ -500,6 +545,13 @@ def main() -> None:
         },
         "probes": results,
     }
+    if ONLY and os.path.exists("/root/repo/SCALE_PROBE.json"):
+        # merge the re-measured rows into the committed artifact; rows
+        # not named this run keep their prior numbers
+        with open("/root/repo/SCALE_PROBE.json") as fp:
+            prev = json.load(fp)
+        prev.setdefault("probes", {}).update(results)
+        out = prev
     with open("/root/repo/SCALE_PROBE.json", "w") as fp:
         json.dump(out, fp, indent=2)
     print(json.dumps(out))
