@@ -401,3 +401,58 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
         est_threshold=0.5,
     )
+
+
+@query(
+    "contrastive_mining",
+    """
+    WITH a AS (
+      SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av, label AS al
+      FROM embeddings WHERE vec_id < 16
+    ),
+    scored AS (
+      SELECT a.anchor_id, e.vec_id AS id,
+             list_dot_product(e.embedding::DOUBLE[], a.av) AS sim,
+             (e.label <> a.al) AS neg
+      FROM embeddings e CROSS JOIN a
+      WHERE e.vec_id <> a.anchor_id
+    ),
+    ranked AS (
+      SELECT anchor_id, id, sim, neg,
+             row_number() OVER (
+               PARTITION BY anchor_id, neg
+               ORDER BY CASE WHEN neg THEN -sim ELSE sim END ASC, id ASC
+             ) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, id, sim,
+           CASE WHEN neg THEN 'hard_negative'
+                ELSE 'hard_positive' END AS pair_type,
+           rank::BIGINT AS rank
+    FROM ranked
+    WHERE rank <= CASE WHEN neg THEN 5 ELSE 3 END
+    """,
+)
+def q_contrastive_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair curation over the embeddings table: anchors
+    vec_id < 16, per anchor the 5 most-similar OTHER-label rows (hard
+    negatives) and the 3 least-similar SAME-label rows (hard
+    positives), mined in one scored pass + one window
+    (operators/contrastive.py)."""
+    from multimodal_vector_db_spark.operators.contrastive import (
+        mine_contrastive_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("label").alias("a_label"),
+    )
+    return mine_contrastive_pairs(
+        emb,
+        anchors,
+        k_negatives=5,
+        k_positives=3,
+        id_col="vec_id",
+    )
