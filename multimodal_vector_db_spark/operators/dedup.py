@@ -873,3 +873,47 @@ def incremental_near_duplicates(
             ),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment hashed on the near-duplicate CLUSTER,
+    not the document: docs are clustered by connected components over
+    the candidate-pair graph, and the whole cluster lands in one split
+    — so a test example can never have a near-duplicate in train (the
+    leakage an id-hashed split silently permits; splitting after
+    EXACT dedup still leaks near-dups across the boundary).
+
+    Returns ``(doc_id, cluster_id, bucket, split)`` where ``bucket`` is
+    a deterministic md5 bucket of the salted cluster id in [0, 100) and
+    ``split`` cuts it at ``train_pct`` / ``train_pct + val_pct``.
+    Cost = the pair graph + O(diameter) label-propagation rounds
+    (:func:`connected_components`) + one map-side hash — no extra
+    shuffle beyond the clustering itself.
+    """
+    from multimodal_vector_db_spark.functions.text import md5_nibbles
+
+    cc = connected_components(pairs, nodes=docs.select(id_col))
+    bucket = (
+        md5_nibbles(
+            F.md5(
+                F.concat(
+                    F.lit(salt + ":"), F.col("cluster_id").cast("string")
+                )
+            ),
+            0,
+        )
+        % 100
+    ).cast("int")
+    return cc.withColumn("bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_pct, F.lit("train"))
+        .when(F.col("bucket") < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -404,6 +404,76 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "leakage_safe_split",
+    rf"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i+1]))
+               AS shingles
+      FROM t
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_filter(a.shingles,
+                            x -> list_contains(b.shingles, x)))::DOUBLE
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_filter(a.shingles,
+                             x -> list_contains(b.shingles, x)))) >= 0.03
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+    ),
+    cc AS (
+      SELECT id AS doc_id, min(label)::BIGINT AS cluster_id
+      FROM reach GROUP BY id
+    ),
+    bkt AS (
+      SELECT doc_id, cluster_id,
+             ({_md5_nibbles_sql("md5('split:' || cluster_id::VARCHAR)", 0)}
+              % 100)::INTEGER AS bucket
+      FROM cc
+    )
+    SELECT doc_id, cluster_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bkt
+    """,
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-dup clusters (n-gram
+    Jaccard >= 0.03, lang-blocked, connected components) are assigned
+    to splits as UNITS via an md5 bucket of the salted cluster id — a
+    doc-id-hashed split would scatter near-duplicate chains across the
+    train/test boundary (operators/dedup.py:leakage_safe_split)."""
+    from multimodal_vector_db_spark.operators.dedup import (
+        leakage_safe_split,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, block_col="lang", threshold=0.03, max_block_rows=None
+    )
+    return leakage_safe_split(docs, pairs, train_pct=80, val_pct=10)
+
+
+@query(
     "contrastive_mining",
     """
     WITH a AS (

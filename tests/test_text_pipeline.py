@@ -310,3 +310,31 @@ def test_incremental_dedup_against_index(spark):
     assert out[10]["best_est_jaccard"] == 1.0
     assert not out[11]["is_dup"] and out[11]["n_candidates"] == 0
     assert out[11]["best_match_id"] == -1
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """A near-dup CHAIN (A~B, B~C — A and C never pair directly) must
+    land entirely in one split; singletons still get assigned; bucket
+    is a deterministic function of the cluster id."""
+    from multimodal_vector_db_spark.operators.dedup import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r for r in leakage_safe_split(docs, pairs).collect()}
+    assert len(out) == 7
+    assert len({out[i]["split"] for i in (1, 2, 3)}) == 1
+    assert len({out[i]["cluster_id"] for i in (1, 2, 3)}) == 1
+    assert out[5]["split"] == out[6]["split"]
+    assert out[4]["cluster_id"] == 4  # singleton is its own cluster
+    # deterministic across invocations
+    again = {
+        r["doc_id"]: r["bucket"]
+        for r in leakage_safe_split(docs, pairs).collect()
+    }
+    assert {k: v["bucket"] for k, v in out.items()} == again
