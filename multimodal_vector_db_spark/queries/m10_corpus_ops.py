@@ -404,6 +404,76 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_outliers",
+    """
+    WITH g AS (
+      SELECT label, list(embedding::DOUBLE[] ORDER BY vec_id) AS vs
+      FROM embeddings GROUP BY label
+    ),
+    c AS (
+      SELECT label,
+             list_transform(
+               list_reduce(vs, (a, b) ->
+                 list_transform(generate_series(1, 64), i -> a[i] + b[i])),
+               x -> x / len(vs)) AS centroid
+      FROM g
+    ),
+    d AS (
+      SELECT e.label, e.vec_id,
+             sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(generate_series(1, 64),
+                 i -> (e.embedding[i]::DOUBLE - c.centroid[i])
+                      * (e.embedding[i]::DOUBLE - c.centroid[i]))),
+               (a, b) -> a + b)) AS dist
+      FROM embeddings e JOIN c USING (label)
+    )
+    SELECT label, vec_id, dist,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY dist DESC, vec_id ASC)::BIGINT AS rank
+    FROM d QUALIFY rank <= 5
+    """,
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier pruning: per label, the 5 vectors
+    furthest (L2) from their own label centroid — the mislabeled/noisy
+    rows a CLIP-style curation pass drops first. The centroid is the
+    bit-exact sequential fold of label_centroids (summed in vec_id
+    order) and the distance is the functions/vector.py:l2_distance
+    fold, so even the raw dist doubles hash-match the oracle; the
+    rank-based cut keeps the decision discrete. (Production variant:
+    two-phase per-dimension avg — order-free, same top set to fp
+    noise; the fold form here is the oracle contract.)"""
+    from multimodal_vector_db_spark.functions.vector import (
+        array_mean_pool,
+        l2_distance,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (
+        emb.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
+                lambda s: s["embedding"],
+            ).alias("frames")
+        )
+        .select("label", array_mean_pool(F.col("frames")).alias("centroid"))
+    )
+    d = emb.join(F.broadcast(cents), "label").select(
+        "label",
+        "vec_id",
+        l2_distance(F.col("embedding"), F.col("centroid")).alias("dist"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist").desc(), F.col("vec_id").asc()
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+    )
+
+
+@query(
     "leakage_safe_split",
     rf"""
     WITH RECURSIVE t AS (
