@@ -556,6 +556,30 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
         }
     out["matryoshka_retention"] = mat
 
+    # Whole-corpus SemDeDup pass at reference scale (44k x 512-d): the
+    # blocked BLAS form (operators/dedup.py:semantic_dedup_blocked) as
+    # a curation step over the entire index — 128 data-derived
+    # centroids, cosine 0.95. The probe artifact shows this form flat
+    # to 16x corpus; this records absolute wall at the reference's own
+    # scale and dimension.
+    from multimodal_vector_db_spark.operators.dedup import (
+        semantic_dedup_blocked,
+    )
+
+    sd_cents = [
+        r["embedding"] for r in corpus.orderBy("id").limit(128).collect()
+    ]
+    sd_in = corpus.select(F.col("id").alias("vec_id"), "embedding")
+    out["semdedup_blocked_sec"] = round(
+        timed_median(
+            lambda: semantic_dedup_blocked(sd_in, sd_cents, threshold=0.95)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        ),
+        3,
+    )
+
     # IVF ANN operating curve: the blocked BLAS serving path (zero
     # candidate duplication, probed-cluster partition pruning, local
     # top-k per Arrow batch — operators/ann.py:ivf_search_blocked),

@@ -427,6 +427,38 @@ def main() -> None:
 
     probe("semantic_dedup_blocked", semdedup_blocked_run)
 
+    # incremental dedup: a FIXED ingest batch (the 1x docs table, id
+    # remapped) against history growing 1x/4x/16x. The claim under
+    # test: cost tracks the BATCH + the index bucket join, not the
+    # corpus — history text is never re-read — so wall time should be
+    # near-flat while full re-dedup of the union grows with history.
+    def inc_dedup_run(f):
+        from multimodal_vector_db_spark.operators.dedup import (
+            incremental_near_duplicates,
+            minhash_index,
+        )
+
+        hist = spark.read.parquet(f"{WORK}/documents_{f}")
+        batch = spark.read.parquet(f"{WORK}/documents_1").select(
+            (F.col("doc_id") + 100_000_000).alias("doc_id"), "text"
+        )
+        # persist the index once (the real pipeline shape) so the timed
+        # pass reads signatures, never the historical text
+        idx_path = f"{WORK}/minhash_idx_{f}"
+        minhash_index(hist, hash_impl="xxhash64").write.mode(
+            "overwrite"
+        ).parquet(idx_path)
+        idx = spark.read.parquet(idx_path)
+
+        def run():
+            incremental_near_duplicates(
+                batch, idx, hash_impl="xxhash64"
+            ).write.format("noop").mode("overwrite").save()
+
+        return run
+
+    probe("incremental_dedup_fixed_batch", inc_dedup_run)
+
     # shard packing: two windows + tiny offset window, expect ~linear
     def pack_run(f):
         t = spark.read.parquet(f"{WORK}/documents_{f}").select(
