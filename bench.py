@@ -525,35 +525,62 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
     # query sides (slice_renormalize — the reference's
     # projection.py:196-220 semantics). Reference README.md:243-248
     # claims 85-90% of 512-d accuracy at 64D, 92-95% at 128D, 96-98%
-    # at 256D, with speedups from the smaller dot products; this
-    # measures both on the identical corpus.
+    # at 256D. Retention is a property of the EMBEDDING SPECTRUM, so
+    # it is measured per corpus regime and the regimes bracket the
+    # claim: planted = 1.0 trivially, mixture ~0.98 @ 64D, isotropic
+    # ~0.01 @ 64D (no prefix structure at all — the honest floor).
+    # Matryoshka-TRAINED embeddings (the reference's assumption) sit
+    # between mixture and planted by construction.
     from multimodal_vector_db_spark.functions.vector import (
         slice_renormalize,
     )
 
-    mat: dict = {}
-    for mdim in (64, 128, 256):
-        c_t = corpus.select(
-            "id", slice_renormalize("embedding", mdim).alias("embedding")
-        )
-        q_t = qdf.select(
-            "query_id", slice_renormalize("q_emb", mdim).alias("q_emb")
-        )
-        sec = timed_median(
-            lambda c=c_t, q=q_t: knn_join_blocked(c, q, k=10)
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        pairs = knn_join_blocked(c_t, q_t, k=10).select("query_id", "id")
-        mat[str(mdim)] = {
-            "ms_per_query": round(sec / 256 * 1000, 3),
-            "retained_r10": round(
-                pairs.join(exact_pairs, on=["query_id", "id"]).count()
-                / n_exact,
-                4,
-            ),
-        }
+    # Measured per corpus regime: on the PLANTED corpus neighbors share
+    # every dimension with their base vector, so any prefix ranks them
+    # identically and retention is trivially 1.0 — reported as the
+    # transparency row; the isotropic and mixture corpora are the
+    # honest measurement (no structure favoring the prefix).
+    def _mat_curve(c_df, q_df, truth_pairs, n_truth, nq) -> dict:
+        res: dict = {}
+        for mdim in (64, 128, 256):
+            c_t = c_df.select(
+                "id", slice_renormalize("embedding", mdim).alias("embedding")
+            )
+            q_t = q_df.select(
+                "query_id", slice_renormalize("q_emb", mdim).alias("q_emb")
+            )
+            sec = timed_median(
+                lambda c=c_t, q=q_t: knn_join_blocked(c, q, k=10)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            pairs = knn_join_blocked(c_t, q_t, k=10).select(
+                "query_id", "id"
+            )
+            res[str(mdim)] = {
+                "ms_per_query": round(sec / nq * 1000, 3),
+                "retained_r10": round(
+                    pairs.join(truth_pairs, on=["query_id", "id"]).count()
+                    / n_truth,
+                    4,
+                ),
+            }
+        return res
+
+    mat: dict = {
+        "planted": _mat_curve(corpus, qdf, exact_pairs, n_exact, 256)
+    }
+    for regime in ("iso", "mix"):
+        r_c = spark.read.parquet(
+            f"{wh_dir}/ref44k_{regime}.parquet"
+        ).select("id", "embedding")
+        r_q = spark.read.parquet(f"{wh_dir}/ref44k_{regime}_queries.parquet")
+        r_truth = knn_join_blocked(r_c, r_q, k=10).select("query_id", "id")
+        r_truth.cache()
+        r_n = r_truth.count()
+        mat[regime] = _mat_curve(r_c, r_q, r_truth, r_n, r_q.count())
+        r_truth.unpersist()
     out["matryoshka_retention"] = mat
 
     # Whole-corpus SemDeDup pass at reference scale (44k x 512-d): the

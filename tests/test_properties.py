@@ -294,3 +294,106 @@ def test_duplicated_span_invariants(spark, docs):
             if not any(s <= p < e for s, e in ss)
         ]
         assert cleaned[i]["cleaned_text"] == " ".join(expect_kept)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        # >= 2 non-empty tokens per doc: a single-token doc has no
+        # bigram shingles, hence a null signature that by design can
+        # collide but never match
+        st.lists(
+            st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+            min_size=2,
+            max_size=8,
+        ).map(" ".join),
+        min_size=2,
+        max_size=6,
+    ),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_incremental_dedup_properties(spark, texts, id_base):
+    """(1) A batch identical to the history is fully flagged with
+    signature agreement 1.0 and best_match = its own twin; (2) a batch
+    with a disjoint vocabulary has zero candidates."""
+    from multimodal_vector_db_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_index,
+    )
+
+    hist_rows = [(id_base + i, t) for i, t in enumerate(texts)]
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    idx = minhash_index(hist)
+
+    # identical batch (new ids)
+    twin = spark.createDataFrame(
+        [(id_base + 1000 + i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    out = incremental_near_duplicates(twin, idx).collect()
+    for r in out:
+        assert r["is_dup"], r
+        assert r["best_est_jaccard"] == 1.0
+    # disjoint vocabulary -> zero bucket collisions
+    novel = spark.createDataFrame(
+        [(id_base + 2000 + i, t.replace("a", "z").replace("b", "y")
+          .replace("c", "x").replace("d", "w").replace("e", "v")
+          .replace("f", "u").replace("g", "t").replace("h", "s"))
+         for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    out2 = incremental_near_duplicates(novel, idx).collect()
+    for r in out2:
+        assert not r["is_dup"] and r["n_candidates"] == 0, r
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(finite_floats, min_size=4, max_size=4),
+            st.integers(min_value=0, max_value=2),
+        ),
+        min_size=4,
+        max_size=10,
+        unique_by=lambda t: tuple(t[0]),
+    )
+)
+def test_contrastive_mining_dominance(spark, rows):
+    """Every mined hard negative is at least as similar to the anchor
+    as every NON-mined other-label row (top-k dominance), and every
+    mined hard positive is at most as similar as every non-mined
+    same-label row."""
+    from multimodal_vector_db_spark.operators.contrastive import (
+        mine_contrastive_pairs,
+    )
+
+    data = [(i, v, lbl) for i, (v, lbl) in enumerate(rows)]
+    emb = spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int"
+    )
+    anchors = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("label").alias("a_label"),
+    )
+    k = 2
+    mined = mine_contrastive_pairs(
+        emb, anchors, k_negatives=k, k_positives=k, id_col="vec_id"
+    ).collect()
+
+    a_vec, a_lbl = data[0][1], data[0][2]
+
+    def sim(v):
+        s = 0.0
+        for x, y in zip(v, a_vec):
+            s += float(np.float32(x)) * float(np.float32(y))
+        return s
+
+    negs = {r["id"]: r["sim"] for r in mined if r["pair_type"] == "hard_negative"}
+    poss = {r["id"]: r["sim"] for r in mined if r["pair_type"] == "hard_positive"}
+    for i, v, lbl in data[1:]:
+        if lbl != a_lbl and i not in negs and negs:
+            assert all(sim(v) <= m + 1e-6 for m in negs.values())
+        if lbl == a_lbl and i not in poss and poss:
+            assert all(sim(v) >= m - 1e-6 for m in poss.values())
