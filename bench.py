@@ -63,7 +63,7 @@ HEADLINE = [
 
 #: bump when build_warehouse/build_ref_scale OUTPUT changes — the
 #: sentinel skip below reuses a build only if this version matches.
-BUILD_VERSION = "r4-1"
+BUILD_VERSION = "r5-1"
 
 
 def _build_cached(build_fn, sentinel_path: str, tag: str) -> bool:
@@ -374,6 +374,30 @@ def build_ref_scale(spark, wh_dir: str) -> None:
         f"{wh_dir}/ref44k_mix_queries.parquet"
     )
 
+    # --- Matryoshka index family (reference build_matryoshka_indices
+    # .py:55-91: ONE index per truncation dim, built once at ingest) ---
+    # Materialized per-dim tables so reduced-dimension search scans
+    # reduced-dimension data; built here because truncation is an
+    # ingest-time cost, exactly like the reference's per-dim hnswlib
+    # builds. The bench's matryoshka_retention section times search
+    # over THESE tables (timing slice_renormalize inside the query
+    # would measure truncation, not search).
+    from multimodal_vector_db_spark.sources.storage import CorpusStorage
+
+    store = CorpusStorage(wh_dir)
+    for mat_name, tbl in (
+        ("ref44k_mat", "ref44k"),
+        ("ref44k_iso_mat", "ref44k_iso"),
+        ("ref44k_mix_mat", "ref44k_mix"),
+    ):
+        store.build_matryoshka_tables(
+            spark.read.parquet(f"{wh_dir}/{tbl}.parquet").select(
+                "id", "embedding"
+            ),
+            mat_name,
+            dims=[64, 128, 256],
+        )
+
 
 def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
     """Measure the BASELINE.md comparables on the reference-shape corpus:
@@ -531,31 +555,46 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
     # ~0.01 @ 64D (no prefix structure at all — the honest floor).
     # Matryoshka-TRAINED embeddings (the reference's assumption) sit
     # between mixture and planted by construction.
-    from multimodal_vector_db_spark.functions.vector import (
-        slice_renormalize,
-    )
-
     # Measured per corpus regime: on the PLANTED corpus neighbors share
     # every dimension with their base vector, so any prefix ranks them
     # identically and retention is trivially 1.0 — reported as the
     # transparency row; the isotropic and mixture corpora are the
     # honest measurement (no structure favoring the prefix).
-    def _mat_curve(c_df, q_df, truth_pairs, n_truth, nq) -> dict:
+    #
+    # Timing contract: each dim's search runs over the MATERIALIZED
+    # per-dim table (built once in build_ref_scale — the reference's
+    # build_matryoshka_indices analogue), with the query vectors
+    # truncated driver-side before the clock starts. So ms_per_query is
+    # the cost of SEARCH at reduced dimension (scan d/512 of the bytes,
+    # d/512 of the multiply work) — monotone non-increasing in dim —
+    # not the cost of re-truncating the full-width corpus per query.
+    import numpy as _np
+
+    from multimodal_vector_db_spark.sources.storage import CorpusStorage
+
+    mat_store = CorpusStorage(wh_dir)
+
+    def _trunc_q(vec, d: int) -> list:
+        a = _np.asarray(vec, dtype=_np.float64)[:d]
+        n = float(_np.linalg.norm(a))
+        return (a / n).tolist() if n > 0 else a.tolist()
+
+    def _mat_curve(mat_prefix, q_df, truth_pairs, n_truth, nq) -> dict:
         res: dict = {}
+        q_rows = [
+            (r["query_id"], [float(x) for x in r["q_emb"]])
+            for r in q_df.collect()
+        ]
         for mdim in (64, 128, 256):
-            c_t = c_df.select(
-                "id", slice_renormalize("embedding", mdim).alias("embedding")
-            )
-            q_t = q_df.select(
-                "query_id", slice_renormalize("q_emb", mdim).alias("q_emb")
-            )
+            c_t, _m = mat_store.load_index(spark, f"{mat_prefix}_d{mdim}")
+            q_list = [(qid, _trunc_q(v, mdim)) for qid, v in q_rows]
             sec = timed_median(
-                lambda c=c_t, q=q_t: knn_join_blocked(c, q, k=10)
+                lambda c=c_t, q=q_list: knn_join_blocked(c, q, k=10)
                 .write.format("noop")
                 .mode("overwrite")
                 .save()
             )
-            pairs = knn_join_blocked(c_t, q_t, k=10).select(
+            pairs = knn_join_blocked(c_t, q_list, k=10).select(
                 "query_id", "id"
             )
             res[str(mdim)] = {
@@ -569,7 +608,7 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
         return res
 
     mat: dict = {
-        "planted": _mat_curve(corpus, qdf, exact_pairs, n_exact, 256)
+        "planted": _mat_curve("ref44k_mat", qdf, exact_pairs, n_exact, 256)
     }
     for regime in ("iso", "mix"):
         r_c = spark.read.parquet(
@@ -579,7 +618,9 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
         r_truth = knn_join_blocked(r_c, r_q, k=10).select("query_id", "id")
         r_truth.cache()
         r_n = r_truth.count()
-        mat[regime] = _mat_curve(r_c, r_q, r_truth, r_n, r_q.count())
+        mat[regime] = _mat_curve(
+            f"ref44k_{regime}_mat", r_q, r_truth, r_n, r_q.count()
+        )
         r_truth.unpersist()
     out["matryoshka_retention"] = mat
 
@@ -714,6 +755,61 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
     ]
     out["facade_batch_ms_per_query"] = round(
         timed_median(lambda: eng.search_batch(q256, k=10)) / 256 * 1000, 3
+    )
+
+    # -- compare_modalities: the §3.3 signature query at ref scale ----
+    # (reference search_cross_modal.py:107-173; its comparable is the
+    # 13.15 ms unified-HNSW per-query cost). Space-correct routing:
+    # audio rows live in the clap space, so the corpus here carries the
+    # reference's modality split with audio→clap. Auto dispatch routes
+    # to dual_space_topk_blocked (22.7M cells ≫ the 16M single-query
+    # threshold); the single-call wall is floored by local-mode job
+    # scheduling exactly like facade_search_ms — the amortized batch
+    # row is the per-query serving cost.
+    items_cmp = spark.read.parquet(f"{wh_dir}/ref44k.parquet").select(
+        "id",
+        "modality",
+        F.when(F.col("modality") == "audio", F.lit("clap"))
+        .otherwise(F.lit("clip"))
+        .alias("space"),
+        "embedding",
+        F.lit(REF_DIM).alias("dim"),
+        F.lit(False).alias("deleted"),
+        F.concat(F.lit("ref_"), F.col("id")).alias("display_name"),
+    )
+    eng_cmp = MultiModalSearchEngine(spark, items=items_cmp, dim=REF_DIM)
+    assert (
+        eng_cmp._corpus_rows() * REF_DIM >= eng_cmp._single_threshold()
+    ), "compare_modalities bench must exercise the blocked dispatch"
+    out["compare_modalities_ms"] = round(
+        timed_median(
+            lambda: eng_cmp.compare_modalities(
+                "a dog playing", k_per_modality=3
+            ).collect()
+        )
+        * 1000,
+        3,
+    )
+    # transparency: the pre-dispatch HOF single-plan form at this scale
+    out["compare_modalities_hof_ms"] = round(
+        timed_median(
+            lambda: eng_cmp.compare_modalities(
+                "a dog playing", k_per_modality=3, scorer="hof"
+            ).collect()
+        )
+        * 1000,
+        3,
+    )
+    cmp_queries = [f"compare query {i}" for i in range(256)]
+    out["compare_modalities_batch_ms_per_query"] = round(
+        timed_median(
+            lambda: eng_cmp.compare_modalities_batch(
+                cmp_queries, k_per_modality=3
+            )
+        )
+        / 256
+        * 1000,
+        3,
     )
 
     # -- hard-regime IVF curves (isotropic + mixture corpora) ---------

@@ -334,12 +334,7 @@ class MultiModalSearchEngine:
             ids = [r["id"] for r in winner_rows]
             sims = {r["id"]: r["sim"] for r in winner_rows}
             pay = [c for c in payload if c != "id"]
-            fetched = {
-                r["id"]: r.asDict()
-                for r in corpus.select("id", *pay)
-                .where(F.col("id").isin(ids))
-                .collect()
-            }
+            fetched = self._fetch_payload(corpus, ids, pay)
             rows = [
                 {**fetched[i], "sim": sims[i]} for i in ids if i in fetched
             ]
@@ -405,12 +400,27 @@ class MultiModalSearchEngine:
         pay = [
             c for c in corpus.columns if c not in ("embedding", "dim", "id")
         ]
+        fetched = self._fetch_payload(corpus, ids, pay)
+        out: dict[int, list[dict[str, Any]]] = {i: [] for i in range(len(queries))}
+        for r in sorted(pairs, key=lambda r: (r["query_id"], r["rank"])):
+            if r["id"] in fetched:
+                out[r["query_id"]].append(
+                    {**fetched[r["id"]], "sim": r["sim"]}
+                )
+        return out
+
+    def _fetch_payload(
+        self, corpus: DataFrame, ids: list[int], pay: list[str]
+    ) -> dict[int, dict[str, Any]]:
+        """Point-lookup of payload columns for a winner-id set, as a
+        {id: row dict}. ≤128 ids: a LITERAL ``id IN (...)`` predicate —
+        statically pushed to the parquet scan (row-group min-max
+        pruning). Above that, a literal IN list makes Catalyst plan
+        O(|ids|) expression nodes (measured erratic multi-second
+        planning at 2,560 literals), so the fetch switches to a
+        broadcast hash join against the tiny id frame — O(1) plan size,
+        one map-side scan."""
         if len(ids) > 128:
-            # thousands of winner ids: a literal IN list makes Catalyst
-            # plan O(|ids|) expression nodes (measured erratic multi-
-            # second planning at 2,560 literals); a broadcast hash join
-            # against the tiny id frame is O(1) plan size and one
-            # map-side scan
             ids_df = self.spark.createDataFrame(
                 [(i,) for i in ids], "id long"
             )
@@ -421,14 +431,7 @@ class MultiModalSearchEngine:
             fetch_df = corpus.select("id", *pay).where(
                 F.col("id").isin(ids)
             )
-        fetched = {r["id"]: r.asDict() for r in fetch_df.collect()}
-        out: dict[int, list[dict[str, Any]]] = {i: [] for i in range(len(queries))}
-        for r in sorted(pairs, key=lambda r: (r["query_id"], r["rank"])):
-            if r["id"] in fetched:
-                out[r["query_id"]].append(
-                    {**fetched[r["id"]], "sim": r["sim"]}
-                )
-        return out
+        return {r["id"]: r.asDict() for r in fetch_df.collect()}
 
     def _corpus_rows(self) -> int:
         """Cached row count for the scorer dispatch; counts once
@@ -472,15 +475,66 @@ class MultiModalSearchEngine:
             .drop("__hamming")
         )
 
-    def compare_modalities(
-        self, query: str, k_per_modality: int = 3
-    ) -> DataFrame:
-        """§3.3 signature query as ONE plan: dual-space scoring routed by
-        modality + per-modality top-k (no 10k over-fetch)."""
-        from pyspark.sql import Window
+    #: result schema of compare_modalities (both scorer paths)
+    _COMPARE_SCHEMA = (
+        "modality string, space string, id long, "
+        "display_name string, sim double, rank int"
+    )
 
+    def compare_modalities(
+        self, query: str, k_per_modality: int = 3, scorer: str = "auto"
+    ) -> DataFrame:
+        """§3.3 signature query (reference
+        ``search_cross_modal.py:107-173``): dual-space scoring routed by
+        modality + per-modality top-k (no 10k over-fetch).
+
+        **Scorer dispatch** — the same contract as :meth:`search`: above
+        the single-query size×dim threshold the whole-corpus scoring
+        runs as one blocked BLAS pass
+        (:func:`~multimodal_vector_db_spark.operators.knn.dual_space_topk_blocked`
+        — per-partition matmul per space, local top-k per modality,
+        ranking window over only ``partitions × modalities × k``
+        candidates) with payload re-fetched by a pushed ``id IN``
+        point-lookup; below it, the codegen'd single-plan HOF form wins
+        (no Arrow round-trip). ``scorer="hof"``/``"blocked"`` force a
+        path — both return the same winner sets (scores differ only in
+        fp accumulation order; parity-tested)."""
         q_clip = self._embed(query, "clip")
         q_clap = self._embed(query, "clap")
+        use_blocked = scorer == "blocked" or (
+            scorer == "auto"
+            and self._corpus_rows() * self.dim >= self._single_threshold()
+        )
+        if use_blocked:
+            from multimodal_vector_db_spark.operators.knn import (
+                dual_space_topk_blocked,
+            )
+
+            corpus = active(self.items)
+            winners = dual_space_topk_blocked(
+                corpus,
+                [(0, {"clip": q_clip, "clap": q_clap})],
+                k=k_per_modality,
+            ).collect()
+            ids = sorted({r["id"] for r in winners})
+            fetched = self._fetch_payload(
+                corpus, ids, ["space", "display_name"]
+            )
+            rows = [
+                (
+                    r["group"],
+                    fetched[r["id"]]["space"],
+                    r["id"],
+                    fetched[r["id"]]["display_name"],
+                    r["sim"],
+                    r["rank"],
+                )
+                for r in winners
+                if r["id"] in fetched
+            ]
+            return self.spark.createDataFrame(rows, self._COMPARE_SCHEMA)
+        from pyspark.sql import Window
+
         lit = lambda v: F.array(*[F.lit(float(x)) for x in v])  # noqa: E731
         from multimodal_vector_db_spark.functions.vector import dot
 
@@ -498,6 +552,56 @@ class MultiModalSearchEngine:
             .where(F.col("rank") <= k_per_modality)
             .select("modality", "space", "id", "display_name", "sim", "rank")
         )
+
+    def compare_modalities_batch(
+        self, queries: list[str], k_per_modality: int = 3
+    ) -> dict[int, list[dict[str, Any]]]:
+        """Batch twin of :meth:`compare_modalities` — one blocked BLAS
+        job scores EVERY query against the whole corpus with per-space
+        routing (the shape that amortizes job-scheduling cost the way
+        :meth:`search_batch` does; the reference's
+        ``compare_modalities`` loops per query). Always the blocked
+        scorer: with B queries the matmul batches to (n × B) per space
+        and the HOF form would plan B scoring columns. Returns
+        ``{query_index: [row dicts ranked per modality]}``."""
+        from multimodal_vector_db_spark.operators.knn import (
+            dual_space_topk_blocked,
+        )
+
+        qpairs = [
+            (
+                i,
+                {
+                    "clip": self._embed(q, "clip"),
+                    "clap": self._embed(q, "clap"),
+                },
+            )
+            for i, q in enumerate(queries)
+        ]
+        corpus = active(self.items)
+        winners = dual_space_topk_blocked(
+            corpus, qpairs, k=k_per_modality
+        ).collect()
+        ids = sorted({r["id"] for r in winners})
+        fetched = self._fetch_payload(corpus, ids, ["space", "display_name"])
+        out: dict[int, list[dict[str, Any]]] = {
+            i: [] for i in range(len(queries))
+        }
+        for r in sorted(
+            winners, key=lambda r: (r["query_id"], r["group"], r["rank"])
+        ):
+            if r["id"] in fetched:
+                out[r["query_id"]].append(
+                    {
+                        "modality": r["group"],
+                        "space": fetched[r["id"]]["space"],
+                        "id": r["id"],
+                        "display_name": fetched[r["id"]]["display_name"],
+                        "sim": r["sim"],
+                        "rank": r["rank"],
+                    }
+                )
+        return out
 
     # -- persistence (search_engine.py:225-258) ------------------------
     def save(self, base_path: str, name: str = "items") -> None:

@@ -270,6 +270,117 @@ def knn_search_blocked(
     return local.orderBy(F.col("sim").desc(), F.col("id").asc()).limit(k)
 
 
+def dual_space_topk_blocked(
+    corpus: DataFrame,
+    queries: list[tuple[int, dict[str, list[float]]]],
+    k: int,
+    group_col: str = "modality",
+    space_col: str = "space",
+    id_col: str = "id",
+    vector_col: str = "embedding",
+    default_space: str = "clip",
+) -> DataFrame:
+    """Per-(query, group) top-k with SPACE-ROUTED scoring — the blocked
+    BLAS form of the engine's §3.3 ``compare_modalities`` query
+    (reference ``search_cross_modal.py:107-173``): every query carries
+    one vector per embedding space, each corpus row is scored with the
+    query vector of ITS OWN space, and the top-k is taken per
+    (query_id, ``group_col``).
+
+    Same scale shape as :func:`knn_join_blocked`: one float64 matmul
+    per (Arrow batch × space), local top-k per (query, group) inside
+    the partition, then a ranking window over only
+    ``partitions × |queries| × |groups| × k`` candidate rows — the
+    corpus itself never shuffles. Rows whose space has no query vector
+    score with ``default_space`` (the HOF form's ``otherwise`` branch).
+
+    ``queries``: ``[(query_id, {space: vector, ...}), ...]`` — every
+    query must supply the same set of spaces. Returns
+    ``(query_id, group, id, sim, rank)`` with rank <= k per
+    (query_id, group).
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    spaces = sorted(queries[0][1])
+    Qs = {
+        sp: np.vstack(
+            [np.asarray(q[1][sp], dtype=np.float64) for q in queries]
+        )
+        for sp in spaces
+    }
+    nq = len(queries)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("group", T.StringType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def local_topk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf[vector_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            groups = pdf[group_col].to_numpy()
+            space_arr = pdf[space_col].to_numpy()
+            n = len(pdf)
+            S = np.empty((n, nq), dtype=np.float64)
+            assigned = np.zeros(n, dtype=bool)
+            for sp in spaces:
+                m = space_arr == sp
+                assigned |= m
+                if m.any():
+                    S[m] = X[m] @ Qs[sp].T
+            rest = ~assigned
+            if rest.any():
+                S[rest] = X[rest] @ Qs[default_space].T
+            frames = []
+            for g in np.unique(groups):
+                mg = groups == g
+                Sg = S[mg]
+                idg = ids[mg]
+                kk = min(k, int(mg.sum()))
+                order = np.lexsort(
+                    (idg[:, None].repeat(nq, 1), -Sg), axis=0
+                )[:kk]  # (kk, nq) row indices per query
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(
+                                qids[None, :], kk, axis=0
+                            ).ravel(),
+                            "group": g,
+                            "id": idg[order].ravel(),
+                            "sim": np.take_along_axis(
+                                Sg, order, axis=0
+                            ).ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    local = corpus.select(
+        F.col(id_col).alias(id_col),
+        F.col(group_col).alias(group_col),
+        F.col(space_col).alias(space_col),
+        F.col(vector_col).alias(vector_col),
+    ).mapInPandas(local_topk, schema=out_schema)
+    w = Window.partitionBy("query_id", "group").orderBy(
+        F.col("sim").desc(), F.col("id").asc()
+    )
+    return local.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def knn_search_l2(
     corpus: DataFrame,
     query_vector: list[float],

@@ -98,6 +98,55 @@ class CorpusStorage:
         stats = spark.read.parquet(path + ".stats.parquet")
         return read_pruned(spark, stats, col, lo, hi)
 
+    # -- Matryoshka index family (SURVEY §1.4) -------------------------
+    def build_matryoshka_tables(
+        self,
+        df: DataFrame,
+        name: str,
+        dims: list[int],
+        vector_col: str = "embedding",
+        manifest: dict[str, Any] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> dict[int, str]:
+        """Materialize one index table PER TRUNCATION DIMENSION — the
+        engine's analogue of the reference's
+        ``build_matryoshka_indices.py:55-91`` (one hnswlib index per
+        dim): each table stores the prefix-truncated, re-normalized
+        vectors (``slice_renormalize`` — ``projection.py:196-220``
+        semantics), so reduced-dimension search SCANS reduced-dimension
+        data. Truncation is an ingest-time cost paid once; a search at
+        dim d reads d/full_dim of the vector bytes and does d/full_dim
+        of the multiply work — without this, "search at 128-d" would
+        re-truncate the full-width corpus inside every query (and
+        measure SLOWER than full-width search).
+
+        Writes ``<name>_d{dim}`` per dim via :meth:`save_index` (each
+        with its own manifest; ``dim`` recorded) and returns
+        ``{dim: index_name}``.
+        """
+        from pyspark.sql import functions as F
+
+        from multimodal_vector_db_spark.functions.vector import (
+            slice_renormalize,
+        )
+
+        out: dict[int, str] = {}
+        other_cols = [c for c in df.columns if c != vector_col]
+        for d in dims:
+            sub_name = f"{name}_d{d}"
+            truncated = df.select(
+                *[F.col(c) for c in other_cols],
+                slice_renormalize(F.col(vector_col), d).alias(vector_col),
+            )
+            self.save_index(
+                truncated,
+                sub_name,
+                manifest={**(manifest or {}), "dim": d, "parent": name},
+                partition_by=partition_by,
+            )
+            out[d] = sub_name
+        return out
+
     # -- engine config (S10, storage.py:26-36) -------------------------
     def save_config(self, config: dict[str, Any]) -> None:
         with open(os.path.join(self.base_path, "config.json"), "w") as f:

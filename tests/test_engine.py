@@ -269,6 +269,77 @@ def test_search_auto_dispatch_threshold(spark):
     assert [r["id"] for r in auto] == [r["id"] for r in hof]
 
 
+def test_compare_modalities_scorer_parity(spark):
+    """compare_modalities scorer='blocked' (dual_space_topk_blocked +
+    pushed payload re-fetch) must return the same per-modality winner
+    sets, payload, and schema as the HOF single-plan form."""
+    eng = MultiModalSearchEngine(spark, dim=32)
+    eng.batch_ingest(
+        [
+            {"content": f"cmp doc {i} topic {i % 4}",
+             "modality": ["text", "image", "audio"][i % 3]}
+            for i in range(90)
+        ]
+    )
+    hof = eng.compare_modalities("cmp doc 7", k_per_modality=3,
+                                 scorer="hof")
+    blk = eng.compare_modalities("cmp doc 7", k_per_modality=3,
+                                 scorer="blocked")
+    assert hof.columns == blk.columns
+    key = lambda r: (r["modality"], r["rank"])  # noqa: E731
+    h = sorted(hof.collect(), key=key)
+    b = sorted(blk.collect(), key=key)
+    assert [(r["modality"], r["rank"], r["id"], r["space"],
+             r["display_name"]) for r in h] == [
+        (r["modality"], r["rank"], r["id"], r["space"], r["display_name"])
+        for r in b
+    ]
+    for x, y in zip(h, b):
+        assert x["sim"] == pytest.approx(y["sim"], abs=1e-9)
+    # space routing survives the blocked path
+    assert all(
+        r["space"] == ("clap" if r["modality"] == "audio" else "clip")
+        for r in b
+    )
+
+
+def test_compare_modalities_auto_dispatch(spark):
+    """A tiny threshold routes compare_modalities through the blocked
+    scorer with unchanged results; batch form agrees with per-query
+    calls."""
+    eng = MultiModalSearchEngine(spark, dim=32, blocked_threshold_cells=1)
+    eng.batch_ingest(
+        [
+            {"content": f"auto cmp {i}",
+             "modality": ["text", "image", "audio"][i % 3]}
+            for i in range(45)
+        ]
+    )
+    auto = eng.compare_modalities("auto cmp 5", k_per_modality=2)  # blocked
+    hof = eng.compare_modalities("auto cmp 5", k_per_modality=2,
+                                 scorer="hof")
+    key = lambda r: (r["modality"], r["rank"])  # noqa: E731
+    assert [(r["modality"], r["rank"], r["id"])
+            for r in sorted(auto.collect(), key=key)] == [
+        (r["modality"], r["rank"], r["id"])
+        for r in sorted(hof.collect(), key=key)
+    ]
+    batch = eng.compare_modalities_batch(
+        ["auto cmp 5", "auto cmp 11"], k_per_modality=2
+    )
+    single0 = sorted(auto.collect(), key=key)
+    assert [(r["modality"], r["rank"], r["id"]) for r in batch[0]] == [
+        (r["modality"], r["rank"], r["id"]) for r in single0
+    ]
+    single1 = sorted(
+        eng.compare_modalities("auto cmp 11", k_per_modality=2).collect(),
+        key=key,
+    )
+    assert [(r["modality"], r["rank"], r["id"]) for r in batch[1]] == [
+        (r["modality"], r["rank"], r["id"]) for r in single1
+    ]
+
+
 def test_sql_on_fresh_engine(spark):
     """eng.sql() before any ingest exposes an EMPTY items view with the
     canonical schema instead of raising."""

@@ -117,3 +117,43 @@ def test_save_index_with_zone_maps_prunes_range_reads(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         storage.read_index_range(spark, "emb_zm", "label", 0, 1)
+
+
+def test_build_matryoshka_tables_round_trip(spark, tmp_path):
+    """SURVEY §1.4 / reference build_matryoshka_indices.py:55-91: one
+    materialized table per truncation dim; each stores slice_renormalize'd
+    vectors (unit-norm prefixes) and its own manifest, so reduced-dim
+    search scans reduced-dim data."""
+    import numpy as np
+
+    from multimodal_vector_db_spark.functions.vector import (
+        slice_renormalize,
+    )
+
+    store = CorpusStorage(str(tmp_path / "wh"))
+    items = _items(spark)
+    names = store.build_matryoshka_tables(
+        items, "emb", dims=[16, 32], partition_by=["modality"]
+    )
+    assert names == {16: "emb_d16", 32: "emb_d32"}
+    n = items.count()
+    for d in (16, 32):
+        loaded, manifest = store.load_index(spark, f"emb_d{d}")
+        assert manifest["dim"] == d
+        assert manifest["parent"] == "emb"
+        assert loaded.count() == n
+        row = loaded.where(F.col("id") == 5).first()
+        assert len(row["embedding"]) == d
+        assert abs(float(np.linalg.norm(row["embedding"])) - 1.0) < 1e-5
+        # stored vectors == on-the-fly truncation of the full corpus
+        want = {
+            r["id"]: r["t"]
+            for r in items.select(
+                "id", slice_renormalize("embedding", d).alias("t")
+            ).collect()
+        }
+        got = {r["id"]: r["embedding"] for r in loaded.collect()}
+        assert set(got) == set(want)
+        sample = sorted(got)[:20]
+        for i in sample:
+            assert np.allclose(got[i], want[i], atol=1e-6)
