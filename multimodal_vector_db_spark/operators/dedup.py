@@ -766,6 +766,63 @@ def minhash_index(
     )
 
 
+def minhash_band_index(
+    docs_or_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+    hash_impl: str = "md5",
+) -> DataFrame:
+    """``(band_key, doc_id, sig)`` — the :func:`minhash_index` exploded
+    by LSH band key, the layout the PERSISTED index should use: write
+    it bucketed on ``band_key``
+    (:func:`write_minhash_band_index`) and every later
+    :func:`incremental_near_duplicates` batch joins the history side
+    WITHOUT an Exchange — the billion-doc signature store is read
+    bucket-aligned instead of re-shuffled per ingest batch.
+
+    Accepts either raw docs (computes signatures first) or an existing
+    ``(doc_id, sig)`` signature frame."""
+    rows_per_band = num_hashes // bands
+    if "sig" in docs_or_sigs.columns:
+        sig = docs_or_sigs.select("doc_id", "sig")
+    else:
+        sig = minhash_index(
+            docs_or_sigs, text_col, id_col, num_hashes, shingle_n, hash_impl
+        )
+    if hash_impl == "xxhash64":
+        from multimodal_vector_db_spark.functions.text import (
+            lsh_band_keys_xxhash as _bk,
+        )
+    else:
+        _bk = lsh_band_keys
+    return sig.select(
+        F.explode(_bk(F.col("sig"), bands, rows_per_band)).alias("band_key"),
+        "doc_id",
+        "sig",
+    )
+
+
+def write_minhash_band_index(
+    banded: DataFrame, table_name: str, n_buckets: int = 16
+) -> None:
+    """Persist a :func:`minhash_band_index` frame bucketed on
+    ``band_key`` — afterwards ``spark.table(table_name)`` joins on
+    ``band_key`` with no Exchange on this side (the ingest batch, tiny
+    by comparison, is the only side that shuffles). At 100 TB choose
+    ``n_buckets`` so one bucket ≈ one executor-core's worth of
+    signatures (~100 B/doc/band)."""
+    from multimodal_vector_db_spark.operators.joins import (
+        write_bucketed_table,
+    )
+
+    write_bucketed_table(
+        banded, table_name, bucket_col="band_key", n_buckets=n_buckets
+    )
+
+
 def incremental_near_duplicates(
     new_docs: DataFrame,
     index: DataFrame,
@@ -783,10 +840,14 @@ def incremental_near_duplicates(
     against the stored signatures; historical text is never touched and
     the batch is never self-joined.
 
-    Per new doc: band keys of both sides equi-join (shuffle ∝
-    rows × bands on BOTH sides — store the index pre-bucketed by band
-    key and the historical half prunes to the matching buckets),
-    colliding pairs score the MinHash Jaccard ESTIMATE (fraction of
+    Per new doc: band keys of both sides equi-join. ``index`` may be
+    either the compact ``(doc_id, sig)`` form (:func:`minhash_index` —
+    banded here, shuffle ∝ rows × bands on BOTH sides) or the
+    pre-banded ``(band_key, doc_id, sig)`` form — pass
+    ``spark.table(...)`` over a :func:`write_minhash_band_index`
+    bucketed table and the history side joins with NO Exchange (plan-
+    asserted in tests/test_plans.py): only the ingest batch shuffles.
+    Colliding pairs score the MinHash Jaccard ESTIMATE (fraction of
     agreeing signature components — the standard index-only verify;
     exact-shingle verification would defeat the no-history-scan
     point). Output one row per batch doc:
@@ -813,11 +874,20 @@ def incremental_near_duplicates(
         F.col("sig").alias("sn"),
         F.explode(bk).alias("band_key"),
     )
-    hb = index.select(
-        F.col("doc_id").alias("old_id"),
-        F.col("sig").alias("so"),
-        F.explode(bk).alias("band_key"),
-    )
+    if "band_key" in index.columns:
+        # pre-banded (bucketed) index: band_key already exploded at
+        # write time — no per-batch re-derivation, no history shuffle
+        hb = index.select(
+            F.col("band_key"),
+            F.col("doc_id").alias("old_id"),
+            F.col("sig").alias("so"),
+        )
+    else:
+        hb = index.select(
+            F.col("doc_id").alias("old_id"),
+            F.col("sig").alias("so"),
+            F.explode(bk).alias("band_key"),
+        )
     est = F.round(
         F.size(
             F.filter(

@@ -9,6 +9,7 @@ dedup-upsert into the partitioned corpus table.
 
 from multimodal_vector_db_spark.streaming.ingest import (
     EVENTS_SCHEMA,
+    corpus_refresh_stream,
     dedup_within_watermark,
     events_stream,
     ingest_events_to_corpus,
@@ -21,6 +22,7 @@ from multimodal_vector_db_spark.streaming.ingest import (
 
 __all__ = [
     "EVENTS_SCHEMA",
+    "corpus_refresh_stream",
     "dedup_within_watermark",
     "events_stream",
     "ingest_events_to_corpus",

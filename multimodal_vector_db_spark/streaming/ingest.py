@@ -189,6 +189,86 @@ def ingest_events_to_corpus(
     )
 
 
+def corpus_refresh_stream(
+    stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    est_threshold: float = 0.5,
+    hash_impl: str = "xxhash64",
+):
+    """Streaming-native corpus refresh: ``foreachBatch`` runs each
+    microbatch through :func:`~multimodal_vector_db_spark.operators.
+    dedup.incremental_near_duplicates` against the PERSISTED band-key
+    MinHash index, appends the survivors to the corpus, and appends the
+    survivors' own banded signatures to the index — so the next
+    microbatch (or tomorrow's run) dedups against everything that came
+    before, without ever re-reading historical text. This is
+    ``examples/corpus_refresh.py``'s step 1 made continuous: the 100 TB
+    corpus-refresh loop as one always-on query.
+
+    The index lives at ``index_path`` in the exploded
+    ``(band_key, doc_id, sig)`` layout (:func:`...dedup.
+    minhash_band_index`) — ~100 B × bands per historical doc, and the
+    batch-vs-history join prunes to colliding band keys. Survivors are
+    ``localCheckpoint``ed before the two appends so the second write
+    cannot observe its own append to ``index_path``. Replay of a batch
+    that completed BOTH appends is idempotent (the replayed survivor
+    matches its own stored signature and is dropped); a crash between
+    the corpus append and the index append replays toward a duplicate
+    corpus row rather than a lost document — the corpus write comes
+    first deliberately (dedup-downstream beats data loss)."""
+    from multimodal_vector_db_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_band_index,
+    )
+
+    def refresh(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fresh = batch.dropDuplicates([id_col])
+        try:
+            idx = spark.read.parquet(index_path)
+        except Exception:  # first batch ever: no index yet
+            idx = None
+        if idx is not None:
+            flags = incremental_near_duplicates(
+                fresh,
+                idx,
+                text_col=text_col,
+                id_col=id_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                est_threshold=est_threshold,
+                hash_impl=hash_impl,
+            )
+            fresh = fresh.join(
+                flags.where(~F.col("is_dup")).select(
+                    F.col("doc_id").alias(id_col)
+                ),
+                on=id_col,
+            )
+        fresh = fresh.localCheckpoint(eager=True)
+        fresh.write.mode("append").parquet(corpus_path)
+        minhash_band_index(
+            fresh,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            hash_impl=hash_impl,
+        ).write.mode("append").parquet(index_path)
+
+    return (
+        stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def run_available_now(
     df: DataFrame,
     checkpoint_dir: str,

@@ -352,3 +352,54 @@ def test_streaming_knn_serving_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert spark.read.parquet(results).count() == 8 * 3  # once per query
+
+
+def test_corpus_refresh_stream_drops_cross_batch_duplicate(spark, tmp_path):
+    """Two microbatches through the streaming corpus refresh: batch B
+    contains a near-duplicate of a batch-A doc (never of anything in
+    its own batch) — it must be dropped because batch A's signatures
+    were appended to the persisted band index. Novel docs survive, the
+    index grows by exactly the survivors' bands, and history text is
+    never re-read (the corpus path is write-only here)."""
+    from multimodal_vector_db_spark.streaming import corpus_refresh_stream
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    corpus = str(tmp_path / "refresh_corpus")
+    index = str(tmp_path / "refresh_index")
+    ckpt = str(tmp_path / "ckpt_refresh")
+
+    dup_text = "the quick brown fox jumps over the lazy dog tonight"
+    batch_a = spark.createDataFrame(
+        [(1, dup_text),
+         (2, "completely different first-batch content about ships")],
+        "doc_id long, text string",
+    )
+    batch_b = spark.createDataFrame(
+        [(10, dup_text),  # cross-batch near-dup of doc 1 -> dropped
+         (11, "genuinely novel second-batch content about planets")],
+        "doc_id long, text string",
+    )
+    schema = "doc_id long, text string"
+
+    batch_a.coalesce(1).write.parquet(str(src / "batch_a"))
+    stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+    corpus_refresh_stream(
+        stream, corpus, index, ckpt
+    ).start().awaitTermination(120)
+
+    batch_b.coalesce(1).write.parquet(str(src / "batch_b"))
+    stream2 = spark.readStream.schema(schema).parquet(f"{src}/*")
+    corpus_refresh_stream(
+        stream2, corpus, index, ckpt
+    ).start().awaitTermination(120)
+
+    got = spark.read.parquet(corpus)
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 2, 11]
+    idx = spark.read.parquet(index)
+    # 3 surviving docs x 4 bands
+    assert idx.count() == 12
+    assert set(idx.columns) == {"band_key", "doc_id", "sig"}
+    assert sorted(
+        r["doc_id"] for r in idx.select("doc_id").distinct().collect()
+    ) == [1, 2, 11]

@@ -312,6 +312,77 @@ def test_incremental_dedup_against_index(spark):
     assert out[11]["best_match_id"] == -1
 
 
+def test_incremental_dedup_bucketed_index_parity_and_plan(spark):
+    """The pre-banded, band_key-bucketed index form must (a) return
+    exactly the compact-index results, and (b) join WITHOUT an
+    Exchange on the history side — only the ingest batch shuffles."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from multimodal_vector_db_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_band_index,
+        minhash_index,
+        write_minhash_band_index,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, f"historical doc number {i} about topic {i % 5} words")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "historical doc number 7 about topic 2 words"),
+            (101, "entirely novel content zyx wvu tsr qpo"),
+        ],
+        "doc_id long, text string",
+    )
+    compact = minhash_index(hist)
+    write_minhash_band_index(
+        minhash_band_index(hist), "t_mh_band_idx", n_buckets=4
+    )
+    banded = spark.table("t_mh_band_idx")
+
+    a = sorted(
+        incremental_near_duplicates(batch, compact).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        incremental_near_duplicates(batch, banded).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert a[0]["is_dup"] and a[0]["best_match_id"] == 7
+
+    # plan: the band-key join must not re-shuffle the bucketed index.
+    # The history side's pre-join Exchange (if any) is the unique one
+    # carrying BOTH band_key and the history signature column; the
+    # post-join dedup shuffle has no band_key, the batch side no `so`.
+    def _pre_join_history_exchanges(df) -> int:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return sum(
+            1
+            for cols in re.findall(
+                r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]",
+                buf.getvalue(),
+            )
+            if "band_key#" in cols and "so#" in cols
+        )
+
+    assert _pre_join_history_exchanges(
+        incremental_near_duplicates(batch, banded)
+    ) == 0
+    # the compact form DOES shuffle the history side — proves the
+    # assertion bites
+    assert _pre_join_history_exchanges(
+        incremental_near_duplicates(batch, compact)
+    ) >= 1
+
+
 def test_leakage_safe_split_keeps_clusters_together(spark):
     """A near-dup CHAIN (A~B, B~C — A and C never pair directly) must
     land entirely in one split; singletons still get assigned; bucket

@@ -459,6 +459,76 @@ def main() -> None:
 
     probe("incremental_dedup_fixed_batch", inc_dedup_run)
 
+    # same fixed batch, but against the PRE-BANDED index persisted
+    # bucketed on band_key (write_minhash_band_index): the history side
+    # joins with no Exchange — expect flat like the compact form, minus
+    # the per-batch history-side band explode + shuffle
+    def inc_dedup_bucketed_run(f):
+        from multimodal_vector_db_spark.operators.dedup import (
+            incremental_near_duplicates,
+            minhash_band_index,
+            write_minhash_band_index,
+        )
+
+        hist = spark.read.parquet(f"{WORK}/documents_{f}")
+        batch = spark.read.parquet(f"{WORK}/documents_1").select(
+            (F.col("doc_id") + 100_000_000).alias("doc_id"), "text"
+        )
+        tbl = f"probe_mh_band_idx_{f}"
+        write_minhash_band_index(
+            minhash_band_index(hist, hash_impl="xxhash64"),
+            tbl,
+            n_buckets=16,
+        )
+        idx = spark.table(tbl)
+
+        def run():
+            incremental_near_duplicates(
+                batch, idx, hash_impl="xxhash64"
+            ).write.format("noop").mode("overwrite").save()
+
+        return run
+
+    probe("incremental_dedup_bucketed_index", inc_dedup_bucketed_run)
+
+    # bigram-LM perplexity scoring: two explode+groupBy training passes
+    # + broadcast-model scoring pass — expect ~linear in corpus tokens
+    def bigram_lm_run(f):
+        from multimodal_vector_db_spark.operators.text_pipeline import (
+            bigram_lm_scores,
+        )
+
+        d = spark.read.parquet(f"{WORK}/documents_{f}")
+
+        def run():
+            bigram_lm_scores(d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        return run
+
+    probe("bigram_lm_ppl", bigram_lm_run)
+
+    # DSIR log weights: featurize target (fixed) + featurize/score the
+    # growing raw pool against the broadcast 64-bucket model — linear
+    def dsir_run(f):
+        from multimodal_vector_db_spark.operators.dsir import (
+            dsir_log_weights,
+        )
+
+        d = spark.read.parquet(f"{WORK}/documents_{f}")
+        target = d.where(F.col("doc_id") % 20 == 0)
+        raw = d.where(F.col("doc_id") % 20 != 0)
+
+        def run():
+            dsir_log_weights(raw, target).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        return run
+
+    probe("dsir_log_weights", dsir_run)
+
     # shard packing: two windows + tiny offset window, expect ~linear
     def pack_run(f):
         t = spark.read.parquet(f"{WORK}/documents_{f}").select(
