@@ -8,6 +8,9 @@ the formats the standard library + numpy can handle end-to-end:
 - **PPM/PGM images** (P6/P5 binary netpbm): header parse + raw pixel
   buffer → ``uint8`` array. The interchange format every image tool
   can emit (``convert x.jpg x.ppm``).
+- **PNG images** (8-bit gray/RGB/RGBA, non-interlaced): stdlib zlib
+  IDAT inflate + per-scanline unfilter (all five PNG filters) in
+  numpy — what every modern encoder emits by default.
 - **PCM WAV audio** via the stdlib ``wave`` module → int16 samples.
 
 Everything downstream of the decode (resize, pixel statistics,
@@ -90,6 +93,10 @@ def image_features(arr: np.ndarray) -> list[float]:
     a = np.asarray(arr, dtype=np.float64)
     if a.ndim == 2:
         a = np.repeat(a[:, :, None], 3, axis=2)
+    elif a.shape[2] == 2:  # gray+alpha PNG: luma channel only
+        a = np.repeat(a[:, :, :1], 3, axis=2)
+    elif a.shape[2] == 4:  # RGBA PNG: drop alpha
+        a = a[:, :, :3]
     h, w = a.shape[:2]
     lum = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
     hist, _ = np.histogram(lum, bins=4, range=(0.0, 256.0))
@@ -102,6 +109,161 @@ def image_features(arr: np.ndarray) -> list[float]:
         float(w) / float(h),
         *(float(c) / n for c in hist),
     ]
+
+
+# -- PNG images (stdlib zlib + numpy) ---------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: color type → channel count (8-bit depth only; no palette)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W), (H, W, 2|3|4) uint8 → PNG bytes (8-bit, non-interlaced).
+    ``filter_type`` applies one scanline filter (0=None 1=Sub 2=Up
+    3=Average 4=Paeth) to EVERY row — the knob the round-trip property
+    tests use to exercise each of :func:`decode_png`'s unfilter paths.
+    Test/data-generation twin of :func:`decode_png`."""
+    import struct
+    import zlib
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = ch
+    raw = arr.reshape(h, w * ch).astype(np.int32)
+    prev = np.zeros((h, w * ch), dtype=np.int32)
+    prev[1:] = raw[:-1]
+    left = np.zeros_like(raw)
+    left[:, bpp:] = raw[:, :-bpp]
+    ul = np.zeros_like(raw)
+    ul[1:, bpp:] = raw[:-1, :-bpp]
+    if filter_type == 0:
+        filt = raw
+    elif filter_type == 1:
+        filt = raw - left
+    elif filter_type == 2:
+        filt = raw - prev
+    elif filter_type == 3:
+        filt = raw - (left + prev) // 2
+    elif filter_type == 4:
+        p = left + prev - ul
+        pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+        )
+        filt = raw - pred
+    else:
+        raise ValueError(f"bad filter type {filter_type}")
+    filt = (filt & 0xFF).astype(np.uint8)
+    scanlines = b"".join(
+        bytes([filter_type]) + filt[r].tobytes() for r in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scanlines))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array of shape (H, W) for grayscale or
+    (H, W, channels) otherwise — the stdlib-zlib decode path (IDAT
+    inflate + per-scanline unfilter, all five PNG filters). Supports
+    8-bit depth, color types 0/2/4/6, non-interlaced — what every
+    modern encoder emits by default. Palette (3), 16-bit, and Adam7
+    raise ValueError (route those to the PIL-gated path).
+
+    Reference decodes via PIL (``image_embedder.py:154-157``); this
+    closes PNG with zero new dependencies, same spirit as the
+    netpbm/WAV/Y4M codecs above."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = b""
+    w = h = None
+    channels = None
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos:pos + 4])
+        ctype = content[pos + 4:pos + 8]
+        data = content[pos + 8:pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color_type, comp, filt_m, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError(f"only 8-bit PNG supported, depth={depth}")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG color type {color_type} (palette?)"
+                )
+            if interlace != 0:
+                raise ValueError("Adam7 interlacing not supported")
+            channels = _PNG_CHANNELS[color_type]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None or channels is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    bpp = channels
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        cur = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            pass
+        elif ft == 2:  # Up — fully vectorized
+            cur = (cur + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            # Sub/Average/Paeth recur on the just-reconstructed left
+            # byte — sequential in i by definition
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    cur[i] = (cur[i] + a) & 0xFF
+                elif ft == 3:
+                    cur[i] = (cur[i] + (a + prev[i]) // 2) & 0xFF
+                else:
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {ft}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    arr = out.reshape(h, w, channels)
+    return arr[:, :, 0] if channels == 1 else arr
 
 
 # -- PCM WAV audio ----------------------------------------------------------

@@ -126,13 +126,18 @@ def decode_image(content: bytes) -> "object":
     """S5 (``image_embedder.py:154-157``): bytes → pixel array / image.
 
     REAL for binary netpbm (P6 PPM / P5 PGM — the interchange format
-    every tool can emit): pure numpy decode, no dependencies. Other
-    formats (JPEG/PNG) need PIL, which is absent in this container —
-    those raise NotImplementedError at call time."""
+    every tool can emit) and for 8-bit non-interlaced PNG (stdlib zlib
+    inflate + numpy unfilter): pure zero-dependency decode. Remaining
+    formats (JPEG; palette/16-bit/Adam7 PNG) need PIL, absent in this
+    container — those raise NotImplementedError at call time."""
     if content[:2] in (b"P6", b"P5"):
         from multimodal_vector_db_spark.multimodal.codecs import decode_ppm
 
         return decode_ppm(content)
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        from multimodal_vector_db_spark.multimodal.codecs import decode_png
+
+        return decode_png(content)
     try:
         from io import BytesIO
 
@@ -198,6 +203,8 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             b = bytes(b)
             if b[:2] in (b"P6", b"P5"):
                 return "netpbm", codecs.image_features(codecs.decode_ppm(b))
+            if b[:8] == b"\x89PNG\r\n\x1a\n":
+                return "png", codecs.image_features(codecs.decode_png(b))
             if b[:4] == b"RIFF":
                 return "wav", codecs.audio_features(*codecs.decode_wav(b))
             return "digest", _digest_features(b, 4)

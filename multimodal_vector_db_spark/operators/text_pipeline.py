@@ -92,3 +92,92 @@ def pseudonymize(col: Column | str, salt: str, length: int = 16) -> Column:
     return F.substring(
         F.sha2(F.concat(F.lit(salt), c.cast("string")), 256), 1, length
     )
+
+
+def bigram_lm_scores(
+    docs: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+    broadcast_model: bool = True,
+) -> "DataFrame":
+    """Interpolated bigram language-model quality scoring — the signal
+    `doc_quality`'s surface heuristics approximate, trained and applied
+    as pure aggregations (KenLM-style perplexity filtering, the
+    standard pretraining-corpus quality gate; no reference analogue).
+
+    Train: unigram counts c(w), bigram counts c(w1,w2), vocab size V,
+    token total N over the WHOLE corpus. Score: per document, the mean
+    negative log-probability over its bigram positions under
+
+        p(w2 | w1) = lam * c(w1,w2)/c(w1)
+                     + (1-lam) * (c(w2)+1)/(N+V)
+
+    (MLE bigram interpolated with an add-one unigram floor — every
+    scored position has c(w1,w2) >= 1 since the model is trained on
+    the corpus it scores, the perplexity-filter setting).
+
+    Returns ``(id, n_bigrams, log_ppl)`` for documents with >= 1
+    bigram; lower log_ppl = more typical of the corpus.
+
+    Scale: two explode+groupBy passes (token keys, map-side combine)
+    build the model; with ``broadcast_model`` the count tables ship to
+    executors and scoring is one map-side pass + a doc-id groupBy —
+    right whenever the vocab fits in memory (even web-scale vocabs are
+    ~10^7 rows ≈ a few hundred MB). Set it False for an unbounded
+    vocab: the joins become shuffle hash joins on token keys (skewed
+    stopword keys → rely on AQE skew-join splitting)."""
+    from pyspark.sql import DataFrame as _DF  # noqa: F401
+
+    from multimodal_vector_db_spark.functions.text import (
+        tokens,
+        word_bigrams_all,
+    )
+
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = base.select(
+        "id", F.explode(word_bigrams_all(F.col("toks"))).alias("bg")
+    ).select(
+        "id",
+        F.split(F.col("bg"), " ", 2).getItem(0).alias("w1"),
+        F.split(F.col("bg"), " ", 2).getItem(1).alias("w2"),
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    totals = uni.agg(
+        F.sum("c").alias("N"), F.count("*").alias("V")
+    )
+    maybe_b = F.broadcast if broadcast_model else (lambda df: df)
+    scored = (
+        pairs.join(maybe_b(big), ["w1", "w2"])
+        .join(
+            maybe_b(uni.select(F.col("w").alias("w1"),
+                               F.col("c").alias("c1"))),
+            "w1",
+        )
+        .join(
+            maybe_b(uni.select(F.col("w").alias("w2"),
+                               F.col("c").alias("c2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            (
+                F.lit(lam) * F.col("c12").cast("double")
+                / F.col("c1").cast("double")
+                + F.lit(1.0 - lam)
+                * (F.col("c2") + 1).cast("double")
+                / (F.col("N") + F.col("V")).cast("double")
+            ).alias("p"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        (-F.avg(F.log("p"))).alias("log_ppl"),
+    )

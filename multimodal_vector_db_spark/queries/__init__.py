@@ -25,6 +25,7 @@ from .m8_quant_packing import *  # noqa: F401,F403
 from .m8b_tpch_breadth import *  # noqa: F401,F403
 from .m9_serving import *  # noqa: F401,F403
 from .m10_corpus_ops import *  # noqa: F401,F403
+from .m11_curation3 import *  # noqa: F401,F403
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness harness verifies the FIRST

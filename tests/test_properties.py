@@ -397,3 +397,70 @@ def test_contrastive_mining_dominance(spark, rows):
             assert all(sim(v) <= m + 1e-6 for m in negs.values())
         if lbl == a_lbl and i not in poss and poss:
             assert all(sim(v) >= m - 1e-6 for m in poss.values())
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([1, 2, 3, 4]),
+    st.sampled_from([0, 1, 2, 3, 4]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_round_trip_all_filters_and_channels(ch_h, ch_w, nch, ft, seed):
+    """decode(encode(x, filter)) == x for every PNG scanline filter ×
+    channel count (gray / gray+alpha / RGB / RGBA) — no Spark needed,
+    the codec is pure numpy+zlib."""
+    from multimodal_vector_db_spark.multimodal.codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(seed)
+    shape = (ch_h, ch_w) if nch == 1 else (ch_h, ch_w, nch)
+    arr = rng.randint(0, 256, shape, dtype=np.uint8)
+    out = decode_png(encode_png(arr, filter_type=ft))
+    assert out.shape == arr.shape
+    assert np.array_equal(out, arr)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=2, max_value=6))
+def test_dsir_upweights_target_like_docs(spark, n_docs):
+    """DSIR log weights: raw docs written in the TARGET corpus's
+    vocabulary must out-weigh raw docs in a disjoint vocabulary —
+    the defining property of importance resampling."""
+    from multimodal_vector_db_spark.operators.dsir import dsir_log_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta epsilon zeta")
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    rows = []
+    for i in range(n_docs):
+        rows.append((2 * i, "alpha beta gamma delta"))          # target-like
+        rows.append((2 * i + 1, "zork quux blarg frobnicate"))  # alien
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    w = {r["id"]: r["log_weight"]
+         for r in dsir_log_weights(raw, target).collect()}
+    for i in range(n_docs):
+        assert w[2 * i] > w[2 * i + 1], w
+
+
+def test_bigram_lm_scores_typical_below_atypical(spark):
+    """A document built from the corpus's dominant bigram must score
+    LOWER log-perplexity than one built from bigrams seen only once;
+    every scored position count matches len(tokens)-1."""
+    from multimodal_vector_db_spark.operators.text_pipeline import (
+        bigram_lm_scores,
+    )
+
+    docs = [(i, "the cat sat on the mat") for i in range(10)]
+    docs.append((100, "the cat sat on the mat"))      # typical
+    docs.append((101, "purple quantum mat dances the"))  # atypical
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["id"]: r for r in bigram_lm_scores(df).collect()}
+    assert out[100]["log_ppl"] < out[101]["log_ppl"]
+    assert out[100]["n_bigrams"] == 5
+    assert out[101]["n_bigrams"] == 4
