@@ -25,7 +25,7 @@ from multimodal_vector_db_spark.operators.contrastive import (  # noqa: E402
 from multimodal_vector_db_spark.operators.dedup import (  # noqa: E402
     incremental_near_duplicates,
     leakage_safe_split,
-    minhash_index,
+    minhash_band_index,
     ngram_jaccard_pairs,
     remove_duplicated_spans,
     semantic_dedup_blocked,
@@ -38,11 +38,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
-    # 1. History vs incoming batch. In production the index is written
-    #    once per refresh and reused; xxhash64 is the production basis.
+    # 1. History vs incoming batch. In production the band index is
+    #    persisted ONCE, bucketed on band_key (write_minhash_band_index)
+    #    so the history side joins with no Exchange; xxhash64 is the
+    #    production basis. (The streaming-native form of this loop is
+    #    streaming/ingest.py:corpus_refresh_stream.)
     hist = docs.where(F.col("doc_id") % 5 != 0)
     batch = docs.where(F.col("doc_id") % 5 == 0)
-    idx = minhash_index(hist, hash_impl="xxhash64")
+    idx = minhash_band_index(hist, hash_impl="xxhash64")
 
     flagged = incremental_near_duplicates(batch, idx, hash_impl="xxhash64")
     n_batch = flagged.count()

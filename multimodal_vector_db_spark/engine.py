@@ -162,8 +162,14 @@ class MultiModalSearchEngine:
 
         # pin the partition layout: the pid-count job and the id-assign
         # job must observe the SAME partitioning (AQE may otherwise
-        # re-plan the scan between actions)
-        src = df.withColumn("__pid", F.spark_partition_id()).persist()
+        # re-plan the scan between actions). __mono captures the
+        # within-partition INPUT order off the same pinned blocks, so
+        # duplicate (content, modality) rows in one partition still get
+        # bit-stable relative ids across runs (the window below orders
+        # on it)
+        src = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+            "__mono", F.monotonically_increasing_id()
+        ).persist()
         counts = {
             r["__pid"]: r["cnt"]
             for r in src.groupBy("__pid")
@@ -179,10 +185,10 @@ class MultiModalSearchEngine:
         )
         # within-partition row numbers: the window key is __pid itself,
         # so each shuffle group is exactly one input partition — a
-        # balanced exchange, never a global sort into one task
-        w = Window.partitionBy("__pid").orderBy(
-            F.col(content_col), F.col(modality_col)
-        )
+        # balanced exchange, never a global sort into one task. Ordered
+        # by the captured input position — total (no duplicate-content
+        # ties), so ids are deterministic row-for-row
+        w = Window.partitionBy("__pid").orderBy(F.col("__mono"))
         space = F.coalesce(
             F.create_map(
                 *[F.lit(x) for kv in SPACE_OF.items() for x in kv]
@@ -622,6 +628,62 @@ class MultiModalSearchEngine:
         df, manifest = storage.load_index(spark, name)
         eng = cls(spark, items=df, dim=manifest.get("dim", 64))
         return eng
+
+    def save_matryoshka(
+        self, base_path: str, dims: list[int], name: str = "items"
+    ) -> dict[int, str]:
+        """Materialize the Matryoshka index family — the engine surface
+        of the reference's ``build_matryoshka_indices.py:55-91`` (one
+        index per truncation dim): per-dim tables of prefix-truncated,
+        re-normalized vectors, written once at save time so a
+        reduced-dimension engine scans reduced-dimension data. Records
+        ``full_dim`` in each manifest so :meth:`load_matryoshka` can
+        truncate QUERY embeddings from the full-width embedder (the
+        reference's semantics: queries are truncated model outputs, not
+        natively small embeddings)."""
+        storage = CorpusStorage(base_path)
+        return storage.build_matryoshka_tables(
+            active(self.items),
+            name,
+            dims,
+            manifest={"metric": "cosine", "full_dim": self.dim},
+            partition_by=["modality"],
+        )
+
+    @classmethod
+    def load_matryoshka(
+        cls,
+        spark: SparkSession,
+        base_path: str,
+        dim: int,
+        name: str = "items",
+        full_embed_fn: Callable[[str, str], list[float]] | None = None,
+    ) -> "MultiModalSearchEngine":
+        """Open one member of a :meth:`save_matryoshka` family as a
+        fully functional engine at reduced dimension: corpus scans read
+        the materialized d-dim table, and text queries embed at
+        ``full_dim`` then truncate+renormalize — matching how the
+        corpus side was built (``projection.py:196-220`` semantics).
+        All search paths (HOF, blocked dispatch, batch) work unchanged;
+        only the per-row byte and multiply cost shrink by
+        ``dim/full_dim``."""
+        import numpy as np
+
+        storage = CorpusStorage(base_path)
+        df, manifest = storage.load_index(spark, f"{name}_d{dim}")
+        full_dim = int(manifest["full_dim"])
+        full = full_embed_fn or (
+            lambda text, space: fake_embed_numpy(
+                text, space, full_dim
+            ).tolist()
+        )
+
+        def embed(text: str, space: str) -> list[float]:
+            v = np.asarray(full(text, space), dtype=np.float64)[:dim]
+            n = float(np.linalg.norm(v))
+            return (v / n).tolist() if n > 0 else v.tolist()
+
+        return cls(spark, items=df, dim=dim, embed_fn=embed)
 
     # -- stats (A12, vector_index.py:279-291) --------------------------
     def get_stats(self) -> dict[str, Any]:

@@ -49,23 +49,27 @@ def hashed_ngram_buckets(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """``(id, bucket)`` — one row per unigram/bigram INSTANCE
     (duplicates kept: DSIR counts occurrences, not the distinct set),
-    bucketed by salted md5. Map-side only."""
+    bucketed by a salted hash. ``hash_impl="md5"`` is the
+    oracle-portable basis (DuckDB replays it); ``"xxhash64"`` is the
+    production basis — JVM-native, no hex-string materialization, same
+    pipeline and plan shape (the same convention as the MinHash
+    family). Map-side only."""
     toks = tokens(F.col(text_col))
-    return (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.concat(toks, word_bigrams_all(toks))
-            ).alias("gram"),
-        )
-        .select(
-            "id",
-            (md5_u32(F.col("gram"), NGRAM_SALT) % n_buckets).alias("bucket"),
-        )
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.concat(toks, word_bigrams_all(toks))).alias("gram"),
     )
+    if hash_impl == "xxhash64":
+        bucket = F.pmod(
+            F.xxhash64(F.lit(NGRAM_SALT), F.col("gram")), F.lit(n_buckets)
+        )
+    else:
+        bucket = md5_u32(F.col("gram"), NGRAM_SALT) % n_buckets
+    return grams.select("id", bucket.alias("bucket"))
 
 
 def dsir_log_weights(
@@ -74,6 +78,7 @@ def dsir_log_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """Per raw-document DSIR log importance weight:
     ``(id, n_ngrams, log_weight)``.
@@ -84,11 +89,11 @@ def dsir_log_weights(
     n-grams get weight 0 (a ratio of identical empty products)."""
     spark = raw.sparkSession
     t_cnt = (
-        hashed_ngram_buckets(target, text_col, id_col, n_buckets)
+        hashed_ngram_buckets(target, text_col, id_col, n_buckets, hash_impl)
         .groupBy("bucket")
         .agg(F.count("*").alias("t_cnt"))
     )
-    raw_b = hashed_ngram_buckets(raw, text_col, id_col, n_buckets)
+    raw_b = hashed_ngram_buckets(raw, text_col, id_col, n_buckets, hash_impl)
     r_cnt = raw_b.groupBy("bucket").agg(F.count("*").alias("r_cnt"))
     dense = (
         spark.range(n_buckets)
@@ -149,6 +154,7 @@ def dsir_resample(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """The full DSIR selection: ``(id, n_ngrams, log_weight, rank)``
     for the k documents sampled ∝ exp(log importance weight).
@@ -158,7 +164,9 @@ def dsir_resample(
     differences in ln(). ``orderBy().limit(k)`` plans as TakeOrdered —
     per-partition k then one driver merge, no corpus shuffle; the rank
     window runs over the k survivors only."""
-    weights = dsir_log_weights(raw, target, text_col, id_col, n_buckets)
+    weights = dsir_log_weights(
+        raw, target, text_col, id_col, n_buckets, hash_impl
+    )
     keyed = weights.withColumn(
         "key", F.round(gumbel_key(F.col("log_weight"), F.col("id")), 6)
     )

@@ -138,6 +138,10 @@ class CorpusStorage:
                 *[F.col(c) for c in other_cols],
                 slice_renormalize(F.col(vector_col), d).alias(vector_col),
             )
+            if "dim" in other_cols:
+                # the engine's canonical items schema carries a dim
+                # column — keep it truthful in the truncated tables
+                truncated = truncated.withColumn("dim", F.lit(d))
             self.save_index(
                 truncated,
                 sub_name,

@@ -269,6 +269,72 @@ def test_search_auto_dispatch_threshold(spark):
     assert [r["id"] for r in auto] == [r["id"] for r in hof]
 
 
+def test_matryoshka_save_load_search(spark, tmp_path):
+    """save_matryoshka writes one table per truncation dim; the loaded
+    reduced-dim engine searches it with truncated+renormalized QUERY
+    embeddings and must exactly match a hand-built truncation of the
+    full corpus (slice_renormalize on both sides — the reference's
+    build_matryoshka_indices + reduced-dim search semantics)."""
+    from multimodal_vector_db_spark.functions.vector import (
+        slice_renormalize,
+    )
+    from multimodal_vector_db_spark.operators.knn import knn_search
+    from multimodal_vector_db_spark.sources.corpus import active
+
+    eng = MultiModalSearchEngine(spark, dim=32)
+    eng.batch_ingest(
+        [{"content": f"matryoshka doc {i} topic {i % 6}",
+          "modality": "text"} for i in range(60)]
+    )
+    base = str(tmp_path / "wh_mat")
+    names = eng.save_matryoshka(base, dims=[8, 16])
+    assert names == {8: "items_d8", 16: "items_d16"}
+
+    small = MultiModalSearchEngine.load_matryoshka(spark, base, dim=16)
+    assert small.dim == 16
+    got = small.search("matryoshka doc 3", k=5)
+    assert all(len(r) for r in got)
+    row = small.items.first()
+    assert len(row["embedding"]) == 16 and row["dim"] == 16
+
+    # hand-built expectation: truncate corpus AND query with the same
+    # slice_renormalize semantics, rank by fold dot
+    import numpy as np
+
+    q_full = np.asarray(
+        fake_embed_numpy("matryoshka doc 3", "clip", 32), dtype=np.float64
+    )[:16]
+    q = (q_full / np.linalg.norm(q_full)).tolist()
+    want_corpus = active(eng.items).select(
+        "id", slice_renormalize("embedding", 16).alias("embedding")
+    )
+    want = [r["id"] for r in knn_search(want_corpus, q, k=5).collect()]
+    assert [r["id"] for r in got] == want
+
+
+def test_bulk_ingest_ids_deterministic_with_duplicate_contents(spark):
+    """batch_ingest_df id assignment must be bit-stable across runs
+    even when one partition holds duplicate (content, modality) rows —
+    the window orders on captured input position, a total order."""
+    import pandas as pd
+
+    def make_src():
+        return spark.createDataFrame(pd.DataFrame(
+            [{"content": f"dup doc {i % 7}", "modality": "text",
+              "tag": i} for i in range(100)]
+        )).repartition(4).drop("tag")
+
+    runs = []
+    for _ in range(2):
+        eng = MultiModalSearchEngine(spark, dim=16)
+        eng.batch_ingest_df(make_src())
+        runs.append(sorted(
+            (r["id"], r["content"]) for r in eng.items.collect()
+        ))
+    assert runs[0] == runs[1]
+    assert len({i for i, _ in runs[0]}) == 100  # contiguous unique ids
+
+
 def test_compare_modalities_scorer_parity(spark):
     """compare_modalities scorer='blocked' (dual_space_topk_blocked +
     pushed payload re-fetch) must return the same per-modality winner

@@ -409,3 +409,47 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         for r in leakage_safe_split(docs, pairs).collect()
     }
     assert {k: v["bucket"] for k, v in out.items()} == again
+
+
+def test_dsir_xxhash_basis_same_shape_and_dominance(spark):
+    """The production xxhash64 bucket basis must preserve DSIR's
+    structure: identical n_ngrams (hashing doesn't change gram counts)
+    and target-like docs still out-weigh alien docs."""
+    from multimodal_vector_db_spark.operators.dsir import dsir_log_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta epsilon") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "zork quux blarg"),
+         (2, "alpha beta gamma"), (3, "frob nicate wibble")],
+        "doc_id long, text string",
+    )
+    md5 = {r["id"]: r for r in dsir_log_weights(raw, target).collect()}
+    xx = {r["id"]: r
+          for r in dsir_log_weights(raw, target,
+                                    hash_impl="xxhash64").collect()}
+    for i in range(4):
+        assert md5[i]["n_ngrams"] == xx[i]["n_ngrams"]
+    assert xx[0]["log_weight"] > xx[1]["log_weight"]
+    assert xx[2]["log_weight"] > xx[3]["log_weight"]
+
+
+def test_bigram_lm_shuffle_join_form_matches_broadcast(spark):
+    """broadcast_model=False (the unbounded-vocab shuffle-join path)
+    must produce the same scores as the broadcast form."""
+    from multimodal_vector_db_spark.operators.text_pipeline import (
+        bigram_lm_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i % 5} common tail word{(i + 1) % 5} common")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    a = {r["id"]: (r["n_bigrams"], round(r["log_ppl"], 9))
+         for r in bigram_lm_scores(docs).collect()}
+    b = {r["id"]: (r["n_bigrams"], round(r["log_ppl"], 9))
+         for r in bigram_lm_scores(docs, broadcast_model=False).collect()}
+    assert a == b
