@@ -126,10 +126,13 @@ def decode_image(content: bytes) -> "object":
     """S5 (``image_embedder.py:154-157``): bytes → pixel array / image.
 
     REAL for binary netpbm (P6 PPM / P5 PGM — the interchange format
-    every tool can emit) and for 8-bit non-interlaced PNG (stdlib zlib
-    inflate + numpy unfilter): pure zero-dependency decode. Remaining
-    formats (JPEG; palette/16-bit/Adam7 PNG) need PIL, absent in this
-    container — those raise NotImplementedError at call time."""
+    every tool can emit), 8-bit non-interlaced PNG (stdlib zlib
+    inflate + numpy unfilter), and baseline sequential JPEG at 4:4:4
+    or grayscale (full Huffman+DCT codec, ``multimodal/jpeg.py`` —
+    bitstream cross-validated against the JVM's ImageIO): pure
+    zero-dependency decode. Remaining variants (progressive or
+    subsampled JPEG; palette/16-bit/Adam7 PNG) need PIL, absent in
+    this container — those raise at call time."""
     if content[:2] in (b"P6", b"P5"):
         from multimodal_vector_db_spark.multimodal.codecs import decode_ppm
 
@@ -138,6 +141,13 @@ def decode_image(content: bytes) -> "object":
         from multimodal_vector_db_spark.multimodal.codecs import decode_png
 
         return decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        from multimodal_vector_db_spark.multimodal.jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(content)
+        except ValueError:
+            pass  # progressive/subsampled → the PIL-gated path below
     try:
         from io import BytesIO
 
@@ -205,6 +215,15 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                 return "netpbm", codecs.image_features(codecs.decode_ppm(b))
             if b[:8] == b"\x89PNG\r\n\x1a\n":
                 return "png", codecs.image_features(codecs.decode_png(b))
+            if b[:2] == b"\xff\xd8":
+                from multimodal_vector_db_spark.multimodal.jpeg import (
+                    decode_jpeg,
+                )
+
+                try:
+                    return "jpeg", codecs.image_features(decode_jpeg(b))
+                except ValueError:
+                    return "digest", _digest_features(b, 4)
             if b[:4] == b"RIFF":
                 return "wav", codecs.audio_features(*codecs.decode_wav(b))
             return "digest", _digest_features(b, 4)

@@ -526,6 +526,114 @@ def ivf_adc_search(
     )
 
 
+def ivf_adc_search_blocked(
+    index: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int,
+    nprobe: int,
+    id_col: str = "id",
+    codes_col: str = "pq_codes",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """IVFADC serving at scale — the blocked twin of
+    :func:`ivf_adc_search`, the Faiss-IVFPQ shape: the index scan
+    carries only ``n_sub`` bytes + a cluster id per row, probes prune
+    the scan to ``nprobe`` cells, and each Arrow batch scores its
+    candidates with one vectorized LUT gather per (query, cell) —
+    ``D = Σ_s LUT[s, code_s]`` as a single numpy fancy-index + row
+    sum, no per-row expression tree. Each batch emits only its local
+    top-k per probing query, so the shuffle is bounded by
+    ``touched_partitions × k × |queries|`` — at 100 TB the network
+    moves winner stubs, never codes.
+
+    Same determinism contract as the joined form: probe ranking by
+    (dot desc, cid desc), distances rounded to 6dp before ranking,
+    ranks tie-break to the lower id — so the discrete
+    ``(query_id, id, rank)`` output hash-matches the same oracle on
+    tie-free data. Returns ``(query_id, id, adc_dist, rank)``.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from multimodal_vector_db_spark.operators.quantization import (
+        adc_distance_table,
+    )
+
+    C = np.asarray(centroids, dtype=np.float64)
+    nc = C.shape[0]
+    qids = np.asarray([qid for qid, _ in queries], dtype=np.int64)
+    Qm = np.asarray([v for _, v in queries], dtype=np.float64)
+    prox = -(Qm @ C.T)
+    order = np.lexsort(
+        (np.broadcast_to(-np.arange(nc), prox.shape), prox), axis=1
+    )[:, :nprobe]
+    n_sub = len(codebooks)
+    luts: dict[tuple[int, int], np.ndarray] = {}
+    cluster_to_q: dict[int, list[int]] = {}
+    for qi, row in enumerate(order):
+        for cid in row:
+            cid = int(cid)
+            cluster_to_q.setdefault(cid, []).append(qi)
+            q_resid = (Qm[qi] - C[cid]).tolist()
+            luts[(qi, cid)] = np.asarray(
+                adc_distance_table(q_resid, codebooks), dtype=np.float64
+            )
+    probed = sorted(cluster_to_q)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+    sub_idx = np.arange(n_sub)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for cid, grp in pdf.groupby(cluster_col):
+                qidx = cluster_to_q.get(int(cid))
+                if not qidx:
+                    continue
+                codes = np.vstack(grp[codes_col].to_numpy()).astype(
+                    np.int64
+                )  # (rows, n_sub)
+                ids = grp[id_col].to_numpy()
+                kk = min(k, len(ids))
+                for qi in qidx:
+                    lut = luts[(qi, int(cid))]
+                    D = np.round(
+                        lut[sub_idx[None, :], codes].sum(axis=1), 6
+                    )
+                    top = np.lexsort((ids, D))[:kk]
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.full(kk, qids[qi]),
+                            "id": ids[top],
+                            "adc_dist": D[top],
+                        }
+                    )
+
+    pruned = index.where(F.col(cluster_col).isin(probed)).select(
+        id_col, codes_col, cluster_col
+    )
+    local = pruned.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("id").asc()
+    )
+    return local.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def lsh_multiprobe_knn(
     corpus: DataFrame,
     queries: DataFrame,

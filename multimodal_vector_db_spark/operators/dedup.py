@@ -412,8 +412,30 @@ def duplicated_ngram_spans(
     ``'string'`` keys on the raw n-gram text (collision-free; the
     oracle-twin basis used by the registered query).
     """
-    from pyspark.sql import Window
+    grams = _pos_grams(docs, n, id_col, text_col, hash_basis)
+    dup_keys = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    marks = grams.join(dup_keys, "gram", "left_semi").select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + n).alias("e"),
+    )
+    return _merge_islands(marks)
 
+
+def _pos_grams(
+    docs: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+    hash_basis: str,
+) -> DataFrame:
+    """``(doc_id, pos, gram)`` — every length-n token window with its
+    0-based start position (map-side explode, linear in tokens)."""
     from multimodal_vector_db_spark.functions.text import tokens
 
     base = docs.select(
@@ -434,17 +456,15 @@ def duplicated_ngram_spans(
         grams = grams.select(
             "doc_id", "pos", F.xxhash64("gram").alias("gram")
         )
-    dup_keys = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("gram")
-    )
-    marks = grams.join(dup_keys, "gram", "left_semi").select(
-        "doc_id",
-        F.col("pos").alias("s"),
-        (F.col("pos") + n).alias("e"),
-    )
+    return grams
+
+
+def _merge_islands(marks: DataFrame) -> DataFrame:
+    """Merge overlapping/adjacent ``(doc_id, s, e)`` hit windows into
+    maximal spans ``(doc_id, span_start, span_end)`` — a per-document
+    window (parallel across docs, bounded by one doc's grams)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("doc_id").orderBy("s")
     prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     flagged = marks.withColumn(
@@ -526,12 +546,23 @@ def remove_duplicated_spans(
     per-token join — the only extra cost over the span detection is
     one per-doc aggregation plus a doc-keyed join back to the corpus.
     """
-    from multimodal_vector_db_spark.functions.text import tokens
-
     spans = duplicated_ngram_spans(
         docs, n=n, id_col=id_col, text_col=text_col,
         min_docs=min_docs, hash_basis=hash_basis,
     )
+    return _cut_spans(docs, spans, id_col, text_col)
+
+
+def _cut_spans(
+    docs: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Re-emit every document with the given ``(doc_id, span_start,
+    span_end)`` spans cut from its token stream — ``(doc_id, n_tokens,
+    kept_tokens, cleaned_text)``. Spans collapse to one small
+    array<struct> per doc; a nested higher-order filter drops tokens
+    inside any span (no UDF, no per-token join)."""
+    from multimodal_vector_db_spark.functions.text import tokens
+
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(
             F.struct(
@@ -563,6 +594,77 @@ def remove_duplicated_spans(
         F.size(kept).cast("long").alias("kept_tokens"),
         F.array_join(kept, " ").alias("cleaned_text"),
     )
+
+
+def contaminated_spans(
+    train: DataFrame,
+    ref: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: str | None = None,
+    ref_text_col: str | None = None,
+    hash_basis: str = "xxhash64",
+) -> DataFrame:
+    """Span-level DECONTAMINATION detection — the asymmetric twin of
+    :func:`duplicated_ngram_spans`: maximal token spans in ``train``
+    whose every length-``n`` window also occurs anywhere in the
+    held-out ``ref`` corpus (eval/test sets). Doc-level n-gram
+    decontamination (the ``ngram_decontamination`` query) drops whole
+    documents; real pipelines prefer cutting just the leaked spans and
+    keeping the rest of the document's tokens.
+
+    Returns ``(doc_id, span_start, span_end)`` over train docs,
+    end-exclusive.
+
+    Scale: train grams explode linearly; the ref side reduces to its
+    DISTINCT gram set (a groupBy with map-side combine — never
+    broadcast: at 100 TB the eval suite's gram set can still be
+    millions of rows) and marks train positions via a left-semi
+    shuffle join on the 8-byte gram hash. Island merging is the same
+    per-document window as span dedup.
+    """
+    marks = (
+        _pos_grams(train, n, id_col, text_col, hash_basis)
+        .join(
+            _pos_grams(
+                ref,
+                n,
+                ref_id_col or id_col,
+                ref_text_col or text_col,
+                hash_basis,
+            ).select("gram").distinct(),
+            "gram",
+            "left_semi",
+        )
+        .select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + n).alias("e"),
+        )
+    )
+    return _merge_islands(marks)
+
+
+def remove_contaminated_spans(
+    train: DataFrame,
+    ref: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: str | None = None,
+    ref_text_col: str | None = None,
+    hash_basis: str = "xxhash64",
+) -> DataFrame:
+    """The removal half of span decontamination: every TRAIN document
+    re-emitted with its ref-leaked spans cut out — ``(doc_id,
+    n_tokens, kept_tokens, cleaned_text)``. Same in-plan cut as
+    :func:`remove_duplicated_spans`."""
+    spans = contaminated_spans(
+        train, ref, n, id_col, text_col, ref_id_col, ref_text_col,
+        hash_basis,
+    )
+    return _cut_spans(train, spans, id_col, text_col)
 
 
 def semantic_dedup(

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._core import _t, query
+from ._core import ORACLES, _t, query
 from .m2_text_dedup import _TOKS, _md5_nibbles_sql
 
 #: DuckDB twin of operators.dsir.hashed_ngram_buckets' gram list —
@@ -151,6 +151,74 @@ def q_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSPAN_N = 8
+
+
+@query(
+    "decontam_span_cleaned",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS.format(col="text")} AS toks FROM documents
+    ),
+    tr AS (SELECT doc_id, toks FROM t WHERE doc_id % 10 <> 0),
+    rf AS (SELECT doc_id, toks FROM t WHERE doc_id % 10 = 0),
+    g AS (
+      SELECT doc_id, u.i - 1 AS pos,
+             array_to_string(toks[u.i : u.i + {_DSPAN_N - 1}], ' ') AS gram
+      FROM tr,
+           UNNEST(range(1, greatest(len(toks) - {_DSPAN_N} + 2, 1))) AS u(i)
+    ),
+    rg AS (
+      SELECT DISTINCT
+             array_to_string(toks[u.i : u.i + {_DSPAN_N - 1}], ' ') AS gram
+      FROM rf,
+           UNNEST(range(1, greatest(len(toks) - {_DSPAN_N} + 2, 1))) AS u(i)
+    ),
+    h AS (SELECT doc_id, pos AS s, pos + {_DSPAN_N} AS e FROM g
+          WHERE gram IN (SELECT gram FROM rg)),
+    w AS (SELECT doc_id, s, e,
+            max(e) OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM h),
+    i AS (SELECT doc_id, s, e,
+            sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS UNBOUNDED PRECEDING) AS island
+          FROM w),
+    sp AS (SELECT doc_id, island, min(s) AS st, max(e) AS en
+           FROM i GROUP BY 1, 2),
+    spl AS (SELECT doc_id, list([st, en]) AS spans FROM sp GROUP BY doc_id),
+    k AS (SELECT tr.doc_id, tr.toks,
+            list_filter(tr.toks, (x, i) ->
+              len(list_filter(coalesce(s.spans, [[0, 0]]),
+                  p -> i - 1 >= p[1] AND i - 1 < p[2])) = 0) AS kept
+          FROM tr LEFT JOIN spl s USING (doc_id))
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           len(kept)::BIGINT AS kept_tokens,
+           coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+    FROM k
+    """,
+)
+def q_decontam_span_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: every TRAIN document (doc_id % 10
+    != 0) re-emitted with the token spans whose 8-grams leak from the
+    held-out REF split (doc_id % 10 == 0) cut out — the cut-the-span
+    alternative to doc-level `ngram_decontamination`'s drop-the-doc.
+    Raw-gram oracle basis; xxhash64 production basis (parity-tested);
+    see operators/dedup.py:remove_contaminated_spans."""
+    from multimodal_vector_db_spark.operators.dedup import (
+        remove_contaminated_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    ref = docs.where(F.col("doc_id") % 10 == 0)
+    return remove_contaminated_spans(
+        train, ref, n=_DSPAN_N, hash_basis="string"
+    )
+
+
 @query(
     "png_codec_features",
     """
@@ -247,4 +315,249 @@ def q_png_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
         "aspect",
+    )
+
+
+# The blocked IVFADC twin reuses ann_ivf_adc_knn's full replay oracle
+# (m5_ann_search.py) with the float dist column dropped: the LUT-gather
+# BLAS path can't hash-match accumulated doubles, but the discrete
+# (query_id, id, rank) winner sets can — the same upgrade the plain
+# blocked serving forms got.
+_ADC_RANK_SQL = ORACLES["ann_ivf_adc_knn"].replace(
+    "SELECT query_id, id, adc_dist, rank::BIGINT AS rank",
+    "SELECT query_id, id, rank::BIGINT AS rank",
+)
+assert _ADC_RANK_SQL != ORACLES["ann_ivf_adc_knn"]
+
+
+@query("ivf_adc_blocked_knn", _ADC_RANK_SQL)
+def q_ivf_adc_blocked_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC through the blocked serving path (Faiss-IVFPQ shape):
+    probes prune the scan to nprobe cells, each Arrow batch scores its
+    candidates with one vectorized LUT gather per (query, cell) and
+    emits local top-k only — shuffle bounded by partitions × k ×
+    |queries|, the scan carrying n_sub bytes + a cluster id per row.
+    Same index fixtures as `ann_ivf_adc_knn` (fixed centroids 200-207,
+    data-derived 4×4 residual codebooks, nprobe=2); discrete rank
+    output hash-matches the same end-to-end replay oracle. See
+    operators/ann.py:ivf_adc_search_blocked."""
+    from multimodal_vector_db_spark.operators.ann import (
+        ivf_adc_build,
+        ivf_adc_search_blocked,
+    )
+    from multimodal_vector_db_spark.operators.quantization import (
+        data_derived_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = [
+        r["embedding"]
+        for r in emb.where(
+            (F.col("vec_id") >= 200) & (F.col("vec_id") < 208)
+        ).orderBy("vec_id").select("embedding").collect()
+    ]
+    books = data_derived_codebooks(emb, n_subquantizers=4, n_codes=4)
+    index = ivf_adc_build(
+        emb.select(F.col("vec_id").alias("id"), "embedding"),
+        centroids,
+        books,
+    )
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 5)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    out = ivf_adc_search_blocked(
+        index, queries, centroids, books, k=5, nprobe=2
+    )
+    return out.select(
+        "query_id", "id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@query(
+    "jpeg_codec_features",
+    """
+    WITH h AS (
+      SELECT doc_id, md5(doc_id::VARCHAR) || md5(doc_id::VARCHAR || 'x')
+               AS hexes
+      FROM documents WHERE doc_id < 200
+    ),
+    v AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, 11), k ->
+          ('0x' || substring(hexes, 2 * k + 1, 2))::BIGINT) AS tiles
+      FROM h
+    ),
+    l AS (
+      SELECT doc_id, tiles,
+        list_transform(tiles, t ->
+          0.299 * t::DOUBLE + 0.587 * t::DOUBLE + 0.114 * t::DOUBLE)
+          AS lums
+      FROM v
+    )
+    SELECT doc_id,
+           round(list_sum(list_transform(tiles, t -> t::DOUBLE)) / 12.0,
+                 6) AS mean_gray,
+           round(sqrt(
+             list_sum(list_transform(lums, x -> x * x)) / 12.0
+             - (list_sum(lums) / 12.0) * (list_sum(lums) / 12.0)
+           ), 6) AS lum_std,
+           round(32.0 / 24.0, 6) AS aspect
+    FROM l
+    """,
+)
+def q_jpeg_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode under oracle check — the lossy-codec member of
+    the `media_codec_features` family: per document, build a 24×32
+    grayscale image of twelve 8×8 UNIFORM tiles (values = md5-derived
+    bytes; 8×8-aligned uniform tiles are DC-only, so baseline JPEG at
+    q=90 round-trips them EXACTLY — quant error < 1/2 LSB), push it
+    through the actual encoder AND decoder (multimodal/jpeg.py:
+    Huffman, zig-zag, DCT, marker framing — the bitstream is
+    cross-validated against the JVM's ImageIO in tests), featurize,
+    and let DuckDB re-derive mean/std/aspect from the tile values. A
+    quantization, Huffman, or DPCM bug breaks the hash match."""
+    from pyspark.sql import types as T
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    d = F.col("doc_id").cast("string")
+    hexes = F.concat(F.md5(d), F.md5(F.concat(d, F.lit("x"))))
+    media = docs.select(
+        "doc_id", F.unhex(F.substring(hexes, 1, 24)).alias("tiles")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("mean_gray", T.DoubleType()),
+            T.StructField("lum_std", T.DoubleType()),
+            T.StructField("aspect", T.DoubleType()),
+        ]
+    )
+
+    def decode_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from multimodal_vector_db_spark.multimodal.codecs import (
+            image_features,
+        )
+        from multimodal_vector_db_spark.multimodal.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        def one(payload: bytes) -> list[float]:
+            tiles = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(
+                3, 4
+            )
+            img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+            return image_features(decode_jpeg(encode_jpeg(img, quality=90)))
+
+        for pdf in it:
+            feats = [one(b) for b in pdf["tiles"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mean_gray": [f[0] for f in feats],
+                    "lum_std": [f[3] for f in feats],
+                    "aspect": [f[4] for f in feats],
+                }
+            )
+
+    decoded = media.mapInPandas(decode_batches, schema=out_schema)
+    return decoded.select(
+        "doc_id",
+        F.round("mean_gray", 6).alias("mean_gray"),
+        F.round("lum_std", 6).alias("lum_std"),
+        F.round("aspect", 6).alias("aspect"),
+    )
+
+
+@query(
+    "corpus_report",
+    rf"""
+    WITH t AS (
+      SELECT source, text, {_TOKS.format(col="text")} AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             len(toks)::BIGINT AS ntok,
+             round((least(len(toks)::DOUBLE / 50.0, 1.0)
+                + (1.0 - least(abs(coalesce(len(list_filter(toks,
+                     x -> list_contains(
+                       ['the','a','and','of','to','in','is','it'],
+                       lower(x))))::DOUBLE / nullif(len(toks), 0), 0.0)
+                     - 0.3) / 0.3, 1.0))
+                + (1.0 - least(coalesce((length(text)
+                     - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '',
+                                             'g')))::DOUBLE
+                     / nullif(length(text), 0), 0.0) * 2.0, 1.0)))
+               / 3.0, 6) AS q,
+             CASE WHEN coalesce(len(list_filter(toks, x -> list_contains(
+                    ['the','a','and','of','to','in','is','it'],
+                    lower(x))))::DOUBLE / nullif(len(toks), 0), 0.0)
+                  >= 0.05 THEN 1.0 ELSE 0.0 END AS is_en,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM t
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(ntok)::BIGINT AS total_tokens,
+           count(DISTINCT fp)::BIGINT AS distinct_docs,
+           round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6)
+             AS dup_fraction,
+           round(avg(q), 6) AS mean_quality,
+           round(avg(is_en), 6) AS en_fraction
+    FROM s GROUP BY source
+    """,
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus data card in ONE plan: document counts, token
+    totals, exact-dup rate (normalized-md5 fingerprints), mean quality
+    score, and language mix — the summary table a curation run reports
+    before/after each pipeline stage. One scan + one aggregation
+    exchange (countDistinct plans as a two-phase partial agg); every
+    signal reuses the oracle-pinned expression kernels
+    (functions/text.py)."""
+    from multimodal_vector_db_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    sw = F.coalesce(
+        X.stopword_ratio(F.lower(F.col("text"))), F.lit(0.0)
+    )
+    row = docs.select(
+        "source",
+        X.token_count("text").alias("ntok"),
+        X.quality_score("text").alias("q"),
+        (sw >= 0.05).cast("double").alias("is_en"),
+        X.fingerprint("text").alias("fp"),
+    )
+    return (
+        row.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+            F.countDistinct("fp").cast("long").alias("distinct_docs"),
+            F.round(F.avg("q"), 6).alias("mean_quality"),
+            F.round(F.avg("is_en"), 6).alias("en_fraction"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "distinct_docs",
+            F.round(
+                F.lit(1.0)
+                - F.col("distinct_docs").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_fraction"),
+            "mean_quality",
+            "en_fraction",
+        )
     )

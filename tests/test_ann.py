@@ -478,3 +478,44 @@ def test_ivf_search_blocked_matches_ivf_search(spark, embeddings):
     j = {(r["query_id"], r["id"]): r["sim"] for r in joined}
     for r in blocked:
         assert abs(j[(r["query_id"], r["id"])] - r["sim"]) < 1e-9
+
+
+def test_ivf_adc_search_blocked_matches_joined(spark, embeddings):
+    """The blocked IVFADC serving path (LUT gather per Arrow batch)
+    must return the same (query, id) winner sets, rounded distances,
+    and ranks as the joined broadcast-LUT form — same probes, same
+    codebooks, same tie rules."""
+    from multimodal_vector_db_spark.operators.ann import (
+        ivf_adc_build,
+        ivf_adc_search,
+        ivf_adc_search_blocked,
+        ivf_fit,
+    )
+    from multimodal_vector_db_spark.operators.quantization import (
+        data_derived_codebooks,
+    )
+
+    corpus = embeddings.select(F.col("vec_id").alias("id"), "embedding")
+    centroids = ivf_fit(corpus, n_clusters=4)
+    books = data_derived_codebooks(
+        embeddings, n_subquantizers=4, n_codes=8, start_id=100
+    )
+    index = ivf_adc_build(corpus, centroids, books)
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in embeddings.where(F.col("vec_id") < 8).collect()
+    ]
+    joined = ivf_adc_search(
+        index, qs, centroids, books, k=5, nprobe=2
+    ).collect()
+    blocked = ivf_adc_search_blocked(
+        index, qs, centroids, books, k=5, nprobe=2
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    j = sorted(joined, key=key)
+    b = sorted(blocked, key=key)
+    assert [(r["query_id"], r["rank"], r["id"]) for r in j] == [
+        (r["query_id"], r["rank"], r["id"]) for r in b
+    ]
+    for x, y in zip(j, b):
+        assert abs(x["adc_dist"] - y["adc_dist"]) < 1e-6

@@ -294,3 +294,122 @@ def test_y4m_video_pipeline_sample_and_pool(spark):
             )
         )
         assert abs(r["pooled"] - expect) < 1e-9
+
+
+def test_jpeg_round_trip_uniform_and_psnr():
+    """Baseline JPEG codec: 8x8-aligned uniform-tile images round-trip
+    EXACTLY (DC-only blocks, quant error < 1/2 LSB at q=90); random
+    images round-trip within the PSNR a baseline JPEG should give."""
+    import numpy as np
+
+    from multimodal_vector_db_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(11)
+    # tile-uniform grayscale: exact round trip
+    tiles = rng.randint(0, 256, (3, 4), np.uint8)
+    img = np.kron(tiles, np.ones((8, 8), np.uint8))
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == (24, 32)
+    assert np.array_equal(out, img)
+
+    # fully uniform color: exact
+    c = np.zeros((16, 16, 3), np.uint8)
+    c[:] = (200, 30, 90)
+    assert np.array_equal(decode_jpeg(encode_jpeg(c, quality=95)), c)
+
+    # random gray + color: PSNR >= 30 dB at q=90/95
+    for shape, q in (((40, 56), 90), ((24, 16, 3), 95)):
+        x = rng.randint(0, 256, shape, np.uint8)
+        y = decode_jpeg(encode_jpeg(x, quality=q))
+        mse = np.mean((y.astype(float) - x.astype(float)) ** 2)
+        psnr = 10 * np.log10(255.0**2 / mse)
+        assert psnr >= 30.0, (shape, psnr)
+
+    # odd (non-multiple-of-8) dimensions survive via edge padding
+    odd = rng.randint(0, 256, (13, 19), np.uint8)
+    assert decode_jpeg(encode_jpeg(odd)).shape == (13, 19)
+
+
+def test_jpeg_bitstream_validates_against_jvm_imageio(spark):
+    """The encoder's output must be a REAL JFIF stream: the JVM's
+    javax.imageio (libjpeg-class decoder, no Python deps) must parse
+    it and reconstruct within integer-IDCT tolerance of our own
+    decoder. Grayscale compares raw raster samples (getRGB would
+    apply Java's gray->sRGB colorspace ramp)."""
+    import numpy as np
+
+    from multimodal_vector_db_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    rng = np.random.RandomState(5)
+
+    img = rng.randint(0, 256, (16, 24, 3), np.uint8)
+    path = "/tmp/test_jpeg_ext.jpg"
+    with open(path, "wb") as f:
+        f.write(encode_jpeg(img, quality=95))
+    j = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+    assert j is not None
+    arr = gw.new_array(jvm.int, 24 * 16)
+    j.getRGB(0, 0, 24, 16, arr, 0, 24)
+    a = np.array(list(arr), dtype=np.int64).reshape(16, 24)
+    ext = np.stack(
+        [(a >> 16) & 0xFF, (a >> 8) & 0xFF, a & 0xFF], axis=2
+    ).astype(int)
+    ours = decode_jpeg(open(path, "rb").read()).astype(int)
+    assert np.abs(ext - ours).max() <= 3
+
+    g = rng.randint(0, 256, (8, 8), np.uint8)
+    gpath = "/tmp/test_jpeg_ext_g.jpg"
+    with open(gpath, "wb") as f:
+        f.write(encode_jpeg(g, quality=90))
+    jg = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(gpath))
+    raster = jg.getRaster()
+    ours_g = decode_jpeg(open(gpath, "rb").read()).astype(int)
+    for yy in range(8):
+        for xx in range(8):
+            assert abs(raster.getSample(xx, yy, 0) - ours_g[yy, xx]) <= 3
+
+
+def test_jpeg_decode_rejects_unsupported_and_routes(spark):
+    """Progressive/subsampled markers raise ValueError from the codec;
+    decode_image falls through to the PIL-gated NotImplementedError
+    instead of crashing; extract_media_features tags baseline JPEGs
+    with the jpeg decoder and falls back to digest for non-baseline."""
+    import numpy as np
+    import pytest as _pytest
+
+    from multimodal_vector_db_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from multimodal_vector_db_spark.multimodal.pipeline import (
+        decode_image,
+        extract_media_features,
+    )
+
+    good = encode_jpeg(np.full((8, 8), 77, np.uint8))
+    # corrupt SOF0 -> SOF2 (progressive)
+    bad = bytearray(good)
+    idx = bad.find(b"\xff\xc0")
+    bad[idx + 1] = 0xC2
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    with _pytest.raises(NotImplementedError):
+        decode_image(bytes(bad))  # falls to the PIL-gated path
+    assert decode_image(good)[0, 0] == 77
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(good)), (2, "image", bytearray(bad))],
+        "id long, modality string, content binary",
+    )
+    rows = {r["id"]: r for r in extract_media_features(media).collect()}
+    assert rows[1]["decoder"] == "jpeg"
+    assert abs(rows[1]["features"][0] - 77.0) < 0.01
+    assert rows[2]["decoder"] == "digest"

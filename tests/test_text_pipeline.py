@@ -453,3 +453,47 @@ def test_bigram_lm_shuffle_join_form_matches_broadcast(spark):
     b = {r["id"]: (r["n_bigrams"], round(r["log_ppl"], 9))
          for r in bigram_lm_scores(docs, broadcast_model=False).collect()}
     assert a == b
+
+
+def test_contaminated_span_removal_known_leak(spark):
+    """A train doc containing an exact 8-token run from the ref set
+    loses exactly that span; clean docs pass through untouched; leaks
+    shorter than n tokens are not cut. xxhash64 production basis ==
+    raw-string basis."""
+    from multimodal_vector_db_spark.operators.dedup import (
+        contaminated_spans,
+        remove_contaminated_spans,
+    )
+
+    leak = "q1 q2 q3 q4 q5 q6 q7 q8"  # 8 tokens
+    train = spark.createDataFrame(
+        [
+            (1, f"t1a t1b {leak} t1c t1d"),
+            (2, "entirely clean training text with no overlap at all"),
+            (3, "short q1 q2 q3 overlap only three tokens long here"),
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(100, f"eval question intro {leak} eval answer outro")],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in contaminated_spans(train, ref, n=8).collect()
+    }
+    assert spans == {1: (2, 10)}
+    out = {
+        r["doc_id"]: r
+        for r in remove_contaminated_spans(train, ref, n=8).collect()
+    }
+    assert out[1]["cleaned_text"] == "t1a t1b t1c t1d"
+    assert out[1]["kept_tokens"] == 4 and out[1]["n_tokens"] == 12
+    assert out[2]["kept_tokens"] == out[2]["n_tokens"]
+    assert out[3]["kept_tokens"] == out[3]["n_tokens"]
+
+    a = sorted(map(tuple, remove_contaminated_spans(
+        train, ref, n=8, hash_basis="xxhash64").collect()))
+    b = sorted(map(tuple, remove_contaminated_spans(
+        train, ref, n=8, hash_basis="string").collect()))
+    assert a == b
