@@ -561,3 +561,25 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "en_fraction",
         )
     )
+
+
+# rows-only by design: BPE merge learning is the contract's "iterative
+# algorithm" case — 30 rounds of argmax-and-rewrite over the
+# word-frequency table have no SQL replay. Correctness gate: the
+# canonical Sennrich (arXiv:1508.07909) known-answer test, partition-
+# invariance, and apply-side invariants in tests/test_text_pipeline.py;
+# the distributed half (word frequencies) is a plain explode+groupBy.
+@query("bpe_merge_table")
+def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich 2016) over the documents
+    corpus: distributed word-frequency extraction, then the exact
+    merge loop over the vocab-bounded table — the production BPE
+    trainer split (HF tokenizers / SentencePiece do the same).
+    Emits the ordered merge table; see operators/bpe.py."""
+    from multimodal_vector_db_spark.operators.bpe import learn_bpe
+
+    merges = learn_bpe(_t(spark, sf_dir, "documents"), n_merges=30)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    )

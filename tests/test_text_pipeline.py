@@ -497,3 +497,44 @@ def test_contaminated_span_removal_known_leak(spark):
     b = sorted(map(tuple, remove_contaminated_spans(
         train, ref, n=8, hash_basis="string").collect()))
     assert a == b
+
+
+def test_bpe_canonical_example_and_invariants(spark):
+    """BPE training reproduces the canonical Sennrich example
+    (arXiv:1508.07909 / subword-nmt with the </w> marker); learning is
+    partition-invariant; apply satisfies the round-trip and
+    monotonicity invariants."""
+    from multimodal_vector_db_spark.operators.bpe import (
+        EOW,
+        apply_bpe,
+        encode_word,
+        learn_bpe,
+        train_bpe_merges,
+    )
+
+    wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = train_bpe_merges(wc, 5)
+    assert merges == [
+        ("e", "s"), ("es", "t" + EOW), ("l", "o"), ("e", "w"),
+        ("ew", "est" + EOW),
+    ]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert encode_word("newest", ranks) == ["n", "ewest" + EOW]
+    assert encode_word("lowest", ranks) == ["lo", "w", "est" + EOW]
+    # concatenation round trip
+    for w in ("lowest", "newest", "zzz", "low"):
+        assert "".join(encode_word(w, ranks)) == w + EOW
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m1 = learn_bpe(docs, n_merges=20)
+    m2 = learn_bpe(docs.repartition(7), n_merges=20)
+    assert m1 == m2 and len(m1) == 20
+
+    out10 = {r["id"]: r["n_bpe_tokens"]
+             for r in apply_bpe(docs.limit(50), m1[:10]).collect()}
+    full = {r["id"]: r for r in apply_bpe(docs.limit(50), m1).collect()}
+    for i, r in full.items():
+        # more merges never increase the token count; tokens >= words
+        assert r["n_bpe_tokens"] <= out10[i]
+        assert r["n_bpe_tokens"] >= r["n_words"]
+        assert EOW in r["bpe_preview"]
