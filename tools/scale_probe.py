@@ -529,6 +529,31 @@ def main() -> None:
 
     probe("dsir_log_weights", dsir_run)
 
+    # BPE apply: merges learned ONCE on the 1× corpus (training cost is
+    # vocab-bounded, not probed), tokenization applied to 1×/4×/16× —
+    # Arrow-batched map with a per-executor word cache; expect ~linear
+    if _want("bpe_apply"):
+        from multimodal_vector_db_spark.operators.bpe import (
+            apply_bpe,
+            learn_bpe,
+        )
+
+        bpe_merges = learn_bpe(
+            spark.read.parquet(f"{WORK}/documents_1"), n_merges=50
+        )
+
+        def bpe_run(f):
+            d = spark.read.parquet(f"{WORK}/documents_{f}")
+
+            def run():
+                apply_bpe(d, bpe_merges).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            return run
+
+        probe("bpe_apply", bpe_run)
+
     # shard packing: two windows + tiny offset window, expect ~linear
     def pack_run(f):
         t = spark.read.parquet(f"{WORK}/documents_{f}").select(
