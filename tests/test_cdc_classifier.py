@@ -1,0 +1,249 @@
+"""Tests for content-defined chunking (operators/cdc.py) and the
+Naive Bayes classifier (operators/classifier.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from multimodal_vector_db_spark.operators.cdc import (
+    cdc_chunks,
+    duplicate_chunk_stats,
+    remove_frequent_chunks,
+)
+from multimodal_vector_db_spark.operators.classifier import (
+    nb_log_odds,
+    nb_train_binary,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, "PREFIX SHIFTS EVERYTHING " + base),
+            (3, "totally unrelated content that shares nothing at all"),
+            (4, "short"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+class TestCDC:
+    def test_reassembly_is_identity(self, spark, docs):
+        # concatenating chunks in idx order must reproduce the text
+        ch = cdc_chunks(docs, hash_basis="md5", divisor=16)
+        re = ch.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk"))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                "",
+            ).alias("re")
+        )
+        bad = (
+            re.join(docs, "doc_id")
+            .where(F.col("re") != F.col("text"))
+            .count()
+        )
+        assert bad == 0
+
+    def test_shift_resilience(self, spark, docs):
+        # a prefix insertion must NOT re-chunk the shared suffix:
+        # docs 1 and 2 share chunks even though every fixed offset moved
+        ch = cdc_chunks(docs, hash_basis="md5", divisor=16)
+        shared = (
+            ch.where(F.col("doc_id") == 1)
+            .select("chunk")
+            .intersect(ch.where(F.col("doc_id") == 2).select("chunk"))
+            .count()
+        )
+        assert shared >= 2
+
+    def test_short_text_single_chunk(self, spark, docs):
+        rows = (
+            cdc_chunks(docs, hash_basis="md5")
+            .where(F.col("doc_id") == 4)
+            .collect()
+        )
+        assert len(rows) == 1 and rows[0]["chunk"] == "short"
+
+    def test_empty_text_no_chunks(self, spark, docs):
+        assert (
+            cdc_chunks(docs, hash_basis="md5")
+            .where(F.col("doc_id") == 5)
+            .count()
+            == 0
+        )
+
+    def test_xxhash_basis_also_reassembles(self, spark, docs):
+        ch = cdc_chunks(docs, hash_basis="xxhash64", divisor=16)
+        re = ch.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk"))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                "",
+            ).alias("re")
+        )
+        bad = (
+            re.join(docs, "doc_id")
+            .where(F.col("re") != F.col("text"))
+            .count()
+        )
+        assert bad == 0
+
+    def test_duplicate_stats_counts(self, spark):
+        two = spark.createDataFrame(
+            [(1, "abcdefgh" * 40), (2, "abcdefgh" * 40)],
+            "doc_id long, text string",
+        )
+        stats = duplicate_chunk_stats(
+            cdc_chunks(two, hash_basis="md5", divisor=16)
+        ).collect()
+        assert stats, "identical docs must share duplicated chunks"
+        assert all(r["n_occ"] >= r["n_docs"] for r in stats)
+
+    def test_removal_empties_identical_docs(self, spark):
+        two = spark.createDataFrame(
+            [(1, "abcdefgh" * 40), (2, "abcdefgh" * 40), (3, "unique-xyz")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["cleaned"]
+            for r in remove_frequent_chunks(
+                two, min_docs=2, hash_basis="md5", divisor=16
+            ).collect()
+        }
+        assert out[1] == "" and out[2] == ""
+        assert out[3] == "unique-xyz"
+
+
+class TestNaiveBayes:
+    @pytest.fixture(scope="class")
+    def fitted(self, spark):
+        train = spark.createDataFrame(
+            [(i, "good clean prose", "src0") for i in range(10)]
+            + [(i + 10, "spam junk noise", "src1") for i in range(10)],
+            "doc_id long, text string, source string",
+        )
+        return nb_train_binary(train, F.col("source") == "src0")
+
+    def test_separates_classes(self, spark, fitted):
+        model, prior = fitted
+        test = spark.createDataFrame(
+            [(1, "clean prose"), (2, "junk noise"), (3, "")],
+            "doc_id long, text string",
+        )
+        lo = {
+            r["doc_id"]: r["log_odds"]
+            for r in nb_log_odds(test, model, prior).collect()
+        }
+        assert lo[1] > 0 > lo[2]
+        assert lo[3] == pytest.approx(prior)  # empty doc → prior only
+
+    def test_hand_computed_token(self, spark, fitted):
+        # one positive-only token: lr = ln((2)/(n_pos+V)) - ln(1/(n_neg+V))
+        model, _ = fitted
+        rows = {r["token"]: r["lr"] for r in model.collect()}
+        n_pos = n_neg = 30  # 10 docs × 3 tokens each side
+        vocab = 6
+        expect = math.log(11 / (n_pos + vocab)) - math.log(
+            1 / (n_neg + vocab)
+        )
+        assert rows["good"] == pytest.approx(expect, rel=1e-12)
+
+    def test_unseen_token_uses_default(self, spark, fitted):
+        model, prior = fitted
+        test = spark.createDataFrame(
+            [(1, "zzz-never-seen")], "doc_id long, text string"
+        )
+        lo = nb_log_odds(test, model, prior).collect()[0]["log_odds"]
+        dflt = {r["token"]: r["lr"] for r in model.collect()}["__default__"]
+        assert lo == pytest.approx(prior + dflt)
+
+    def test_more_positive_tokens_raise_log_odds(self, spark, fitted):
+        # dominance: appending a target-class token never lowers the score
+        model, prior = fitted
+        test = spark.createDataFrame(
+            [(1, "junk"), (2, "junk good"), (3, "junk good good")],
+            "doc_id long, text string",
+        )
+        lo = {
+            r["doc_id"]: r["log_odds"]
+            for r in nb_log_odds(test, model, prior).collect()
+        }
+        assert lo[1] < lo[2] < lo[3]
+
+
+class TestPerceptualHash:
+    def test_dhash_known_value(self):
+        import numpy as np
+
+        from multimodal_vector_db_spark.multimodal.phash import dhash56
+
+        # strictly increasing rows → every comparison true → all 56 bits
+        grid = np.tile(np.arange(9, dtype=np.uint8) * 10, (7, 1))
+        assert dhash56(grid) == (1 << 56) - 1
+        # constant image → no strict increase → 0
+        assert dhash56(np.full((7, 9), 7, np.uint8)) == 0
+
+    def test_dhash_resizes_other_shapes(self):
+        import numpy as np
+
+        from multimodal_vector_db_spark.multimodal.phash import dhash56
+
+        rng = np.random.default_rng(7)
+        big = rng.integers(0, 256, (70, 90), dtype=np.uint8)
+        h1 = dhash56(big)
+        assert 0 <= h1 < (1 << 56)
+        # nearest-resize keeps the hash stable under exact 10x upscale
+        small = big[::10, ::10]
+        assert dhash56(small) == h1
+
+    def test_banded_join_matches_brute_force(self, spark):
+        import numpy as np
+
+        from multimodal_vector_db_spark.multimodal.phash import (
+            near_dup_image_pairs,
+        )
+
+        rng = np.random.default_rng(42)
+        base = int(rng.integers(0, 1 << 56))
+        hashes = [(0, base), (1, base ^ (1 << 3)), (2, base ^ (1 << 55)),
+                  (3, int(rng.integers(0, 1 << 56))),
+                  (4, base ^ (1 << 3) ^ (1 << 20))]
+        df = spark.createDataFrame(hashes, "doc_id long, dhash long")
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in near_dup_image_pairs(df, max_hamming=2).collect()
+        }
+        want = set()
+        for i in range(len(hashes)):
+            for j in range(i + 1, len(hashes)):
+                ham = bin(hashes[i][1] ^ hashes[j][1]).count("1")
+                if ham <= 2:
+                    want.add((hashes[i][0], hashes[j][0], ham))
+        assert got == want and (0, 1, 1) in got
+
+    def test_max_hamming_band_guard(self, spark):
+        import pytest as _pytest
+
+        from multimodal_vector_db_spark.multimodal.phash import (
+            near_dup_image_pairs,
+        )
+
+        df = spark.createDataFrame([(0, 0)], "doc_id long, dhash long")
+        with _pytest.raises(ValueError):
+            near_dup_image_pairs(df, max_hamming=4)
