@@ -247,6 +247,202 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Audio fingerprint dedup: windowed-energy contour over REAL PCM WAV
+# ---------------------------------------------------------------------------
+
+_AFP_ORACLE = r"""
+    WITH h AS (
+      SELECT doc_id,
+             md5('af' || (doc_id % 40)::VARCHAR)
+               || md5('af' || (doc_id % 40)::VARCHAR || 'x')
+               || md5('af' || (doc_id % 40)::VARCHAR || 'y')
+               || md5('af' || (doc_id % 40)::VARCHAR || 'z')
+               || md5('af' || (doc_id % 40)::VARCHAR || 'u')
+               || md5('af' || (doc_id % 40)::VARCHAR || 'v')
+               || md5('af' || (doc_id % 40)::VARCHAR || 'w')
+               || md5('af' || (doc_id % 40)::VARCHAR || 'q') AS hexes,
+             substring(md5(doc_id::VARCHAR || 'ap'), 1, 4) AS pb
+      FROM documents WHERE doc_id < 200
+    ),
+    full_hex AS (
+      SELECT doc_id, substring(hexes, 1, 252) || pb AS hx FROM h
+    ),
+    s AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 63), i ->
+               CASE WHEN ('0x' || substring(hx, 4 * i + 1, 2))::BIGINT
+                         + 256 * ('0x' || substring(hx, 4 * i + 3, 2))::BIGINT
+                         >= 32768
+                    THEN ('0x' || substring(hx, 4 * i + 1, 2))::BIGINT
+                         + 256 * ('0x' || substring(hx, 4 * i + 3, 2))::BIGINT
+                         - 65536
+                    ELSE ('0x' || substring(hx, 4 * i + 1, 2))::BIGINT
+                         + 256 * ('0x' || substring(hx, 4 * i + 3, 2))::BIGINT
+               END) AS smp
+      FROM full_hex
+    ),
+    e AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 15), w ->
+               smp[4 * w + 1] * smp[4 * w + 1]
+               + smp[4 * w + 2] * smp[4 * w + 2]
+               + smp[4 * w + 3] * smp[4 * w + 3]
+               + smp[4 * w + 4] * smp[4 * w + 4]) AS es
+      FROM s
+    ),
+    fp AS (
+      SELECT doc_id,
+             list_sum(list_transform(generate_series(0, 14), b ->
+               CASE WHEN es[b + 2] > es[b + 1]
+                    THEN 1::BIGINT << b ELSE 0::BIGINT END))::BIGINT AS afp
+      FROM e
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.afp, b.afp))::BIGINT AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 1
+"""
+
+
+@query("audio_fingerprint_dedup", _AFP_ORACLE)
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup dedup: build one REAL PCM WAV per document (64
+    int16 samples, md5-derived; mod-40 groups share a base clip and
+    differ in ONE sample), decode through the actual `wave` codec,
+    fingerprint by the 16-window energy contour (integer-exact on the
+    int16 grid), and find near-dup pairs with the banded Hamming join.
+    The oracle replays samples → energies → bits → pairs from the hex
+    strings — an endianness / sign / framing bug in the decode path
+    breaks the match (multimodal/phash.py:audio_fingerprint15)."""
+    import numpy as np
+
+    from multimodal_vector_db_spark.multimodal.codecs import encode_wav
+    from multimodal_vector_db_spark.multimodal.phash import (
+        audio_fingerprints,
+        banded_hamming_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    g = (F.col("doc_id") % 40).cast("string")
+    base = F.concat(
+        *[
+            F.md5(F.concat(F.lit("af"), g, F.lit(sfx)))
+            for sfx in ["", "x", "y", "z", "u", "v", "w", "q"]
+        ]
+    )
+    perturb = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("ap"))), 1, 4
+    )
+    header_hex = encode_wav(np.zeros(64, np.int16)).hex()[:-256]
+    media = docs.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit(header_hex)),
+            F.unhex(F.concat(F.substring(base, 1, 252), perturb)),
+        ).alias("content"),
+    )
+    fps = audio_fingerprints(media)
+    return banded_hamming_pairs(
+        fps, total_bits=15, n_bands=2, max_hamming=1, hash_col="afp"
+    ).select("doc_a", "doc_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# Video temporal-signature dedup: block-sum contour over REAL Y4M luma
+# ---------------------------------------------------------------------------
+
+_VTS_ORACLE = r"""
+    WITH h AS (
+      SELECT doc_id,
+             md5('vt' || (doc_id % 40)::VARCHAR || '-0')
+               || md5('vt' || (doc_id % 40)::VARCHAR || '-1')
+               || md5('vt' || (doc_id % 40)::VARCHAR || '-2')
+               || md5('vt' || (doc_id % 40)::VARCHAR || '-3') AS hexes,
+             substring(md5(doc_id::VARCHAR || 'vp'), 1, 2) AS pb
+      FROM documents WHERE doc_id < 200
+    ),
+    full_hex AS (
+      SELECT doc_id, substring(hexes, 1, 126) || pb AS hx FROM h
+    ),
+    p AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 63), i ->
+               ('0x' || substring(hx, 2 * i + 1, 2))::BIGINT) AS px
+      FROM full_hex
+    ),
+    v AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 15), k ->
+               px[16 * (k // 4) + 8 * ((k % 4) // 2) + 2 * (k % 2) + 1]
+               + px[16 * (k // 4) + 8 * ((k % 4) // 2) + 2 * (k % 2) + 2]
+               + px[16 * (k // 4) + 8 * ((k % 4) // 2) + 2 * (k % 2) + 5]
+               + px[16 * (k // 4) + 8 * ((k % 4) // 2) + 2 * (k % 2) + 6]
+             ) AS vals
+      FROM p
+    ),
+    fp AS (
+      SELECT doc_id,
+             list_sum(list_transform(generate_series(0, 14), b ->
+               CASE WHEN vals[b + 2] > vals[b + 1]
+                    THEN 1::BIGINT << b ELSE 0::BIGINT END))::BIGINT AS vts
+      FROM v
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.vts, b.vts))::BIGINT AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.vts, b.vts)) <= 1
+"""
+
+
+@query("video_temporal_dedup", _VTS_ORACLE)
+def q_video_temporal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup dedup: build one REAL Y4M stream per document
+    (4 frames of 4×4 luma + flat C420 chroma, md5-derived; mod-40
+    groups share a base video and differ in ONE pixel of the last
+    frame), decode through the actual Y4M codec, take the 15-bit
+    spatio-temporal block-sum contour (integer-exact), banded Hamming
+    join for pairs. Oracle replays pixels → block sums → bits → pairs
+    from the hex (multimodal/phash.py:video_signature15)."""
+    from multimodal_vector_db_spark.multimodal.phash import (
+        banded_hamming_pairs,
+        video_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    g = (F.col("doc_id") % 40).cast("string")
+    frame_hex = [
+        F.md5(F.concat(F.lit("vt"), g, F.lit(f"-{f}"))) for f in range(4)
+    ]
+    perturb = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("vp"))), 1, 2
+    )
+    header_hex = b"YUV4MPEG2 W4 H4 F25:1 C420\n".hex()
+    frame_marker_hex = b"FRAME\n".hex()
+    chroma_hex = "80" * 8
+    last_luma = F.concat(F.substring(frame_hex[3], 1, 30), perturb)
+    media = docs.select(
+        "doc_id",
+        F.unhex(
+            F.concat(
+                F.lit(header_hex),
+                *[
+                    F.concat(
+                        F.lit(frame_marker_hex),
+                        frame_hex[f] if f < 3 else last_luma,
+                        F.lit(chroma_hex),
+                    )
+                    for f in range(4)
+                ],
+            )
+        ).alias("content"),
+    )
+    fps = video_signatures(media)
+    return banded_hamming_pairs(
+        fps, total_bits=15, n_bands=2, max_hamming=1, hash_col="vts"
+    ).select("doc_a", "doc_b", "hamming")
+
+
 @query(
     "cdc_boilerplate_removed",
     rf"""

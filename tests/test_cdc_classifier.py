@@ -247,3 +247,63 @@ class TestPerceptualHash:
         df = spark.createDataFrame([(0, 0)], "doc_id long, dhash long")
         with _pytest.raises(ValueError):
             near_dup_image_pairs(df, max_hamming=4)
+
+
+class TestAudioVideoFingerprints:
+    def test_audio_fp_known_contour(self):
+        import numpy as np
+
+        from multimodal_vector_db_spark.multimodal.phash import (
+            audio_fingerprint15,
+        )
+
+        # monotonically louder windows → every contour bit set
+        s = np.repeat(np.arange(16) * 100, 4).astype(np.int16)
+        x = s.astype(np.float64) / 32768.0
+        assert audio_fingerprint15(x) == (1 << 15) - 1
+        # silence → 0
+        assert audio_fingerprint15(np.zeros(64)) == 0
+
+    def test_audio_fp_round_trips_codec(self):
+        import numpy as np
+
+        from multimodal_vector_db_spark.multimodal.codecs import (
+            decode_wav,
+            encode_wav,
+        )
+        from multimodal_vector_db_spark.multimodal.phash import (
+            audio_fingerprint15,
+        )
+
+        rng = np.random.default_rng(3)
+        s = rng.integers(-32768, 32768, 64).astype(np.int16)
+        _, x = decode_wav(encode_wav(s))
+        # fingerprint computed post-codec equals the direct int16 one
+        e = (s.astype(np.int64).reshape(16, 4) ** 2).sum(axis=1)
+        want = sum(
+            1 << b for b in range(15) if e[b + 1] > e[b]
+        )
+        assert audio_fingerprint15(x) == want
+
+    def test_video_signature_round_trips_codec(self):
+        import numpy as np
+
+        from multimodal_vector_db_spark.multimodal.codecs import (
+            decode_y4m,
+            encode_y4m,
+        )
+        from multimodal_vector_db_spark.multimodal.phash import (
+            video_signature15,
+        )
+
+        rng = np.random.default_rng(5)
+        frames = rng.integers(0, 256, (4, 4, 4), dtype=np.uint8)
+        _, dec = decode_y4m(encode_y4m(frames))
+        assert (dec == frames).all()
+        fp = video_signature15(dec)
+        assert 0 <= fp < (1 << 15)
+        # one-pixel change in the last frame flips at most one bit
+        mod = frames.copy()
+        mod[3, 3, 3] = (int(mod[3, 3, 3]) + 97) % 256
+        fp2 = video_signature15(mod)
+        assert bin(fp ^ fp2).count("1") <= 1
