@@ -554,6 +554,54 @@ def main() -> None:
 
         probe("bpe_apply", bpe_run)
 
+    # content-defined chunking dedup stats: one hash per character
+    # position (JVM projection, no explode) + chunk-keyed groupBy —
+    # expect ~linear in corpus bytes
+    def cdc_run(f):
+        from multimodal_vector_db_spark.operators.cdc import (
+            cdc_chunks,
+            duplicate_chunk_stats,
+        )
+
+        d = spark.read.parquet(f"{WORK}/documents_{f}")
+
+        def run():
+            duplicate_chunk_stats(
+                cdc_chunks(d, hash_basis="xxhash64")
+            ).write.format("noop").mode("overwrite").save()
+
+        return run
+
+    probe("cdc_chunk_stats", cdc_run)
+
+    # NB classifier scoring: model trained ONCE on the 1× corpus
+    # (vocab-bounded), scoring the growing corpus = one explode +
+    # broadcast join + doc-keyed agg — expect ~linear
+    if _want("nb_classifier_score"):
+        from multimodal_vector_db_spark.operators.classifier import (
+            nb_log_odds,
+            nb_train_binary,
+        )
+
+        _nb_model, _nb_prior = nb_train_binary(
+            spark.read.parquet(f"{WORK}/documents_1"),
+            F.col("source") == "src0",
+        )
+        _nb_model = _nb_model.cache()
+        _nb_model.count()
+
+        def nb_run(f):
+            d = spark.read.parquet(f"{WORK}/documents_{f}")
+
+            def run():
+                nb_log_odds(d, _nb_model, _nb_prior).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
+            return run
+
+        probe("nb_classifier_score", nb_run)
+
     # shard packing: two windows + tiny offset window, expect ~linear
     def pack_run(f):
         t = spark.read.parquet(f"{WORK}/documents_{f}").select(
