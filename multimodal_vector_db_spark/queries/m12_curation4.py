@@ -248,6 +248,163 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-modal consistency (CLIP-score) filter — LAION/DataComp gate shape
+# ---------------------------------------------------------------------------
+
+_HTF = r"""
+      SELECT doc_id,
+        list_transform(generate_series(0, 63),
+          i -> len(list_filter(
+            list_transform(toks,
+              tk -> ('0x' || substring(md5(tk), 1, 8))::BIGINT % 64),
+            bk -> bk = i))::DOUBLE) AS tf
+"""
+
+_CLIP_ORACLE = rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS.format(col="lower(text)")} AS toks
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id, toks[1:(len(toks) + 1) // 2] AS toks FROM t
+    ),
+    vf AS ({_HTF} FROM t),
+    vh AS ({_HTF} FROM th),
+    nf AS (
+      SELECT doc_id,
+        CASE WHEN sqrt(list_dot_product(tf, tf)) = 0 THEN tf
+             ELSE list_transform(tf,
+               x -> x / sqrt(list_dot_product(tf, tf))) END AS v
+      FROM vf
+    ),
+    nh AS (
+      SELECT doc_id,
+        CASE WHEN sqrt(list_dot_product(tf, tf)) = 0 THEN tf
+             ELSE list_transform(tf,
+               x -> x / sqrt(list_dot_product(tf, tf))) END AS v
+      FROM vh
+    ),
+    pairs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN doc_id + 1 ELSE doc_id END
+               AS partner_id
+      FROM t
+    )
+    SELECT p.doc_id, p.partner_id,
+           round(list_dot_product(a.v, b.v), 6) AS clip_score,
+           CASE WHEN round(list_dot_product(a.v, b.v), 6) >= 0.8
+                THEN 1 ELSE 0 END AS kept
+    FROM pairs p
+    JOIN nf a ON a.doc_id = p.doc_id
+    JOIN nh b ON b.doc_id = p.partner_id
+"""
+
+
+@query("clip_score_filter", _CLIP_ORACLE)
+def q_clip_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal consistency filter (the LAION/DataComp CLIP-score
+    gate): each document is a (content, caption) pair — the caption
+    side embeds the full text, the content side embeds a half-token
+    crop of its SOURCE document, and every 4th pair is deliberately
+    mismatched to its neighbour. Pairs below cosine 0.8 are flagged
+    out. Embeds use the oracle-replayable feature-hashing embedder in
+    its corpus-scale staging (explode + groupBy, not per-row HOF); the
+    real CLIP towers slot into the same operator via embedders/real.py
+    (operators/multimodal_filter.py)."""
+    from multimodal_vector_db_spark.functions.text import tokens
+    from multimodal_vector_db_spark.operators.multimodal_filter import (
+        bucket_ids,
+        clip_score_filter,
+        hashing_tf_vectors,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.lower("text")).alias("toks"))
+    full = t.select("doc_id", bucket_ids(F.col("toks")).alias("bks"))
+    half = t.select(
+        "doc_id",
+        bucket_ids(
+            F.slice("toks", 1, ((F.size("toks") + 1) / 2).cast("int"))
+        ).alias("bks"),
+    )
+    fv = hashing_tf_vectors(full, "bks").withColumnRenamed("doc_id", "id")
+    hv = hashing_tf_vectors(half, "bks").withColumnRenamed("doc_id", "id")
+    pairs = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.col("doc_id") + 1)
+        .otherwise(F.col("doc_id"))
+        .alias("partner_id"),
+    )
+    return clip_score_filter(pairs, fv, hv, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# IVF append assignment — incremental index maintenance under oracle check
+# ---------------------------------------------------------------------------
+
+_IVF_APPEND_ORACLE = r"""
+    WITH ex AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 0
+    ),
+    ce AS (
+      SELECT embedding,
+             row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM ex ORDER BY vec_id LIMIT 8
+    ),
+    batch AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0
+    ),
+    scored AS (
+      SELECT b.vec_id, ce.cid,
+             list_dot_product(b.embedding::DOUBLE[],
+                              ce.embedding::DOUBLE[]) AS sim,
+             row_number() OVER (
+               PARTITION BY b.vec_id
+               ORDER BY list_dot_product(b.embedding::DOUBLE[],
+                                         ce.embedding::DOUBLE[]) DESC,
+                        ce.cid DESC) AS rn
+      FROM batch b CROSS JOIN ce
+    ),
+    assigned AS (SELECT vec_id, cid FROM scored WHERE rn = 1)
+    SELECT vec_id, cid,
+           count(*) OVER (PARTITION BY cid) AS cluster_batch_n
+    FROM assigned
+"""
+
+
+@query("ivf_append_assign", _IVF_APPEND_ORACLE)
+def q_ivf_append_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance under oracle check: assign an
+    append batch (every 7th vector) to the EXISTING index's centroids
+    (first 8 existing embeddings) without refit — the
+    `ann.py:ivf_append` rule (broadcast centroid expression, argmax
+    with ties → higher cid), plus the per-cluster growth counts an
+    operator would use to decide when to rebuild. Fully discrete
+    output; the oracle replays assignment and counts in SQL."""
+    from multimodal_vector_db_spark.operators.ann import ivf_assign
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    existing = emb.where(F.col("vec_id") % 7 != 0)
+    centroids = [
+        r["embedding"]
+        for r in existing.orderBy("vec_id").limit(8).collect()
+    ]
+    batch = emb.where(F.col("vec_id") % 7 == 0)
+    assigned = ivf_assign(
+        batch.select("vec_id", "embedding"), centroids, metric="dot"
+    ).select("vec_id", F.col("cluster_id").alias("cid"))
+    return assigned.select(
+        "vec_id",
+        "cid",
+        F.count("*")
+        .over(Window.partitionBy("cid"))
+        .cast("long")
+        .alias("cluster_batch_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Audio fingerprint dedup: windowed-energy contour over REAL PCM WAV
 # ---------------------------------------------------------------------------
 

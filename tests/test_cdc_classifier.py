@@ -307,3 +307,52 @@ class TestAudioVideoFingerprints:
         mod[3, 3, 3] = (int(mod[3, 3, 3]) + 97) % 256
         fp2 = video_signature15(mod)
         assert bin(fp ^ fp2).count("1") <= 1
+
+
+class TestClipScoreFilter:
+    def test_identical_sides_score_one(self, spark):
+        from multimodal_vector_db_spark.functions.text import tokens
+        from multimodal_vector_db_spark.operators.multimodal_filter import (
+            bucket_ids,
+            clip_score_filter,
+            hashing_tf_vectors,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "")],
+            "doc_id long, text string",
+        )
+        t = docs.select("doc_id", tokens(F.lower("text")).alias("toks"))
+        b = t.select("doc_id", bucket_ids(F.col("toks")).alias("bks"))
+        v = hashing_tf_vectors(b, "bks").withColumnRenamed("doc_id", "id")
+        pairs = docs.select(
+            "doc_id", F.col("doc_id").alias("partner_id")
+        )
+        out = {
+            r["doc_id"]: (r["clip_score"], r["kept"])
+            for r in clip_score_filter(pairs, v, v, 0.5).collect()
+        }
+        assert out[1] == (1.0, 1) and out[2] == (1.0, 1)
+        assert out[3] == (0.0, 0)  # empty doc → zero vector → score 0
+
+    def test_disjoint_vocab_scores_zero_ish(self, spark):
+        from multimodal_vector_db_spark.functions.text import tokens
+        from multimodal_vector_db_spark.operators.multimodal_filter import (
+            bucket_ids,
+            clip_score_filter,
+            hashing_tf_vectors,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "aaa bbb ccc"), (2, "xxq yyq zzq")],
+            "doc_id long, text string",
+        )
+        t = docs.select("doc_id", tokens(F.lower("text")).alias("toks"))
+        b = t.select("doc_id", bucket_ids(F.col("toks")).alias("bks"))
+        v = hashing_tf_vectors(b, "bks").withColumnRenamed("doc_id", "id")
+        # pair doc 1's text side with doc 2's image side
+        pairs = spark.createDataFrame(
+            [(1, 2)], "doc_id long, partner_id long"
+        )
+        row = clip_score_filter(pairs, v, v, 0.9).collect()[0]
+        assert row["clip_score"] < 0.9 and row["kept"] == 0
