@@ -248,6 +248,123 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Ensemble quality gate: z-standardized heuristic quality + LM perplexity
+# ---------------------------------------------------------------------------
+
+_ENSEMBLE_ORACLE = rf"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS.format(col="text")} AS toks
+      FROM documents
+    ),
+    qs AS (
+      SELECT doc_id,
+             round((least(len(toks)::DOUBLE / 50.0, 1.0)
+               + (1.0 - least(abs(coalesce(len(list_filter(toks,
+                     x -> list_contains(['the','a','and','of','to','in',
+                                         'is','it'], lower(x))))::DOUBLE
+                     / nullif(len(toks), 0), 0.0) - 0.3) / 0.3, 1.0))
+               + (1.0 - least(coalesce((length(text)
+                     - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '',
+                                             'g')))::DOUBLE
+                     / nullif(length(text), 0), 0.0) * 2.0, 1.0)))
+               / 3.0, 6) AS q
+      FROM t
+    ),
+    p AS (
+      SELECT doc_id, toks[u.i] AS w1, toks[u.i + 1] AS w2
+      FROM t, UNNEST(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)
+    ),
+    uni AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT u.w FROM t, UNNEST(toks) AS u(w)
+      ) GROUP BY 1
+    ),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
+    tot AS (SELECT sum(c) AS n, count(*) AS v FROM uni),
+    sc AS (
+      SELECT p.doc_id,
+             0.75 * big.c12::DOUBLE / u1.c::DOUBLE
+             + 0.25 * (u2.c + 1)::DOUBLE / (tot.n + tot.v)::DOUBLE AS prob
+      FROM p
+      JOIN big USING (w1, w2)
+      JOIN uni u1 ON u1.w = p.w1
+      JOIN uni u2 ON u2.w = p.w2, tot
+    ),
+    pp AS (
+      SELECT doc_id, round(-avg(ln(prob)), 6) AS lp FROM sc GROUP BY 1
+    ),
+    j AS (SELECT qs.doc_id, q, lp FROM qs JOIN pp USING (doc_id)),
+    st AS (
+      SELECT count(*)::DOUBLE AS n, sum(q) AS sq, sum(q * q) AS sqq,
+             sum(lp) AS sp, sum(lp * lp) AS spp
+      FROM j
+    ),
+    z AS (
+      SELECT doc_id,
+             (q - sq / n) / sqrt(sqq / n - (sq / n) * (sq / n)) AS zq,
+             (lp - sp / n) / sqrt(spp / n - (sp / n) * (sp / n)) AS zp
+      FROM j, st
+    )
+    SELECT doc_id, round((zq - zp) / 2.0, 6) AS ensemble_score,
+           CASE WHEN round((zq - zp) / 2.0, 6) >= 0 THEN 1 ELSE 0 END AS kept
+    FROM z
+"""
+
+
+@query("quality_ensemble_gate", _ENSEMBLE_ORACLE)
+def q_quality_ensemble_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate quality filtering (the FineWeb-style ensemble): combine
+    the heuristic quality score with the bigram-LM log-perplexity by
+    z-standardizing each over the corpus (explicit sum-based moments —
+    identical formula in both engines) and keeping documents whose mean
+    standardized signal is non-negative. The gate decision derives from
+    the ROUNDED composite, so keep/drop replays in SQL. One corpus
+    pass per signal + one tiny stats row cross-joined back — no extra
+    shuffle beyond the signals themselves."""
+    from multimodal_vector_db_spark.functions import text as X
+    from multimodal_vector_db_spark.operators.text_pipeline import (
+        bigram_lm_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select("doc_id", X.quality_score("text").alias("q"))
+    lp = bigram_lm_scores(docs).select(
+        F.col("id").alias("doc_id"), F.round("log_ppl", 6).alias("lp")
+    )
+    j = q.join(lp, "doc_id")
+    st = j.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum("lp").alias("sp"),
+        F.sum(F.col("lp") * F.col("lp")).alias("spp"),
+    )
+    z = j.crossJoin(F.broadcast(st)).select(
+        "doc_id",
+        (
+            (F.col("q") - F.col("sq") / F.col("n"))
+            / F.sqrt(
+                F.col("sqq") / F.col("n")
+                - (F.col("sq") / F.col("n")) * (F.col("sq") / F.col("n"))
+            )
+        ).alias("zq"),
+        (
+            (F.col("lp") - F.col("sp") / F.col("n"))
+            / F.sqrt(
+                F.col("spp") / F.col("n")
+                - (F.col("sp") / F.col("n")) * (F.col("sp") / F.col("n"))
+            )
+        ).alias("zp"),
+    )
+    comp = F.round((F.col("zq") - F.col("zp")) / 2.0, 6)
+    return z.select(
+        "doc_id",
+        comp.alias("ensemble_score"),
+        F.when(comp >= 0, 1).otherwise(0).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-modal consistency (CLIP-score) filter — LAION/DataComp gate shape
 # ---------------------------------------------------------------------------
 
