@@ -30,3 +30,33 @@ def test_corpus_refresh_runs():
     assert "== incremental dedup" in out.stdout
     assert "== splits (cluster-hashed)" in out.stdout
     assert "== contrastive pairs" in out.stdout
+
+
+def test_curation_pipeline_runs():
+    out = subprocess.run(
+        [sys.executable, "/root/repo/examples/curation_pipeline.py"],
+        capture_output=True,
+        text=True,
+        timeout=400,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    # the funnel must be monotone non-increasing through the gates
+    import re
+
+    stages = dict(
+        re.findall(r"^\s*(\w+): (\d+)$", out.stdout, re.MULTILINE)
+    )
+    order = [
+        "raw",
+        "lang_gate",
+        "quality_ensemble",
+        "nb_filter",
+        "boilerplate_strip",
+        "span_dedup",
+        "minhash_dedup",
+        "decontaminated",
+        "dsir_resampled",
+    ]
+    ns = [int(stages[s]) for s in order]
+    assert all(a >= b for a, b in zip(ns, ns[1:])), ns
+    assert ns[-1] > 0 and int(stages["shards"]) > 0
