@@ -356,3 +356,39 @@ class TestClipScoreFilter:
         )
         row = clip_score_filter(pairs, v, v, 0.9).collect()[0]
         assert row["clip_score"] < 0.9 and row["kept"] == 0
+
+
+class TestCDCRandomized:
+    def test_reassembly_identity_random_corpus(self, spark):
+        # 200 random strings (ASCII + unicode, varied lengths incl. <window)
+        import random
+
+        rng = random.Random(20260815)
+        alphabet = "abcdefgh XYZ0123()é中"
+        rows = [
+            (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 300))))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for basis in ("md5", "xxhash64"):
+            ch = cdc_chunks(df, hash_basis=basis, divisor=32)
+            re = ch.groupBy("doc_id").agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_idx", "chunk"))
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                    "",
+                ).alias("re")
+            )
+            bad = (
+                df.join(re, "doc_id", "left")
+                .where(
+                    F.coalesce(F.col("re"), F.lit(""))
+                    != F.col("text")
+                )
+                .count()
+            )
+            assert bad == 0, basis
