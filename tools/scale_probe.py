@@ -602,6 +602,48 @@ def main() -> None:
 
         probe("nb_classifier_score", nb_run)
 
+    # image perceptual-hash dedup: one real P5 decode + dHash per row
+    # (Arrow batch), banded Hamming self-join. Group modulus scales
+    # with the factor so planted-dup density is constant — expect
+    # ~linear in images
+    if _want("image_phash_dedup"):
+        from multimodal_vector_db_spark.multimodal.phash import (
+            image_dhash,
+            near_dup_image_pairs,
+        )
+
+        def phash_run(f):
+            d = spark.read.parquet(f"{WORK}/documents_{f}")
+            g = (F.col("doc_id") % (1000 * f)).cast("string")
+            base = F.concat(
+                F.md5(F.concat(F.lit("ph"), g)),
+                F.md5(F.concat(F.lit("ph"), g, F.lit("x"))),
+                F.md5(F.concat(F.lit("ph"), g, F.lit("y"))),
+                F.md5(F.concat(F.lit("ph"), g, F.lit("z"))),
+            )
+            perturb = F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("pp"))),
+                1,
+                2,
+            )
+            header_hex = "P5\n9 7\n255\n".encode().hex()
+            media = d.select(
+                "doc_id",
+                F.concat(
+                    F.unhex(F.lit(header_hex)),
+                    F.unhex(F.concat(F.substring(base, 1, 124), perturb)),
+                ).alias("content"),
+            )
+
+            def run():
+                near_dup_image_pairs(image_dhash(media)).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
+            return run
+
+        probe("image_phash_dedup", phash_run)
+
     # shard packing: two windows + tiny offset window, expect ~linear
     def pack_run(f):
         t = spark.read.parquet(f"{WORK}/documents_{f}").select(
