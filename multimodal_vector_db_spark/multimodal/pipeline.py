@@ -325,3 +325,81 @@ def sample_frame_plan(
         .where(F.col("sample_no") < max_frames)
         .drop("interval")
     )
+
+
+MEDIA_FEATURE_Q_SCHEMA = T.StructType(
+    list(MEDIA_FEATURE_SCHEMA.fields)
+    + [T.StructField("error", T.StringType())]
+)
+
+
+def extract_media_features_quarantined(media: DataFrame) -> DataFrame:
+    """:func:`extract_media_features` with a quarantine lane: any row
+    whose decode raises comes back with ``decoder='error'``, a null
+    feature vector and the exception text in ``error`` instead of
+    failing the task — at 100 TB a corrupt shard is routine, and a
+    pipeline that dies on byte 10^13 is not a pipeline. Healthy rows
+    are bit-identical to the strict form; route ``decoder='error'``
+    rows to a quarantine table and reprocess after triage."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from multimodal_vector_db_spark.multimodal import codecs
+
+        def one(b: bytes) -> tuple[str, list[float] | None, str | None]:
+            b = bytes(b)
+            try:
+                if b[:2] in (b"P6", b"P5"):
+                    return (
+                        "netpbm",
+                        codecs.image_features(codecs.decode_ppm(b)),
+                        None,
+                    )
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    return (
+                        "png",
+                        codecs.image_features(codecs.decode_png(b)),
+                        None,
+                    )
+                if b[:2] == b"\xff\xd8":
+                    from multimodal_vector_db_spark.multimodal.jpeg import (
+                        decode_jpeg,
+                    )
+
+                    return (
+                        "jpeg",
+                        codecs.image_features(decode_jpeg(b)),
+                        None,
+                    )
+                if b[:4] == b"RIFF":
+                    return (
+                        "wav",
+                        codecs.audio_features(*codecs.decode_wav(b)),
+                        None,
+                    )
+                if b[:9] == b"YUV4MPEG2":
+                    fps, frames = codecs.decode_y4m(b)
+                    return (
+                        "y4m",
+                        [float(fps), float(len(frames))],
+                        None,
+                    )
+                return "digest", _digest_features(b, 4), None
+            except Exception as exc:  # noqa: BLE001 — quarantine lane
+                return "error", None, f"{type(exc).__name__}: {exc}"
+
+        for pdf in it:
+            decoded = pdf["content"].map(one)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "modality": pdf["modality"],
+                    "decoder": decoded.map(lambda t: t[0]),
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "features": decoded.map(lambda t: t[1]),
+                    "error": decoded.map(lambda t: t[2]),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=MEDIA_FEATURE_Q_SCHEMA)

@@ -413,3 +413,34 @@ def test_jpeg_decode_rejects_unsupported_and_routes(spark):
     assert rows[1]["decoder"] == "jpeg"
     assert abs(rows[1]["features"][0] - 77.0) < 0.01
     assert rows[2]["decoder"] == "digest"
+
+
+def test_media_features_quarantine_lane(spark):
+    import numpy as np
+
+    from multimodal_vector_db_spark.multimodal.codecs import encode_ppm
+    from multimodal_vector_db_spark.multimodal.pipeline import (
+        extract_media_features_quarantined,
+    )
+
+    good = encode_ppm(np.full((2, 2, 3), 9, np.uint8))
+    truncated = good[:-5]                     # valid header, short pixels
+    bad_maxval = b"P6\n2 2\n65535\n" + b"\x00" * 12
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(good)),
+            (2, "image", bytearray(truncated)),
+            (3, "image", bytearray(bad_maxval)),
+        ],
+        "id long, modality string, content binary",
+    )
+    rows = {
+        r["id"]: r
+        for r in extract_media_features_quarantined(media).collect()
+    }
+    assert rows[1]["decoder"] == "netpbm" and rows[1]["error"] is None
+    assert rows[1]["features"] is not None
+    for bad_id, needle in [(2, "truncated"), (3, "maxval")]:
+        assert rows[bad_id]["decoder"] == "error"
+        assert rows[bad_id]["features"] is None
+        assert needle in rows[bad_id]["error"]
