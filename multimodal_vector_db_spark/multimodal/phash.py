@@ -138,6 +138,82 @@ def banded_hamming_pairs(
     return cand.where(F.col("hamming") <= max_hamming)
 
 
+def band_slices(
+    hashes: DataFrame,
+    total_bits: int,
+    n_bands: int,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Explode each hash into its ``n_bands`` bit-slices:
+    ``(id, h, band_k, band_v)`` — the persistable fingerprint-index
+    layout (write it bucketed on ``(band_k, band_v)`` so history joins
+    shuffle-free, the `minhash_band_index` pattern)."""
+    width = -(-total_bits // n_bands)
+    return hashes.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_k"),
+                        (
+                            F.shiftright(hash_col, k * width)
+                            .bitwiseAND(F.lit((1 << width) - 1))
+                        ).alias("band_v"),
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "h", "band.band_k", "band.band_v")
+
+
+def incremental_near_dup_images(
+    batch_hashes: DataFrame,
+    index: DataFrame,
+    total_bits: int = 56,
+    n_bands: int = N_BANDS,
+    max_hamming: int = 1,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Dedup an ingest batch against a PERSISTED fingerprint index
+    (``band_slices`` layout) without touching historical media:
+    ``(batch_id, hist_id, hamming)`` for every batch image within
+    ``max_hamming`` of a history image. The corpus-refresh shape for
+    the image modality — history cost is one band-key join against a
+    ~16 B/row index, media bytes never re-read or re-decoded."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming {max_hamming} needs more than {max_hamming} "
+            f"bands (have {n_bands}) for a complete banded join"
+        )
+    b = band_slices(
+        batch_hashes, total_bits, n_bands, id_col=id_col, hash_col=hash_col
+    ).alias("b")
+    ix = index.alias("ix")
+    return (
+        b.join(
+            ix,
+            on=[
+                F.col("b.band_k") == F.col("ix.band_k"),
+                F.col("b.band_v") == F.col("ix.band_v"),
+            ],
+        )
+        .select(
+            F.col("b.id").alias("batch_id"),
+            F.col("ix.id").alias("hist_id"),
+            F.bit_count(F.col("b.h").bitwiseXOR(F.col("ix.h")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def near_dup_image_pairs(
     hashes: DataFrame,
     max_hamming: int = 1,

@@ -183,8 +183,8 @@ def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # near-dup join (the MinHash-LSH analogue for the image modality)
 # ---------------------------------------------------------------------------
 
-_PHASH_ORACLE = r"""
-    WITH h AS (
+_PHASH_HS = r"""
+    h AS (
       SELECT doc_id,
              md5('ph' || (doc_id % 40)::VARCHAR)
                || md5('ph' || (doc_id % 40)::VARCHAR || 'x')
@@ -209,6 +209,10 @@ _PHASH_ORACLE = r"""
                     THEN 1::BIGINT << b ELSE 0::BIGINT END))::BIGINT AS dhash
       FROM px
     )
+"""
+
+_PHASH_ORACLE = rf"""
+    WITH {_PHASH_HS}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
     FROM hs a JOIN hs b ON a.doc_id < b.doc_id
@@ -216,22 +220,9 @@ _PHASH_ORACLE = r"""
 """
 
 
-@query("image_phash_dedup", _PHASH_ORACLE)
-def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup dedup via perceptual difference hash: build one
-    REAL binary P5 image per document (9×7, md5-derived pixels; docs in
-    the same mod-40 group share a base image and differ in ONE pixel),
-    decode through the actual netpbm codec, dHash in an Arrow batch,
-    then find near-dup pairs with the banded Hamming join — no
-    all-pairs stage (multimodal/phash.py). The oracle re-derives every
-    pixel, every hash bit, and the pair set independently from the hex
-    strings — a decoder/stride/bit-order bug breaks the match."""
-    from multimodal_vector_db_spark.multimodal.phash import (
-        image_dhash,
-        near_dup_image_pairs,
-    )
-
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+def _phash_media(docs: DataFrame) -> DataFrame:
+    """One REAL binary P5 image per document (9×7, md5-derived pixels;
+    mod-40 groups share a base image and differ in ONE pixel)."""
     g = (F.col("doc_id") % 40).cast("string")
     base = F.concat(
         F.md5(F.concat(F.lit("ph"), g)),
@@ -243,17 +234,66 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("pp"))), 1, 2
     )
     header_hex = "P5\n9 7\n255\n".encode().hex()
-    media = docs.select(
+    return docs.select(
         "doc_id",
         F.concat(
             F.unhex(F.lit(header_hex)),
             F.unhex(F.concat(F.substring(base, 1, 124), perturb)),
         ).alias("content"),
     )
-    hashes = image_dhash(media)
+
+
+@query("image_phash_dedup", _PHASH_ORACLE)
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup via perceptual difference hash: build one
+    REAL binary P5 image per document, decode through the actual
+    netpbm codec, dHash in an Arrow batch, then find near-dup pairs
+    with the banded Hamming join — no all-pairs stage
+    (multimodal/phash.py). The oracle re-derives every pixel, every
+    hash bit, and the pair set independently from the hex strings — a
+    decoder/stride/bit-order bug breaks the match."""
+    from multimodal_vector_db_spark.multimodal.phash import (
+        image_dhash,
+        near_dup_image_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    hashes = image_dhash(_phash_media(docs))
     return near_dup_image_pairs(hashes, max_hamming=1).select(
         "doc_a", "doc_b", "hamming"
     )
+
+
+@query(
+    "incremental_phash_dedup",
+    rf"""
+    WITH {_PHASH_HS}
+    SELECT b.doc_id AS batch_id, h.doc_id AS hist_id,
+           bit_count(xor(b.dhash, h.dhash))::BIGINT AS hamming
+    FROM hs b JOIN hs h ON b.doc_id >= 100 AND h.doc_id < 100
+    WHERE bit_count(xor(b.dhash, h.dhash)) <= 1
+    """,
+)
+def q_incremental_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus refresh for the IMAGE modality: dedup an ingest batch
+    (docs 100-199) against a PERSISTED fingerprint index of the
+    history (docs 0-99, `band_slices` layout — ~16 B/row, media bytes
+    never re-read or re-decoded); mod-40 groups guarantee cross-batch
+    near-dups. Same shape as `incremental_dedup` for text
+    (multimodal/phash.py:incremental_near_dup_images)."""
+    from multimodal_vector_db_spark.multimodal.phash import (
+        band_slices,
+        image_dhash,
+        incremental_near_dup_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.where(F.col("doc_id") < 100)
+    batch = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    index = band_slices(image_dhash(_phash_media(hist)), 56, 4)
+    return incremental_near_dup_images(
+        image_dhash(_phash_media(batch)), index, max_hamming=1
+    ).select("batch_id", "hist_id", "hamming")
 
 
 # ---------------------------------------------------------------------------

@@ -392,3 +392,46 @@ class TestCDCRandomized:
                 .count()
             )
             assert bad == 0, basis
+
+
+class TestIncrementalImageDedup:
+    def test_matches_brute_force_and_finds_cross_batch_dup(self, spark):
+        from multimodal_vector_db_spark.multimodal.phash import (
+            band_slices,
+            incremental_near_dup_images,
+        )
+
+        base = 0x00FACE0FF1CE55
+        hist = spark.createDataFrame(
+            [(1, base), (2, 0x00123456789ABC)], "doc_id long, dhash long"
+        )
+        batch = spark.createDataFrame(
+            [(10, base ^ (1 << 7)), (11, 0x00FFFFFFFFFFFF)],
+            "doc_id long, dhash long",
+        )
+        index = band_slices(hist, 56, 4)
+        got = {
+            (r["batch_id"], r["hist_id"], r["hamming"])
+            for r in incremental_near_dup_images(
+                batch, index, max_hamming=1
+            ).collect()
+        }
+        assert got == {(10, 1, 1)}
+
+    def test_history_side_never_decodes(self, spark):
+        # the index is all the history the join needs: hashes only
+        from multimodal_vector_db_spark.multimodal.phash import (
+            band_slices,
+            incremental_near_dup_images,
+        )
+
+        hist = spark.createDataFrame([(1, 42)], "doc_id long, dhash long")
+        index = band_slices(hist, 56, 4)
+        assert set(index.columns) == {"id", "h", "band_k", "band_v"}
+        out = incremental_near_dup_images(
+            spark.createDataFrame([(9, 42)], "doc_id long, dhash long"),
+            index,
+        )
+        rows = out.collect()
+        assert rows == [] or rows[0]["hamming"] == 0
+        assert {r["hamming"] for r in rows} == {0}
