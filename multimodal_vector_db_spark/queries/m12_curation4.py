@@ -265,6 +265,63 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "image_dedup_survivors",
+    rf"""
+    WITH RECURSIVE {_PHASH_HS},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 1
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM hs
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+    ),
+    cc AS (
+      SELECT id AS doc_id, min(label)::BIGINT AS cluster_id
+      FROM reach GROUP BY id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS survivor
+    FROM cc
+    """,
+)
+def q_image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-dedup endgame: near-dup pairs (banded Hamming) →
+    connected components (duplicate clusters are CHAINS, pair-wise
+    survivor picking under-deletes) → one canonical survivor per
+    cluster (min id). Mirrors the text pipeline's
+    `connected_components`/`leakage_safe_split` endgame for the image
+    modality; the oracle replays clustering with a recursive CTE."""
+    from multimodal_vector_db_spark.multimodal.phash import (
+        image_dhash,
+        near_dup_image_pairs,
+    )
+    from multimodal_vector_db_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pairs = near_dup_image_pairs(
+        image_dhash(_phash_media(docs)), max_hamming=1
+    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    cc = connected_components(pairs, nodes=docs.select("doc_id"))
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        F.when(F.col("doc_id") == F.col("cluster_id"), 1)
+        .otherwise(0)
+        .alias("survivor"),
+    )
+
+
+@query(
     "incremental_phash_dedup",
     rf"""
     WITH {_PHASH_HS}
