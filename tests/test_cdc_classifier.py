@@ -435,3 +435,30 @@ class TestIncrementalImageDedup:
         rows = out.collect()
         assert rows == [] or rows[0]["hamming"] == 0
         assert {r["hamming"] for r in rows} == {0}
+
+
+def test_banded_join_15bit_two_bands_matches_brute_force(spark):
+    import random
+
+    from multimodal_vector_db_spark.multimodal.phash import (
+        banded_hamming_pairs,
+    )
+
+    rng = random.Random(11)
+    base = rng.getrandbits(15)
+    rows = [(0, base), (1, base ^ 1), (2, base ^ (1 << 14)),
+            (3, rng.getrandbits(15)), (4, base ^ 3)]
+    df = spark.createDataFrame(rows, "doc_id long, fp long")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in banded_hamming_pairs(
+            df, total_bits=15, n_bands=2, max_hamming=1, hash_col="fp"
+        ).collect()
+    }
+    want = {
+        (a, b, bin(ha ^ hb).count("1"))
+        for i, (a, ha) in enumerate(rows)
+        for b, hb in rows[i + 1:]
+        if bin(ha ^ hb).count("1") <= 1
+    }
+    assert got == want and (0, 1, 1) in want
