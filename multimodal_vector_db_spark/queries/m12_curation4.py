@@ -631,8 +631,8 @@ def q_ivf_append_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Audio fingerprint dedup: windowed-energy contour over REAL PCM WAV
 # ---------------------------------------------------------------------------
 
-_AFP_ORACLE = r"""
-    WITH h AS (
+_AFP_FP = r"""
+    h AS (
       SELECT doc_id,
              md5('af' || (doc_id % 40)::VARCHAR)
                || md5('af' || (doc_id % 40)::VARCHAR || 'x')
@@ -678,6 +678,10 @@ _AFP_ORACLE = r"""
                     THEN 1::BIGINT << b ELSE 0::BIGINT END))::BIGINT AS afp
       FROM e
     )
+"""
+
+_AFP_ORACLE = rf"""
+    WITH {_AFP_FP}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.afp, b.afp))::BIGINT AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -695,15 +699,25 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays samples → energies → bits → pairs from the hex
     strings — an endianness / sign / framing bug in the decode path
     breaks the match (multimodal/phash.py:audio_fingerprint15)."""
-    import numpy as np
-
-    from multimodal_vector_db_spark.multimodal.codecs import encode_wav
     from multimodal_vector_db_spark.multimodal.phash import (
         audio_fingerprints,
         banded_hamming_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    fps = audio_fingerprints(_afp_media(docs))
+    return banded_hamming_pairs(
+        fps, total_bits=15, n_bands=2, max_hamming=1, hash_col="afp"
+    ).select("doc_a", "doc_b", "hamming")
+
+
+def _afp_media(docs: DataFrame) -> DataFrame:
+    """One REAL PCM WAV per document (64 int16 samples, md5-derived;
+    mod-40 groups share a base clip and differ in ONE sample)."""
+    import numpy as np
+
+    from multimodal_vector_db_spark.multimodal.codecs import encode_wav
+
     g = (F.col("doc_id") % 40).cast("string")
     base = F.concat(
         *[
@@ -715,25 +729,59 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("ap"))), 1, 4
     )
     header_hex = encode_wav(np.zeros(64, np.int16)).hex()[:-256]
-    media = docs.select(
+    return docs.select(
         "doc_id",
         F.concat(
             F.unhex(F.lit(header_hex)),
             F.unhex(F.concat(F.substring(base, 1, 252), perturb)),
         ).alias("content"),
     )
-    fps = audio_fingerprints(media)
-    return banded_hamming_pairs(
-        fps, total_bits=15, n_bands=2, max_hamming=1, hash_col="afp"
-    ).select("doc_a", "doc_b", "hamming")
+
+
+@query(
+    "incremental_audio_dedup",
+    rf"""
+    WITH {_AFP_FP}
+    SELECT b.doc_id AS batch_id, h.doc_id AS hist_id,
+           bit_count(xor(b.afp, h.afp))::BIGINT AS hamming
+    FROM fp b JOIN fp h ON b.doc_id >= 100 AND h.doc_id < 100
+    WHERE bit_count(xor(b.afp, h.afp)) <= 1
+    """,
+)
+def q_incremental_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus refresh for the AUDIO modality: dedup an ingest batch
+    (docs 100-199) against a persisted fingerprint index of the
+    history (docs 0-99) — historical audio never re-read or re-decoded
+    (the generic `band_slices`/`incremental_near_dup_images` machinery
+    over the energy-contour fingerprint)."""
+    from multimodal_vector_db_spark.multimodal.phash import (
+        audio_fingerprints,
+        band_slices,
+        incremental_near_dup_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.where(F.col("doc_id") < 100)
+    batch = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    index = band_slices(
+        audio_fingerprints(_afp_media(hist)), 15, 2, hash_col="afp"
+    )
+    return incremental_near_dup_images(
+        audio_fingerprints(_afp_media(batch)),
+        index,
+        total_bits=15,
+        n_bands=2,
+        max_hamming=1,
+        hash_col="afp",
+    ).select("batch_id", "hist_id", "hamming")
 
 
 # ---------------------------------------------------------------------------
 # Video temporal-signature dedup: block-sum contour over REAL Y4M luma
 # ---------------------------------------------------------------------------
 
-_VTS_ORACLE = r"""
-    WITH h AS (
+_VTS_FP = r"""
+    h AS (
       SELECT doc_id,
              md5('vt' || (doc_id % 40)::VARCHAR || '-0')
                || md5('vt' || (doc_id % 40)::VARCHAR || '-1')
@@ -768,6 +816,10 @@ _VTS_ORACLE = r"""
                     THEN 1::BIGINT << b ELSE 0::BIGINT END))::BIGINT AS vts
       FROM v
     )
+"""
+
+_VTS_ORACLE = rf"""
+    WITH {_VTS_FP}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.vts, b.vts))::BIGINT AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -790,6 +842,16 @@ def q_video_temporal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    fps = video_signatures(_vts_media(docs))
+    return banded_hamming_pairs(
+        fps, total_bits=15, n_bands=2, max_hamming=1, hash_col="vts"
+    ).select("doc_a", "doc_b", "hamming")
+
+
+def _vts_media(docs: DataFrame) -> DataFrame:
+    """One REAL Y4M stream per document (4 frames of 4×4 luma + flat
+    C420 chroma, md5-derived; mod-40 groups share a base video and
+    differ in ONE pixel of the last frame)."""
     g = (F.col("doc_id") % 40).cast("string")
     frame_hex = [
         F.md5(F.concat(F.lit("vt"), g, F.lit(f"-{f}"))) for f in range(4)
@@ -801,7 +863,7 @@ def q_video_temporal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame_marker_hex = b"FRAME\n".hex()
     chroma_hex = "80" * 8
     last_luma = F.concat(F.substring(frame_hex[3], 1, 30), perturb)
-    media = docs.select(
+    return docs.select(
         "doc_id",
         F.unhex(
             F.concat(
@@ -817,10 +879,45 @@ def q_video_temporal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("content"),
     )
-    fps = video_signatures(media)
-    return banded_hamming_pairs(
-        fps, total_bits=15, n_bands=2, max_hamming=1, hash_col="vts"
-    ).select("doc_a", "doc_b", "hamming")
+
+
+@query(
+    "incremental_video_dedup",
+    rf"""
+    WITH {_VTS_FP}
+    SELECT b.doc_id AS batch_id, h.doc_id AS hist_id,
+           bit_count(xor(b.vts, h.vts))::BIGINT AS hamming
+    FROM fp b JOIN fp h ON b.doc_id >= 100 AND h.doc_id < 100
+    WHERE bit_count(xor(b.vts, h.vts)) <= 1
+    """,
+)
+def q_incremental_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus refresh for the VIDEO modality: dedup an ingest batch
+    (docs 100-199) against a persisted fingerprint index of the
+    history (docs 0-99) — historical video never re-read or re-decoded
+    (the generic `band_slices`/`incremental_near_dup_images` machinery
+    over the spatio-temporal signature). With the text and image
+    forms, incremental dedup now covers every modality."""
+    from multimodal_vector_db_spark.multimodal.phash import (
+        band_slices,
+        incremental_near_dup_images,
+        video_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.where(F.col("doc_id") < 100)
+    batch = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    index = band_slices(
+        video_signatures(_vts_media(hist)), 15, 2, hash_col="vts"
+    )
+    return incremental_near_dup_images(
+        video_signatures(_vts_media(batch)),
+        index,
+        total_bits=15,
+        n_bands=2,
+        max_hamming=1,
+        hash_col="vts",
+    ).select("batch_id", "hist_id", "hamming")
 
 
 @query(
