@@ -101,14 +101,17 @@ def cdc_chunks(
     )
 
 
-def duplicate_chunk_stats(chunks: DataFrame) -> DataFrame:
+def duplicate_chunk_stats(
+    chunks: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
     """Chunks seen more than once: ``(chunk, n_docs, n_occ)``. The
     dedup-storage view of the corpus — shift-resilient, unlike
-    fixed-offset shingles."""
+    fixed-offset shingles. ``id_col`` must match the column the chunks
+    were produced with (:func:`cdc_chunks`' own ``id_col``)."""
     return (
         chunks.groupBy("chunk")
         .agg(
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
             F.count("*").cast("long").alias("n_occ"),
         )
         .where(F.col("n_occ") > 1)

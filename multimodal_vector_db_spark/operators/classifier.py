@@ -109,27 +109,34 @@ def nb_log_odds(
     ``log_odds = prior_diff + Σ_tokens lr(token)`` (unseen tokens take
     the model's ``__default__`` ratio). Positive means
     more-likely-target. One explode, one broadcast join, one doc-keyed
-    aggregation."""
-    default_lr = F.broadcast(
-        model.where(F.col("token") == "__default__")
-    ).select(F.col("lr").alias("default_lr"))
+    aggregation.
+
+    The model contract requires a ``__default__`` row (the
+    unseen-token ratio, written by :func:`nb_train`); it is collected
+    driver-side and validated up front — a model without it would
+    otherwise silently score every document against an empty frame.
+    """
+    default_rows = model.where(F.col("token") == "__default__").collect()
+    if len(default_rows) != 1:
+        raise ValueError(
+            "nb_log_odds: model must contain exactly one '__default__' "
+            f"row (found {len(default_rows)}); train with nb_train or "
+            "add the unseen-token ratio row"
+        )
+    default_lr = float(default_rows[0]["lr"])
     occurrences = test.select(
         F.col(id_col), F.explode_outer(tokens(text_col)).alias("token")
     )
-    scored = (
-        occurrences.join(
-            F.broadcast(model.where(F.col("token") != "__default__")),
-            "token",
-            "left",
-        )
-        .crossJoin(default_lr)
-        .select(
-            id_col,
-            "token",
-            F.coalesce(
-                "lr", F.when(F.col("token").isNotNull(), F.col("default_lr"))
-            ).alias("lr"),
-        )
+    scored = occurrences.join(
+        F.broadcast(model.where(F.col("token") != "__default__")),
+        "token",
+        "left",
+    ).select(
+        id_col,
+        "token",
+        F.coalesce(
+            "lr", F.when(F.col("token").isNotNull(), F.lit(default_lr))
+        ).alias("lr"),
     )
     return scored.groupBy(id_col).agg(
         F.count("token").cast("long").alias("n_toks"),

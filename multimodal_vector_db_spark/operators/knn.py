@@ -304,6 +304,20 @@ def dual_space_topk_blocked(
 
     qids = np.array([q[0] for q in queries], dtype=np.int64)
     spaces = sorted(queries[0][1])
+    # Validate up front (driver-side) rather than KeyError mid-job:
+    # every query must carry the same space set, and default_space must
+    # be a member because unmatched corpus rows score against it.
+    for qid, vecs in queries:
+        if sorted(vecs) != spaces:
+            raise ValueError(
+                f"dual_space_topk_blocked: query {qid} has spaces "
+                f"{sorted(vecs)}; all queries must share {spaces}"
+            )
+    if default_space not in queries[0][1]:
+        raise ValueError(
+            f"dual_space_topk_blocked: default_space {default_space!r} "
+            f"not among query spaces {spaces}"
+        )
     Qs = {
         sp: np.vstack(
             [np.asarray(q[1][sp], dtype=np.float64) for q in queries]

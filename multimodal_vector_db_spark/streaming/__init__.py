@@ -14,6 +14,7 @@ from multimodal_vector_db_spark.streaming.ingest import (
     events_stream,
     ingest_events_to_corpus,
     interval_join,
+    media_refresh_stream,
     run_available_now,
     serve_knn_queries,
     session_windowed_counts,
@@ -27,6 +28,7 @@ __all__ = [
     "events_stream",
     "ingest_events_to_corpus",
     "interval_join",
+    "media_refresh_stream",
     "run_available_now",
     "serve_knn_queries",
     "session_windowed_counts",

@@ -54,6 +54,18 @@ def ts_micros(events: DataFrame, ts_col: str = "ts"):
     return F.unix_micros(F.col(ts_col).cast("timestamp"))
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Whether ``path`` exists, via the Hadoop FileSystem API — works
+    for local paths and object-store URIs alike. Used instead of
+    catch-everything around reads so 'first batch ever' (path absent)
+    is distinguishable from a transient read failure (path present,
+    read raises → batch fails → checkpoint retries)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf).exists(p)
+
+
 def events_stream(
     spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -175,11 +187,13 @@ def ingest_events_to_corpus(
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         fresh = batch.dropDuplicates([id_col])
-        try:
+        if _path_exists(spark, corpus_path):
+            # Any read error past this point (permissions, corrupt
+            # footer, transient FS) FAILS the batch so the streaming
+            # checkpoint retries it — a swallowed error here would
+            # silently skip dedup and double-insert on replay.
             existing = spark.read.parquet(corpus_path).select(id_col)
             fresh = fresh.join(existing, on=id_col, how="left_anti")
-        except Exception:  # first batch: corpus does not exist yet
-            pass
         fresh.write.mode("append").parquet(corpus_path)
 
     return (
@@ -230,10 +244,15 @@ def corpus_refresh_stream(
     def refresh(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         fresh = batch.dropDuplicates([id_col])
-        try:
-            idx = spark.read.parquet(index_path)
-        except Exception:  # first batch ever: no index yet
-            idx = None
+        # Existence is checked explicitly (not with a bare except around
+        # the read): a transient FS/parquet failure must FAIL the batch
+        # so the checkpoint retries it — treating it as "first batch
+        # ever" would skip dedup and permanently admit near-duplicates.
+        idx = (
+            spark.read.parquet(index_path)
+            if _path_exists(spark, index_path)
+            else None
+        )
         if idx is not None:
             flags = incremental_near_duplicates(
                 fresh,
@@ -260,6 +279,107 @@ def corpus_refresh_stream(
             num_hashes=num_hashes,
             bands=bands,
             hash_impl=hash_impl,
+        ).write.mode("append").parquet(index_path)
+
+    return (
+        stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+#: Per-modality fingerprint recipe: (fingerprint fn module attr,
+#: hash column, total bits, band count). The band parameters are the
+#: pigeonhole-complete configs parity-tested for the batch forms
+#: (4 × 14-bit for dHash56; 2 × 8/7-bit for the 15-bit audio/video
+#: contours — complete for max_hamming=1).
+_MEDIA_FP: dict[str, tuple[str, str, int, int]] = {
+    "image": ("image_dhash", "dhash", 56, 4),
+    "audio": ("audio_fingerprints", "afp", 15, 2),
+    "video": ("video_signatures", "vts", 15, 2),
+}
+
+
+def media_refresh_stream(
+    stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    modality: str = "image",
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    max_hamming: int = 1,
+):
+    """Streaming corpus refresh for the NON-TEXT modalities — the
+    media twin of :func:`corpus_refresh_stream`. Each microbatch of
+    ``(id_col, content_col binary)`` rows is decoded through the real
+    codec ONCE (netpbm dHash / WAV energy contour / Y4M block-sum
+    contour, per ``modality``), near-dup-checked against the PERSISTED
+    fingerprint index with the banded Hamming join, and the survivors'
+    bytes are appended to the corpus while their band slices are
+    appended to the index. Historical media is never re-read or
+    re-decoded: history cost is one band-key equi-join against a
+    ~16 B/row index — the 100 TB corpus-refresh shape for images,
+    audio and video (completes the loop whose batch forms are
+    ``incremental_phash_dedup`` / ``incremental_audio_dedup`` /
+    ``incremental_video_dedup``).
+
+    Same dedup contract as the text refresh: cross-batch near-dups are
+    dropped; near-dups WITHIN one microbatch both survive (run the
+    batch pair-join first if in-batch dedup is required). Same crash
+    ordering too: corpus append before index append, so a crash
+    between them replays toward a duplicate corpus row rather than a
+    lost document."""
+    try:
+        fp_attr, hash_col, total_bits, n_bands = _MEDIA_FP[modality]
+    except KeyError:
+        raise ValueError(
+            f"media_refresh_stream: unknown modality {modality!r}; "
+            f"expected one of {sorted(_MEDIA_FP)}"
+        ) from None
+
+    from multimodal_vector_db_spark.multimodal import phash as _phash
+    from multimodal_vector_db_spark.multimodal.phash import (
+        band_slices,
+        incremental_near_dup_images,
+    )
+
+    fingerprint = getattr(_phash, fp_attr)
+
+    def refresh(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fresh = batch.dropDuplicates([id_col])
+        # Decode + fingerprint exactly once per batch; the eager
+        # localCheckpoint pins the hashes so the dedup join AND the
+        # index append reuse them without re-decoding the media.
+        hashes = fingerprint(
+            fresh, id_col=id_col, content_col=content_col
+        ).localCheckpoint(eager=True)
+        # Explicit existence check — a transient index-read failure
+        # must fail the batch (checkpoint retries), not silently admit
+        # the whole batch as "first batch ever".
+        if _path_exists(spark, index_path):
+            idx = spark.read.parquet(index_path)
+            dup_ids = (
+                incremental_near_dup_images(
+                    hashes,
+                    idx,
+                    total_bits=total_bits,
+                    n_bands=n_bands,
+                    max_hamming=max_hamming,
+                    id_col=id_col,
+                    hash_col=hash_col,
+                )
+                .select(F.col("batch_id").alias(id_col))
+                .distinct()
+            )
+            fresh = fresh.join(dup_ids, on=id_col, how="left_anti")
+            hashes = hashes.join(dup_ids, on=id_col, how="left_anti")
+        fresh = fresh.localCheckpoint(eager=True)
+        hashes = hashes.localCheckpoint(eager=True)
+        fresh.write.mode("append").parquet(corpus_path)
+        band_slices(
+            hashes, total_bits, n_bands, id_col=id_col, hash_col=hash_col
         ).write.mode("append").parquet(index_path)
 
     return (

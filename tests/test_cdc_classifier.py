@@ -462,3 +462,67 @@ def test_banded_join_15bit_two_bands_matches_brute_force(spark):
         if bin(ha ^ hb).count("1") <= 1
     }
     assert got == want and (0, 1, 1) in want
+
+
+class TestAdviceContracts:
+    """Round-6 contract hardening (ADVICE.md): invalid inputs raise
+    clearly at call time instead of silently mis-scoring mid-job."""
+
+    def test_nb_log_odds_requires_default_row(self, spark):
+        import pytest
+
+        from multimodal_vector_db_spark.operators.classifier import (
+            nb_log_odds,
+        )
+
+        model = spark.createDataFrame(
+            [("alpha", 0.5)], "token string, lr double"
+        )
+        test = spark.createDataFrame(
+            [(1, "alpha beta")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="__default__"):
+            nb_log_odds(test, model, 0.0)
+
+    def test_dual_space_validates_spaces_up_front(self, spark):
+        import pytest
+
+        from multimodal_vector_db_spark.operators.knn import (
+            dual_space_topk_blocked,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "image", "clip", [1.0, 0.0])],
+            "id long, modality string, space string, embedding array<double>",
+        )
+        # query 2 is missing the 'clap' space query 1 has
+        with pytest.raises(ValueError, match="spaces"):
+            dual_space_topk_blocked(
+                corpus,
+                [(1, {"clip": [1.0, 0.0], "clap": [0.0, 1.0]}),
+                 (2, {"clip": [0.0, 1.0]})],
+                k=1,
+            )
+        # default_space absent from the shared space set
+        with pytest.raises(ValueError, match="default_space"):
+            dual_space_topk_blocked(
+                corpus,
+                [(1, {"clap": [1.0, 0.0]})],
+                k=1,
+                default_space="clip",
+            )
+
+    def test_duplicate_chunk_stats_custom_id_col(self, spark):
+        from multimodal_vector_db_spark.operators.cdc import (
+            cdc_chunks,
+            duplicate_chunk_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h i j k l"), (2, "a b c d e f g h i j k l")],
+            "item_id long, text string",
+        )
+        chunks = cdc_chunks(docs, id_col="item_id")
+        stats = duplicate_chunk_stats(chunks, id_col="item_id")
+        rows = stats.collect()
+        assert rows and all(r["n_docs"] == 2 for r in rows)

@@ -403,3 +403,135 @@ def test_corpus_refresh_stream_drops_cross_batch_duplicate(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in idx.select("doc_id").distinct().collect()
     ) == [1, 2, 11]
+
+
+def _p5(pixels):
+    """Real binary P5 netpbm bytes for a 7x9 uint8 grid."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    assert arr.shape == (7, 9)
+    return b"P5\n9 7\n255\n" + arr.tobytes()
+
+
+def test_media_refresh_stream_drops_cross_batch_image_dup(spark, tmp_path):
+    """Two microbatches of REAL binary P5 images through the streaming
+    media refresh: batch B contains a near-duplicate (one pixel
+    changed, exactly one dHash bit flipped) of a batch-A image — it
+    must be dropped because batch A's band slices were appended to the
+    persisted fingerprint index. Novel images survive, the index grows
+    by exactly the survivors' bands, and historical media bytes are
+    never re-read or re-decoded (the corpus path is write-only here)."""
+    import numpy as np
+
+    from multimodal_vector_db_spark.multimodal.phash import dhash56
+    from multimodal_vector_db_spark.streaming import media_refresh_stream
+
+    src = tmp_path / "img_src"
+    src.mkdir()
+    corpus = str(tmp_path / "img_corpus")
+    index = str(tmp_path / "img_index")
+    ckpt = str(tmp_path / "img_ckpt")
+
+    base = np.tile(np.arange(9, dtype=np.uint8) * 10, (7, 1))
+    near = base.copy()
+    near[0, 1] = 0  # flips exactly one comparison bit
+    assert bin(dhash56(base) ^ dhash56(near)).count("1") == 1
+    rng = np.random.default_rng(13)
+    novel_a = rng.integers(0, 256, (7, 9), dtype=np.uint8)
+    novel_b = rng.integers(0, 256, (7, 9), dtype=np.uint8)
+    assert bin(dhash56(base) ^ dhash56(novel_b)).count("1") > 1
+    assert bin(dhash56(novel_a) ^ dhash56(novel_b)).count("1") > 1
+
+    schema = "doc_id long, content binary"
+    batch_a = spark.createDataFrame(
+        [(1, _p5(base)), (2, _p5(novel_a))], schema
+    )
+    batch_b = spark.createDataFrame(
+        [(10, _p5(near)),  # cross-batch near-dup of doc 1 -> dropped
+         (11, _p5(novel_b))],
+        schema,
+    )
+
+    batch_a.coalesce(1).write.parquet(str(src / "batch_a"))
+    stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+    media_refresh_stream(
+        stream, corpus, index, ckpt, modality="image"
+    ).start().awaitTermination(120)
+
+    batch_b.coalesce(1).write.parquet(str(src / "batch_b"))
+    stream2 = spark.readStream.schema(schema).parquet(f"{src}/*")
+    media_refresh_stream(
+        stream2, corpus, index, ckpt, modality="image"
+    ).start().awaitTermination(120)
+
+    got = spark.read.parquet(corpus)
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 2, 11]
+    idx = spark.read.parquet(index)
+    # 3 surviving images x 4 bands in the band_slices layout
+    assert idx.count() == 12
+    assert set(idx.columns) == {"id", "h", "band_k", "band_v"}
+    assert sorted(
+        r["id"] for r in idx.select("id").distinct().collect()
+    ) == [1, 2, 11]
+    # survivors' stored hashes match an independent recompute
+    stored = {r["id"]: r["h"] for r in idx.select("id", "h").collect()}
+    assert stored == {
+        1: dhash56(base), 2: dhash56(novel_a), 11: dhash56(novel_b)
+    }
+
+
+def test_media_refresh_stream_audio_and_video(spark, tmp_path):
+    """The audio and video modality recipes run the same loop: a
+    cross-batch identical clip is dropped against the persisted
+    fingerprint index; a novel clip survives."""
+    import numpy as np
+
+    from multimodal_vector_db_spark.multimodal.codecs import (
+        encode_wav,
+        encode_y4m,
+    )
+    from multimodal_vector_db_spark.streaming import media_refresh_stream
+
+
+    def wav(seed):
+        r = np.random.default_rng(seed)
+        x = (r.standard_normal(64) * 0.3).clip(-1, 1)
+        return encode_wav((x * 32767).astype(np.int16), 8000)
+
+    def y4m(seed):
+        r = np.random.default_rng(seed)
+        return encode_y4m(
+            r.integers(0, 256, (4, 4, 4), dtype=np.uint8)
+        )
+
+    for modality, mk in (("audio", wav), ("video", y4m)):
+        src = tmp_path / f"{modality}_src"
+        src.mkdir()
+        corpus = str(tmp_path / f"{modality}_corpus")
+        index = str(tmp_path / f"{modality}_index")
+        ckpt = str(tmp_path / f"{modality}_ckpt")
+        schema = "doc_id long, content binary"
+
+        spark.createDataFrame(
+            [(1, mk(100)), (2, mk(200))], schema
+        ).coalesce(1).write.parquet(str(src / "a"))
+        media_refresh_stream(
+            spark.readStream.schema(schema).parquet(f"{src}/*"),
+            corpus, index, ckpt, modality=modality,
+        ).start().awaitTermination(120)
+
+        spark.createDataFrame(
+            [(10, mk(100)), (11, mk(300))], schema  # 10 dups batch-A's 1
+        ).coalesce(1).write.parquet(str(src / "b"))
+        media_refresh_stream(
+            spark.readStream.schema(schema).parquet(f"{src}/*"),
+            corpus, index, ckpt, modality=modality,
+        ).start().awaitTermination(120)
+
+        survivors = sorted(
+            r["doc_id"] for r in spark.read.parquet(corpus).collect()
+        )
+        assert survivors == [1, 2, 11], modality
+        # 3 survivors x 2 bands (15-bit contour fingerprints)
+        assert spark.read.parquet(index).count() == 6, modality
