@@ -706,6 +706,67 @@ def main() -> None:
         results["streaming_ingest"] = stream_res
         print("streaming_ingest", stream_res, flush=True)
 
+    # Streaming MEDIA corpus refresh at 1×/4×/16× images: drain real
+    # binary P5 images through media_refresh_stream (decode + dHash +
+    # banded-Hamming dedup against the growing persisted fingerprint
+    # index) as checkpointed microbatches. The md5-derived mod-40
+    # image groups make most rows near-dups, so the dedup join is hot.
+    # Expect rows/s to GROW with factor (per-batch trigger overhead
+    # amortizes; the index join stays band-key-pruned).
+    if _want("streaming_media_refresh"):
+        from multimodal_vector_db_spark.queries.m12_curation4 import (
+            _phash_media,
+        )
+        from multimodal_vector_db_spark.streaming.ingest import (
+            media_refresh_stream,
+        )
+
+        media_res = {
+            "sec": {},
+            "rows_per_sec": {},
+            "survivors": {},
+            "ratio_vs_1x": {},
+        }
+        base_imgs = 2000
+        for f in FACTORS:
+            src = f"{WORK}/media_src_{f}"
+            if not os.path.isdir(src):
+                _phash_media(
+                    spark.range(base_imgs * f).select(
+                        F.col("id").alias("doc_id")
+                    )
+                ).repartition(8).write.mode("overwrite").parquet(src)
+            n_rows = base_imgs * f
+            corpus = f"{WORK}/media_corpus_{f}"
+            index = f"{WORK}/media_index_{f}"
+            ckpt = f"{WORK}/media_ckpt_{f}"
+            for d in (corpus, index, ckpt):
+                shutil.rmtree(d, ignore_errors=True)
+            stream = (
+                spark.readStream.schema("doc_id long, content binary")
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src)
+            )
+            t0 = time.time()
+            media_refresh_stream(
+                stream, corpus, index, ckpt, modality="image"
+            ).start().awaitTermination(600)
+            sec = round(time.time() - t0, 3)
+            media_res["sec"][str(f)] = sec
+            media_res["rows_per_sec"][str(f)] = round(
+                n_rows / max(sec, 1e-9)
+            )
+            media_res["survivors"][str(f)] = spark.read.parquet(
+                corpus
+            ).count()
+        base = media_res["sec"]["1"] or 1e-9
+        for f in FACTORS:
+            media_res["ratio_vs_1x"][str(f)] = round(
+                media_res["sec"][str(f)] / base, 2
+            )
+        results["streaming_media_refresh"] = media_res
+        print("streaming_media_refresh", media_res, flush=True)
+
     # skew-join remedy, measured: a fact table where ONE key holds 80%
     # of all rows, shuffle-joined (broadcast disabled — the situation
     # when the dim side is too big to broadcast) plain vs salted. AQE's
