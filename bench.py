@@ -892,6 +892,256 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
     return out
 
 
+# --- 16× reference scale (711,104 × 512-d) --------------------------
+# The 44k ref_scale section proves parity at the reference's OWN size;
+# this section proves the serving story SURVIVES 16× growth — where an
+# HNSW index would need a full O(N log N) rebuild, the blocked-BLAS
+# scan and the partitioned IVF index just see more partitions. Heavy
+# one-time build (two 711k corpora + KMeans), so it is strictly
+# env-gated (SPARK_GRAFT_REF16X=1); normal runs carry the previously
+# measured section forward verbatim, marked carried_forward.
+
+REF16_FACTOR = 16
+REF16_N = REF_N * REF16_FACTOR  # 711,104
+#: sqrt(N)-ish cells: scan fraction per probe stays comparable to the
+#: 44k config (128 cells) while per-cell row count grows ~8×
+REF16_CLUSTERS = 256
+
+
+def build_ref_scale_16x(spark, wh_dir: str) -> None:
+    """Materialize the 16× reference-shape corpora (planted + mixture
+    regimes), their IVF indexes, and 256 held-out queries each. The
+    isotropic regime is deliberately NOT rebuilt at 16×: its 44k curve
+    already shows recall ≈ scanned-fraction by construction, and that
+    property is size-independent."""
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.operators.ann import build_ivf_index
+
+    ids = spark.range(REF16_N).select(
+        "id", F.floor(F.col("id") / REF_REPS).alias("base_id")
+    )
+    corpus = _ref_synth(ids, noise_seed=21)
+    modality = F.when(
+        F.col("id") < REF_MODALITY_BOUNDS[0][1] * REF16_FACTOR, "image"
+    )
+    for name, bound in REF_MODALITY_BOUNDS[1:]:
+        modality = modality.when(F.col("id") < bound * REF16_FACTOR, name)
+    corpus.withColumn("modality", modality).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(f"{wh_dir}/ref711k.parquet")
+    build_ivf_index(
+        spark.read.parquet(f"{wh_dir}/ref711k.parquet").select(
+            "id", "embedding"
+        ),
+        f"{wh_dir}/ref711k_ivf.parquet",
+        n_clusters=REF16_CLUSTERS,
+        max_iter=5,
+    )
+    _ref_synth(
+        spark.range(256).select(
+            (F.col("id") + 40_000_000).alias("id"),
+            F.col("id").alias("base_id"),
+        ),
+        noise_seed=79,
+    ).select(
+        (F.col("id") - 40_000_000).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    ).repartition(1).write.mode("overwrite").parquet(
+        f"{wh_dir}/ref711k_queries.parquet"
+    )
+
+    mix = _ref_synth(ids, noise_seed=23, noise_amp=REF_NOISE_HARD)
+    mix.repartition(64).write.mode("overwrite").parquet(
+        f"{wh_dir}/ref711k_mix.parquet"
+    )
+    build_ivf_index(
+        spark.read.parquet(f"{wh_dir}/ref711k_mix.parquet"),
+        f"{wh_dir}/ref711k_mix_ivf.parquet",
+        n_clusters=REF16_CLUSTERS,
+        max_iter=5,
+    )
+    _ref_synth(
+        spark.range(256).select(
+            (F.col("id") + 50_000_000).alias("id"),
+            F.col("id").alias("base_id"),  # perturb SEEN bases 0..255
+        ),
+        noise_seed=27,
+        noise_amp=REF_NOISE_HARD,
+    ).select(
+        (F.col("id") - 50_000_000).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    ).repartition(1).write.mode("overwrite").parquet(
+        f"{wh_dir}/ref711k_mix_queries.parquet"
+    )
+
+
+def ref_scale_16x_bench(spark, wh_dir: str, timed_median) -> dict:
+    """The serving comparables at 711k × 512-d: exact blocked kNN,
+    facade batch, compare_modalities batch, and IVF nprobe/recall
+    curves on the planted + mixture regimes. Scan-granularity conf is
+    scoped like ref_scale_bench's, sized up for the ~1.4 GB corpus
+    (24 MB splits → ~60 tasks over 32 cores)."""
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.engine import MultiModalSearchEngine
+    from multimodal_vector_db_spark.operators.ann import (
+        ivf_search_blocked,
+        open_ivf_index,
+    )
+    from multimodal_vector_db_spark.operators.knn import knn_join_blocked
+
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(24 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(1024 * 1024))
+
+    corpus = spark.read.parquet(f"{wh_dir}/ref711k.parquet").select(
+        "id", "embedding"
+    )
+    qdf = spark.read.parquet(f"{wh_dir}/ref711k_queries.parquet")
+
+    out: dict = {
+        "corpus": {
+            "rows": REF16_N,
+            "dim": REF_DIM,
+            "factor_vs_reference": REF16_FACTOR,
+            "ivf_clusters": REF16_CLUSTERS,
+        },
+        "notes": (
+            "Same query shapes as ref_scale at 16x the corpus. The "
+            "reference's HNSW cannot grow to this size without a full "
+            "rebuild; here the corpus is just more partitions. "
+            "Isotropic regime intentionally omitted: recall == scanned "
+            "fraction there by construction at any size (see the 44k "
+            "curve). Single-call facade wall times are excluded for "
+            "the same local-mode scheduling-floor reason documented "
+            "in ref_scale.notes — batch ms/q is the serving cost."
+        ),
+    }
+
+    out["exact_blocked_ms_per_query_256"] = round(
+        timed_median(
+            lambda: knn_join_blocked(corpus, qdf, k=10)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        / 256
+        * 1000,
+        3,
+    )
+
+    # facade batch serving at 16×
+    items = spark.read.parquet(f"{wh_dir}/ref711k.parquet").select(
+        "id",
+        "modality",
+        F.lit("clip").alias("space"),
+        "embedding",
+        F.lit(REF_DIM).alias("dim"),
+        F.lit(False).alias("deleted"),
+        F.concat(F.lit("content "), F.col("id")).alias("content"),
+        F.concat(F.lit("ref_"), F.col("id")).alias("display_name"),
+    )
+    eng = MultiModalSearchEngine(spark, items=items, dim=REF_DIM)
+    q256 = [
+        [float(x) for x in r["q_emb"]]
+        for r in qdf.orderBy("query_id").collect()
+    ]
+    out["facade_batch_ms_per_query"] = round(
+        timed_median(lambda: eng.search_batch(q256, k=10)) / 256 * 1000, 3
+    )
+
+    # compare_modalities batch (space-routed dual-space scoring)
+    items_cmp = spark.read.parquet(f"{wh_dir}/ref711k.parquet").select(
+        "id",
+        "modality",
+        F.when(F.col("modality") == "audio", F.lit("clap"))
+        .otherwise(F.lit("clip"))
+        .alias("space"),
+        "embedding",
+        F.lit(REF_DIM).alias("dim"),
+        F.lit(False).alias("deleted"),
+        F.concat(F.lit("ref_"), F.col("id")).alias("display_name"),
+    )
+    eng_cmp = MultiModalSearchEngine(spark, items=items_cmp, dim=REF_DIM)
+    cmp_queries = [f"compare query {i}" for i in range(256)]
+    out["compare_modalities_batch_ms_per_query"] = round(
+        timed_median(
+            lambda: eng_cmp.compare_modalities_batch(
+                cmp_queries, k_per_modality=3
+            )
+        )
+        / 256
+        * 1000,
+        3,
+    )
+
+    def _curve(corpus_name: str, probes: tuple[int, ...]) -> dict:
+        c_corpus, c_centroids = open_ivf_index(
+            spark, f"{wh_dir}/{corpus_name}_ivf.parquet"
+        )
+        c_corpus = c_corpus.select("id", "embedding", "cluster_id")
+        c_qdf = spark.read.parquet(
+            f"{wh_dir}/{corpus_name}_queries.parquet"
+        )
+        plain = spark.read.parquet(f"{wh_dir}/{corpus_name}.parquet").select(
+            "id", "embedding"
+        )
+        truth = knn_join_blocked(plain, c_qdf, k=10).select("query_id", "id")
+        truth.cache()
+        n_truth = truth.count()
+        c_qs = [
+            (r["query_id"], [float(x) for x in r["q_emb"]])
+            for r in c_qdf.collect()
+        ]
+        cv: dict = {}
+        for nprobe in probes:
+            sec = timed_median(
+                lambda: ivf_search_blocked(
+                    c_corpus, c_qs, c_centroids, k=10, nprobe=nprobe,
+                    probe_metric="l2",
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            hits = (
+                ivf_search_blocked(
+                    c_corpus, c_qs, c_centroids, k=10, nprobe=nprobe,
+                    probe_metric="l2",
+                )
+                .select("query_id", "id")
+                .join(truth, on=["query_id", "id"])
+                .count()
+            )
+            cv[str(nprobe)] = {
+                "ms_per_query": round(sec / len(c_qs) * 1000, 3),
+                "recall10": round(hits / n_truth, 4),
+            }
+        truth.unpersist()
+        return cv
+
+    for regime, corpus_name, probes in (
+        ("planted", "ref711k", (4, 8, 16, 32)),
+        ("mixture", "ref711k_mix", (16, 32, 64, 128)),
+    ):
+        curve = _curve(corpus_name, probes)
+        out[f"ivf_nprobe_curve_{regime}"] = curve
+        ok = [
+            (int(np_), v)
+            for np_, v in curve.items()
+            if v["recall10"] >= 0.95
+        ]
+        if ok:
+            np_best, v = min(ok, key=lambda t: t[1]["ms_per_query"])
+            out[f"ivf_operating_point_{regime}"] = {"nprobe": np_best, **v}
+
+    spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+    spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pyspark.sql import functions as F
@@ -1459,6 +1709,35 @@ def main() -> None:
     ref_scale = ref_scale_bench(spark, wh_dir, timed_median)
     ref_scale["build_sec"] = ref_scale_build_sec
 
+    # 16× reference scale: recompute only when explicitly asked
+    # (SPARK_GRAFT_REF16X=1 — the build is a heavy one-time KMeans over
+    # two 711k × 512-d corpora); otherwise carry the last measured
+    # section forward from the committed bench_detail.json, marked.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    ref_scale_16x = None
+    if sections == "all" and os.environ.get("SPARK_GRAFT_REF16X") == "1":
+        t0 = time.time()
+        _build_cached(
+            lambda: build_ref_scale_16x(spark, wh_dir),
+            os.path.join(wh_dir, ".ref_scale_16x.stamp"),
+            "ref711k",
+        )
+        build_16x_sec = round(time.time() - t0, 4)
+        ref_scale_16x = ref_scale_16x_bench(spark, wh_dir, timed_median)
+        ref_scale_16x["build_sec"] = build_16x_sec
+        ref_scale_16x["carried_forward"] = False
+    else:
+        try:
+            with open(detail_path) as fh:
+                prev = json.load(fh).get("ref_scale_16x")
+            if prev:
+                prev["carried_forward"] = True
+                ref_scale_16x = prev
+        except (OSError, ValueError):
+            pass
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -1498,9 +1777,8 @@ def main() -> None:
         "streaming_ingest": streaming_ingest,
         "ref_scale": ref_scale,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
-    )
+    if ref_scale_16x is not None:
+        detail["ref_scale_16x"] = ref_scale_16x
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
     print(f"full detail -> {detail_path}", file=sys.stderr)

@@ -433,39 +433,131 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pca_matryoshka_knn")  # rows-only: eigendecomposition is
-# engine-specific (like the KMeans IVF fit); properties pytest-pinned
-# in tests/test_projection_training.py
-def q_pca_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M10 trained-projection serving: fit a 16-component PCA on the
-    corpus (distributed moment partials → driver eigh,
-    operators/projection_training.py), project corpus + queries through
-    the SAME learned head at prefix_dim=8 (the Matryoshka truncation
-    knob — prefixes nest by construction), then exact top-5 kNN in the
-    projected space. The trained analogue of matryoshka_knn's naive
-    truncate+renormalize (reference scripts/train_matryoshka.py)."""
-    from multimodal_vector_db_spark.operators.projection_training import (
-        fit_pca_components,
-        pca_project,
+import os as _os
+
+#: Committed PCA-basis fixtures (tools/build_fixtures.py): the FIT
+#: (eigendecomposition — engine-specific, property-tested in
+#: tests/test_projection_training.py) is split from SERVING, which
+#: both engines replay from the same persisted basis. The oracle is
+#: declared for the sf0.01 correctness gate; the Spark query resolves
+#: the fixture for whatever sf_dir it is given (self-priming if the
+#: fixture is absent).
+_FIXTURES_DIR = _os.path.join(
+    _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    ),
+    "fixtures",
+)
+
+_PCA_PREFIX = 8  # Matryoshka prefix: serve with the first 8 of 16 comps
+
+
+def _pca_basis_path(sf_dir: str) -> str:
+    name = _os.path.basename(sf_dir.rstrip("/"))
+    return _os.path.join(_FIXTURES_DIR, f"pca_basis_{name}.parquet")
+
+
+@query(
+    "pca_matryoshka_knn",
+    f"""
+    WITH basis AS (
+      SELECT comp, v
+      FROM read_parquet('{_FIXTURES_DIR}/pca_basis_sf0.01.parquet/*.parquet')
+    ),
+    m AS (SELECT v AS mv FROM basis WHERE comp = -1),
+    comps AS (
+      SELECT comp, v, list_dot_product(m.mv, v) AS mw
+      FROM basis CROSS JOIN m WHERE comp >= 0 AND comp < {_PCA_PREFIX}
+    ),
+    coords AS (
+      SELECT e.vec_id AS id, c.comp,
+             list_dot_product(e.embedding::DOUBLE[], c.v) - c.mw AS x
+      FROM embeddings e CROSS JOIN comps c
+    ),
+    pvec AS (
+      SELECT id, list(x ORDER BY comp) AS p FROM coords GROUP BY id
+    ),
+    qvec AS (SELECT id AS query_id, p AS q FROM pvec WHERE id < 5),
+    cand AS (
+      SELECT q.query_id, c.id, list_dot_product(c.p, q.q) AS sim
+      FROM pvec c CROSS JOIN qvec q
+    ),
+    ranked AS (
+      SELECT query_id, id, sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, id ASC) AS rank
+      FROM cand
     )
+    SELECT query_id, id, sim, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_pca_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 trained-projection serving, fully hash-checked: read the
+    persisted 16-component PCA basis (committed fixture, fitted once by
+    tools/build_fixtures.py via distributed moment partials → driver
+    eigh), project corpus + queries through the SAME learned head at
+    prefix_dim=8 (the Matryoshka truncation knob — PCA prefixes nest by
+    construction), then exact top-5 kNN in the projected space. Every
+    arithmetic step — projection coordinate ``x·w − m·w`` and projected
+    similarity — uses the sequential-fold dot contract, so the DuckDB
+    oracle matches bit-for-bit (the trained analogue of matryoshka_knn;
+    reference scripts/train_matryoshka.py fit,
+    projection.py:196-220 serving). If the fixture for this sf_dir is
+    absent the query fits and persists it first (self-priming), keeping
+    serving reproducible across runs."""
+    basis_path = _pca_basis_path(sf_dir)
+    if not _os.path.exists(basis_path):
+        from multimodal_vector_db_spark.operators.projection_training import (
+            fit_pca_components,
+        )
+
+        emb0 = _t(spark, sf_dir, "embeddings")
+        mean0, W0 = fit_pca_components(
+            emb0.select(F.col("vec_id").alias("id"), "embedding"),
+            "embedding",
+            k=16,
+        )
+        d0 = len(mean0)
+        rows0 = [(-1, [float(x) for x in mean0])] + [
+            (j, [float(W0[i][j]) for i in range(d0)]) for j in range(16)
+        ]
+        spark.createDataFrame(
+            rows0, "comp long, v array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(basis_path)
+
+    basis = {
+        r["comp"]: list(r["v"])
+        for r in spark.read.parquet(basis_path).collect()
+    }
+    mean = basis[-1]
+    comps = [basis[j] for j in range(_PCA_PREFIX)]
+    # m·w_j driver-side with the same sequential left-to-right fold the
+    # oracle's list_dot_product uses (Python float IS IEEE double)
+    mw = []
+    for w in comps:
+        acc = 0.0
+        for a, b in zip(mean, w):
+            acc += a * b
+        mw.append(acc)
+
+    def proj(vec_col):
+        return F.array(
+            *[
+                dot(vec_col, F.array(*[F.lit(x) for x in w])) - F.lit(mwj)
+                for w, mwj in zip(comps, mw)
+            ]
+        )
 
     emb = _t(spark, sf_dir, "embeddings")
-    corpus = emb.select(F.col("vec_id").alias("id"), "embedding")
-    mean, W = fit_pca_components(corpus, "embedding", k=16)
-    proj = pca_project(
-        corpus, "embedding", mean, W, out_col="p", prefix_dim=8
-    ).select("id", "p")
-    queries = pca_project(
-        emb.where(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        ),
-        "embedding",
-        mean,
-        W,
-        out_col="q_emb",
-        prefix_dim=8,
-    ).select("query_id", "q_emb")
-    out = knn_join(proj.withColumnRenamed("p", "embedding"), queries, k=5)
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), proj(F.col("embedding")).alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        proj(F.col("embedding")).alias("q_emb"),
+    )
+    out = knn_join(corpus, queries, k=5)
     return out.select(
         "query_id", "id", "sim", F.col("rank").cast("long").alias("rank")
     )

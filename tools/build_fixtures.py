@@ -1,0 +1,78 @@
+"""Build the committed serving fixtures that make fit-type queries
+hash-checkable.
+
+The PCA basis fixture: fit a 16-component PCA on each sf's embeddings
+(operators/projection_training.fit_pca_components — distributed moment
+partials, deterministic order, canonical eigenvector signs) and persist
+``(comp BIGINT, v ARRAY<DOUBLE>)`` rows — comp=-1 is the mean, comps
+0..15 the components — under ``fixtures/pca_basis_<sf>.parquet``.
+
+Splitting fit from serve is the same move that earned
+``ann_ivf_fixed_knn`` its oracle: the FIT stays engine-specific
+(eigendecomposition; property-tested in
+tests/test_projection_training.py), while SERVING through the persisted
+basis is a pure relational computation both Spark and the DuckDB oracle
+replay bit-for-bit (projection coordinates and similarities via the
+sequential-fold dot contract). Re-run this tool only if the testdata
+embeddings regenerate.
+
+Run:  python tools/build_fixtures.py  [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DEFAULT_SFS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+PCA_K = 16
+
+
+def build_pca_basis(spark, sf_dir: str, out_path: str) -> None:
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.operators.projection_training import (
+        fit_pca_components,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mean, W = fit_pca_components(
+        emb.select(F.col("vec_id").alias("id"), "embedding"),
+        "embedding",
+        k=PCA_K,
+    )
+    d = len(mean)
+    rows = [(-1, [float(x) for x in mean])] + [
+        (j, [float(W[i][j]) for i in range(d)]) for j in range(PCA_K)
+    ]
+    spark.createDataFrame(rows, "comp long, v array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(out_path)
+    print(f"wrote {out_path} ({PCA_K} components, d={d})")
+
+
+def main() -> None:
+    from multimodal_vector_db_spark.session import get_spark
+
+    sf_dirs = sys.argv[1:] or DEFAULT_SFS
+    spark = get_spark("build_fixtures")
+    os.makedirs(os.path.join(REPO, "fixtures"), exist_ok=True)
+    for sf_dir in sf_dirs:
+        name = os.path.basename(sf_dir.rstrip("/"))
+        build_pca_basis(
+            spark,
+            sf_dir,
+            os.path.join(REPO, "fixtures", f"pca_basis_{name}.parquet"),
+        )
+
+
+if __name__ == "__main__":
+    main()
