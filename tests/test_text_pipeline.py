@@ -538,3 +538,14 @@ def test_bpe_canonical_example_and_invariants(spark):
         assert r["n_bpe_tokens"] <= out10[i]
         assert r["n_bpe_tokens"] >= r["n_words"]
         assert EOW in r["bpe_preview"]
+
+
+def test_bpe_apply_fixture_provenance(spark):
+    """The merge table baked into the bpe_apply_tokens query is exactly
+    what learn_bpe produces on the sf0.01 corpus it claims to come
+    from — the constant cannot drift from the trainer."""
+    from multimodal_vector_db_spark.operators.bpe import learn_bpe
+    from multimodal_vector_db_spark.queries.m11_curation3 import _BPE_MERGES
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert learn_bpe(docs, n_merges=len(_BPE_MERGES)) == _BPE_MERGES
