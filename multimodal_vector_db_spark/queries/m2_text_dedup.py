@@ -600,6 +600,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
+        # oracle-twin: EXACT-verify form at sf test scale ONLY. The
+        # all-pairs-within-block join is quadratic per lang block; at
+        # 100 TB discovery is LSH (dedup_minhash_lsh) and the operator's
+        # max_block_rows guardrail stays ON — it is disabled here solely
+        # because sf-table lang blocks are test-sized. Do not copy this
+        # call shape into a production path.
         docs, block_col="lang", threshold=0.03, max_block_rows=None
     )
 

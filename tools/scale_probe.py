@@ -602,6 +602,26 @@ def main() -> None:
 
         probe("nb_classifier_score", nb_run)
 
+    # source-reputation gate: quality + bigram-LM + dup-rate rollup to
+    # source, blocklist anti-join. Dominated by the LM's token-keyed
+    # aggregations — expect ≈ linear in corpus size, flat source table.
+    if _want("source_reputation_gate"):
+        from multimodal_vector_db_spark.operators.text_pipeline import (
+            source_reputation_gate,
+        )
+
+        def srg_run(f):
+            d = spark.read.parquet(f"{WORK}/documents_{f}")
+
+            def run():
+                source_reputation_gate(d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            return run
+
+        probe("source_reputation_gate", srg_run)
+
     # image perceptual-hash dedup: one real P5 decode + dHash per row
     # (Arrow batch), banded Hamming self-join. Group modulus scales
     # with the factor so planted-dup density is constant — expect
