@@ -753,9 +753,9 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
         [float(x) for x in r["q_emb"]]
         for r in qdf.orderBy("query_id").collect()
     ]
-    out["facade_batch_ms_per_query"] = round(
-        timed_median(lambda: eng.search_batch(q256, k=10)) / 256 * 1000, 3
-    )
+    med, mn = tm5(lambda: eng.search_batch(q256, k=10))
+    out["facade_batch_ms_per_query"] = round(med / 256 * 1000, 3)
+    out["facade_batch_ms_per_query_min"] = round(mn / 256 * 1000, 3)
 
     # -- compare_modalities: the §3.3 signature query at ref scale ----
     # (reference search_cross_modal.py:107-173; its comparable is the
@@ -801,15 +801,16 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
         3,
     )
     cmp_queries = [f"compare query {i}" for i in range(256)]
-    out["compare_modalities_batch_ms_per_query"] = round(
-        timed_median(
-            lambda: eng_cmp.compare_modalities_batch(
-                cmp_queries, k_per_modality=3
-            )
+    med, mn = tm5(
+        lambda: eng_cmp.compare_modalities_batch(
+            cmp_queries, k_per_modality=3
         )
-        / 256
-        * 1000,
-        3,
+    )
+    out["compare_modalities_batch_ms_per_query"] = round(
+        med / 256 * 1000, 3
+    )
+    out["compare_modalities_batch_ms_per_query_min"] = round(
+        mn / 256 * 1000, 3
     )
 
     # -- hard-regime IVF curves (isotropic + mixture corpora) ---------
@@ -1001,6 +1002,20 @@ def ref_scale_16x_bench(spark, wh_dir: str, timed_median) -> dict:
     )
     qdf = spark.read.parquet(f"{wh_dir}/ref711k_queries.parquet")
 
+    def tm5(run) -> tuple[float, float]:
+        """(median, min) of 5 samples after warmup — this section's
+        1.4 GB Arrow/numpy workload swings 2-3× run-to-run on this
+        host (GC + page-cache state), so the median of 3 is not
+        stable; min is the capability floor."""
+        run()
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            run()
+            ts.append(time.time() - t0)
+        ts.sort()
+        return ts[2], ts[0]
+
     out: dict = {
         "corpus": {
             "rows": REF16_N,
@@ -1016,21 +1031,21 @@ def ref_scale_16x_bench(spark, wh_dir: str, timed_median) -> dict:
             "fraction there by construction at any size (see the 44k "
             "curve). Single-call facade wall times are excluded for "
             "the same local-mode scheduling-floor reason documented "
-            "in ref_scale.notes — batch ms/q is the serving cost."
+            "in ref_scale.notes — batch ms/q is the serving cost. This "
+            "host swings 2-3x run-to-run under the 1.4 GB Arrow/numpy "
+            "workload; scalar rows report median-of-5 plus the min "
+            "(capability floor)."
         ),
     }
 
-    out["exact_blocked_ms_per_query_256"] = round(
-        timed_median(
-            lambda: knn_join_blocked(corpus, qdf, k=10)
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        / 256
-        * 1000,
-        3,
+    med, mn = tm5(
+        lambda: knn_join_blocked(corpus, qdf, k=10)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
     )
+    out["exact_blocked_ms_per_query_256"] = round(med / 256 * 1000, 3)
+    out["exact_blocked_ms_per_query_256_min"] = round(mn / 256 * 1000, 3)
 
     # facade batch serving at 16×
     items = spark.read.parquet(f"{wh_dir}/ref711k.parquet").select(
@@ -1048,9 +1063,9 @@ def ref_scale_16x_bench(spark, wh_dir: str, timed_median) -> dict:
         [float(x) for x in r["q_emb"]]
         for r in qdf.orderBy("query_id").collect()
     ]
-    out["facade_batch_ms_per_query"] = round(
-        timed_median(lambda: eng.search_batch(q256, k=10)) / 256 * 1000, 3
-    )
+    med, mn = tm5(lambda: eng.search_batch(q256, k=10))
+    out["facade_batch_ms_per_query"] = round(med / 256 * 1000, 3)
+    out["facade_batch_ms_per_query_min"] = round(mn / 256 * 1000, 3)
 
     # compare_modalities batch (space-routed dual-space scoring)
     items_cmp = spark.read.parquet(f"{wh_dir}/ref711k.parquet").select(
@@ -1066,15 +1081,16 @@ def ref_scale_16x_bench(spark, wh_dir: str, timed_median) -> dict:
     )
     eng_cmp = MultiModalSearchEngine(spark, items=items_cmp, dim=REF_DIM)
     cmp_queries = [f"compare query {i}" for i in range(256)]
-    out["compare_modalities_batch_ms_per_query"] = round(
-        timed_median(
-            lambda: eng_cmp.compare_modalities_batch(
-                cmp_queries, k_per_modality=3
-            )
+    med, mn = tm5(
+        lambda: eng_cmp.compare_modalities_batch(
+            cmp_queries, k_per_modality=3
         )
-        / 256
-        * 1000,
-        3,
+    )
+    out["compare_modalities_batch_ms_per_query"] = round(
+        med / 256 * 1000, 3
+    )
+    out["compare_modalities_batch_ms_per_query_min"] = round(
+        mn / 256 * 1000, 3
     )
 
     def _curve(corpus_name: str, probes: tuple[int, ...]) -> dict:
@@ -1161,8 +1177,59 @@ def main() -> None:
     )
     # SPARK_GRAFT_BENCH_SECTIONS=headline limits the run to the headline
     # query loop (used by tools/bench_repeat.py for cheap median-of-N
-    # artifacts); default "all" runs every section.
+    # artifacts); "ref16x" runs ONLY the 16×-reference-scale section in
+    # this (fresh) process and merges it into bench_detail.json — the
+    # long all-sections run accumulates JVM/Python-worker state that
+    # inflates the late sections ~3× (measured: 36 ms/q end-of-run vs
+    # 12 ms/q fresh-JVM for the same blocked scan), so the 16× numbers
+    # are taken in isolation; default "all" runs every other section.
     sections = os.environ.get("SPARK_GRAFT_BENCH_SECTIONS", "all")
+
+    if sections == "ref16x":
+        def _tm(run, samples: int = 3) -> float:
+            run()
+            ts = sorted(
+                _timeit(run) for _ in range(samples)
+            )
+            n = len(ts)
+            return (
+                ts[n // 2]
+                if n % 2
+                else (ts[n // 2 - 1] + ts[n // 2]) / 2.0
+            )
+
+        def _timeit(run) -> float:
+            t0 = time.time()
+            run()
+            return time.time() - t0
+
+        os.makedirs(wh_dir, exist_ok=True)
+        t0 = time.time()
+        _build_cached(
+            lambda: build_ref_scale_16x(spark, wh_dir),
+            os.path.join(wh_dir, ".ref_scale_16x.stamp"),
+            "ref711k",
+        )
+        build_16x_sec = round(time.time() - t0, 4)
+        section = ref_scale_16x_bench(spark, wh_dir, _tm)
+        section["build_sec"] = build_16x_sec
+        section["carried_forward"] = False
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+        )
+        try:
+            with open(detail_path) as fh:
+                detail = json.load(fh)
+        except (OSError, ValueError):
+            detail = {}
+        detail["ref_scale_16x"] = section
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+        print(json.dumps({"metric": "ref_scale_16x", **{
+            k: v for k, v in section.items()
+            if not isinstance(v, (dict, str))
+        }}, separators=(",", ":")))
+        return
 
     # Deterministic builds are sentinel-cached across invocations (the
     # per-round harness runs this script several times back-to-back;
@@ -1709,34 +1776,22 @@ def main() -> None:
     ref_scale = ref_scale_bench(spark, wh_dir, timed_median)
     ref_scale["build_sec"] = ref_scale_build_sec
 
-    # 16× reference scale: recompute only when explicitly asked
-    # (SPARK_GRAFT_REF16X=1 — the build is a heavy one-time KMeans over
-    # two 711k × 512-d corpora); otherwise carry the last measured
-    # section forward from the committed bench_detail.json, marked.
+    # 16× reference scale: measured ONLY by a dedicated fresh-process
+    # run (SPARK_GRAFT_BENCH_SECTIONS=ref16x — see the note above on
+    # end-of-run JVM-state inflation); the all-sections run carries the
+    # last measured section forward verbatim, marked.
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
     ref_scale_16x = None
-    if sections == "all" and os.environ.get("SPARK_GRAFT_REF16X") == "1":
-        t0 = time.time()
-        _build_cached(
-            lambda: build_ref_scale_16x(spark, wh_dir),
-            os.path.join(wh_dir, ".ref_scale_16x.stamp"),
-            "ref711k",
-        )
-        build_16x_sec = round(time.time() - t0, 4)
-        ref_scale_16x = ref_scale_16x_bench(spark, wh_dir, timed_median)
-        ref_scale_16x["build_sec"] = build_16x_sec
-        ref_scale_16x["carried_forward"] = False
-    else:
-        try:
-            with open(detail_path) as fh:
-                prev = json.load(fh).get("ref_scale_16x")
-            if prev:
-                prev["carried_forward"] = True
-                ref_scale_16x = prev
-        except (OSError, ValueError):
-            pass
+    try:
+        with open(detail_path) as fh:
+            prev = json.load(fh).get("ref_scale_16x")
+        if prev:
+            prev["carried_forward"] = True
+            ref_scale_16x = prev
+    except (OSError, ValueError):
+        pass
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

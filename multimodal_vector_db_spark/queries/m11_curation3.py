@@ -777,3 +777,79 @@ def q_source_reputation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return source_reputation_gate(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "unigram_token_stats",
+    rf"""
+    WITH RECURSIVE t AS (
+      SELECT {_TOKS.format(col="lower(text)")} AS toks FROM documents
+    ),
+    wfreq AS (
+      SELECT u.w, count(*)::BIGINT AS freq
+      FROM t, UNNEST(toks) AS u(w) GROUP BY 1
+    ),
+    seedp AS (
+      SELECT u.piece, sum(freq)::BIGINT AS c
+      FROM wfreq,
+           UNNEST(
+             list_transform(generate_series(1, length(w)),
+                            i -> substr(w, i, 1))
+             || CASE WHEN length(w) >= 2
+                THEN list_transform(generate_series(1, length(w) - 1),
+                                    i -> substr(w, i, 2))
+                ELSE []::VARCHAR[] END) AS u(piece)
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(c)::DOUBLE AS s FROM seedp),
+    probs AS (SELECT piece, c / tot.s AS p FROM seedp, tot),
+    rec AS (
+      SELECT w, 0 AS j, 1.0::DOUBLE AS v1, 0.0::DOUBLE AS v2,
+             []::VARCHAR[] AS seg1, []::VARCHAR[] AS seg2
+      FROM (SELECT DISTINCT w FROM wfreq)
+      UNION ALL
+      SELECT r.w, r.j + 1,
+             CASE WHEN r.j >= 1 AND r.v2 * pb.p > r.v1 * pc.p
+                  THEN r.v2 * pb.p ELSE r.v1 * pc.p END,
+             r.v1,
+             CASE WHEN r.j >= 1 AND r.v2 * pb.p > r.v1 * pc.p
+                  THEN list_append(r.seg2, substr(r.w, r.j, 2))
+                  ELSE list_append(r.seg1, substr(r.w, r.j + 1, 1)) END,
+             r.seg1
+      FROM rec r
+      JOIN probs pc ON pc.piece = substr(r.w, r.j + 1, 1)
+      LEFT JOIN probs pb
+        ON pb.piece = substr(r.w, r.j, 2) AND r.j >= 1
+      WHERE r.j < length(r.w)
+    ),
+    best AS (SELECT w, seg1 FROM rec WHERE j = length(w)),
+    cnt AS (
+      SELECT u.piece, sum(wf.freq)::BIGINT AS n
+      FROM best b JOIN wfreq wf ON wf.w = b.w,
+           UNNEST(b.seg1) AS u(piece)
+      GROUP BY 1
+    )
+    SELECT piece, n FROM cnt
+    """,
+)
+def q_unigram_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training, E-step
+    under full hash check: seed the piece inventory (chars +
+    char-bigrams, corpus-count probabilities as exact integer ratios),
+    Viterbi-segment every distinct word under that model (distributed
+    Arrow-batched lattice DP), and emit the frequency-weighted
+    expected piece counts the M-step renormalizes. The oracle replays
+    the per-word DP as a recursive CTE carrying the two trailing
+    lattice values — a tie-break, probability, or recursion bug breaks
+    the hash. EM monotonicity (hard-EM objective non-decreasing) is
+    property-pinned in tests/test_text_pipeline.py; see
+    operators/unigram_lm.py."""
+    from multimodal_vector_db_spark.operators.unigram_lm import (
+        seed_probs,
+        viterbi_piece_counts,
+        word_freqs,
+    )
+
+    wf = word_freqs(_t(spark, sf_dir, "documents"))
+    probs = seed_probs(wf)
+    return viterbi_piece_counts(wf, probs).select("piece", "n")

@@ -549,3 +549,58 @@ def test_bpe_apply_fixture_provenance(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     assert learn_bpe(docs, n_merges=len(_BPE_MERGES)) == _BPE_MERGES
+
+
+class TestUnigramLM:
+    def test_viterbi_known_segmentation(self):
+        from multimodal_vector_db_spark.operators.unigram_lm import _viterbi
+
+        # 'ab' dominant -> 'abab' segments as two bigrams
+        probs = {"a": 0.1, "b": 0.1, "ab": 0.5, "ba": 0.05}
+        assert _viterbi("abab", probs) == ["ab", "ab"]
+        # single char words fall back to the char inventory
+        assert _viterbi("a", probs) == ["a"]
+        # char path preferred on exact ties (0.2*0.2 == 0.04 vs bigram)
+        tie = {"x": 0.2, "xx": 0.04}
+        assert _viterbi("xx", tie) == ["x", "x"]
+
+    def test_estep_counts_match_brute_force(self, spark):
+        from multimodal_vector_db_spark.operators.unigram_lm import (
+            _viterbi,
+            seed_probs,
+            viterbi_piece_counts,
+            word_freqs,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "banana band ban"), (2, "banana ana")],
+            "doc_id long, text string",
+        )
+        wf = word_freqs(docs)
+        probs = seed_probs(wf)
+        got = {
+            r["piece"]: r["n"]
+            for r in viterbi_piece_counts(wf, probs).collect()
+        }
+        want: dict = {}
+        for r in wf.collect():
+            for p in _viterbi(r["w"], probs):
+                want[p] = want.get(p, 0) + r["freq"]
+        assert got == want
+
+    def test_hard_em_objective_non_decreasing(self, spark):
+        from multimodal_vector_db_spark.operators.unigram_lm import (
+            unigram_train,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(120)
+        probs, history = unigram_train(docs, n_iters=3)
+        assert len(history) == 4
+        for a, b in zip(history, history[1:]):
+            assert b >= a - 1e-9, history
+        # training moved the model (pure seed-count model is not a
+        # fixed point on real text)
+        assert history[-1] > history[0]
+        assert abs(sum(probs.values()) - 1.0) < 1e-9
