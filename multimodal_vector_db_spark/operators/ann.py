@@ -30,7 +30,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from multimodal_vector_db_spark.functions.vector import dot
-from multimodal_vector_db_spark.operators.knn import top_k_per_group
+from multimodal_vector_db_spark.operators.knn import (
+    top_k_per_group,
+    topk_rows_1d,
+    topk_rows_2d,
+)
 
 
 def hyperplane_bucket(
@@ -613,7 +617,7 @@ def ivf_adc_search_blocked(
                     D = np.round(
                         lut[sub_idx[None, :], codes].sum(axis=1), 6
                     )
-                    top = np.lexsort((ids, D))[:kk]
+                    top = topk_rows_1d(D, ids, kk, ascending=True)
                     yield pd.DataFrame(
                         {
                             "query_id": np.full(kk, qids[qi]),
@@ -796,9 +800,7 @@ def ivf_search_blocked(
                 ids = grp[id_col].to_numpy()
                 S = X @ Qm[qidx].T  # (rows, nq_probing)
                 kk = min(k, len(grp))
-                o = np.lexsort(
-                    (ids[:, None].repeat(S.shape[1], 1), -S), axis=0
-                )[:kk]
+                o = topk_rows_2d(S, ids, kk)
                 yield pd.DataFrame(
                     {
                         "query_id": np.repeat(

@@ -39,6 +39,54 @@ def _rank_window(partition_cols: list[str]):
     )
 
 
+def topk_rows_1d(vals, ids, kk: int, ascending: bool = False):
+    """EXACT top-``kk`` row indices of a 1-D score vector ordered by
+    ``(vals desc|asc, ids asc)`` — the blocked scorers' inner
+    selection. ``np.partition`` finds the kth value in O(n), boundary
+    TIES are gathered explicitly (so the id tie-break is as exact as a
+    full lexsort), and only the ~kk candidates are sorted. Replaces
+    full-column ``np.lexsort`` (O(n log n), measured 4× the matmul
+    cost per Arrow batch at 512-d × 256 queries)."""
+    import numpy as np
+
+    n = len(ids)
+    kk = min(kk, n)
+    key = vals if ascending else -vals
+    if kk >= n:
+        return np.lexsort((ids, key))[:kk]
+    kth = np.partition(key, kk - 1)[kk - 1]
+    cand = np.nonzero(key <= kth)[0]
+    o = np.lexsort((ids[cand], key[cand]))[:kk]
+    return cand[o]
+
+
+def topk_rows_2d(S, ids, kk: int, ascending: bool = False):
+    """Per-COLUMN exact top-``kk`` of a 2-D score matrix ``S (n, nq)``
+    by ``(value desc|asc, id asc)`` → ``(kk, nq)`` row-index array.
+    One O(n·nq) partition pass + a tiny per-column sort over the
+    kk-plus-boundary-ties candidates; bitwise-identical selection to
+    the full-matrix lexsort it replaces (ties handled exactly), at a
+    fraction of the cost — and without materializing the (n, nq)
+    repeated-id matrix the lexsort form needed."""
+    import numpy as np
+
+    n, nq = S.shape
+    kk = min(kk, n)
+    key = S if ascending else -S
+    if kk >= n:
+        return np.lexsort(
+            (np.repeat(ids[:, None], nq, axis=1), key), axis=0
+        )[:kk]
+    kth = np.partition(key, kk - 1, axis=0)[kk - 1]  # (nq,)
+    mask = key <= kth
+    out = np.empty((kk, nq), dtype=np.int64)
+    for j in range(nq):
+        cand = np.nonzero(mask[:, j])[0]
+        o = np.lexsort((ids[cand], key[cand, j]))[:kk]
+        out[:, j] = cand[o]
+    return out
+
+
 def knn_search(
     corpus: DataFrame,
     query_vector: list[float],
@@ -190,9 +238,9 @@ def knn_join_blocked(
             ids = pdf[id_col].to_numpy()
             S = X @ Q.T  # (n, nq)
             kk = min(k, len(pdf))
-            # per query: local top-k by (sim desc, id asc)
-            order = np.lexsort((ids[:, None].repeat(S.shape[1], 1), -S), axis=0)
-            top = order[:kk]  # (kk, nq) row indices
+            # per query: local top-k by (sim desc, id asc) — exact
+            # tie-handling, partition-then-small-sort (see topk_rows_2d)
+            top = topk_rows_2d(S, ids, kk)  # (kk, nq) row indices
             qcol = np.repeat(qids[None, :], kk, axis=0)
             yield pd.DataFrame(
                 {
@@ -261,7 +309,7 @@ def knn_search_blocked(
             ids = pdf[id_col].to_numpy()
             s = X @ q
             kk = min(k, len(pdf))
-            top = np.lexsort((ids, -s))[:kk]
+            top = topk_rows_1d(s, ids, kk)
             yield pd.DataFrame({"id": ids[top], "sim": s[top]})
 
     local = corpus.select(
@@ -362,9 +410,7 @@ def dual_space_topk_blocked(
                 Sg = S[mg]
                 idg = ids[mg]
                 kk = min(k, int(mg.sum()))
-                order = np.lexsort(
-                    (idg[:, None].repeat(nq, 1), -Sg), axis=0
-                )[:kk]  # (kk, nq) row indices per query
+                order = topk_rows_2d(Sg, idg, kk)  # (kk, nq) per query
                 frames.append(
                     pd.DataFrame(
                         {

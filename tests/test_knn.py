@@ -159,3 +159,65 @@ def test_knn_search_blocked_fewer_rows_than_k(spark):
     out = knn_search_blocked(corpus, q, k=10).collect()
     assert len(out) == 3
     assert out[0]["id"] == 0  # self-hit first
+
+
+class TestTopkRowsHelpers:
+    """The partition-then-small-sort top-k selectors must be
+    bitwise-identical to the full lexsort they replaced — including
+    boundary TIES resolved by ascending id."""
+
+    def test_2d_matches_lexsort_with_ties(self):
+        import numpy as np
+
+        from multimodal_vector_db_spark.operators.knn import topk_rows_2d
+
+        rng = np.random.default_rng(5)
+        for trial in range(30):
+            n, nq, k = 200, 7, 10
+            # quantize scores so exact ties (incl. at the k boundary)
+            # are common
+            S = np.round(rng.standard_normal((n, nq)), 1)
+            ids = rng.permutation(n).astype(np.int64)
+            got = topk_rows_2d(S, ids, k)
+            want = np.lexsort(
+                (np.repeat(ids[:, None], nq, axis=1), -S), axis=0
+            )[:k]
+            assert np.array_equal(got, want), trial
+            # ascending variant
+            got_a = topk_rows_2d(S, ids, k, ascending=True)
+            want_a = np.lexsort(
+                (np.repeat(ids[:, None], nq, axis=1), S), axis=0
+            )[:k]
+            assert np.array_equal(got_a, want_a), trial
+
+    def test_1d_matches_lexsort_with_ties(self):
+        import numpy as np
+
+        from multimodal_vector_db_spark.operators.knn import topk_rows_1d
+
+        rng = np.random.default_rng(9)
+        for trial in range(50):
+            n, k = 300, 12
+            s = np.round(rng.standard_normal(n), 1)
+            ids = rng.permutation(n).astype(np.int64)
+            assert np.array_equal(
+                topk_rows_1d(s, ids, k), np.lexsort((ids, -s))[:k]
+            ), trial
+            assert np.array_equal(
+                topk_rows_1d(s, ids, k, ascending=True),
+                np.lexsort((ids, s))[:k],
+            ), trial
+
+    def test_k_exceeds_n(self):
+        import numpy as np
+
+        from multimodal_vector_db_spark.operators.knn import (
+            topk_rows_1d,
+            topk_rows_2d,
+        )
+
+        s = np.array([3.0, 1.0, 2.0])
+        ids = np.array([7, 8, 9])
+        assert list(topk_rows_1d(s, ids, 10)) == [0, 2, 1]
+        S = s[:, None]
+        assert topk_rows_2d(S, ids, 10).ravel().tolist() == [0, 2, 1]
