@@ -839,11 +839,28 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT tr.* FROM train tr
       WHERE NOT EXISTS (SELECT 1 FROM contaminated c
                         WHERE c.doc_id = tr.doc_id)
+    ),
+    srcrep AS (
+      SELECT source, sum(len(toks))::BIGINT AS s_sum,
+             count(*)::BIGINT AS s_n
+      FROM quality GROUP BY 1
+    ),
+    grep_ AS (
+      SELECT sum(s_sum)::BIGINT AS g_sum, sum(s_n)::BIGINT AS g_n
+      FROM srcrep
+    ),
+    blocked AS (
+      SELECT source FROM srcrep, grep_
+      WHERE s_sum::DOUBLE / s_n < 0.9 * (g_sum::DOUBLE / g_n)
+    ),
+    gated AS (
+      SELECT * FROM final
+      WHERE source NOT IN (SELECT source FROM blocked)
     )
     SELECT source,
            count(*)::BIGINT AS n_docs,
            sum(len(toks))::BIGINT AS total_tokens
-    FROM final GROUP BY source
+    FROM gated GROUP BY source
     """,
 )
 def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -851,12 +868,18 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     run as ONE declarative plan: quality gate (≥30 tokens) → exact
     dedup (lowest-id survivor) → deterministic train split (md5 bucket
     < 80) → 3-gram decontamination against the held-out test split
-    (bucket ≥ 90) → per-source accounting. Every stage is an operator
-    already oracle-checked in isolation; composing them costs five
-    exchanges total (the fingerprint agg + its semi-join, both sides of
-    the gram join, the final agg — bounded by a plan test) because the
-    quality/split filters are narrow and Catalyst pipelines them into
-    the scans."""
+    (bucket ≥ 90) → source-reputation gate (round 6: sources whose
+    quality-stage mean token count falls below 0.9× the global mean
+    are blocklisted and anti-joined out — the in-funnel form of
+    `source_reputation_gate`, exact integer-ratio arithmetic so the
+    comparison replays bit-for-bit) → per-source accounting. Every
+    stage is an operator already oracle-checked in isolation;
+    composing them costs eight exchanges total (the fingerprint agg +
+    its semi-join, both sides of the gram join, the final agg, and the
+    reputation stage's per-source agg + two singleton rollup hops over
+    the tiny source table — bounded by a plan test) because
+    the quality/split filters are narrow and Catalyst pipelines them
+    into the scans."""
     from multimodal_vector_db_spark.functions import text as X
     from multimodal_vector_db_spark.operators.dedup import dedup_keep_first
 
@@ -900,7 +923,26 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_grams.join(test_grams, "gram").select("doc_id").distinct()
     )
     final = train.join(contaminated, "doc_id", "left_anti")
-    return final.groupBy("source").agg(
+    # source-reputation stage: exact int-ratio means (sum/count, ONE
+    # IEEE division each) so both engines compare identical doubles
+    srcrep = quality.groupBy("source").agg(
+        F.sum(F.size("toks")).cast("long").alias("s_sum"),
+        F.count("*").cast("long").alias("s_n"),
+    )
+    glob = srcrep.agg(
+        F.sum("s_sum").cast("long").alias("g_sum"),
+        F.sum("s_n").cast("long").alias("g_n"),
+    )
+    blocked = (
+        srcrep.crossJoin(F.broadcast(glob))
+        .where(
+            F.col("s_sum").cast("double") / F.col("s_n")
+            < 0.9 * (F.col("g_sum").cast("double") / F.col("g_n"))
+        )
+        .select("source")
+    )
+    gated = final.join(F.broadcast(blocked), "source", "left_anti")
+    return gated.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.size("toks")).cast("long").alias("total_tokens"),
     )

@@ -224,11 +224,14 @@ def test_weekly_deltas_windows_post_aggregate(spark):
 
 
 def test_training_pipeline_shuffle_budget(spark):
-    # the composed curation pipeline must stay at <= 5 exchanges
-    # (fingerprint agg + semi-join, gram join both sides, final agg) —
-    # a regression here means a stage stopped pipelining into the scan
+    # the composed curation pipeline must stay at <= 8 exchanges
+    # (fingerprint agg + semi-join, gram join both sides, final agg,
+    # and the round-6 source-reputation stage's three: per-source agg
+    # over the quality scan + the two singleton-rollup hops over the
+    # TINY source table) — a regression here means a corpus-sized
+    # stage stopped pipelining into the scan
     p = plan_of(spark, "training_data_pipeline")
-    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 5, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 8, p
 
 
 def test_binary_rerank_window_carries_no_vectors(spark):
