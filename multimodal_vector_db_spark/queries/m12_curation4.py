@@ -959,3 +959,77 @@ def q_cdc_boilerplate_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("cleaned").cast("long").alias("n_chars"),
         F.md5("cleaned").alias("cleaned_md5"),
     )
+
+
+@query(
+    "flac_roundtrip_fingerprint",
+    rf"""
+    WITH {_AFP_FP}
+    SELECT doc_id, afp FROM fp
+    """,
+)
+def q_flac_roundtrip_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC codec under full hash check, via the lossless-identity
+    trick: each document's md5-derived PCM clip is compressed through
+    the REAL pure-numpy FLAC encoder and decompressed through the REAL
+    decoder (multimodal/flac.py — subframe type cycles
+    verbatim/fixed1/fixed2/LPC by doc_id, every fourth doc additionally
+    takes the stereo left/side decorrelation path), then fingerprinted.
+    FLAC is lossless, so the oracle scores the SAME fingerprint from
+    the raw PCM definition — any bitstream, rice, prediction, CRC or
+    decorrelation bug in either codec half breaks the hash. Closes the
+    round-5 'mp3/flac gated' gap for FLAC with a stronger-than-pytest
+    gate (driver-checked vs DuckDB)."""
+    from pyspark.sql import types as T
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = _afp_media(docs)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("afp", T.LongType()),
+        ]
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from multimodal_vector_db_spark.multimodal.flac import (
+            decode_flac,
+            encode_flac,
+        )
+        from multimodal_vector_db_spark.multimodal.phash import (
+            audio_fingerprint15,
+        )
+
+        modes = ["verbatim", "fixed1", "fixed2", "lpc"]
+
+        def one(doc_id: int, wav: bytes) -> int:
+            x = np.frombuffer(bytes(wav)[44:], dtype="<i2").astype(
+                np.int64
+            )
+            mode = modes[doc_id % 4]
+            if doc_id % 4 == 3:
+                pcm = np.stack([x, x], axis=1)  # L == R: side == 0
+                flac = encode_flac(
+                    pcm, 16_000, subframe=mode, stereo="left_side"
+                )
+            else:
+                flac = encode_flac(x, 16_000, subframe=mode)
+            _, y = decode_flac(flac)
+            return audio_fingerprint15(y)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "afp": [
+                        one(int(d), w)
+                        for d, w in zip(pdf["doc_id"], pdf["content"])
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, out_schema)

@@ -75,11 +75,14 @@ def test_frame_sampling_matches_python_reference(spark):
 
 
 def test_stub_decoders_raise(spark):
-    # formats OUTSIDE the real stdlib codecs (netpbm / PCM WAV) stay
-    # gated on PIL / soundfile
+    # formats OUTSIDE the real codecs stay gated on PIL / soundfile;
+    # FLAC is real since round 6 — a malformed fLaC payload is now a
+    # codec ValueError, not a gate
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG fake")
     with pytest.raises(NotImplementedError):
+        load_audio(b"\xff\xfb mp3 frame-ish")
+    with pytest.raises(ValueError):
         load_audio(b"fLaC fake")
 
 
@@ -444,3 +447,143 @@ def test_media_features_quarantine_lane(spark):
         assert rows[bad_id]["decoder"] == "error"
         assert rows[bad_id]["features"] is None
         assert needle in rows[bad_id]["error"]
+
+
+class TestFlacCodec:
+    """Pure-numpy FLAC codec (multimodal/flac.py): FLAC is lossless,
+    so every round-trip assertion is EXACT equality — the strongest
+    check a codec can get. Covers every subframe type, both stereo
+    decorrelation families, rice partitioning, non-16 bit depths,
+    CRC enforcement, and agreement with the WAV decoder on identical
+    PCM."""
+
+    def _sig(self, n=2000, seed=3):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        t = np.arange(n)
+        return (
+            3000 * np.sin(t / 20) + rng.integers(-50, 50, n)
+        ).astype(np.int64)
+
+    def test_all_subframe_types_round_trip(self):
+        import numpy as np
+
+        from multimodal_vector_db_spark.multimodal.flac import (
+            decode_flac,
+            encode_flac,
+        )
+
+        x = self._sig()
+        want = x.astype(np.float64) / 32768.0
+        sizes = {}
+        for mode in ("verbatim", "fixed0", "fixed1", "fixed2",
+                     "fixed3", "fixed4", "lpc"):
+            b = encode_flac(x, 16000, subframe=mode)
+            sr, y = decode_flac(b)
+            assert sr == 16000 and np.array_equal(y, want), mode
+            sizes[mode] = len(b)
+        # prediction must actually compress vs verbatim on smooth data
+        assert sizes["fixed2"] < sizes["fixed1"] < sizes["verbatim"]
+        # constant subframe
+        c = np.full(1024, -1234, dtype=np.int64)
+        sr, y = decode_flac(encode_flac(c, 8000, subframe="constant"))
+        assert sr == 8000 and np.array_equal(y, c / 32768.0)
+
+    def test_stereo_decorrelation_modes(self):
+        import numpy as np
+
+        from multimodal_vector_db_spark.multimodal.flac import (
+            decode_flac,
+            encode_flac,
+        )
+
+        x = self._sig()
+        st = np.stack([x, x // 2 + 101], axis=1)
+        want = st.mean(axis=1) / 32768.0  # decoder downmixes to mono
+        for mode in ("independent", "left_side", "right_side",
+                     "mid_side"):
+            sr, y = decode_flac(
+                encode_flac(st, 44100, subframe="fixed2", stereo=mode)
+            )
+            assert sr == 44100 and np.array_equal(y, want), mode
+
+    def test_partitioned_rice_and_8bit(self):
+        import numpy as np
+
+        from multimodal_vector_db_spark.multimodal.flac import (
+            decode_flac,
+            encode_flac,
+        )
+
+        rng = np.random.default_rng(11)
+        x8 = rng.integers(-100, 100, 512).astype(np.int64)
+        sr, y = decode_flac(
+            encode_flac(x8, 22050, bps=8, block_size=256,
+                        subframe="fixed1", part_order=2)
+        )
+        assert sr == 22050 and np.array_equal(y, x8 / 128.0)
+
+    def test_crc_corruption_detected(self):
+        import pytest
+
+        from multimodal_vector_db_spark.multimodal.flac import (
+            decode_flac,
+            encode_flac,
+        )
+
+        b = bytearray(encode_flac(self._sig(512), 16000))
+        b[-1] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            decode_flac(bytes(b))
+        with pytest.raises(ValueError, match="magic"):
+            decode_flac(b"nope" + bytes(b))
+
+    def test_matches_wav_decoder_on_same_pcm(self):
+        import numpy as np
+
+        from multimodal_vector_db_spark.multimodal.codecs import (
+            decode_wav,
+            encode_wav,
+        )
+        from multimodal_vector_db_spark.multimodal.flac import (
+            decode_flac,
+            encode_flac,
+        )
+
+        x = self._sig(1600, seed=9)
+        sr_w, yw = decode_wav(encode_wav(x.astype(np.int16), 16000))
+        sr_f, yf = decode_flac(encode_flac(x, 16000))
+        assert sr_w == sr_f == 16000
+        assert np.array_equal(yw, yf)
+
+    def test_pipeline_dispatch(self):
+        import numpy as np
+
+        from multimodal_vector_db_spark.multimodal.flac import encode_flac
+        from multimodal_vector_db_spark.multimodal.pipeline import (
+            load_audio,
+        )
+
+        x = self._sig(800)
+        sr, y = load_audio(encode_flac(x, 16000))
+        assert sr == 16000 and np.array_equal(
+            y, x.astype(np.float64) / 32768.0
+        )
+
+    def test_spark_feature_extraction_flac(self, spark):
+        import numpy as np
+
+        from multimodal_vector_db_spark.multimodal.flac import encode_flac
+        from multimodal_vector_db_spark.multimodal.pipeline import (
+            extract_media_features,
+        )
+
+        x = self._sig(800)
+        media = spark.createDataFrame(
+            [(1, "audio", encode_flac(x, 16000))],
+            "id long, modality string, content binary",
+        )
+        row = extract_media_features(media).collect()[0]
+        assert row["decoder"] == "flac"
+        assert row["features"] is not None and len(row["features"]) > 0
