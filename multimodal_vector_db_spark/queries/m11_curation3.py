@@ -853,3 +853,117 @@ def q_unigram_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf = word_freqs(_t(spark, sf_dir, "documents"))
     probs = seed_probs(wf)
     return viterbi_piece_counts(wf, probs).select("piece", "n")
+
+
+@query(
+    "unigram_em_iteration",
+    rf"""
+    WITH RECURSIVE t AS (
+      SELECT {_TOKS.format(col="lower(text)")} AS toks FROM documents
+    ),
+    wfreq AS (
+      SELECT u.w, count(*)::BIGINT AS freq
+      FROM t, UNNEST(toks) AS u(w) GROUP BY 1
+    ),
+    seedp AS (
+      SELECT u.piece, sum(freq)::BIGINT AS c
+      FROM wfreq,
+           UNNEST(
+             list_transform(generate_series(1, length(w)),
+                            i -> substr(w, i, 1))
+             || CASE WHEN length(w) >= 2
+                THEN list_transform(generate_series(1, length(w) - 1),
+                                    i -> substr(w, i, 2))
+                ELSE []::VARCHAR[] END) AS u(piece)
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(c)::DOUBLE AS s FROM seedp),
+    probs AS (SELECT piece, c / tot.s AS p FROM seedp, tot),
+    rec AS (
+      SELECT w, 0 AS j, 1.0::DOUBLE AS v1, 0.0::DOUBLE AS v2,
+             []::VARCHAR[] AS seg1, []::VARCHAR[] AS seg2
+      FROM (SELECT DISTINCT w FROM wfreq)
+      UNION ALL
+      SELECT r.w, r.j + 1,
+             CASE WHEN r.j >= 1 AND r.v2 * pb.p > r.v1 * pc.p
+                  THEN r.v2 * pb.p ELSE r.v1 * pc.p END,
+             r.v1,
+             CASE WHEN r.j >= 1 AND r.v2 * pb.p > r.v1 * pc.p
+                  THEN list_append(r.seg2, substr(r.w, r.j, 2))
+                  ELSE list_append(r.seg1, substr(r.w, r.j + 1, 1)) END,
+             r.seg1
+      FROM rec r
+      JOIN probs pc ON pc.piece = substr(r.w, r.j + 1, 1)
+      LEFT JOIN probs pb
+        ON pb.piece = substr(r.w, r.j, 2) AND r.j >= 1
+      WHERE r.j < length(r.w)
+    ),
+    cnt1 AS (
+      SELECT u.piece, sum(wf.freq)::BIGINT AS n
+      FROM (SELECT w, seg1 FROM rec WHERE j = length(w)) b
+      JOIN wfreq wf ON wf.w = b.w,
+           UNNEST(b.seg1) AS u(piece)
+      GROUP BY 1
+    ),
+    -- M-step: renormalize over the surviving pieces (exact integer
+    -- ratios, one IEEE division — bitwise what the driver computes)
+    tot2 AS (SELECT sum(n)::DOUBLE AS s FROM cnt1),
+    probs2 AS (SELECT piece, n / tot2.s AS p FROM cnt1, tot2),
+    -- E-step round 2 under the re-estimated model: pieces that fell
+    -- out of the model score 0 via the COALESCEd LEFT joins
+    rec2 AS (
+      SELECT w, 0 AS j, 1.0::DOUBLE AS v1, 0.0::DOUBLE AS v2,
+             []::VARCHAR[] AS seg1, []::VARCHAR[] AS seg2
+      FROM (SELECT DISTINCT w FROM wfreq)
+      UNION ALL
+      SELECT r.w, r.j + 1,
+             CASE WHEN r.j >= 1
+                       AND r.v2 * coalesce(pb.p, 0.0)
+                           > r.v1 * coalesce(pc.p, 0.0)
+                  THEN r.v2 * coalesce(pb.p, 0.0)
+                  ELSE r.v1 * coalesce(pc.p, 0.0) END,
+             r.v1,
+             CASE WHEN r.j >= 1
+                       AND r.v2 * coalesce(pb.p, 0.0)
+                           > r.v1 * coalesce(pc.p, 0.0)
+                  THEN list_append(r.seg2, substr(r.w, r.j, 2))
+                  ELSE list_append(r.seg1, substr(r.w, r.j + 1, 1)) END,
+             r.seg1
+      FROM rec2 r
+      LEFT JOIN probs2 pc ON pc.piece = substr(r.w, r.j + 1, 1)
+      LEFT JOIN probs2 pb
+        ON pb.piece = substr(r.w, r.j, 2) AND r.j >= 1
+      WHERE r.j < length(r.w)
+    ),
+    cnt2 AS (
+      SELECT u.piece, sum(wf.freq)::BIGINT AS n
+      FROM (SELECT w, seg1 FROM rec2 WHERE j = length(w)) b
+      JOIN wfreq wf ON wf.w = b.w,
+           UNNEST(b.seg1) AS u(piece)
+      GROUP BY 1
+    )
+    SELECT piece, n FROM cnt2
+    """,
+)
+def q_unigram_em_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A FULL hard-EM iteration of the unigram-LM trainer under hash
+    check — further than any fit-type query goes (the KMeans/PCA/BPE
+    fits are engine-specific; this one's E-M-E cycle is replayed
+    exactly): seed model → Viterbi E-step → driver renormalize M-step
+    (exact integer ratios) → second Viterbi E-step under the
+    re-estimated model → expected counts. The oracle replays BOTH
+    lattice passes as recursive CTEs; a drift anywhere in the EM loop
+    breaks the hash."""
+    from multimodal_vector_db_spark.operators.unigram_lm import (
+        seed_probs,
+        viterbi_piece_counts,
+        word_freqs,
+    )
+
+    wf = word_freqs(_t(spark, sf_dir, "documents"))
+    wf = wf.localCheckpoint(eager=True)  # two E-step passes
+    probs = seed_probs(wf)
+    counts = viterbi_piece_counts(wf, probs).collect()
+    tot = float(sum(r["n"] for r in counts))
+    probs2 = {r["piece"]: r["n"] / tot for r in counts}
+    return viterbi_piece_counts(wf, probs2).select("piece", "n")

@@ -535,3 +535,44 @@ def test_media_refresh_stream_audio_and_video(spark, tmp_path):
         assert survivors == [1, 2, 11], modality
         # 3 survivors x 2 bands (15-bit contour fingerprints)
         assert spark.read.parquet(index).count() == 6, modality
+
+
+def test_media_refresh_replay_is_idempotent(spark, tmp_path):
+    """Crash-recovery contract: replaying a microbatch that already
+    completed BOTH appends (corpus + fingerprint index) admits nothing
+    — each replayed image matches its own stored fingerprint at
+    Hamming 0 and is dropped. Simulated with a fresh checkpoint over
+    the same source file (the at-least-once worst case)."""
+    import numpy as np
+
+    from multimodal_vector_db_spark.streaming import media_refresh_stream
+
+    src = tmp_path / "replay_src"
+    src.mkdir()
+    corpus = str(tmp_path / "replay_corpus")
+    index = str(tmp_path / "replay_index")
+
+    rng = np.random.default_rng(41)
+    schema = "doc_id long, content binary"
+    imgs = [
+        (i, _p5(rng.integers(0, 256, (7, 9), dtype=np.uint8)))
+        for i in range(3)
+    ]
+    spark.createDataFrame(imgs, schema).coalesce(1).write.parquet(
+        str(src / "batch")
+    )
+
+    media_refresh_stream(
+        spark.readStream.schema(schema).parquet(f"{src}/*"),
+        corpus, index, str(tmp_path / "ckpt1"), modality="image",
+    ).start().awaitTermination(120)
+    assert spark.read.parquet(corpus).count() == 3
+    assert spark.read.parquet(index).count() == 12
+
+    # replay: new checkpoint, same file — everything must be dropped
+    media_refresh_stream(
+        spark.readStream.schema(schema).parquet(f"{src}/*"),
+        corpus, index, str(tmp_path / "ckpt2"), modality="image",
+    ).start().awaitTermination(120)
+    assert spark.read.parquet(corpus).count() == 3
+    assert spark.read.parquet(index).count() == 12
