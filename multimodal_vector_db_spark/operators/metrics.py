@@ -132,3 +132,25 @@ def rankings_from_knn(knn_out: DataFrame) -> DataFrame:
             lambda s: s["id"],
         ).alias("retrieved")
     )
+
+
+def reciprocal_rank(retrieved: Column, relevant: Column) -> Column:
+    """RR — ``1 / rank`` of the FIRST relevant hit in ``retrieved``,
+    0.0 if none. The per-query term of MRR, the standard
+    single-relevant-item retrieval metric (beyond the reference's
+    A5-A9 family; rounds out the IR-metric set next to AP/NDCG).
+    Sequential fold, deterministic accumulation order like the rest of
+    this module."""
+    n = F.size(retrieved)
+    first_hit = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0).cast("int"),
+        lambda acc, i: F.when(acc > 0, acc).otherwise(
+            F.when(
+                F.array_contains(relevant, F.element_at(retrieved, i)), i
+            ).otherwise(0)
+        ),
+    )
+    return F.when(
+        first_hit > 0, F.lit(1.0) / first_hit.cast("double")
+    ).otherwise(F.lit(0.0))

@@ -190,3 +190,33 @@ def test_center_by_group_matches_relational(spark, embeddings):
         ids = [r["vec_id"] for r in rows if r["label"] == lbl]
         s = np.sum([got[i] for i in ids], axis=0)
         assert np.abs(s).max() < 1e-2
+
+
+def test_reciprocal_rank_known_values(spark):
+    """MRR's per-query term: hand-computed positions, including the
+    no-hit zero case and first-position hit."""
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.operators.metrics import (
+        reciprocal_rank,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [5, 6, 7], [7]),      # first hit at rank 3 -> 1/3
+            (2, [5, 6, 7], [5, 7]),   # first hit at rank 1 -> 1.0
+            (3, [5, 6, 7], [9]),      # no hit -> 0.0
+            (4, [5, 6, 7], [6, 9]),   # first hit at rank 2 -> 0.5
+        ],
+        "qid long, retrieved array<long>, relevant array<long>",
+    )
+    got = {
+        r["qid"]: r["rr"]
+        for r in df.select(
+            "qid",
+            F.round(
+                reciprocal_rank(F.col("retrieved"), F.col("relevant")), 6
+            ).alias("rr"),
+        ).collect()
+    }
+    assert got == {1: round(1 / 3, 6), 2: 1.0, 3: 0.0, 4: 0.5}
