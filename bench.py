@@ -66,6 +66,21 @@ HEADLINE = [
 BUILD_VERSION = "r5-1"
 
 
+def _tm5(run) -> tuple[float, float]:
+    """(median, min) of 5 samples after one warmup — used by the
+    ref-scale sections, whose 1+ GB Arrow/numpy workloads swing 2-3×
+    run-to-run on this host (GC + page-cache state): the median of 3
+    is not stable there; min is the capability floor."""
+    run()
+    ts = []
+    for _ in range(5):
+        t0 = time.time()
+        run()
+        ts.append(time.time() - t0)
+    ts.sort()
+    return ts[2], ts[0]
+
+
 def _build_cached(build_fn, sentinel_path: str, tag: str) -> bool:
     """Run ``build_fn`` unless a matching sentinel says this exact build
     (version + tag) already exists on disk. Every artifact both builders
@@ -753,7 +768,7 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
         [float(x) for x in r["q_emb"]]
         for r in qdf.orderBy("query_id").collect()
     ]
-    med, mn = tm5(lambda: eng.search_batch(q256, k=10))
+    med, mn = _tm5(lambda: eng.search_batch(q256, k=10))
     out["facade_batch_ms_per_query"] = round(med / 256 * 1000, 3)
     out["facade_batch_ms_per_query_min"] = round(mn / 256 * 1000, 3)
 
@@ -801,7 +816,7 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
         3,
     )
     cmp_queries = [f"compare query {i}" for i in range(256)]
-    med, mn = tm5(
+    med, mn = _tm5(
         lambda: eng_cmp.compare_modalities_batch(
             cmp_queries, k_per_modality=3
         )
@@ -1002,20 +1017,6 @@ def ref_scale_16x_bench(spark, wh_dir: str, timed_median) -> dict:
     )
     qdf = spark.read.parquet(f"{wh_dir}/ref711k_queries.parquet")
 
-    def tm5(run) -> tuple[float, float]:
-        """(median, min) of 5 samples after warmup — this section's
-        1.4 GB Arrow/numpy workload swings 2-3× run-to-run on this
-        host (GC + page-cache state), so the median of 3 is not
-        stable; min is the capability floor."""
-        run()
-        ts = []
-        for _ in range(5):
-            t0 = time.time()
-            run()
-            ts.append(time.time() - t0)
-        ts.sort()
-        return ts[2], ts[0]
-
     out: dict = {
         "corpus": {
             "rows": REF16_N,
@@ -1038,7 +1039,7 @@ def ref_scale_16x_bench(spark, wh_dir: str, timed_median) -> dict:
         ),
     }
 
-    med, mn = tm5(
+    med, mn = _tm5(
         lambda: knn_join_blocked(corpus, qdf, k=10)
         .write.format("noop")
         .mode("overwrite")
@@ -1063,7 +1064,7 @@ def ref_scale_16x_bench(spark, wh_dir: str, timed_median) -> dict:
         [float(x) for x in r["q_emb"]]
         for r in qdf.orderBy("query_id").collect()
     ]
-    med, mn = tm5(lambda: eng.search_batch(q256, k=10))
+    med, mn = _tm5(lambda: eng.search_batch(q256, k=10))
     out["facade_batch_ms_per_query"] = round(med / 256 * 1000, 3)
     out["facade_batch_ms_per_query_min"] = round(mn / 256 * 1000, 3)
 
@@ -1081,7 +1082,7 @@ def ref_scale_16x_bench(spark, wh_dir: str, timed_median) -> dict:
     )
     eng_cmp = MultiModalSearchEngine(spark, items=items_cmp, dim=REF_DIM)
     cmp_queries = [f"compare query {i}" for i in range(256)]
-    med, mn = tm5(
+    med, mn = _tm5(
         lambda: eng_cmp.compare_modalities_batch(
             cmp_queries, k_per_modality=3
         )

@@ -27,7 +27,6 @@ thing. Test strategy in tests/test_multimodal.py::TestFlacCodec.
 from __future__ import annotations
 
 import io
-import struct
 
 import numpy as np
 
@@ -381,7 +380,12 @@ def decode_flac(content: bytes) -> tuple[int, np.ndarray]:
             rate = br.read_bits(16) * 10
         else:
             raise ValueError("flac: invalid sample rate code")
-        bps = stream_bps if ss_code == 0 else _SAMPLE_SIZES[ss_code]
+        if ss_code == 0:
+            bps = stream_bps
+        elif ss_code in _SAMPLE_SIZES:
+            bps = _SAMPLE_SIZES[ss_code]
+        else:
+            raise ValueError(f"flac: reserved sample size code {ss_code}")
         hdr_crc = crc8(content[frame_start : br.pos + (1 if br.bit else 0)])
         got_crc = br.read_bits(8)
         if br.bit != 0:
