@@ -827,62 +827,3 @@ def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-
-
-@query(
-    "mrr_metric",
-    f"""
-    WITH {_RANKINGS_CTE},
-    perq AS (
-      SELECT query_id,
-             round(coalesce(
-               1.0 / list_min(list_filter(
-                 list_transform(generate_series(1, len(retrieved)),
-                   i -> CASE WHEN list_contains(relevant, retrieved[i])
-                             THEN i END),
-                 x -> x IS NOT NULL)),
-               0.0), 6) AS rr
-      FROM rr
-    )
-    SELECT query_id, rr,
-           (SELECT round(avg(rr), 6) FROM perq) AS mrr
-    FROM perq
-    """,
-)
-def q_mrr_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MRR: per-query reciprocal rank of the first same-label hit in
-    the top-10, plus the corpus MRR on every row — completes the
-    IR-metric family (recall/precision/AP/MAP/NDCG/MRR). Same ranking
-    CTE as `metrics_eval`; the RR fold is sequential and
-    order-deterministic."""
-    from multimodal_vector_db_spark.operators.metrics import (
-        rankings_from_knn,
-        reciprocal_rank,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    qs = emb.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("label").alias("qlabel"),
-    )
-    knn = knn_join(
-        emb.select(F.col("vec_id").alias("id"), "embedding"),
-        qs.select("query_id", "q_emb"),
-        k=10,
-    )
-    retrieved = rankings_from_knn(knn)
-    relevant = (
-        qs.select("query_id", "qlabel")
-        .join(emb, on=(F.col("qlabel") == emb.label))
-        .groupBy("query_id")
-        .agg(F.array_sort(F.collect_list("vec_id")).alias("relevant"))
-    )
-    perq = retrieved.join(relevant, on="query_id").select(
-        "query_id",
-        F.round(
-            reciprocal_rank(F.col("retrieved"), F.col("relevant")), 6
-        ).alias("rr"),
-    )
-    mrr = perq.agg(F.round(F.avg("rr"), 6).alias("mrr"))
-    return perq.crossJoin(F.broadcast(mrr))
