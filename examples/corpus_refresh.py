@@ -81,6 +81,32 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"== semantic dedup: kept {sem.where('kept').count()} "
           f"of {sem.count()} vectors ==")
 
+    # 4b. MEDIA modality (round 6): the same refresh loop for images —
+    #     decode real binary media ONCE, dedup the ingest batch against
+    #     a persisted band-sliced fingerprint index (historical media
+    #     bytes never re-read). Streaming-native form:
+    #     streaming/ingest.py:media_refresh_stream.
+    from multimodal_vector_db_spark.multimodal.phash import (
+        band_slices,
+        image_dhash,
+        incremental_near_dup_images,
+    )
+    from multimodal_vector_db_spark.queries.m12_curation4 import (
+        _phash_media,
+    )
+
+    media = _phash_media(docs.where(F.col("doc_id") < 200))
+    m_hist = media.where(F.col("doc_id") < 100)
+    m_batch = media.where(F.col("doc_id") >= 100)
+    m_idx = band_slices(image_dhash(m_hist), 56, 4)
+    m_dups = incremental_near_dup_images(
+        image_dhash(m_batch), m_idx, max_hamming=1
+    )
+    print(
+        f"== image refresh: {m_dups.select('batch_id').distinct().count()}"
+        f"/{m_batch.count()} batch images near-duplicate history =="
+    )
+
     # 5. Contrastive pairs for the embedding-model refresh.
     anchors = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("anchor_id"),
