@@ -273,6 +273,8 @@ def _decode_subframe(
         )
     elif 8 <= ftype <= 12:  # FIXED, order = ftype - 8
         order = ftype - 8
+        if order > block_size:
+            raise ValueError("flac: fixed order exceeds block size")
         warm = [br.read_signed(eff) for _ in range(order)]
         resid = _decode_residual(br, block_size, order)
         out = np.empty(block_size, dtype=np.int64)
@@ -285,6 +287,8 @@ def _decode_subframe(
             out[i] = pred + resid[i - order]
     elif ftype >= 32:  # LPC, order = ftype - 31
         order = ftype - 31
+        if order > block_size:
+            raise ValueError("flac: LPC order exceeds block size")
         warm = [br.read_signed(eff) for _ in range(order)]
         precision = br.read_bits(4) + 1
         if precision == 16:
@@ -593,24 +597,43 @@ def encode_flac(
         header = hw.getvalue()
         header += bytes([crc8(header)])
 
+        # Short-final-block fallbacks (what every real encoder does):
+        # a FIXED/LPC subframe needs at least `order` warmup samples,
+        # and rice partitioning needs the block divisible with a
+        # non-negative first partition — fall back to verbatim / an
+        # unpartitioned residual when the tail block is too short.
+        sub_order = (
+            2 if subframe == "lpc"
+            else int(subframe[-1]) if subframe.startswith("fixed")
+            else 0
+        )
+        blk_subframe = subframe if nb > sub_order else (
+            "verbatim" if subframe != "constant" else "constant"
+        )
+        blk_po = part_order
+        while blk_po > 0 and (
+            nb % (1 << blk_po) or (nb >> blk_po) <= sub_order
+        ):
+            blk_po -= 1
+
         fw = _BitWriter()
         if ch_code == 8:  # left/side
             left, right = blk[:, 0], blk[:, 1]
-            _encode_subframe(fw, left, bps, subframe, part_order)
-            _encode_subframe(fw, left - right, bps + 1, subframe, part_order)
+            _encode_subframe(fw, left, bps, blk_subframe, blk_po)
+            _encode_subframe(fw, left - right, bps + 1, blk_subframe, blk_po)
         elif ch_code == 9:  # right/side
             left, right = blk[:, 0], blk[:, 1]
-            _encode_subframe(fw, left - right, bps + 1, subframe, part_order)
-            _encode_subframe(fw, right, bps, subframe, part_order)
+            _encode_subframe(fw, left - right, bps + 1, blk_subframe, blk_po)
+            _encode_subframe(fw, right, bps, blk_subframe, blk_po)
         elif ch_code == 10:  # mid/side
             left, right = blk[:, 0], blk[:, 1]
             _encode_subframe(
-                fw, (left + right) >> 1, bps, subframe, part_order
+                fw, (left + right) >> 1, bps, blk_subframe, blk_po
             )
-            _encode_subframe(fw, left - right, bps + 1, subframe, part_order)
+            _encode_subframe(fw, left - right, bps + 1, blk_subframe, blk_po)
         else:
             for c in range(n_ch):
-                _encode_subframe(fw, blk[:, c], bps, subframe, part_order)
+                _encode_subframe(fw, blk[:, c], bps, blk_subframe, blk_po)
         fw.align()
         frame = header + fw.getvalue()
         frame += crc16(frame).to_bytes(2, "big")

@@ -464,3 +464,64 @@ def test_bigram_lm_scores_typical_below_atypical(spark):
     assert out[100]["log_ppl"] < out[101]["log_ppl"]
     assert out[100]["n_bigrams"] == 5
     assert out[101]["n_bigrams"] == 4
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=600,
+    ),
+    st.sampled_from(
+        ["verbatim", "fixed0", "fixed1", "fixed2", "fixed3", "fixed4",
+         "lpc"]
+    ),
+    st.sampled_from([64, 256]),
+)
+def test_flac_round_trip_is_exact_for_any_signal(samples, mode, bs):
+    """FLAC is lossless: encode→decode must be EXACT for arbitrary
+    int16 signals, every subframe type, any blocking — including
+    pathological inputs (full-scale steps, constants, single samples)
+    where rice parameters and residuals hit their extremes."""
+    import numpy as np
+
+    from multimodal_vector_db_spark.multimodal.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    x = np.asarray(samples, dtype=np.int64)
+    sr, y = decode_flac(
+        encode_flac(x, 16_000, block_size=bs, subframe=mode)
+    )
+    assert sr == 16_000
+    assert np.array_equal(y, x.astype(np.float64) / 32768.0)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-32768, max_value=32767),
+            st.integers(min_value=-32768, max_value=32767),
+        ),
+        min_size=2,
+        max_size=400,
+    ),
+    st.sampled_from(["left_side", "right_side", "mid_side"]),
+)
+def test_flac_stereo_decorrelation_exact(pairs, stereo):
+    import numpy as np
+
+    from multimodal_vector_db_spark.multimodal.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    x = np.asarray(pairs, dtype=np.int64)
+    sr, y = decode_flac(
+        encode_flac(x, 8_000, block_size=128, subframe="fixed1",
+                    stereo=stereo)
+    )
+    assert np.array_equal(y, x.mean(axis=1) / 32768.0)
