@@ -322,6 +322,63 @@ def audio_features(sr: int, x: np.ndarray) -> list[float]:
     return [n / float(sr), rms, zcr, centroid, rolloff]
 
 
+def mel_filterbank(
+    sr: int, n_fft: int, n_mels: int, fmin: float = 0.0,
+    fmax: float | None = None,
+) -> np.ndarray:
+    """Triangular mel filterbank (HTK mel scale,
+    ``mel = 2595·log10(1 + f/700)``) → ``(n_mels, n_fft//2 + 1)``.
+    The front half of every CLAP/Whisper-style audio encoder
+    (reference computes this inside librosa, ``audio_embedder.py``);
+    pure numpy, deterministic."""
+    if fmax is None:
+        fmax = sr / 2.0
+
+    def to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+    def from_mel(m):
+        return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+    pts = from_mel(
+        np.linspace(to_mel(fmin), to_mel(fmax), n_mels + 2)
+    )
+    bins = np.floor((n_fft + 1) * pts / sr).astype(np.int64)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(n_mels):
+        lo, mid, hi = bins[m], bins[m + 1], bins[m + 2]
+        for k in range(lo, mid):
+            if mid > lo and 0 <= k < fb.shape[1]:
+                fb[m, k] = (k - lo) / (mid - lo)
+        for k in range(mid, hi):
+            if hi > mid and 0 <= k < fb.shape[1]:
+                fb[m, k] = (hi - k) / (hi - mid)
+    return fb
+
+
+def log_mel_spectrogram(
+    x: np.ndarray, sr: int, n_fft: int = 256, hop: int = 128,
+    n_mels: int = 32,
+) -> np.ndarray:
+    """Hann-windowed framed power spectrum → mel filterbank →
+    ``log10(mel + 1e-10)`` → ``(n_frames, n_mels)``. Vectorized: one
+    strided frame matrix, one batched rfft, one matmul against the
+    filterbank. Signals shorter than ``n_fft`` are zero-padded to one
+    frame."""
+    x = np.asarray(x, dtype=np.float64)
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = (
+        np.arange(n_fft)[None, :]
+        + hop * np.arange(n_frames)[:, None]
+    )
+    frames = x[idx] * np.hanning(n_fft)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    mel = power @ mel_filterbank(sr, n_fft, n_mels).T
+    return np.log10(mel + 1e-10)
+
+
 # -- Y4M video ---------------------------------------------------------------
 
 

@@ -425,3 +425,64 @@ def extract_media_features_quarantined(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=MEDIA_FEATURE_Q_SCHEMA)
+
+
+def audio_mel_features(
+    media: DataFrame,
+    n_fft: int = 256,
+    hop: int = 128,
+    n_mels: int = 32,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Real DSP front-end for the audio modality: decode each binary
+    clip (PCM WAV or FLAC — both real codecs), compute the
+    Hann/rfft/mel-filterbank log-mel spectrogram
+    (:func:`codecs.log_mel_spectrogram` — the exact input surface a
+    CLAP/Whisper-style encoder consumes; the reference gets it from
+    librosa inside ``audio_embedder.py``), and emit the time-pooled
+    per-band means → ``(id, n_frames, mel ARRAY<DOUBLE>[n_mels])``.
+    One Arrow-batched pass; the model forward itself stays env-gated
+    (embedders/real.py), but everything up to its input tensor is
+    real and tested."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("mel", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from multimodal_vector_db_spark.multimodal.codecs import (
+            decode_wav,
+            log_mel_spectrogram,
+        )
+        from multimodal_vector_db_spark.multimodal.flac import decode_flac
+
+        def one(b: bytes):
+            b = bytes(b)
+            if b[:4] == b"fLaC":
+                sr, x = decode_flac(b)
+            else:
+                sr, x = decode_wav(b)
+            m = log_mel_spectrogram(
+                x, sr, n_fft=n_fft, hop=hop, n_mels=n_mels
+            )
+            return len(m), [float(v) for v in m.mean(axis=0)]
+
+        for pdf in it:
+            decoded = pdf[content_col].map(one)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_frames": decoded.map(lambda t: t[0]).astype("int64"),
+                    "mel": decoded.map(lambda t: t[1]),
+                }
+            )
+
+    return media.select(id_col, content_col).mapInPandas(
+        batches, schema=out_schema
+    )
