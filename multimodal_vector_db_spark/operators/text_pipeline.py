@@ -149,6 +149,14 @@ def bigram_lm_scores(
         F.split(F.col("bg"), " ", 2).getItem(1).alias("w2"),
     )
     big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    if broadcast_model:
+        # Pin the vocab-bounded model tables: the scoring pass joins
+        # uni THREE times and big once — un-pinned, each reference
+        # re-scans and re-aggregates the whole corpus (12 parquet
+        # scans in the ensemble gate's audited plan vs 3 pinned).
+        # Exactly the tables the broadcast ships anyway.
+        uni = uni.localCheckpoint(eager=True)
+        big = big.localCheckpoint(eager=True)
     totals = uni.agg(
         F.sum("c").alias("N"), F.count("*").alias("V")
     )
