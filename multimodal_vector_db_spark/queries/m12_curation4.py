@@ -1101,5 +1101,8 @@ def q_mrr_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
             reciprocal_rank(F.col("retrieved"), F.col("relevant")), 6
         ).alias("rr"),
     )
+    # |queries| rows, referenced twice (per-query output + the MRR
+    # rollup) — pin it so the kNN subtree runs once, not twice
+    perq = perq.localCheckpoint(eager=True)
     mrr = perq.agg(F.round(F.avg("rr"), 6).alias("mrr"))
     return perq.crossJoin(F.broadcast(mrr))
