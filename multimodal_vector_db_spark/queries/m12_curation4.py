@@ -1106,3 +1106,173 @@ def q_mrr_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     perq = perq.localCheckpoint(eager=True)
     mrr = perq.agg(F.round(F.avg("rr"), 6).alias("mrr"))
     return perq.crossJoin(F.broadcast(mrr))
+
+
+#: CTE prefix of the NB oracle (everything before its final SELECT)
+_NB_CTES = _NB_ORACLE[: _NB_ORACLE.rindex("SELECT te.doc_id")].strip()[
+    len("WITH ") :
+].rstrip()
+
+
+@query(
+    "classifier_confusion",
+    rf"""
+    WITH {_NB_CTES}
+    , scored2 AS (
+      SELECT te.doc_id,
+             CASE WHEN te.source = 'src0' THEN 1 ELSE 0 END AS actual,
+             CASE WHEN round(coalesce(agg.so, 0.0) + prior.pd, 6) > 0
+                  THEN 1 ELSE 0 END AS pred
+      FROM te LEFT JOIN agg USING (doc_id), prior
+    ),
+    cm AS (
+      SELECT sum(actual * pred)::BIGINT AS tp,
+             sum((1 - actual) * pred)::BIGINT AS fp,
+             sum(actual * (1 - pred))::BIGINT AS fn,
+             sum((1 - actual) * (1 - pred))::BIGINT AS tn
+      FROM scored2
+    )
+    SELECT tp, fp, fn, tn,
+           round(tp::DOUBLE / nullif(tp + fp, 0), 6) AS precision,
+           round(tp::DOUBLE / nullif(tp + fn, 0), 6) AS recall,
+           round(2.0 * tp::DOUBLE / nullif(2 * tp + fp + fn, 0), 6) AS f1
+    FROM cm
+    """,
+)
+def q_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation closure for the curation tier: confusion matrix
+    + precision/recall/F1 of the Naive Bayes source classifier on its
+    held-out split — the quality-gate calibration step every trained
+    filter needs before it gates a corpus. Pure aggregation over the
+    already-oracle-checked `nb_source_classifier` output; ratios are
+    exact integer divisions (one IEEE op), so the hash replays."""
+    scored = q_nb_source_classifier(spark, sf_dir)
+    cm = scored.agg(
+        F.sum(F.col("actual") * F.col("pred")).cast("long").alias("tp"),
+        F.sum((1 - F.col("actual")) * F.col("pred"))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.col("actual") * (1 - F.col("pred")))
+        .cast("long")
+        .alias("fn"),
+        F.sum((1 - F.col("actual")) * (1 - F.col("pred")))
+        .cast("long")
+        .alias("tn"),
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            F.try_divide(
+                F.col("tp").cast("double"), F.col("tp") + F.col("fp")
+            ),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.try_divide(
+                F.col("tp").cast("double"), F.col("tp") + F.col("fn")
+            ),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.try_divide(
+                2.0 * F.col("tp").cast("double"),
+                2 * F.col("tp") + F.col("fp") + F.col("fn"),
+            ),
+            6,
+        ).alias("f1"),
+    )
+
+
+from .m2_text_dedup import (  # noqa: E402
+    _SHINGLES,
+    _band_keys_sql,
+    _minhash_sig_sql,
+)
+
+
+@query(
+    "lsh_recall_eval",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKS.format(col="lower(text)")} AS toks
+      FROM documents
+    ),
+    sh AS (SELECT doc_id, lang, ({_SHINGLES}) AS shingles FROM t),
+    mt AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> md5(s)) AS m0,
+             list_transform(shingles, s -> md5('x:' || s)) AS m1
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {_minhash_sig_sql(8)} AS sig FROM mt),
+    banded AS (
+      SELECT doc_id, unnest({_band_keys_sql(4, 2)}) AS band_key FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE round(
+        len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))::DOUBLE
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))),
+        6) >= 0.5
+    ),
+    hit AS (SELECT id_a, id_b FROM truth INTERSECT SELECT id_a, id_b FROM cand)
+    SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+           (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+           (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+           round((SELECT count(*) FROM hit)::DOUBLE
+                 / nullif((SELECT count(*) FROM truth), 0), 6) AS recall
+    """,
+)
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-discovery calibration: candidate-pair RECALL of the
+    MinHash-LSH index (8 hashes × 4 bands — s-curve threshold
+    (1/4)^(1/2) = 0.5) against the exact-Jaccard ≥ 0.5 truth set
+    (lang-blocked oracle-twin form — the same exact-verify pairing the
+    dedup tier ships). The eval every production near-dup pipeline
+    runs before trusting its banding config; counts + one exact
+    division, fully hash-checked."""
+    from multimodal_vector_db_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(
+        # oracle-twin: EXACT truth set at sf test scale ONLY (see the
+        # COVERAGE.md footnote); production discovery IS the LSH side
+        docs, block_col="lang", threshold=0.5, max_block_rows=None
+    ).select("id_a", "id_b")
+    cand = minhash_lsh_candidates(docs, num_hashes=8, bands=4).select(
+        "id_a", "id_b"
+    ).distinct()
+    truth = truth.localCheckpoint(eager=True)
+    cand = cand.localCheckpoint(eager=True)
+    hit = truth.join(cand, ["id_a", "id_b"])
+    return (
+        truth.agg(F.count("*").cast("long").alias("n_truth"))
+        .crossJoin(
+            cand.agg(F.count("*").cast("long").alias("n_candidates"))
+        )
+        .crossJoin(hit.agg(F.count("*").cast("long").alias("n_hit")))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.try_divide(
+                    F.col("n_hit").cast("double"), F.col("n_truth")
+                ),
+                6,
+            ).alias("recall"),
+        )
+    )
