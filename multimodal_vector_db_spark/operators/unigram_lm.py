@@ -195,3 +195,29 @@ def unigram_train(
         probs = {r["piece"]: r["n"] / tot for r in counts}
         history.append(viterbi_loglik(wf, probs))
     return probs, history
+
+
+def viterbi_segments(wf: DataFrame, probs: dict) -> DataFrame:
+    """Per-distinct-word best segmentation under ``probs`` →
+    ``(w, seg ARRAY<STRING>)`` — the apply-side companion of
+    :func:`viterbi_piece_counts` (same DP, segmentation kept instead
+    of aggregated)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("w", T.StringType()),
+            T.StructField("seg", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ws = pdf["w"].tolist()
+            yield pd.DataFrame(
+                {"w": ws, "seg": [_viterbi(w, probs) for w in ws]}
+            )
+
+    return wf.select("w").distinct().mapInPandas(run, schema=out_schema)

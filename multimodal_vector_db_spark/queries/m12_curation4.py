@@ -1276,3 +1276,124 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@query(
+    "unigram_apply_tokens",
+    rf"""
+    WITH RECURSIVE t AS (
+      SELECT {_TOKS.format(col="lower(text)")} AS toks FROM documents
+    ),
+    wfreq AS (
+      SELECT u.w, count(*)::BIGINT AS freq
+      FROM t, UNNEST(toks) AS u(w) GROUP BY 1
+    ),
+    seedp AS (
+      SELECT u.piece, sum(freq)::BIGINT AS c
+      FROM wfreq,
+           UNNEST(
+             list_transform(generate_series(1, length(w)),
+                            i -> substr(w, i, 1))
+             || CASE WHEN length(w) >= 2
+                THEN list_transform(generate_series(1, length(w) - 1),
+                                    i -> substr(w, i, 2))
+                ELSE []::VARCHAR[] END) AS u(piece)
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(c)::DOUBLE AS s FROM seedp),
+    probs AS (SELECT piece, c / tot.s AS p FROM seedp, tot),
+    rec AS (
+      SELECT w, 0 AS j, 1.0::DOUBLE AS v1, 0.0::DOUBLE AS v2,
+             []::VARCHAR[] AS seg1, []::VARCHAR[] AS seg2
+      FROM (SELECT DISTINCT w FROM wfreq)
+      UNION ALL
+      SELECT r.w, r.j + 1,
+             CASE WHEN r.j >= 1 AND r.v2 * pb.p > r.v1 * pc.p
+                  THEN r.v2 * pb.p ELSE r.v1 * pc.p END,
+             r.v1,
+             CASE WHEN r.j >= 1 AND r.v2 * pb.p > r.v1 * pc.p
+                  THEN list_append(r.seg2, substr(r.w, r.j, 2))
+                  ELSE list_append(r.seg1, substr(r.w, r.j + 1, 1)) END,
+             r.seg1
+      FROM rec r
+      JOIN probs pc ON pc.piece = substr(r.w, r.j + 1, 1)
+      LEFT JOIN probs pb
+        ON pb.piece = substr(r.w, r.j, 2) AND r.j >= 1
+      WHERE r.j < length(r.w)
+    ),
+    best AS (SELECT w, seg1 FROM rec WHERE j = length(w)),
+    d AS (
+      SELECT doc_id, g.i AS pos, ws[g.i] AS w
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+            FROM documents) x,
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+      WHERE ws[g.i] <> ''
+    ),
+    agg AS (
+      SELECT d.doc_id,
+             count(*)::BIGINT AS n_words,
+             sum(len(b.seg1))::BIGINT AS n_pieces,
+             array_to_string(
+               list_slice(flatten(list(b.seg1 ORDER BY d.pos)), 1, 8),
+               '␣') AS piece_preview
+      FROM d JOIN best b ON b.w = d.w
+      GROUP BY d.doc_id
+    )
+    SELECT doc.doc_id,
+           coalesce(agg.n_words, 0)::BIGINT AS n_words,
+           coalesce(agg.n_pieces, 0)::BIGINT AS n_pieces,
+           coalesce(agg.piece_preview, '') AS piece_preview
+    FROM documents doc LEFT JOIN agg ON agg.doc_id = doc.doc_id
+    """,
+)
+def q_unigram_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM APPLY end-to-end, the tokenizer-tier twin of
+    `bpe_apply_tokens`: every document tokenized under the seed model
+    (distributed Viterbi over the distinct-word table, segmentations
+    joined back to the in-order doc words), emitting per-doc word
+    count, piece count, and the 8-piece preview. With the E-step,
+    EM-iteration and apply all hash-checked, BOTH tokenizer trainers
+    now ship train AND apply under the driver's strongest gate."""
+    from multimodal_vector_db_spark.functions.text import tokens
+    from multimodal_vector_db_spark.operators.unigram_lm import (
+        seed_probs,
+        viterbi_segments,
+        word_freqs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = word_freqs(docs).localCheckpoint(eager=True)
+    segs = viterbi_segments(wf, seed_probs(wf))
+    words = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "w"),
+    )
+    per_doc = (
+        words.join(segs, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.size("seg")).cast("long").alias("n_pieces"),
+            F.array_join(
+                F.slice(
+                    F.flatten(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("pos", "seg"))
+                            ),
+                            lambda s: s["seg"],
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                "␣",
+            ).alias("piece_preview"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_pieces", F.lit(0)).cast("long").alias("n_pieces"),
+        F.coalesce("piece_preview", F.lit("")).alias("piece_preview"),
+    )
