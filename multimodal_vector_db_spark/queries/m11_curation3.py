@@ -779,10 +779,14 @@ def q_source_reputation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_reputation_gate(_t(spark, sf_dir, "documents"))
 
 
-@query(
-    "unigram_token_stats",
-    rf"""
-    WITH RECURSIVE t AS (
+
+
+#: Shared DuckDB fragments for the unigram-LM family (`unigram_token_
+#: stats`, `unigram_em_iteration`, and m12's `unigram_apply_tokens`):
+#: word frequencies, seed piece model (exact integer-ratio probs), and
+#: the Viterbi lattice DP as a recursive CTE carrying the two trailing
+#: lattice values. One definition — the three oracles cannot drift.
+_UNI_BASE = rf"""t AS (
       SELECT {_TOKS.format(col="lower(text)")} AS toks FROM documents
     ),
     wfreq AS (
@@ -802,26 +806,42 @@ def q_source_reputation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     ),
     tot AS (SELECT sum(c)::DOUBLE AS s FROM seedp),
-    probs AS (SELECT piece, c / tot.s AS p FROM seedp, tot),
-    rec AS (
+    probs AS (SELECT piece, c / tot.s AS p FROM seedp, tot)"""
+
+
+def _uni_viterbi_cte(name: str, prob_table: str, guard_nulls: bool) -> str:
+    """The lattice DP over ``prob_table``; ``guard_nulls`` COALESCEs
+    lookups to 0.0 for re-estimated models whose pieces may have
+    dropped out (the seed model covers every piece by construction)."""
+    pc = "coalesce(pc.p, 0.0)" if guard_nulls else "pc.p"
+    pb = "coalesce(pb.p, 0.0)" if guard_nulls else "pb.p"
+    join = "LEFT JOIN" if guard_nulls else "JOIN"
+    return f"""{name} AS (
       SELECT w, 0 AS j, 1.0::DOUBLE AS v1, 0.0::DOUBLE AS v2,
              []::VARCHAR[] AS seg1, []::VARCHAR[] AS seg2
       FROM (SELECT DISTINCT w FROM wfreq)
       UNION ALL
       SELECT r.w, r.j + 1,
-             CASE WHEN r.j >= 1 AND r.v2 * pb.p > r.v1 * pc.p
-                  THEN r.v2 * pb.p ELSE r.v1 * pc.p END,
+             CASE WHEN r.j >= 1 AND r.v2 * {pb} > r.v1 * {pc}
+                  THEN r.v2 * {pb} ELSE r.v1 * {pc} END,
              r.v1,
-             CASE WHEN r.j >= 1 AND r.v2 * pb.p > r.v1 * pc.p
+             CASE WHEN r.j >= 1 AND r.v2 * {pb} > r.v1 * {pc}
                   THEN list_append(r.seg2, substr(r.w, r.j, 2))
                   ELSE list_append(r.seg1, substr(r.w, r.j + 1, 1)) END,
              r.seg1
-      FROM rec r
-      JOIN probs pc ON pc.piece = substr(r.w, r.j + 1, 1)
-      LEFT JOIN probs pb
+      FROM {name} r
+      {join} {prob_table} pc ON pc.piece = substr(r.w, r.j + 1, 1)
+      LEFT JOIN {prob_table} pb
         ON pb.piece = substr(r.w, r.j, 2) AND r.j >= 1
       WHERE r.j < length(r.w)
-    ),
+    )"""
+
+
+@query(
+    "unigram_token_stats",
+    rf"""
+    WITH RECURSIVE {_UNI_BASE},
+    {_uni_viterbi_cte("rec", "probs", guard_nulls=False)},
     best AS (SELECT w, seg1 FROM rec WHERE j = length(w)),
     cnt AS (
       SELECT u.piece, sum(wf.freq)::BIGINT AS n
@@ -858,46 +878,8 @@ def q_unigram_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "unigram_em_iteration",
     rf"""
-    WITH RECURSIVE t AS (
-      SELECT {_TOKS.format(col="lower(text)")} AS toks FROM documents
-    ),
-    wfreq AS (
-      SELECT u.w, count(*)::BIGINT AS freq
-      FROM t, UNNEST(toks) AS u(w) GROUP BY 1
-    ),
-    seedp AS (
-      SELECT u.piece, sum(freq)::BIGINT AS c
-      FROM wfreq,
-           UNNEST(
-             list_transform(generate_series(1, length(w)),
-                            i -> substr(w, i, 1))
-             || CASE WHEN length(w) >= 2
-                THEN list_transform(generate_series(1, length(w) - 1),
-                                    i -> substr(w, i, 2))
-                ELSE []::VARCHAR[] END) AS u(piece)
-      GROUP BY 1
-    ),
-    tot AS (SELECT sum(c)::DOUBLE AS s FROM seedp),
-    probs AS (SELECT piece, c / tot.s AS p FROM seedp, tot),
-    rec AS (
-      SELECT w, 0 AS j, 1.0::DOUBLE AS v1, 0.0::DOUBLE AS v2,
-             []::VARCHAR[] AS seg1, []::VARCHAR[] AS seg2
-      FROM (SELECT DISTINCT w FROM wfreq)
-      UNION ALL
-      SELECT r.w, r.j + 1,
-             CASE WHEN r.j >= 1 AND r.v2 * pb.p > r.v1 * pc.p
-                  THEN r.v2 * pb.p ELSE r.v1 * pc.p END,
-             r.v1,
-             CASE WHEN r.j >= 1 AND r.v2 * pb.p > r.v1 * pc.p
-                  THEN list_append(r.seg2, substr(r.w, r.j, 2))
-                  ELSE list_append(r.seg1, substr(r.w, r.j + 1, 1)) END,
-             r.seg1
-      FROM rec r
-      JOIN probs pc ON pc.piece = substr(r.w, r.j + 1, 1)
-      LEFT JOIN probs pb
-        ON pb.piece = substr(r.w, r.j, 2) AND r.j >= 1
-      WHERE r.j < length(r.w)
-    ),
+    WITH RECURSIVE {_UNI_BASE},
+    {_uni_viterbi_cte("rec", "probs", guard_nulls=False)},
     cnt1 AS (
       SELECT u.piece, sum(wf.freq)::BIGINT AS n
       FROM (SELECT w, seg1 FROM rec WHERE j = length(w)) b
@@ -911,30 +893,7 @@ def q_unigram_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     probs2 AS (SELECT piece, n / tot2.s AS p FROM cnt1, tot2),
     -- E-step round 2 under the re-estimated model: pieces that fell
     -- out of the model score 0 via the COALESCEd LEFT joins
-    rec2 AS (
-      SELECT w, 0 AS j, 1.0::DOUBLE AS v1, 0.0::DOUBLE AS v2,
-             []::VARCHAR[] AS seg1, []::VARCHAR[] AS seg2
-      FROM (SELECT DISTINCT w FROM wfreq)
-      UNION ALL
-      SELECT r.w, r.j + 1,
-             CASE WHEN r.j >= 1
-                       AND r.v2 * coalesce(pb.p, 0.0)
-                           > r.v1 * coalesce(pc.p, 0.0)
-                  THEN r.v2 * coalesce(pb.p, 0.0)
-                  ELSE r.v1 * coalesce(pc.p, 0.0) END,
-             r.v1,
-             CASE WHEN r.j >= 1
-                       AND r.v2 * coalesce(pb.p, 0.0)
-                           > r.v1 * coalesce(pc.p, 0.0)
-                  THEN list_append(r.seg2, substr(r.w, r.j, 2))
-                  ELSE list_append(r.seg1, substr(r.w, r.j + 1, 1)) END,
-             r.seg1
-      FROM rec2 r
-      LEFT JOIN probs2 pc ON pc.piece = substr(r.w, r.j + 1, 1)
-      LEFT JOIN probs2 pb
-        ON pb.piece = substr(r.w, r.j, 2) AND r.j >= 1
-      WHERE r.j < length(r.w)
-    ),
+    {_uni_viterbi_cte("rec2", "probs2", guard_nulls=True)},
     cnt2 AS (
       SELECT u.piece, sum(wf.freq)::BIGINT AS n
       FROM (SELECT w, seg1 FROM rec2 WHERE j = length(w)) b

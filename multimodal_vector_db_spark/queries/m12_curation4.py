@@ -1191,6 +1191,10 @@ from .m2_text_dedup import (  # noqa: E402
     _band_keys_sql,
     _minhash_sig_sql,
 )
+from .m11_curation3 import (  # noqa: E402
+    _UNI_BASE,
+    _uni_viterbi_cte,
+)
 
 
 @query(
@@ -1281,46 +1285,8 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "unigram_apply_tokens",
     rf"""
-    WITH RECURSIVE t AS (
-      SELECT {_TOKS.format(col="lower(text)")} AS toks FROM documents
-    ),
-    wfreq AS (
-      SELECT u.w, count(*)::BIGINT AS freq
-      FROM t, UNNEST(toks) AS u(w) GROUP BY 1
-    ),
-    seedp AS (
-      SELECT u.piece, sum(freq)::BIGINT AS c
-      FROM wfreq,
-           UNNEST(
-             list_transform(generate_series(1, length(w)),
-                            i -> substr(w, i, 1))
-             || CASE WHEN length(w) >= 2
-                THEN list_transform(generate_series(1, length(w) - 1),
-                                    i -> substr(w, i, 2))
-                ELSE []::VARCHAR[] END) AS u(piece)
-      GROUP BY 1
-    ),
-    tot AS (SELECT sum(c)::DOUBLE AS s FROM seedp),
-    probs AS (SELECT piece, c / tot.s AS p FROM seedp, tot),
-    rec AS (
-      SELECT w, 0 AS j, 1.0::DOUBLE AS v1, 0.0::DOUBLE AS v2,
-             []::VARCHAR[] AS seg1, []::VARCHAR[] AS seg2
-      FROM (SELECT DISTINCT w FROM wfreq)
-      UNION ALL
-      SELECT r.w, r.j + 1,
-             CASE WHEN r.j >= 1 AND r.v2 * pb.p > r.v1 * pc.p
-                  THEN r.v2 * pb.p ELSE r.v1 * pc.p END,
-             r.v1,
-             CASE WHEN r.j >= 1 AND r.v2 * pb.p > r.v1 * pc.p
-                  THEN list_append(r.seg2, substr(r.w, r.j, 2))
-                  ELSE list_append(r.seg1, substr(r.w, r.j + 1, 1)) END,
-             r.seg1
-      FROM rec r
-      JOIN probs pc ON pc.piece = substr(r.w, r.j + 1, 1)
-      LEFT JOIN probs pb
-        ON pb.piece = substr(r.w, r.j, 2) AND r.j >= 1
-      WHERE r.j < length(r.w)
-    ),
+    WITH RECURSIVE {_UNI_BASE},
+    {_uni_viterbi_cte("rec", "probs", guard_nulls=False)},
     best AS (SELECT w, seg1 FROM rec WHERE j = length(w)),
     d AS (
       SELECT doc_id, g.i AS pos, ws[g.i] AS w
