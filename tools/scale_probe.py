@@ -622,6 +622,32 @@ def main() -> None:
 
         probe("source_reputation_gate", srg_run)
 
+    # unigram-LM hard-EM E-step: word-freq agg + Viterbi lattice DP
+    # over the DISTINCT-word table + piece-keyed agg. The replicated
+    # corpus grows the distinct-word table ~linearly (each replica
+    # suffixes its words), so this bounds the worst case — real corpora
+    # grow vocab by Heaps' law, far slower.
+    if _want("unigram_estep"):
+        from multimodal_vector_db_spark.operators.unigram_lm import (
+            seed_probs,
+            viterbi_piece_counts,
+            word_freqs,
+        )
+
+        def uni_run(f):
+            d = spark.read.parquet(f"{WORK}/documents_{f}")
+            wf = word_freqs(d).localCheckpoint(eager=True)
+            probs = seed_probs(wf)
+
+            def run():
+                viterbi_piece_counts(wf, probs).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            return run
+
+        probe("unigram_estep", uni_run)
+
     # image perceptual-hash dedup: one real P5 decode + dHash per row
     # (Arrow batch), banded Hamming self-join. Group modulus scales
     # with the factor so planted-dup density is constant — expect
