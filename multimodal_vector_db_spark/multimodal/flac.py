@@ -432,6 +432,10 @@ def decode_flac(content: bytes) -> tuple[int, np.ndarray]:
         got += block_size
         pos = br.pos
 
+    if not channels_data[0]:
+        # valid zero-sample stream (STREAMINFO total_samples=0, no
+        # frames) — encode_flac itself produces this for empty input
+        return stream_rate, np.zeros(0, dtype=np.float64)
     full = [np.concatenate(ch) for ch in channels_data]
     if total_samples:
         full = [ch[:total_samples] for ch in full]

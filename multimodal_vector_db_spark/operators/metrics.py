@@ -21,6 +21,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _rank_seq(n: Column) -> Column:
+    """``[1..n]``, or the EMPTY array when ``n <= 0``.
+
+    ``F.sequence(1, 0)`` yields the *descending* ``[1, 0]`` — so a bare
+    ``sequence(1, size(retrieved))`` over an empty ``retrieved`` makes the
+    fold call ``element_at(retrieved, 1)`` and throw INVALID_ARRAY_INDEX
+    instead of returning the documented 0.0. Folding over an empty array
+    returns the zero accumulator, which is exactly the empty-input
+    contract of AP / NDCG / RR.
+    """
+    return F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def recall_at_k(retrieved: Column, relevant: Column, k: int) -> Column:
     """``|top_k ∩ relevant| / |relevant|``; 0.0 if relevant empty
     (``metrics.py:30-53``)."""
@@ -47,7 +62,7 @@ def average_precision(retrieved: Column, relevant: Column) -> Column:
     """
     n = F.size(retrieved)
     folded = F.aggregate(
-        F.sequence(F.lit(1), n),
+        _rank_seq(n),
         F.struct(
             F.lit(0).cast("int").alias("hits"), F.lit(0.0).alias("s")
         ),
@@ -81,7 +96,7 @@ def ndcg_at_k(retrieved: Column, relevant: Column, k: int) -> Column:
     DCG = Σ_{i≤k, hit} 1/log2(i+1); IDCG over min(k, |relevant|) ideal
     ranks; 0 if IDCG = 0."""
     dcg = F.aggregate(
-        F.sequence(F.lit(1), F.least(F.size(retrieved), F.lit(k))),
+        _rank_seq(F.least(F.size(retrieved), F.lit(k))),
         F.lit(0.0),
         lambda acc, i: acc
         + F.when(
@@ -143,7 +158,7 @@ def reciprocal_rank(retrieved: Column, relevant: Column) -> Column:
     this module."""
     n = F.size(retrieved)
     first_hit = F.aggregate(
-        F.sequence(F.lit(1), n),
+        _rank_seq(n),
         F.lit(0).cast("int"),
         lambda acc, i: F.when(acc > 0, acc).otherwise(
             F.when(

@@ -220,29 +220,31 @@ def source_reputation_gate(
     mean_log_ppl, dup_rate, blocked, kept_docs)``.
 
     Scale shape: two token-keyed aggregations (the LM) + one
-    text-keyed aggregation (dup detection) + one groupBy(source) —
-    all map-side combinable; the source table itself is tiny
-    (thousands of rows even web-scale), so the global means and the
-    blocklist are broadcast. Nothing is quadratic; nothing collects
-    the corpus."""
+    digest-keyed aggregation (dup detection — keys on ``md5(text)``,
+    the 32-byte pattern of :func:`~multimodal_vector_db_spark.
+    operators.dedup.exact_duplicates`, so the dup stage shuffles
+    digests, never corpus text) + one groupBy(source) — all map-side
+    combinable; the source table itself is tiny (thousands of rows
+    even web-scale), so the global means and the blocklist are
+    broadcast. Nothing is quadratic; nothing collects the corpus."""
     from multimodal_vector_db_spark.functions.text import quality_score
 
     per_doc = docs.select(
         F.col(id_col).alias("id"),
         F.col(source_col).alias("source"),
-        F.col(text_col).alias("__text"),
+        F.md5(F.col(text_col)).alias("__h"),
         quality_score(F.col(text_col)).alias("q"),
     )
     ppl = bigram_lm_scores(docs, text_col, id_col, lam=lam).select(
         "id", "log_ppl"
     )
     dup_texts = (
-        docs.groupBy(F.col(text_col).alias("__text"))
+        docs.groupBy(F.md5(F.col(text_col)).alias("__h"))
         .agg(F.count("*").alias("__n_occ"))
     )
     scored = (
         per_doc.join(ppl, "id", "left")
-        .join(dup_texts, "__text")
+        .join(dup_texts, "__h")
         .select(
             "source",
             "q",

@@ -732,14 +732,15 @@ def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN uni u2 ON u2.w = p.w2, tot
     ),
     ppl AS (SELECT doc_id, -avg(ln(prob)) AS log_ppl FROM sc GROUP BY 1),
-    dupt AS (SELECT text, count(*) AS n_occ FROM documents GROUP BY 1),
+    dupt AS (SELECT md5(text) AS h, count(*) AS n_occ
+             FROM documents GROUP BY 1),
     perdoc AS (
       SELECT d.doc_id, d.source, q.quality, ppl.log_ppl,
              CASE WHEN dupt.n_occ > 1 THEN 1 ELSE 0 END AS is_dup
       FROM documents d
       JOIN q ON q.doc_id = d.doc_id
       LEFT JOIN ppl ON ppl.doc_id = d.doc_id
-      JOIN dupt ON dupt.text = d.text
+      JOIN dupt ON dupt.h = md5(d.text)
     ),
     src AS (
       SELECT source, count(*)::BIGINT AS n_docs, avg(quality) AS mq,

@@ -439,9 +439,10 @@ import os as _os
 #: (eigendecomposition — engine-specific, property-tested in
 #: tests/test_projection_training.py) is split from SERVING, which
 #: both engines replay from the same persisted basis. The oracle is
-#: declared for the sf0.01 correctness gate; the Spark query resolves
-#: the fixture for whatever sf_dir it is given (self-priming if the
-#: fixture is absent).
+#: declared for the sf0.01 correctness gate ONLY; the Spark query
+#: resolves the fixture for whatever sf_dir it is given and FAILS
+#: (pointing at tools/build_fixtures.py) if it is absent — queries are
+#: read-path and never write fixtures at run time.
 _FIXTURES_DIR = _os.path.join(
     _os.path.dirname(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
@@ -503,28 +504,21 @@ def q_pca_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity — uses the sequential-fold dot contract, so the DuckDB
     oracle matches bit-for-bit (the trained analogue of matryoshka_knn;
     reference scripts/train_matryoshka.py fit,
-    projection.py:196-220 serving). If the fixture for this sf_dir is
-    absent the query fits and persists it first (self-priming), keeping
-    serving reproducible across runs."""
+    projection.py:196-220 serving). Requires the committed fixture for
+    this sf_dir — the query is pure read-path (no filesystem side
+    effects at query time); a missing fixture is a setup error, fixed
+    by ``python tools/build_fixtures.py``. NOTE: the DuckDB oracle above
+    is declared against the sf0.01 fixture only — each sf has its own
+    basis, so the hash gate is valid only at sf0.01 (the driver's
+    correctness sf); at other sfs the Spark query still runs but must
+    not be hash-compared against this oracle."""
     basis_path = _pca_basis_path(sf_dir)
     if not _os.path.exists(basis_path):
-        from multimodal_vector_db_spark.operators.projection_training import (
-            fit_pca_components,
+        raise FileNotFoundError(
+            f"pca_matryoshka_knn: missing persisted PCA basis fixture "
+            f"{basis_path}; run `python tools/build_fixtures.py` to fit "
+            f"and commit it (queries never write fixtures at run time)"
         )
-
-        emb0 = _t(spark, sf_dir, "embeddings")
-        mean0, W0 = fit_pca_components(
-            emb0.select(F.col("vec_id").alias("id"), "embedding"),
-            "embedding",
-            k=16,
-        )
-        d0 = len(mean0)
-        rows0 = [(-1, [float(x) for x in mean0])] + [
-            (j, [float(W0[i][j]) for i in range(d0)]) for j in range(16)
-        ]
-        spark.createDataFrame(
-            rows0, "comp long, v array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(basis_path)
 
     basis = {
         r["comp"]: list(r["v"])

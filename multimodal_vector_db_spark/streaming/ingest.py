@@ -230,12 +230,15 @@ def corpus_refresh_stream(
     minhash_band_index`) — ~100 B × bands per historical doc, and the
     batch-vs-history join prunes to colliding band keys. Survivors are
     ``localCheckpoint``ed before the two appends so the second write
-    cannot observe its own append to ``index_path``. Replay of a batch
-    that completed BOTH appends is idempotent (the replayed survivor
-    matches its own stored signature and is dropped); a crash between
-    the corpus append and the index append replays toward a duplicate
-    corpus row rather than a lost document — the corpus write comes
-    first deliberately (dedup-downstream beats data loss)."""
+    cannot observe its own append to ``index_path``. Replay is
+    idempotent in BOTH crash windows, with per-sink id-level
+    anti-joins: corpus rows are checked against ids already in the
+    CORPUS, index signatures against ids already in the INDEX. A batch
+    that completed both appends replays to two empty writes; a crash
+    between the appends replays to an empty corpus write plus the
+    missing signature write — the replay *heals* the index instead of
+    either duplicating corpus rows or permanently losing the
+    signatures (which would blind future dedup to those docs)."""
     from multimodal_vector_db_spark.operators.dedup import (
         incremental_near_duplicates,
         minhash_band_index,
@@ -271,9 +274,26 @@ def corpus_refresh_stream(
                 on=id_col,
             )
         fresh = fresh.localCheckpoint(eager=True)
-        fresh.write.mode("append").parquet(corpus_path)
+        # Per-sink id-level replay guards (crash between the two
+        # appends): rows already in the corpus are not re-appended;
+        # signatures already in the index are not re-appended; a
+        # replayed row whose corpus append landed but whose index
+        # append did not still gets its signatures written.
+        to_corpus = fresh
+        if _path_exists(spark, corpus_path):
+            done = spark.read.parquet(corpus_path).select(id_col)
+            to_corpus = fresh.join(done, on=id_col, how="left_anti")
+        to_index = fresh
+        if idx is not None:
+            indexed = idx.select(
+                F.col("doc_id").alias(id_col)
+            ).distinct()
+            to_index = fresh.join(indexed, on=id_col, how="left_anti")
+        to_corpus = to_corpus.localCheckpoint(eager=True)
+        to_index = to_index.localCheckpoint(eager=True)
+        to_corpus.write.mode("append").parquet(corpus_path)
         minhash_band_index(
-            fresh,
+            to_index,
             text_col=text_col,
             id_col=id_col,
             num_hashes=num_hashes,
@@ -327,9 +347,13 @@ def media_refresh_stream(
     Same dedup contract as the text refresh: cross-batch near-dups are
     dropped; near-dups WITHIN one microbatch both survive (run the
     batch pair-join first if in-batch dedup is required). Same crash
-    ordering too: corpus append before index append, so a crash
-    between them replays toward a duplicate corpus row rather than a
-    lost document."""
+    ordering too (corpus append before index append — data loss is
+    never the failure mode), and replay in the window between the two
+    appends is idempotent via per-sink id-level anti-joins: corpus
+    rows check against ids already in the corpus, band slices against
+    ids already in the index — so the replay appends no duplicate
+    corpus row AND heals the index with the fingerprints the crash
+    dropped (instead of permanently blinding future dedup)."""
     try:
         fp_attr, hash_col, total_bits, n_bands = _MEDIA_FP[modality]
     except KeyError:
@@ -375,6 +399,21 @@ def media_refresh_stream(
             )
             fresh = fresh.join(dup_ids, on=id_col, how="left_anti")
             hashes = hashes.join(dup_ids, on=id_col, how="left_anti")
+        # Per-sink id-level replay guards for the crash window between
+        # the two appends: corpus rows dedup against corpus ids; band
+        # slices dedup against INDEX ids, so a replay after a
+        # corpus-append-only crash writes no duplicate corpus row but
+        # DOES write the missing fingerprints (heals the index).
+        if _path_exists(spark, corpus_path):
+            done = spark.read.parquet(corpus_path).select(id_col)
+            fresh = fresh.join(done, on=id_col, how="left_anti")
+        if _path_exists(spark, index_path):
+            indexed = (
+                spark.read.parquet(index_path)
+                .select(F.col("id").alias(id_col))
+                .distinct()
+            )
+            hashes = hashes.join(indexed, on=id_col, how="left_anti")
         fresh = fresh.localCheckpoint(eager=True)
         hashes = hashes.localCheckpoint(eager=True)
         fresh.write.mode("append").parquet(corpus_path)
@@ -565,7 +604,11 @@ def serve_knn_queries(
     def answer(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         fresh = batch.dropDuplicates([query_id_col])
-        try:
+        # Explicit existence check (not a bare except around the read):
+        # "first batch ever" is distinguishable from a transient read
+        # failure, which must FAIL the batch for checkpoint retry
+        # rather than silently re-answer every query in it.
+        if _path_exists(spark, results_path):
             done = spark.read.parquet(results_path).select(
                 F.col("query_id")
             ).distinct()
@@ -574,8 +617,6 @@ def serve_knn_queries(
                 fresh[query_id_col] == done["query_id"],
                 how="left_anti",
             )
-        except Exception:  # first batch: no results yet
-            pass
         knn_join(
             corpus,
             fresh,

@@ -490,6 +490,21 @@ class TestFlacCodec:
         sr, y = decode_flac(encode_flac(c, 8000, subframe="constant"))
         assert sr == 8000 and np.array_equal(y, c / 32768.0)
 
+    def test_zero_sample_stream_round_trip(self):
+        """A valid zero-sample FLAC stream (STREAMINFO total_samples=0,
+        no frames — exactly what encode_flac emits for empty input)
+        decodes to an empty signal instead of a numpy concatenate
+        error (regression for the round-6 advice)."""
+        import numpy as np
+
+        from multimodal_vector_db_spark.multimodal.flac import (
+            decode_flac,
+            encode_flac,
+        )
+
+        sr, y = decode_flac(encode_flac(np.zeros(0, dtype=np.int64), 16000))
+        assert sr == 16000 and y.shape == (0,)
+
     def test_stereo_decorrelation_modes(self):
         import numpy as np
 

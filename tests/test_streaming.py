@@ -576,3 +576,47 @@ def test_media_refresh_replay_is_idempotent(spark, tmp_path):
     ).start().awaitTermination(120)
     assert spark.read.parquet(corpus).count() == 3
     assert spark.read.parquet(index).count() == 12
+
+
+def test_media_refresh_replay_idempotent_in_crash_window(spark, tmp_path):
+    """The OTHER crash window: a batch that appended to the corpus but
+    died BEFORE the index append replays with its fingerprints absent
+    from the index — the per-sink anti-joins must (a) write no
+    duplicate corpus row (ids already in the corpus) and (b) HEAL the
+    index by writing the fingerprints the crash dropped (ids not yet
+    in the index). Simulated by seeding the corpus with the batch's
+    rows while leaving the index missing."""
+    import numpy as np
+
+    from multimodal_vector_db_spark.streaming import media_refresh_stream
+
+    src = tmp_path / "cw_src"
+    src.mkdir()
+    corpus = str(tmp_path / "cw_corpus")
+    index = str(tmp_path / "cw_index")
+
+    rng = np.random.default_rng(43)
+    schema = "doc_id long, content binary"
+    imgs = [
+        (i, _p5(rng.integers(0, 256, (7, 9), dtype=np.uint8)))
+        for i in range(3)
+    ]
+    batch = spark.createDataFrame(imgs, schema)
+    batch.coalesce(1).write.parquet(str(src / "batch"))
+    # crash-window state: corpus append completed, index append did not
+    batch.write.mode("append").parquet(corpus)
+
+    media_refresh_stream(
+        spark.readStream.schema(schema).parquet(f"{src}/*"),
+        corpus, index, str(tmp_path / "cw_ckpt"), modality="image",
+    ).start().awaitTermination(120)
+    got = spark.read.parquet(corpus)
+    assert got.count() == 3  # no duplicate corpus rows re-admitted
+    assert sorted(r["doc_id"] for r in got.collect()) == [0, 1, 2]
+    # ... and the replay healed the index: the 3 docs' 4 band slices
+    # each landed exactly once, so future near-dups of them are caught
+    idx = spark.read.parquet(index)
+    assert idx.count() == 12
+    assert sorted(
+        r["id"] for r in idx.select("id").distinct().collect()
+    ) == [0, 1, 2]

@@ -220,3 +220,42 @@ def test_reciprocal_rank_known_values(spark):
         ).collect()
     }
     assert got == {1: round(1 / 3, 6), 2: 1.0, 3: 0.0, 4: 0.5}
+
+
+def test_ordered_metrics_empty_retrieved(spark):
+    """Empty ``retrieved`` returns the documented 0.0 for AP / NDCG /
+    RR instead of throwing INVALID_ARRAY_INDEX — ``sequence(1, 0)``
+    yields the DESCENDING ``[1, 0]``, so an unguarded fold indexes
+    element 1 of the empty array (regression for the round-6 advice)."""
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.operators.metrics import (
+        average_precision,
+        ndcg_at_k,
+        reciprocal_rank,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [], [7]),      # empty retrieved, non-empty relevant
+            (2, [], []),       # both empty
+            (3, [5, 7], [7]),  # sanity: fold still works when non-empty
+        ],
+        "qid long, retrieved array<long>, relevant array<long>",
+    )
+    r, rel = F.col("retrieved"), F.col("relevant")
+    got = {
+        row["qid"]: (row["ap"], row["ndcg"], row["rr"])
+        for row in df.select(
+            "qid",
+            F.round(average_precision(r, rel), 6).alias("ap"),
+            F.round(ndcg_at_k(r, rel, 5), 6).alias("ndcg"),
+            F.round(reciprocal_rank(r, rel), 6).alias("rr"),
+        ).collect()
+    }
+    import math
+
+    assert got[1] == (0.0, 0.0, 0.0)
+    assert got[2] == (0.0, 0.0, 0.0)
+    # hit at rank 2: AP = (1/2)/1, NDCG = (1/log2(3)) / (1/log2(2)), RR = 1/2
+    assert got[3] == (0.5, round(1.0 / math.log2(3.0), 6), 0.5)
