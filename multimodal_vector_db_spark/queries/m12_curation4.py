@@ -220,10 +220,12 @@ _PHASH_ORACLE = rf"""
 """
 
 
-def _phash_media(docs: DataFrame) -> DataFrame:
+def _phash_media(docs: DataFrame, groups: int = 40) -> DataFrame:
     """One REAL binary P5 image per document (9×7, md5-derived pixels;
-    mod-40 groups share a base image and differ in ONE pixel)."""
-    g = (F.col("doc_id") % 40).cast("string")
+    mod-``groups`` groups share a base image and differ in ONE pixel —
+    40 is the oracle-pinned default; scale probes raise it to keep
+    planted-dup density constant as the corpus grows)."""
+    g = (F.col("doc_id") % groups).cast("string")
     base = F.concat(
         F.md5(F.concat(F.lit("ph"), g)),
         F.md5(F.concat(F.lit("ph"), g, F.lit("x"))),
@@ -715,14 +717,15 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b", "hamming")
 
 
-def _afp_media(docs: DataFrame) -> DataFrame:
+def _afp_media(docs: DataFrame, groups: int = 40) -> DataFrame:
     """One REAL PCM WAV per document (64 int16 samples, md5-derived;
-    mod-40 groups share a base clip and differ in ONE sample)."""
+    mod-``groups`` groups share a base clip and differ in ONE
+    sample)."""
     import numpy as np
 
     from multimodal_vector_db_spark.multimodal.codecs import encode_wav
 
-    g = (F.col("doc_id") % 40).cast("string")
+    g = (F.col("doc_id") % groups).cast("string")
     base = F.concat(
         *[
             F.md5(F.concat(F.lit("af"), g, F.lit(sfx)))
@@ -852,11 +855,11 @@ def q_video_temporal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b", "hamming")
 
 
-def _vts_media(docs: DataFrame) -> DataFrame:
+def _vts_media(docs: DataFrame, groups: int = 40) -> DataFrame:
     """One REAL Y4M stream per document (4 frames of 4×4 luma + flat
-    C420 chroma, md5-derived; mod-40 groups share a base video and
-    differ in ONE pixel of the last frame)."""
-    g = (F.col("doc_id") % 40).cast("string")
+    C420 chroma, md5-derived; mod-``groups`` groups share a base video
+    and differ in ONE pixel of the last frame)."""
+    g = (F.col("doc_id") % groups).cast("string")
     frame_hex = [
         F.md5(F.concat(F.lit("vt"), g, F.lit(f"-{f}"))) for f in range(4)
     ]

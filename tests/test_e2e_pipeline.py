@@ -71,3 +71,33 @@ def test_full_build_search_evaluate_cycle(spark, tmp_path):
     rows = metrics.collect()
     assert all(r["recall"] == 1.0 for r in rows)
     assert all(r["ndcg"] == 1.0 for r in rows)  # hit at rank 1
+
+
+def test_multimodal_training_funnel_invariants(spark):
+    """The round-7 capstone funnel: per-stage survivor counts are
+    monotone non-increasing in docs/tokens/sources, every stage row is
+    present exactly once, and the terminal stage respects the
+    per-source budget cap (n_docs == n_sources when the cap is 1)."""
+    from multimodal_vector_db_spark.queries.m13_funnel import (
+        _BUDGET_CAP,
+        _STAGES,
+        q_multimodal_training_pipeline,
+    )
+
+    rows = sorted(
+        q_multimodal_training_pipeline(spark, SF_DIR).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["stage_name"] for r in rows] == _STAGES
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_docs"] <= prev["n_docs"]
+        assert cur["n_tokens"] <= prev["n_tokens"]
+        assert cur["n_sources"] <= prev["n_sources"]
+    first, last = rows[0], rows[-1]
+    assert first["n_docs"] == 200  # full ingest at this sf
+    assert last["n_docs"] > 0  # the funnel doesn't drain the corpus
+    assert last["n_docs"] <= _BUDGET_CAP * last["n_sources"]
+    # the media dedup stages must actually bite (mod-40 facet groups)
+    by_name = {r["stage_name"]: r for r in rows}
+    assert by_name["image_near_dedup"]["n_docs"] < by_name["text_exact_dedup"]["n_docs"]
+    assert by_name["budget_mix"]["n_docs"] < by_name["clip_score_gate"]["n_docs"]

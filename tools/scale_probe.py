@@ -690,6 +690,37 @@ def main() -> None:
 
         probe("image_phash_dedup", phash_run)
 
+    # the round-7 capstone: the END-TO-END multimodal funnel (text
+    # exact dedup + image/audio/video near-dup + CLIP gate + source
+    # reputation + budget mix) over replicated docs with media facet
+    # groups scaled (modulus 1000×f → constant planted-dup density).
+    # Every stage is linear/banded, so the composition should be too.
+    if _want("multimodal_training_pipeline"):
+        from multimodal_vector_db_spark.queries.m12_curation4 import (
+            _afp_media,
+            _phash_media,
+            _vts_media,
+        )
+        from multimodal_vector_db_spark.queries.m13_funnel import (
+            multimodal_funnel,
+        )
+
+        def funnel_run(f):
+            d = spark.read.parquet(f"{WORK}/documents_{f}")
+            g = 1000 * f
+
+            def run():
+                multimodal_funnel(
+                    d,
+                    _phash_media(d, groups=g),
+                    _afp_media(d, groups=g),
+                    _vts_media(d, groups=g),
+                ).write.format("noop").mode("overwrite").save()
+
+            return run
+
+        probe("multimodal_training_pipeline", funnel_run)
+
     # shard packing: two windows + tiny offset window, expect ~linear
     def pack_run(f):
         t = spark.read.parquet(f"{WORK}/documents_{f}").select(
