@@ -486,3 +486,91 @@ def audio_mel_features(
     return media.select(id_col, content_col).mapInPandas(
         batches, schema=out_schema
     )
+
+
+def audio_sequency_features(
+    media: DataFrame,
+    n_samples: int = 64,
+    n_bands: int = 16,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Integer-EXACT spectral front-end for content-based audio
+    retrieval: decode each binary clip through the real WAV/FLAC
+    codecs, fast Walsh-Hadamard transform the first ``n_samples``
+    int16 samples (zero-padded; WHT is the multiply-free orthogonal
+    transform — every coefficient is a ±1-signed sum of integer
+    samples, so the whole spectrum is exact int64 with NO float
+    rounding anywhere), square the coefficients and pool them into
+    ``n_bands`` consecutive natural-order bands. Emits
+    ``(id_col, bands ARRAY<LONG>[n_bands], total LONG)``.
+
+    Why WHT and not the rfft log-mel here: this operator feeds the
+    HASH-CHECKED ``audio_content_knn`` query, and an oracle must
+    replay it bit-for-bit — numpy's pocketfft evaluates butterflies
+    in an order no SQL reformulation reproduces, so float DFT output
+    is not cross-engine exact (the same reasoning as COVERAGE.md's
+    MP3 note: an unverifiable number is worse than a different,
+    verifiable transform). The WHT sequency spectrum is a classical
+    multiply-free fingerprint basis, and being integer it is exact
+    under ANY summation order. The true log-mel front-end
+    (:func:`audio_mel_features`) remains the CLAP-input surface and
+    is exercised by the planted-retrieval pytest instead.
+
+    Bounds: |coef| ≤ 64·32768 = 2^21, coef² ≤ 2^42, band sums ≤ 2^44,
+    total ≤ 2^48 — exact in int64 AND in IEEE double, so the
+    downstream relative-energy division is correctly rounded to the
+    same double in every IEEE engine."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("bands", T.ArrayType(T.LongType())),
+            T.StructField("total", T.LongType()),
+        ]
+    )
+    per_band = n_samples // n_bands
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from multimodal_vector_db_spark.multimodal.codecs import decode_wav
+        from multimodal_vector_db_spark.multimodal.flac import decode_flac
+
+        # natural-order Hadamard sign matrix: H[i, n] = (-1)^popcount(i&n)
+        idx = np.arange(n_samples, dtype=np.int64)
+        pop = np.array(
+            [bin(i & n).count("1") for i in idx for n in idx],
+            dtype=np.int64,
+        ).reshape(n_samples, n_samples)
+        H = np.where(pop % 2 == 0, 1, -1).astype(np.int64)
+
+        def one(b: bytes):
+            b = bytes(b)
+            if b[:4] == b"fLaC":
+                sr, x = decode_flac(b)
+            else:
+                sr, x = decode_wav(b)
+            # decode_* yield int16/32768 float64 — the /2^15 is exact,
+            # so rescaling recovers the integer sample grid exactly
+            s = np.rint(x[:n_samples] * 32768.0).astype(np.int64)
+            if len(s) < n_samples:
+                s = np.pad(s, (0, n_samples - len(s)))
+            c = H @ s  # exact int64 WHT
+            sq = c * c
+            bands = sq.reshape(n_bands, per_band).sum(axis=1)
+            return [int(v) for v in bands], int(sq.sum())
+
+        for pdf in it:
+            decoded = pdf[content_col].map(one)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "bands": decoded.map(lambda t: t[0]),
+                    "total": decoded.map(lambda t: t[1]).astype("int64"),
+                }
+            )
+
+    return media.select(id_col, content_col).mapInPandas(
+        batches, schema=out_schema
+    )

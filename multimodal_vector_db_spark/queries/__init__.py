@@ -28,6 +28,7 @@ from .m10_corpus_ops import *  # noqa: F401,F403
 from .m11_curation3 import *  # noqa: F401,F403
 from .m12_curation4 import *  # noqa: F401,F403
 from .m13_funnel import *  # noqa: F401,F403
+from .m14_serving2 import *  # noqa: F401,F403
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness harness verifies the FIRST

@@ -668,3 +668,97 @@ class TestMelSpectrogram:
         assert rows[1]["n_frames"] == rows[2]["n_frames"] > 0
         assert rows[1]["mel"] == rows[2]["mel"]  # lossless == identical
         assert len(rows[1]["mel"]) == 32
+
+
+class TestAudioContentRetrieval:
+    """Content-based audio retrieval (round-7): the hash-checked
+    sequency path AND the real log-mel path both recover planted
+    same-category structure — the torch-free CLAP-retrieval demo
+    (reference audio_embedder.py:327-352, J5)."""
+
+    def test_sequency_knn_recovers_clip_groups(self, spark):
+        """audio_content_knn's front-end: mod-40 WAV groups differ in
+        one sample, so a query clip's nearest non-self neighbours must
+        be its own group members."""
+        from pyspark.sql import functions as F
+
+        from multimodal_vector_db_spark.functions.vector import l2_normalize
+        from multimodal_vector_db_spark.multimodal.pipeline import (
+            audio_sequency_features,
+        )
+        from multimodal_vector_db_spark.operators.knn import knn_join
+        from multimodal_vector_db_spark.queries.m12_curation4 import (
+            _afp_media,
+        )
+
+        docs = spark.range(120).select(F.col("id").alias("doc_id"))
+        feats = audio_sequency_features(_afp_media(docs))
+        rel = F.transform(
+            F.col("bands"),
+            lambda b: F.coalesce(
+                F.try_divide(
+                    b.cast("double"), F.col("total").cast("double")
+                ),
+                F.lit(0.0),
+            ),
+        )
+        corpus = feats.select(
+            F.col("doc_id").alias("id"), l2_normalize(rel).alias("embedding")
+        )
+        queries = corpus.where(F.col("id") < 3).select(
+            F.col("id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        out = knn_join(corpus, queries, k=3).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append((r["rank"], r["id"]))
+        for qid, hits in by_q.items():
+            hits = [i for _, i in sorted(hits)]
+            assert hits[0] == qid  # self first (sim 1.0)
+            # remaining top hits are the query's own mod-40 group
+            assert all(h % 40 == qid for h in hits[1:]), (qid, hits)
+
+    def test_logmel_knn_recovers_tone_categories(self, spark):
+        """The REAL rfft log-mel front-end (audio_mel_features) +
+        exact kNN: clips are low-tone vs high-tone sines with per-clip
+        phase jitter; every query's nearest non-self neighbours must
+        share its category. (This path is pytest-verified rather than
+        hash-checked — pocketfft butterfly order is not
+        SQL-replayable; see audio_sequency_features.)"""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from multimodal_vector_db_spark.functions.vector import l2_normalize
+        from multimodal_vector_db_spark.multimodal.codecs import encode_wav
+        from multimodal_vector_db_spark.multimodal.pipeline import (
+            audio_mel_features,
+        )
+        from multimodal_vector_db_spark.operators.knn import knn_join
+
+        sr, n = 8000, 2048
+        t = np.arange(n) / sr
+        rows = []
+        for i in range(12):
+            freq = 220.0 if i % 2 == 0 else 2400.0  # category = parity
+            phase = 0.37 * i
+            x = 0.7 * np.sin(2 * np.pi * freq * t + phase)
+            rows.append((i, encode_wav((x * 32767).astype(np.int16), sr)))
+        media = spark.createDataFrame(rows, "id long, content binary")
+
+        mel = audio_mel_features(media, id_col="id")
+        corpus = mel.select(
+            "id", l2_normalize(F.col("mel")).alias("embedding")
+        )
+        queries = corpus.where(F.col("id") < 4).select(
+            F.col("id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        out = knn_join(corpus, queries, k=4).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append((r["rank"], r["id"]))
+        for qid, hits in by_q.items():
+            hits = [i for _, i in sorted(hits)]
+            assert hits[0] == qid
+            assert all(h % 2 == qid % 2 for h in hits), (qid, hits)
