@@ -30,19 +30,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def fit_pca_components(
-    df: DataFrame, col: str = "embedding", k: int = 16
-) -> tuple[list, list]:
-    """Fit a k-component PCA projection of ``df[col]`` (array<float/
-    double>) and return ``(mean, components)`` where ``components`` is
-    a d×k column-orthonormal matrix ready for ``x @ W`` serving.
-
-    Deterministic: partials are summed in one driver reduction over a
-    handful of 32 KB rows — fp-addition order-insensitivity is NOT
-    assumed; partials carry a (partition, batch) total order and are
-    sorted before summing — and each eigenvector's sign is
-    canonicalized so its largest-|·| element is positive.
-    """
+def _pca_eig(df: DataFrame, col: str) -> tuple:
+    """Shared distributed-PCA core: one moment-partials pass → driver
+    eigendecomposition. Returns ``(mean 1×d, eigvals desc, eigvecs d×d
+    with columns in eigval-descending order, signs canonicalized)``."""
     first = df.select(F.size(F.col(col)).alias("d")).first()
     if first is None:
         raise ValueError("fit_pca_components: empty input")
@@ -91,14 +82,78 @@ def fit_pca_components(
     mean = s / n
     cov = C / n - np.outer(mean, mean)
     eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
-    order = np.argsort(eigvals)[::-1][:k]
-    W = eigvecs[:, order]  # d × k, columns orthonormal
+    order = np.argsort(eigvals)[::-1]
+    vals = eigvals[order]
+    W = eigvecs[:, order]  # d × d, columns orthonormal, desc eigvals
     # canonical sign: largest-magnitude element of each component > 0
     for j in range(W.shape[1]):
         i = int(np.argmax(np.abs(W[:, j])))
         if W[i, j] < 0:
             W[:, j] = -W[:, j]
-    return mean.tolist(), W.tolist()
+    return mean, vals, W
+
+
+def fit_pca_components(
+    df: DataFrame, col: str = "embedding", k: int = 16
+) -> tuple[list, list]:
+    """Fit a k-component PCA projection of ``df[col]`` (array<float/
+    double>) and return ``(mean, components)`` where ``components`` is
+    a d×k column-orthonormal matrix ready for ``x @ W`` serving.
+
+    Deterministic: partials are summed in one driver reduction over a
+    handful of 32 KB rows — fp-addition order-insensitivity is NOT
+    assumed; partials carry a (partition, batch) total order and are
+    sorted before summing — and each eigenvector's sign is
+    canonicalized so its largest-|·| element is positive.
+    """
+    mean, _vals, W = _pca_eig(df, col)
+    return mean.tolist(), W[:, :k].tolist()
+
+
+def fit_opq_rotation(
+    df: DataFrame, col: str = "embedding", n_subquantizers: int = 4
+) -> tuple[list, list, list]:
+    """Parametric OPQ rotation (Ge et al., "Optimized Product
+    Quantization", CVPR 2013, §4 — the closed-form Gaussian solution):
+    full PCA, then allocate principal components to the
+    ``n_subquantizers`` subspaces balancing the PRODUCT of eigenvalues
+    per subspace (greedy: components in λ-descending order, each to
+    the non-full subspace with the smallest current Σ log λ). The
+    returned rotation's columns are the eigenvectors in allocated
+    order, so ``y = (x − μ) @ R`` lands each subspace's slice on its
+    allocated components — the decorrelated, variance-balanced layout
+    plain PQ lacks.
+
+    Returns ``(mean, R d×d column list, allocation)`` where
+    ``allocation[j]`` is the subspace the j-th rotated coordinate
+    belongs to (blocked: coords ``[s·subdim, (s+1)·subdim)`` → s).
+
+    Fit-type (eigendecomposition) like :func:`fit_pca_components`:
+    persisted as a fixture by tools/build_fixtures.py; serving through
+    the persisted rotation is fully relational and hash-checked
+    (``opq_adc_knn``). Same one-pass distributed moments — nothing
+    corpus-sized collects."""
+    mean, vals, W = _pca_eig(df, col)
+    d = len(mean)
+    if d % n_subquantizers:
+        raise ValueError(
+            f"opq: dim {d} not divisible by {n_subquantizers} subspaces"
+        )
+    subdim = d // n_subquantizers
+    eps = max(float(vals.max()), 1.0) * 1e-12
+    log_prod = [0.0] * n_subquantizers
+    fill: list[list[int]] = [[] for _ in range(n_subquantizers)]
+    for j in range(d):  # λ-descending (W columns already sorted)
+        open_subs = [
+            s for s in range(n_subquantizers) if len(fill[s]) < subdim
+        ]
+        tgt = min(open_subs, key=lambda s: (log_prod[s], s))
+        fill[tgt].append(j)
+        log_prod[tgt] += float(np.log(max(vals[j], eps)))
+    order = [j for s in range(n_subquantizers) for j in fill[s]]
+    R = W[:, order]  # d × d orthogonal
+    alloc = [s for s in range(n_subquantizers) for _ in range(subdim)]
+    return mean.tolist(), R.tolist(), alloc
 
 
 def pca_project(

@@ -1,6 +1,7 @@
 """Unigram-LM (SentencePiece-style) tokenizer training — the EM
-companion to BPE (Kudo, ACL 2018, arXiv:1804.10959), simplified to a
-2-char-max piece inventory so every step is exactly replayable.
+companion to BPE (Kudo, ACL 2018, arXiv:1804.10959), with pieces up to
+``MAX_PIECE = 4`` characters (a real SentencePiece-shaped inventory;
+round 6 shipped the 2-char form, round 7 generalized the lattice).
 
 Division of labor (the PCA/IVF fit-type split, operators/bpe.py's
 twin): the corpus-sized work — word-frequency extraction and the
@@ -21,10 +22,12 @@ tests/test_text_pipeline.py.
 
 Determinism contract (what makes `unigram_token_stats` hash-checkable
 against a DuckDB recursive-CTE replay): probabilities are exact ratios
-``count / total`` of integer counts; the DP multiplies left-to-right
-(``V(j+1) = max(V(j)·p(char), V(j-1)·p(bigram))``) in the same order
-both engines use, so candidates are bitwise equal; ties prefer the
-single-char path.
+``count / total`` of integer counts; the DP carries the last
+``MAX_PIECE`` lattice values and evaluates
+``V(j+1) = max_{L=1..MAX_PIECE} V(j+1−L)·p(w[j+1−L:j+1])`` with each
+candidate a left-to-right product chain in the same order both engines
+use, so candidates are bitwise equal; ties pick the SHORTEST piece
+(first maximum in ascending-L order).
 """
 
 from __future__ import annotations
@@ -32,10 +35,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: maximum piece length — chars + char-bigrams. Keeps the Viterbi
-#: state fixed-width (two trailing lattice values), which is what lets
-#: the oracle replay the DP as a recursive CTE.
-MAX_PIECE = 2
+#: maximum piece length. The Viterbi state stays fixed-width
+#: (``MAX_PIECE`` trailing lattice values / segmentations), which is
+#: what lets the oracle replay the DP as a recursive CTE carrying
+#: ``MAX_PIECE`` columns.
+MAX_PIECE = 4
 
 
 def word_freqs(
@@ -55,56 +59,75 @@ def word_freqs(
     )
 
 
-def seed_piece_counts(wf: DataFrame) -> DataFrame:
-    """Iteration-0 model counts: every char and char-bigram occurrence
-    across the corpus (weighted by word frequency) → ``(piece, c)``.
-    One explode over per-word piece lists; map-side combinable."""
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("w")),
-        lambda i: F.col("w").substr(i, F.lit(1)),
-    )
-    bigrams = F.when(
-        F.length("w") < 2, F.array().cast("array<string>")
-    ).otherwise(
+def seed_piece_counts(
+    wf: DataFrame, max_piece: int = MAX_PIECE, top_k_multi: int | None = None
+) -> DataFrame:
+    """Iteration-0 model counts: every substring of length 1..
+    ``max_piece`` across the corpus (weighted by word frequency) →
+    ``(piece, c)``. One explode over per-word piece lists; map-side
+    combinable. With ``top_k_multi`` set, multi-char pieces are capped
+    at the K most frequent (count DESC, piece ASC — deterministic);
+    single chars always survive so coverage never breaks — the
+    SentencePiece seeding rule for corpora whose substring inventory
+    would otherwise explode (the 100 TB knob; Heaps'-law vocab keeps
+    the full inventory tractable at bench scales)."""
+    pieces = F.flatten(
         F.transform(
-            F.sequence(F.lit(1), F.length("w") - 1),
-            lambda i: F.col("w").substr(i, F.lit(2)),
+            F.sequence(F.lit(1), F.lit(max_piece)),
+            lambda l: F.when(
+                F.length("w") >= l,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - l + 1),
+                    lambda i: F.col("w").substr(i, l),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
         )
     )
-    return (
-        wf.select("freq", F.explode(F.concat(chars, bigrams)).alias("piece"))
+    counts = (
+        wf.select("freq", F.explode(pieces).alias("piece"))
         .groupBy("piece")
         .agg(F.sum("freq").cast("long").alias("c"))
     )
+    if top_k_multi is None:
+        return counts
+    chars = counts.where(F.length("piece") == 1)
+    multi = (
+        counts.where(F.length("piece") > 1)
+        .orderBy(F.col("c").desc(), F.col("piece").asc())
+        .limit(top_k_multi)
+    )
+    return chars.unionByName(multi)
 
 
-def _viterbi(word: str, probs: dict) -> list:
-    """Best segmentation of ``word`` into pieces of length <= 2 under
-    piece probabilities ``probs`` (missing piece = probability 0).
-    EXACT mirror of the oracle's recursive CTE: candidates are
-    ``V(j)·p(char)`` vs ``V(j-1)·p(bigram)``, each a left-to-right
-    product chain; ties keep the single-char path."""
-    v1, v2 = 1.0, 0.0  # V(j), V(j-1)
-    seg1: list = []
-    seg2: list = []
+def _viterbi(word: str, probs: dict, max_piece: int = MAX_PIECE) -> list:
+    """Best segmentation of ``word`` into pieces of length ≤
+    ``max_piece`` under piece probabilities ``probs`` (missing piece =
+    probability 0). EXACT mirror of the oracle's recursive CTE: the
+    state is the last ``max_piece`` (value, segmentation) pairs;
+    candidate L is ``V(j+1−L)·p(w[j+1−L:j+1])``, each a left-to-right
+    product chain; ties pick the FIRST maximum in ascending-L order
+    (the shortest piece)."""
+    # hist[L-1] = (V(j+1-L), seg at j+1-L); starts at j = 0
+    hist: list = [(1.0, [])] + [(0.0, [])] * (max_piece - 1)
     for j in range(len(word)):
-        pc = probs.get(word[j], 0.0)
-        cand1 = v1 * pc
-        if j >= 1:
-            pb = probs.get(word[j - 1 : j + 1], 0.0)
-            cand2 = v2 * pb
-        else:
-            cand2 = -1.0
-        if cand2 > cand1:
-            nv, nseg = cand2, seg2 + [word[j - 1 : j + 1]]
-        else:
-            nv, nseg = cand1, seg1 + [word[j]]
-        v2, seg2 = v1, seg1
-        v1, seg1 = nv, nseg
-    return seg1
+        best_v = None
+        best_seg = None
+        for piece_len in range(1, max_piece + 1):
+            start = j + 1 - piece_len
+            if start < 0:
+                break
+            v_prev, seg_prev = hist[piece_len - 1]
+            cand = v_prev * probs.get(word[start : j + 1], 0.0)
+            if best_v is None or cand > best_v:
+                best_v = cand
+                best_seg = seg_prev + [word[start : j + 1]]
+        hist = [(best_v, best_seg)] + hist[:-1]
+    return hist[0][1]
 
 
-def viterbi_piece_counts(wf: DataFrame, probs: dict) -> DataFrame:
+def viterbi_piece_counts(
+    wf: DataFrame, probs: dict, max_piece: int = MAX_PIECE
+) -> DataFrame:
     """Hard-EM E-step, distributed: Viterbi-segment every DISTINCT
     word (Arrow-batched ``mapInPandas``, the prob table rides the
     closure — piece inventories are KBs), weight each piece occurrence
@@ -127,7 +150,7 @@ def viterbi_piece_counts(wf: DataFrame, probs: dict) -> DataFrame:
             for w, f_ in zip(pdf["w"], pdf["freq"]):
                 seg = cache.get(w)
                 if seg is None:
-                    seg = cache[w] = _viterbi(w, probs)
+                    seg = cache[w] = _viterbi(w, probs, max_piece)
                 for p in seg:
                     agg[p] = agg.get(p, 0) + int(f_)
             yield pd.DataFrame(
@@ -141,16 +164,20 @@ def viterbi_piece_counts(wf: DataFrame, probs: dict) -> DataFrame:
     )
 
 
-def seed_probs(wf: DataFrame) -> dict:
+def seed_probs(
+    wf: DataFrame, max_piece: int = MAX_PIECE, top_k_multi: int | None = None
+) -> dict:
     """Iteration-0 probabilities: exact integer-ratio normalization of
     :func:`seed_piece_counts` (count/total in one IEEE division — the
     bitwise-reproducible form the oracle replays)."""
-    rows = seed_piece_counts(wf).collect()
+    rows = seed_piece_counts(wf, max_piece, top_k_multi).collect()
     tot = float(sum(r["c"] for r in rows))
     return {r["piece"]: r["c"] / tot for r in rows}
 
 
-def viterbi_loglik(wf: DataFrame, probs: dict) -> float:
+def viterbi_loglik(
+    wf: DataFrame, probs: dict, max_piece: int = MAX_PIECE
+) -> float:
     """Hard-EM objective ``J = Σ_w freq(w) · log P(seg*_w)`` under
     ``probs`` — the quantity each EM round must not decrease."""
     import math
@@ -158,7 +185,7 @@ def viterbi_loglik(wf: DataFrame, probs: dict) -> float:
     rows = wf.collect()
     j = 0.0
     for r in rows:
-        seg = _viterbi(r["w"], probs)
+        seg = _viterbi(r["w"], probs, max_piece)
         lp = 0.0
         for p in seg:
             lp += math.log(probs[p])
@@ -171,6 +198,8 @@ def unigram_train(
     n_iters: int = 4,
     text_col: str = "text",
     max_vocab_rows: int = 2_000_000,
+    max_piece: int = MAX_PIECE,
+    top_k_multi: int | None = None,
 ) -> tuple[dict, list]:
     """End-to-end hard-EM training: seed model from raw piece counts,
     then ``n_iters`` rounds of distributed Viterbi-E + driver
@@ -187,17 +216,19 @@ def unigram_train(
             f"{max_vocab_rows}; pre-filter (min count) or raise the cap"
         )
     wf = wf.localCheckpoint(eager=True)  # E-step runs n_iters times
-    probs = seed_probs(wf)
-    history = [viterbi_loglik(wf, probs)]
+    probs = seed_probs(wf, max_piece, top_k_multi)
+    history = [viterbi_loglik(wf, probs, max_piece)]
     for _ in range(n_iters):
-        counts = viterbi_piece_counts(wf, probs).collect()
+        counts = viterbi_piece_counts(wf, probs, max_piece).collect()
         tot = float(sum(r["n"] for r in counts))
         probs = {r["piece"]: r["n"] / tot for r in counts}
-        history.append(viterbi_loglik(wf, probs))
+        history.append(viterbi_loglik(wf, probs, max_piece))
     return probs, history
 
 
-def viterbi_segments(wf: DataFrame, probs: dict) -> DataFrame:
+def viterbi_segments(
+    wf: DataFrame, probs: dict, max_piece: int = MAX_PIECE
+) -> DataFrame:
     """Per-distinct-word best segmentation under ``probs`` →
     ``(w, seg ARRAY<STRING>)`` — the apply-side companion of
     :func:`viterbi_piece_counts` (same DP, segmentation kept instead
@@ -217,7 +248,7 @@ def viterbi_segments(wf: DataFrame, probs: dict) -> DataFrame:
         for pdf in batches:
             ws = pdf["w"].tolist()
             yield pd.DataFrame(
-                {"w": ws, "seg": [_viterbi(w, probs) for w in ws]}
+                {"w": ws, "seg": [_viterbi(w, probs, max_piece) for w in ws]}
             )
 
     return wf.select("w").distinct().mapInPandas(run, schema=out_schema)

@@ -784,9 +784,13 @@ def q_source_reputation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Shared DuckDB fragments for the unigram-LM family (`unigram_token_
 #: stats`, `unigram_em_iteration`, and m12's `unigram_apply_tokens`):
-#: word frequencies, seed piece model (exact integer-ratio probs), and
-#: the Viterbi lattice DP as a recursive CTE carrying the two trailing
-#: lattice values. One definition — the three oracles cannot drift.
+#: word frequencies, seed piece model (exact integer-ratio probs over
+#: every substring of length 1..MAX_PIECE=4 — round 7 generalized the
+#: round-6 chars+bigrams inventory), and the Viterbi lattice DP as a
+#: recursive CTE carrying the FOUR trailing lattice values. One
+#: definition — the three oracles cannot drift.
+_UNI_MAX_PIECE = 4
+
 _UNI_BASE = rf"""t AS (
       SELECT {_TOKS.format(col="lower(text)")} AS toks FROM documents
     ),
@@ -800,10 +804,13 @@ _UNI_BASE = rf"""t AS (
            UNNEST(
              list_transform(generate_series(1, length(w)),
                             i -> substr(w, i, 1))
-             || CASE WHEN length(w) >= 2
-                THEN list_transform(generate_series(1, length(w) - 1),
-                                    i -> substr(w, i, 2))
-                ELSE []::VARCHAR[] END) AS u(piece)
+             {"".join(
+               f'''|| CASE WHEN length(w) >= {l}
+                THEN list_transform(generate_series(1, length(w) - {l - 1}),
+                                    i -> substr(w, i, {l}))
+                ELSE []::VARCHAR[] END '''
+               for l in range(2, _UNI_MAX_PIECE + 1)
+             )}) AS u(piece)
       GROUP BY 1
     ),
     tot AS (SELECT sum(c)::DOUBLE AS s FROM seedp),
@@ -811,29 +818,57 @@ _UNI_BASE = rf"""t AS (
 
 
 def _uni_viterbi_cte(name: str, prob_table: str, guard_nulls: bool) -> str:
-    """The lattice DP over ``prob_table``; ``guard_nulls`` COALESCEs
-    lookups to 0.0 for re-estimated models whose pieces may have
-    dropped out (the seed model covers every piece by construction)."""
-    pc = "coalesce(pc.p, 0.0)" if guard_nulls else "pc.p"
-    pb = "coalesce(pb.p, 0.0)" if guard_nulls else "pb.p"
+    """The MAX_PIECE=4 lattice DP over ``prob_table``: state carries
+    the four trailing lattice values/segmentations; candidate L is
+    ``V(j+1−L) · p(substr(w, j+2−L, L))``; the winner is the FIRST
+    maximum in ascending-L order (the shortest piece — the CASE chain
+    below selects L=1 iff c1 ≥ c2,c3,c4, else L=2 iff c2 ≥ c3,c4, …,
+    which provably picks the first global max). ``guard_nulls``
+    COALESCEs the single-char lookup to 0.0 for re-estimated models
+    whose pieces may have dropped out (the seed model covers every
+    piece by construction); multi-char lookups always COALESCE (their
+    join predicates are j-gated, and the j-gate also forces the
+    candidate to −1 so an absent piece can never win)."""
+    p1 = "coalesce(p1.p, 0.0)" if guard_nulls else "p1.p"
     join = "LEFT JOIN" if guard_nulls else "JOIN"
+    c1 = f"(r.v1 * {p1})"
+    c2 = "(CASE WHEN r.j >= 1 THEN r.v2 * coalesce(p2.p, 0.0) ELSE -1.0 END)"
+    c3 = "(CASE WHEN r.j >= 2 THEN r.v3 * coalesce(p3.p, 0.0) ELSE -1.0 END)"
+    c4 = "(CASE WHEN r.j >= 3 THEN r.v4 * coalesce(p4.p, 0.0) ELSE -1.0 END)"
+    best_v = f"""CASE
+               WHEN {c1} >= {c2} AND {c1} >= {c3} AND {c1} >= {c4} THEN {c1}
+               WHEN {c2} >= {c3} AND {c2} >= {c4} THEN {c2}
+               WHEN {c3} >= {c4} THEN {c3}
+               ELSE {c4} END"""
+    best_seg = f"""CASE
+               WHEN {c1} >= {c2} AND {c1} >= {c3} AND {c1} >= {c4}
+                 THEN list_append(r.seg1, substr(r.w, r.j + 1, 1))
+               WHEN {c2} >= {c3} AND {c2} >= {c4}
+                 THEN list_append(r.seg2, substr(r.w, r.j, 2))
+               WHEN {c3} >= {c4}
+                 THEN list_append(r.seg3, substr(r.w, r.j - 1, 3))
+               ELSE list_append(r.seg4, substr(r.w, r.j - 2, 4)) END"""
     return f"""{name} AS (
-      SELECT w, 0 AS j, 1.0::DOUBLE AS v1, 0.0::DOUBLE AS v2,
-             []::VARCHAR[] AS seg1, []::VARCHAR[] AS seg2
+      SELECT w, 0 AS j,
+             1.0::DOUBLE AS v1, 0.0::DOUBLE AS v2,
+             0.0::DOUBLE AS v3, 0.0::DOUBLE AS v4,
+             []::VARCHAR[] AS seg1, []::VARCHAR[] AS seg2,
+             []::VARCHAR[] AS seg3, []::VARCHAR[] AS seg4
       FROM (SELECT DISTINCT w FROM wfreq)
       UNION ALL
       SELECT r.w, r.j + 1,
-             CASE WHEN r.j >= 1 AND r.v2 * {pb} > r.v1 * {pc}
-                  THEN r.v2 * {pb} ELSE r.v1 * {pc} END,
-             r.v1,
-             CASE WHEN r.j >= 1 AND r.v2 * {pb} > r.v1 * {pc}
-                  THEN list_append(r.seg2, substr(r.w, r.j, 2))
-                  ELSE list_append(r.seg1, substr(r.w, r.j + 1, 1)) END,
-             r.seg1
+             {best_v},
+             r.v1, r.v2, r.v3,
+             {best_seg},
+             r.seg1, r.seg2, r.seg3
       FROM {name} r
-      {join} {prob_table} pc ON pc.piece = substr(r.w, r.j + 1, 1)
-      LEFT JOIN {prob_table} pb
-        ON pb.piece = substr(r.w, r.j, 2) AND r.j >= 1
+      {join} {prob_table} p1 ON p1.piece = substr(r.w, r.j + 1, 1)
+      LEFT JOIN {prob_table} p2
+        ON p2.piece = substr(r.w, r.j, 2) AND r.j >= 1
+      LEFT JOIN {prob_table} p3
+        ON p3.piece = substr(r.w, r.j - 1, 3) AND r.j >= 2
+      LEFT JOIN {prob_table} p4
+        ON p4.piece = substr(r.w, r.j - 2, 4) AND r.j >= 3
       WHERE r.j < length(r.w)
     )"""
 

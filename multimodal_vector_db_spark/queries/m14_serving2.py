@@ -145,3 +145,169 @@ def q_audio_content_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sim", 6).alias("sim"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OPQ: rotation-optimized product quantization (Ge et al., CVPR 2013)
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_FIXTURES_DIR = _os.path.join(
+    _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    ),
+    "fixtures",
+)
+
+
+def _opq_rot_path(sf_dir: str) -> str:
+    name = _os.path.basename(sf_dir.rstrip("/"))
+    return _os.path.join(_FIXTURES_DIR, f"opq_rot_{name}.parquet")
+
+
+#: Oracle declared against the sf0.01 rotation fixture ONLY (each sf
+#: has its own rotation) — the driver's correctness sf. The rotated
+#: corpus then runs EXACTLY the pq_adc_knn oracle: data-derived
+#: codebooks from rotated rows 100-103, query = rotated vec 0, ADC.
+_OPQ_ADC_ORACLE = rf"""
+    WITH basis AS (
+      SELECT comp, v
+      FROM read_parquet('{_FIXTURES_DIR}/opq_rot_sf0.01.parquet/*.parquet')
+    ),
+    m AS (SELECT v AS mv FROM basis WHERE comp = -1),
+    comps AS (
+      SELECT comp, v, list_dot_product(m.mv, v) AS mw
+      FROM basis CROSS JOIN m WHERE comp >= 0
+    ),
+    coords AS (
+      SELECT e.vec_id, c.comp,
+             list_dot_product(e.embedding::DOUBLE[], c.v) - c.mw AS x
+      FROM embeddings e CROSS JOIN comps c
+    ),
+    rvec AS (
+      SELECT vec_id, list(x ORDER BY comp) AS emb FROM coords GROUP BY vec_id
+    ),
+    subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+    cb AS (
+      SELECT (r.vec_id - 100)::BIGINT AS code, s.sub,
+             r.emb[s.sub*16+1 : s.sub*16+16] AS centroid
+      FROM rvec r, subs s
+      WHERE r.vec_id BETWEEN 100 AND 103
+    ),
+    q AS (
+      SELECT s.sub, r.emb[s.sub*16+1 : s.sub*16+16] AS qsl
+      FROM rvec r, subs s WHERE r.vec_id = 0
+    ),
+    dtab AS (
+      SELECT cb.sub, cb.code,
+             list_dot_product(
+               list_transform(generate_series(1, 16), i -> q.qsl[i] - cb.centroid[i]),
+               list_transform(generate_series(1, 16), i -> q.qsl[i] - cb.centroid[i])
+             ) AS d
+      FROM cb JOIN q ON cb.sub = q.sub
+    ),
+    sl AS (
+      SELECT r.vec_id, s.sub, r.emb[s.sub*16+1 : s.sub*16+16] AS sl
+      FROM rvec r, subs s
+    ),
+    scored AS (
+      SELECT sl.vec_id, sl.sub, cb.code,
+             list_dot_product(
+               list_transform(generate_series(1, 16), i -> sl.sl[i] - cb.centroid[i]),
+               list_transform(generate_series(1, 16), i -> sl.sl[i] - cb.centroid[i])
+             ) AS d
+      FROM sl JOIN cb ON sl.sub = cb.sub
+    ),
+    best AS (
+      SELECT vec_id, sub, code,
+             row_number() OVER (
+               PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+      FROM scored
+    ),
+    adc AS (
+      SELECT b.vec_id, sum(d.d) AS adc_dist
+      FROM best b JOIN dtab d ON b.sub = d.sub AND b.code = d.code
+      WHERE b.rn = 1 GROUP BY b.vec_id
+    )
+    SELECT vec_id, round(adc_dist, 6) AS adc_dist
+    FROM adc ORDER BY round(adc_dist, 6) ASC, vec_id ASC LIMIT 10
+"""
+
+
+@query("opq_adc_knn", _OPQ_ADC_ORACLE)
+def q_opq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ serving, hash-checked: rotate the corpus through the
+    PERSISTED parametric-OPQ rotation (Ge et al. CVPR 2013 §4 —
+    full-d PCA + eigenvalue-balanced subspace allocation, fitted once
+    by tools/build_fixtures.py, committed as
+    ``fixtures/opq_rot_<sf>.parquet``), then run the exact
+    ``pq_adc_knn`` pipeline in the rotated space: data-derived
+    codebooks (rotated rows 100-103), PQ-encode, driver-side ADC
+    lookup table for the rotated query (vec 0), TakeOrderedAndProject
+    top-10. Rotation coordinates use the ``x·v − μ·v`` sequential-fold
+    contract (the ``pca_matryoshka_knn`` pattern), so every distance
+    replays bit-for-bit in DuckDB. The oracle is valid at sf0.01 only
+    (per-sf rotations); a missing fixture is a setup error
+    (``python tools/build_fixtures.py``), never written at query time.
+    Scale note: the per-row 64-dot rotation here is the oracle-
+    transparent expression form; a 100 TB re-encode ships the
+    Arrow-batched matmul (``projection_training.pca_project``) which
+    computes the same values.
+
+    bench_detail's ``opq`` section publishes the serving-quality point
+    of this query: ADC recall@10 vs exact, OPQ vs plain PQ, same
+    codebook budget."""
+    from multimodal_vector_db_spark.functions.vector import dot
+    from multimodal_vector_db_spark.operators.quantization import (
+        adc_search,
+        data_derived_codebooks,
+        pq_encode,
+    )
+
+    rot_path = _opq_rot_path(sf_dir)
+    if not _os.path.exists(rot_path):
+        raise FileNotFoundError(
+            f"opq_adc_knn: missing persisted OPQ rotation fixture "
+            f"{rot_path}; run `python tools/build_fixtures.py` (queries "
+            f"never write fixtures at run time)"
+        )
+    basis = {
+        r["comp"]: list(r["v"])
+        for r in spark.read.parquet(rot_path).collect()
+    }
+    mean = basis[-1]
+    d = len(mean)
+    cols = [basis[j] for j in range(d)]
+    mw = []
+    for w in cols:
+        acc = 0.0
+        for a, b in zip(mean, w):
+            acc += a * b
+        mw.append(acc)
+
+    def rotate(vec_col):
+        return F.array(
+            *[
+                dot(vec_col, F.array(*[F.lit(x) for x in w])) - F.lit(m)
+                for w, m in zip(cols, mw)
+            ]
+        )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rotated = emb.select(
+        "vec_id", rotate(F.col("embedding")).alias("embedding")
+    )
+    # pin: the 64-dot rotation subtree feeds codebook collect, query
+    # collect AND the encode scan — without the checkpoint each
+    # consumer re-derives it
+    rotated = rotated.localCheckpoint(eager=True)
+    books = data_derived_codebooks(rotated, n_subquantizers=4, n_codes=4)
+    qvec = [
+        float(x)
+        for x in rotated.where(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()[0]
+    ]
+    coded = pq_encode(rotated.select("vec_id", "embedding"), books)
+    return adc_search(coded, qvec, books, k=10)

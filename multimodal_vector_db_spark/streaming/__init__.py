@@ -18,6 +18,7 @@ from multimodal_vector_db_spark.streaming.ingest import (
     run_available_now,
     serve_knn_queries,
     session_windowed_counts,
+    vector_refresh_stream,
     windowed_counts,
 )
 
@@ -32,5 +33,6 @@ __all__ = [
     "run_available_now",
     "serve_knn_queries",
     "session_windowed_counts",
+    "vector_refresh_stream",
     "windowed_counts",
 ]

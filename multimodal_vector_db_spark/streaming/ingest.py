@@ -428,6 +428,96 @@ def media_refresh_stream(
     )
 
 
+def vector_refresh_stream(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.95,
+    id_col: str = "id",
+    vector_col: str = "embedding",
+    metric: str = "dot",
+):
+    """Streaming VECTOR-index refresh — the IVF twin of
+    :func:`media_refresh_stream`, closing the serving-freshness loop
+    (embed → dedup → index WITHOUT a rebuild): each microbatch of
+    ``(id, embedding)`` rows is
+
+    1. assigned to the PERSISTED index's coarse cells
+       (``<index_path>.centroids.json``, written by
+       ``operators/ann.build_ivf_index`` — no refit, the
+       ``ivf_append_assign`` rule made continuous);
+    2. SemDeDup'd incrementally against the indexed history
+       *within its own cells only* — the batch's distinct cell ids
+       (≤ n_clusters values) become a partition filter on the
+       cell-partitioned corpus, so history cost is the touched
+       cells' files, never a full scan (Abbas et al. 2023 semantics,
+       the streaming analogue of ``operators/dedup.semantic_dedup``'s
+       keep-first rule: an arrival is dropped iff an already-indexed
+       vector in its cell clears ``threshold``);
+    3. appended cell-partitioned, so nprobe search sees the new
+       vectors immediately and partition pruning keeps working.
+
+    Same contracts as the media refresh: cross-batch near-dups are
+    dropped, in-batch near-dups both survive (run the batch pair scan
+    first if required); replay is idempotent via the id-level
+    anti-join against the index (one sink here, so the two-append
+    crash window of the media refresh does not exist); a transient
+    index-read failure FAILS the batch for checkpoint retry
+    (:func:`_path_exists`). The index must already exist — refreshing
+    presupposes a built index, and a missing centroid file is a setup
+    error, not an empty history."""
+    import json as _json
+
+    from multimodal_vector_db_spark.functions.vector import dot
+    from multimodal_vector_db_spark.operators.ann import ivf_assign
+
+    def refresh(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        with open(index_path + ".centroids.json") as fh:
+            centroids = _json.load(fh)
+        fresh = batch.dropDuplicates([id_col]).select(
+            F.col(id_col).alias("id"), F.col(vector_col).alias("embedding")
+        )
+        assigned = ivf_assign(fresh, centroids, metric=metric)
+        assigned = assigned.localCheckpoint(eager=True)
+        if _path_exists(spark, index_path):
+            cells = [
+                r["cluster_id"]
+                for r in assigned.select("cluster_id").distinct().collect()
+            ]
+            # partition filter → only the touched cells' files are read
+            hist = spark.read.parquet(index_path).where(
+                F.col("cluster_id").isin(cells)
+            )
+            dup_ids = (
+                assigned.join(
+                    hist.select(
+                        F.col("cluster_id"),
+                        F.col("id").alias("hist_id"),
+                        F.col("embedding").alias("hv"),
+                    ),
+                    "cluster_id",
+                )
+                .where(dot(F.col("embedding"), F.col("hv")) >= threshold)
+                .select("id")
+                .distinct()
+            )
+            assigned = assigned.join(dup_ids, "id", "left_anti")
+            # id-level replay guard (mirrors the other refresh streams)
+            done = spark.read.parquet(index_path).select("id")
+            assigned = assigned.join(done, "id", "left_anti")
+        assigned = assigned.localCheckpoint(eager=True)
+        assigned.write.mode("append").partitionBy("cluster_id").parquet(
+            index_path
+        )
+
+    return (
+        stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def run_available_now(
     df: DataFrame,
     checkpoint_dir: str,

@@ -60,3 +60,16 @@ def test_curation_pipeline_runs():
     ns = [int(stages[s]) for s in order]
     assert all(a >= b for a, b in zip(ns, ns[1:])), ns
     assert ns[-1] > 0 and int(stages["shards"]) > 0
+
+
+def test_multimodal_funnel_example_runs():
+    out = subprocess.run(
+        [sys.executable, "/root/repo/examples/multimodal_funnel.py"],
+        capture_output=True,
+        text=True,
+        timeout=400,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "multimodal training-data funnel" in out.stdout
+    assert "budget_mix" in out.stdout
+    assert "final keep rate" in out.stdout

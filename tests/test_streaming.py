@@ -620,3 +620,89 @@ def test_media_refresh_replay_idempotent_in_crash_window(spark, tmp_path):
     assert sorted(
         r["id"] for r in idx.select("id").distinct().collect()
     ) == [0, 1, 2]
+
+
+def test_vector_refresh_stream_dedups_and_assigns_cells(spark, tmp_path):
+    """The IVF twin of the media refresh (round-7): two microbatches of
+    vectors against a PERSISTED cell-partitioned index — a cross-batch
+    semantic near-dup is dropped, a near-dup of pre-built history is
+    dropped, novel vectors land in the same cells the batch operator
+    assigns, and replay admits nothing."""
+    import numpy as np
+
+    from multimodal_vector_db_spark.operators.ann import (
+        build_ivf_index,
+        ivf_assign,
+    )
+    from multimodal_vector_db_spark.streaming import vector_refresh_stream
+
+    rng = np.random.default_rng(29)
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    d = 8
+    hist_vecs = [unit(rng.standard_normal(d)) for _ in range(6)]
+    hist = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(hist_vecs)],
+        "id long, embedding array<double>",
+    )
+    index = str(tmp_path / "ivf_index")
+    centroids = build_ivf_index(hist, index, n_clusters=2, seed=7)
+
+    novel_a = unit(rng.standard_normal(d))
+    near_hist = unit(np.asarray(hist_vecs[0]) + 0.01 * rng.standard_normal(d))
+    novel_b = unit(rng.standard_normal(d))
+    near_a = unit(np.asarray(novel_a) + 0.01 * rng.standard_normal(d))
+
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    schema = "id long, embedding array<double>"
+    spark.createDataFrame(
+        [(100, novel_a), (101, near_hist)], schema
+    ).coalesce(1).write.parquet(str(src / "a"))
+    vector_refresh_stream(
+        spark.readStream.schema(schema).parquet(f"{src}/*"),
+        index, str(tmp_path / "ck1"), threshold=0.95,
+    ).start().awaitTermination(120)
+
+    got1 = {r["id"] for r in spark.read.parquet(index).select("id").collect()}
+    assert got1 == {0, 1, 2, 3, 4, 5, 100}  # 101 ~ history vec 0 dropped
+
+    spark.createDataFrame(
+        [(200, near_a), (201, novel_b)], schema
+    ).coalesce(1).write.parquet(str(src / "b"))
+    vector_refresh_stream(
+        spark.readStream.schema(schema).parquet(f"{src}/*"),
+        index, str(tmp_path / "ck2"), threshold=0.95,
+    ).start().awaitTermination(120)
+
+    idx = spark.read.parquet(index)
+    got2 = {r["id"] for r in idx.select("id").collect()}
+    # 200 ~ batch-A's 100 (cross-batch, via the persisted index);
+    # replay of batch A under the fresh checkpoint admitted nothing
+    assert got2 == {0, 1, 2, 3, 4, 5, 100, 201}
+
+    # streamed cell assignment == the batch operator's assignment
+    streamed = {
+        r["id"]: r["cluster_id"]
+        for r in idx.where(F.col("id") >= 100).collect()
+    }
+    want = {
+        r["id"]: r["cluster_id"]
+        for r in ivf_assign(
+            spark.createDataFrame(
+                [(100, novel_a), (201, novel_b)], schema
+            ),
+            centroids,
+        ).collect()
+    }
+    assert streamed == want
+
+    # nprobe partition layout: cell dirs exist on disk
+    import os
+
+    assert any(
+        e.startswith("cluster_id=") for e in os.listdir(index)
+    )

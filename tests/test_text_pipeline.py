@@ -604,3 +604,50 @@ class TestUnigramLM:
         # fixed point on real text)
         assert history[-1] > history[0]
         assert abs(sum(probs.values()) - 1.0) < 1e-9
+
+    def test_max_piece_4_uses_long_pieces(self):
+        """Round-7 generalization: the lattice carries four trailing
+        values, so dominant 3- and 4-char pieces win segmentations —
+        and the shortest-piece tie rule still holds at every length."""
+        from multimodal_vector_db_spark.operators.unigram_lm import (
+            MAX_PIECE,
+            _viterbi,
+        )
+
+        assert MAX_PIECE == 4
+        probs = {"t": 0.05, "h": 0.05, "e": 0.05, "the": 0.4}
+        assert _viterbi("thethe", probs) == ["the", "the"]
+        probs4 = {"a": 0.1, "ab": 0.1, "abc": 0.1, "abcd": 0.5,
+                  "b": 0.1, "c": 0.1, "d": 0.1}
+        assert _viterbi("abcdabcd", probs4) == ["abcd", "abcd"]
+        # exact tie between char path and a 4-char piece -> chars win
+        tie = {"x": 0.2, "xxxx": 0.2 ** 4}
+        assert _viterbi("xxxx", tie) == ["x", "x", "x", "x"]
+        # mixed: best path uses a 3-char piece mid-word
+        probs_m = {"a": 0.2, "xyz": 0.5, "x": 0.01, "y": 0.01, "z": 0.01}
+        assert _viterbi("axyza", probs_m) == ["a", "xyz", "a"]
+
+    def test_seed_top_k_multi_keeps_chars_and_caps(self, spark):
+        """top_k_multi caps multi-char seed pieces deterministically
+        (count DESC, piece ASC) while every single char survives."""
+        from multimodal_vector_db_spark.operators.unigram_lm import (
+            seed_piece_counts,
+            word_freqs,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "banana bandana")], "doc_id long, text string"
+        )
+        wf = word_freqs(docs)
+        full = seed_piece_counts(wf).collect()
+        capped = seed_piece_counts(wf, top_k_multi=3).collect()
+        chars_full = {r["piece"] for r in full if len(r["piece"]) == 1}
+        chars_capped = {r["piece"] for r in capped if len(r["piece"]) == 1}
+        assert chars_capped == chars_full
+        multi = [(r["piece"], r["c"]) for r in capped if len(r["piece"]) > 1]
+        assert len(multi) == 3
+        ranked = sorted(
+            ((r["c"], r["piece"]) for r in full if len(r["piece"]) > 1),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        assert sorted(multi) == sorted((p, c) for c, p in ranked)

@@ -34,6 +34,34 @@ DEFAULT_SFS = [
 ]
 
 PCA_K = 16
+OPQ_SUBS = 4
+
+
+def build_opq_rotation(spark, sf_dir: str, out_path: str) -> None:
+    """OPQ-P rotation fixture (Ge et al. CVPR 2013 §4): full-d PCA +
+    eigenvalue-balanced subspace allocation. Rows: comp=-1 the mean,
+    comps 0..d-1 the rotation COLUMNS in allocated (subspace-blocked)
+    order — serving computes ``y_j = x·v_j − μ·v_j``."""
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.operators.projection_training import (
+        fit_opq_rotation,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mean, R, _alloc = fit_opq_rotation(
+        emb.select(F.col("vec_id").alias("id"), "embedding"),
+        "embedding",
+        n_subquantizers=OPQ_SUBS,
+    )
+    d = len(mean)
+    rows = [(-1, [float(x) for x in mean])] + [
+        (j, [float(R[i][j]) for i in range(d)]) for j in range(d)
+    ]
+    spark.createDataFrame(rows, "comp long, v array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(out_path)
+    print(f"wrote {out_path} (d={d}, {OPQ_SUBS} subspaces)")
 
 
 def build_pca_basis(spark, sf_dir: str, out_path: str) -> None:
@@ -71,6 +99,11 @@ def main() -> None:
             spark,
             sf_dir,
             os.path.join(REPO, "fixtures", f"pca_basis_{name}.parquet"),
+        )
+        build_opq_rotation(
+            spark,
+            sf_dir,
+            os.path.join(REPO, "fixtures", f"opq_rot_{name}.parquet"),
         )
 
 

@@ -844,6 +844,63 @@ def main() -> None:
         results["streaming_media_refresh"] = media_res
         print("streaming_media_refresh", media_res, flush=True)
 
+    # Streaming VECTOR-index refresh at 1×/4×/16×: drain perturbed
+    # embedding batches through vector_refresh_stream against a
+    # PRE-BUILT cell-partitioned IVF index (assign → cell-pruned
+    # incremental SemDeDup → partitioned append) as checkpointed
+    # microbatches. Planted structure: every 4th vector is a near-dup
+    # of an indexed one. Expect rows/s to grow with factor (trigger
+    # overhead amortizes; the history join reads touched cells only).
+    if _want("streaming_vector_refresh"):
+        from multimodal_vector_db_spark.operators.ann import build_ivf_index
+        from multimodal_vector_db_spark.streaming.ingest import (
+            vector_refresh_stream,
+        )
+
+        vr_res = {
+            "sec": {},
+            "rows_per_sec": {},
+            "survivors": {},
+            "ratio_vs_1x": {},
+        }
+        for f in FACTORS:
+            src_emb = spark.read.parquet(f"{WORK}/embeddings_{f}")
+            n_all = src_emb.count()
+            hist = src_emb.where(F.col("vec_id") % 4 == 0).select(
+                F.col("vec_id").alias("id"), "embedding"
+            )
+            batchable = src_emb.where(F.col("vec_id") % 4 != 0).select(
+                F.col("vec_id").alias("id"), "embedding"
+            )
+            index = f"{WORK}/vr_index_{f}"
+            ckpt = f"{WORK}/vr_ckpt_{f}"
+            src = f"{WORK}/vr_src_{f}"
+            for dpath in (index, ckpt, src):
+                shutil.rmtree(dpath, ignore_errors=True)
+            build_ivf_index(hist, index, n_clusters=8 * f, seed=42)
+            batchable.repartition(8).write.mode("overwrite").parquet(src)
+            n_rows = n_all - n_all // 4
+            stream = (
+                spark.readStream.schema("id long, embedding array<float>")
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src)
+            )
+            t0 = time.time()
+            vector_refresh_stream(
+                stream, index, ckpt, threshold=0.999
+            ).start().awaitTermination(600)
+            sec = round(time.time() - t0, 3)
+            vr_res["sec"][str(f)] = sec
+            vr_res["rows_per_sec"][str(f)] = round(n_rows / max(sec, 1e-9))
+            vr_res["survivors"][str(f)] = spark.read.parquet(index).count()
+        base = vr_res["sec"]["1"] or 1e-9
+        for f in FACTORS:
+            vr_res["ratio_vs_1x"][str(f)] = round(
+                vr_res["sec"][str(f)] / base, 2
+            )
+        results["streaming_vector_refresh"] = vr_res
+        print("streaming_vector_refresh", vr_res, flush=True)
+
     # skew-join remedy, measured: a fact table where ONE key holds 80%
     # of all rows, shuffle-joined (broadcast disabled — the situation
     # when the dim side is too big to broadcast) plain vs salted. AQE's
