@@ -248,6 +248,60 @@ def ivf_assign(
     )
 
 
+def ivf_assign_blocked(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vector_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+    metric: str = "dot",
+) -> DataFrame:
+    """BLAS twin of :func:`ivf_assign` — identical semantics (max-dot /
+    min-L2, ties → HIGHER cid), built for centroid counts where the
+    expression tree goes superlinear: :func:`nearest_centroid` is an
+    O(k·d) literal tree evaluated interpretively per row, while this is
+    one ``mapInPandas`` matmul per Arrow batch against the broadcast
+    centroid matrix (the assignment stage of
+    ``dedup.semantic_dedup_blocked``, factored out for reuse —
+    vector_refresh_stream's probe measured throughput plateauing on
+    the expression form as SemDeDup-style k∝N growth kicked in).
+    Parity with :func:`ivf_assign` (including ties) is pinned in
+    tests/test_ann.py."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, d)
+    nc = C.shape[0]
+    use_l2 = metric == "l2"
+    c_sq = (C * C).sum(axis=1)
+    fields = [f for f in corpus.schema.fields]
+    out_schema = T.StructType(
+        fields + [T.StructField(cluster_col, T.IntegerType())]
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vector_col].to_numpy()).astype(np.float64)
+            S = V @ C.T
+            if use_l2:
+                prox = (
+                    (V * V).sum(axis=1)[:, None] - 2.0 * S + c_sq[None, :]
+                )
+                # ties → HIGHER cid: argmin over the reversed axis
+                cid = (nc - 1) - np.argmin(prox[:, ::-1], axis=1)
+            else:
+                cid = (nc - 1) - np.argmax(S[:, ::-1], axis=1)
+            out = pdf.copy()
+            out[cluster_col] = cid.astype("int32")
+            yield out
+
+    return corpus.mapInPandas(assign, schema=out_schema)
+
+
 def ivf_search(
     assigned_corpus: DataFrame,
     queries: DataFrame | list[tuple[int, list[float]]],

@@ -469,7 +469,10 @@ def vector_refresh_stream(
     import json as _json
 
     from multimodal_vector_db_spark.functions.vector import dot
-    from multimodal_vector_db_spark.operators.ann import ivf_assign
+    from multimodal_vector_db_spark.operators.ann import (
+        ivf_assign,
+        ivf_assign_blocked,
+    )
 
     def refresh(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -478,7 +481,12 @@ def vector_refresh_stream(
         fresh = batch.dropDuplicates([id_col]).select(
             F.col(id_col).alias("id"), F.col(vector_col).alias("embedding")
         )
-        assigned = ivf_assign(fresh, centroids, metric=metric)
+        # assignment dispatch: the expression form's O(k·d) literal
+        # tree is interpreted per row, so with SemDeDup-style k∝N
+        # centroid growth it plateaus (measured in the probe); the
+        # BLAS twin has identical semantics incl. tie-break
+        assign = ivf_assign if len(centroids) < 16 else ivf_assign_blocked
+        assigned = assign(fresh, centroids, metric=metric)
         assigned = assigned.localCheckpoint(eager=True)
         if _path_exists(spark, index_path):
             cells = [

@@ -519,3 +519,37 @@ def test_ivf_adc_search_blocked_matches_joined(spark, embeddings):
     ]
     for x, y in zip(j, b):
         assert abs(x["adc_dist"] - y["adc_dist"]) < 1e-6
+
+
+def test_ivf_assign_blocked_matches_expression_form(spark):
+    """The BLAS assignment twin (round-7, factored out of
+    semantic_dedup_blocked for vector_refresh_stream) must agree with
+    ivf_assign row-for-row under BOTH metrics, including the
+    ties-to-higher-cid rule (pinned with duplicated centroids)."""
+    import numpy as np
+
+    from multimodal_vector_db_spark.operators.ann import (
+        ivf_assign,
+        ivf_assign_blocked,
+    )
+
+    rng = np.random.default_rng(17)
+    vecs = rng.standard_normal((120, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[float(x) for x in c] for c in rng.standard_normal((24, 8))]
+    # duplicated centroid: rows nearest to it MUST pick the higher cid
+    cents[5] = list(cents[20])
+    for metric in ("dot", "l2"):
+        want = {
+            r["vec_id"]: r["cluster_id"]
+            for r in ivf_assign(df, cents, metric=metric).collect()
+        }
+        got = {
+            r["vec_id"]: r["cluster_id"]
+            for r in ivf_assign_blocked(df, cents, metric=metric).collect()
+        }
+        assert got == want, metric
+        assert 5 not in set(got.values())  # dup ties resolved upward

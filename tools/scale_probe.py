@@ -880,8 +880,10 @@ def main() -> None:
             build_ivf_index(hist, index, n_clusters=8 * f, seed=42)
             batchable.repartition(8).write.mode("overwrite").parquet(src)
             n_rows = n_all - n_all // 4
+            # replicated embeddings are double (the perturbation math);
+            # a float schema here would fail every microbatch read
             stream = (
-                spark.readStream.schema("id long, embedding array<float>")
+                spark.readStream.schema("id long, embedding array<double>")
                 .option("maxFilesPerTrigger", 2)
                 .parquet(src)
             )
