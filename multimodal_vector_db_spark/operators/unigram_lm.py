@@ -252,3 +252,28 @@ def viterbi_segments(
             )
 
     return wf.select("w").distinct().mapInPandas(run, schema=out_schema)
+
+
+def prune_to_vocab(counts: list, keep_multi: int) -> dict:
+    """SentencePiece's vocabulary-size control (Kudo 2018 §3.2: after
+    each EM round the inventory is pruned toward the target size):
+    keep every single-char piece (coverage can never break) plus the
+    ``keep_multi`` highest-count multi-char pieces (count DESC, piece
+    ASC — deterministic), renormalize the survivors' counts into a
+    probability model (exact integer ratios, one IEEE division each —
+    the bitwise-reproducible form the oracle replays).
+
+    ``counts`` is the E-step output — an iterable of ``(piece, n)``
+    rows/tuples. Driver-side: the inventory is KBs."""
+    pairs = [
+        (r["piece"], int(r["n"])) if not isinstance(r, tuple) else r
+        for r in counts
+    ]
+    chars = [(p, n) for p, n in pairs if len(p) == 1]
+    multi = sorted(
+        ((p, n) for p, n in pairs if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )[:keep_multi]
+    kept = chars + multi
+    tot = float(sum(n for _, n in kept))
+    return {p: n / tot for p, n in kept}

@@ -311,3 +311,76 @@ def q_opq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     coded = pq_encode(rotated.select("vec_id", "embedding"), books)
     return adc_search(coded, qvec, books, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM vocabulary pruning — the SentencePiece size-control step
+# ---------------------------------------------------------------------------
+
+from .m11_curation3 import _UNI_BASE, _uni_viterbi_cte
+
+_PRUNE_KEEP_MULTI = 16
+
+
+@query(
+    "unigram_prune_iteration",
+    rf"""
+    WITH RECURSIVE {_UNI_BASE},
+    {_uni_viterbi_cte("rec", "probs", guard_nulls=False)},
+    cnt1 AS (
+      SELECT u.piece, sum(wf.freq)::BIGINT AS n
+      FROM (SELECT w, seg1 FROM rec WHERE j = length(w)) b
+      JOIN wfreq wf ON wf.w = b.w,
+           UNNEST(b.seg1) AS u(piece)
+      GROUP BY 1
+    ),
+    -- prune: chars always survive; multi-char pieces capped at the
+    -- {_PRUNE_KEEP_MULTI} highest-count (count DESC, piece ASC)
+    keepm AS (
+      SELECT piece, n FROM cnt1 WHERE length(piece) > 1
+      ORDER BY n DESC, piece ASC LIMIT {_PRUNE_KEEP_MULTI}
+    ),
+    kept AS (
+      SELECT piece, n FROM cnt1 WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, n FROM keepm
+    ),
+    tot3 AS (SELECT sum(n)::DOUBLE AS s FROM kept),
+    probs3 AS (SELECT piece, n / tot3.s AS p FROM kept, tot3),
+    {_uni_viterbi_cte("rec3", "probs3", guard_nulls=True)},
+    cnt3 AS (
+      SELECT u.piece, sum(wf.freq)::BIGINT AS n
+      FROM (SELECT w, seg1 FROM rec3 WHERE j = length(w)) b
+      JOIN wfreq wf ON wf.w = b.w,
+           UNNEST(b.seg1) AS u(piece)
+      GROUP BY 1
+    )
+    SELECT piece, n FROM cnt3
+    """,
+)
+def q_unigram_prune_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SentencePiece VOCAB-SIZE control under full hash check
+    (Kudo 2018 §3.2 — the step between EM rounds that shrinks the
+    inventory toward the target): seed model → Viterbi E-step → prune
+    (chars always survive; multi-char pieces capped at the 16
+    highest-count, deterministic ties) → renormalize survivors
+    (exact integer ratios) → Viterbi E-step under the PRUNED model.
+    With seed/E/EM-cycle/apply already hash-checked, the full
+    SentencePiece training loop — seed → EM → prune → re-EM → apply —
+    is now replayed end to end by the DuckDB oracle; pieces evicted by
+    the prune re-segment through survivors via the COALESCEd lattice
+    (the guard_nulls path). See operators/unigram_lm.py:
+    prune_to_vocab."""
+    from multimodal_vector_db_spark.operators.unigram_lm import (
+        prune_to_vocab,
+        seed_probs,
+        viterbi_piece_counts,
+        word_freqs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = word_freqs(docs).localCheckpoint(eager=True)  # two E-passes
+    probs = seed_probs(wf)
+    counts = viterbi_piece_counts(wf, probs).collect()
+    probs3 = prune_to_vocab(counts, keep_multi=_PRUNE_KEEP_MULTI)
+    return viterbi_piece_counts(wf, probs3).select("piece", "n")

@@ -651,3 +651,35 @@ class TestUnigramLM:
             key=lambda t: (-t[0], t[1]),
         )[:3]
         assert sorted(multi) == sorted((p, c) for c, p in ranked)
+
+
+def test_prune_to_vocab_keeps_chars_and_caps_multi(spark):
+    """SentencePiece-style prune: single chars always survive, multi
+    pieces capped deterministically (count DESC, piece ASC), survivors
+    renormalized to an exact-ratio probability model."""
+    from multimodal_vector_db_spark.operators.unigram_lm import (
+        prune_to_vocab,
+        seed_probs,
+        viterbi_piece_counts,
+        word_freqs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "banana band bandana ananas"), (2, "banana banda ana")],
+        "doc_id long, text string",
+    )
+    wf = word_freqs(docs).localCheckpoint(eager=True)
+    counts = viterbi_piece_counts(wf, seed_probs(wf)).collect()
+    probs = prune_to_vocab(counts, keep_multi=2)
+    chars_in = {r["piece"] for r in counts if len(r["piece"]) == 1}
+    kept_chars = {p for p in probs if len(p) == 1}
+    kept_multi = [p for p in probs if len(p) > 1]
+    assert kept_chars == chars_in
+    assert len(kept_multi) <= 2
+    assert abs(sum(probs.values()) - 1.0) < 1e-12
+    # determinism: the kept multi pieces are the count-DESC/piece-ASC top
+    ranked = sorted(
+        ((int(r["n"]), r["piece"]) for r in counts if len(r["piece"]) > 1),
+        key=lambda t: (-t[0], t[1]),
+    )[:2]
+    assert sorted(kept_multi) == sorted(p for _, p in ranked)
