@@ -166,6 +166,51 @@ def _opq_rot_path(sf_dir: str) -> str:
     return _os.path.join(_FIXTURES_DIR, f"opq_rot_{name}.parquet")
 
 
+def _rotated_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings rotated through the persisted OPQ fixture:
+    ``(vec_id, embedding ARRAY<DOUBLE>)`` with every coordinate the
+    sequential-fold ``x·v_j − μ·v_j`` (the pca_matryoshka_knn
+    contract, bit-replayable by the oracles' ``coords``/``rvec``
+    CTEs). Eagerly checkpointed — the 64-dot rotation subtree feeds
+    codebook collects, query collects AND encode scans. A missing
+    fixture is a setup error (``python tools/build_fixtures.py``);
+    queries never write fixtures at run time."""
+    from multimodal_vector_db_spark.functions.vector import dot
+
+    rot_path = _opq_rot_path(sf_dir)
+    if not _os.path.exists(rot_path):
+        raise FileNotFoundError(
+            f"missing persisted OPQ rotation fixture {rot_path}; run "
+            f"`python tools/build_fixtures.py`"
+        )
+    basis = {
+        r["comp"]: list(r["v"])
+        for r in spark.read.parquet(rot_path).collect()
+    }
+    mean = basis[-1]
+    d = len(mean)
+    cols = [basis[j] for j in range(d)]
+    mw = []
+    for w in cols:
+        acc = 0.0
+        for a, b in zip(mean, w):
+            acc += a * b
+        mw.append(acc)
+
+    def rotate(vec_col):
+        return F.array(
+            *[
+                dot(vec_col, F.array(*[F.lit(x) for x in w])) - F.lit(m)
+                for w, m in zip(cols, mw)
+            ]
+        )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", rotate(F.col("embedding")).alias("embedding")
+    ).localCheckpoint(eager=True)
+
+
 #: Oracle declared against the sf0.01 rotation fixture ONLY (each sf
 #: has its own rotation) — the driver's correctness sf. The rotated
 #: corpus then runs EXACTLY the pq_adc_knn oracle: data-derived
@@ -258,50 +303,13 @@ def q_opq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_detail's ``opq`` section publishes the serving-quality point
     of this query: ADC recall@10 vs exact, OPQ vs plain PQ, same
     codebook budget."""
-    from multimodal_vector_db_spark.functions.vector import dot
     from multimodal_vector_db_spark.operators.quantization import (
         adc_search,
         data_derived_codebooks,
         pq_encode,
     )
 
-    rot_path = _opq_rot_path(sf_dir)
-    if not _os.path.exists(rot_path):
-        raise FileNotFoundError(
-            f"opq_adc_knn: missing persisted OPQ rotation fixture "
-            f"{rot_path}; run `python tools/build_fixtures.py` (queries "
-            f"never write fixtures at run time)"
-        )
-    basis = {
-        r["comp"]: list(r["v"])
-        for r in spark.read.parquet(rot_path).collect()
-    }
-    mean = basis[-1]
-    d = len(mean)
-    cols = [basis[j] for j in range(d)]
-    mw = []
-    for w in cols:
-        acc = 0.0
-        for a, b in zip(mean, w):
-            acc += a * b
-        mw.append(acc)
-
-    def rotate(vec_col):
-        return F.array(
-            *[
-                dot(vec_col, F.array(*[F.lit(x) for x in w])) - F.lit(m)
-                for w, m in zip(cols, mw)
-            ]
-        )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    rotated = emb.select(
-        "vec_id", rotate(F.col("embedding")).alias("embedding")
-    )
-    # pin: the 64-dot rotation subtree feeds codebook collect, query
-    # collect AND the encode scan — without the checkpoint each
-    # consumer re-derives it
-    rotated = rotated.localCheckpoint(eager=True)
+    rotated = _rotated_embeddings(spark, sf_dir)
     books = data_derived_codebooks(rotated, n_subquantizers=4, n_codes=4)
     qvec = [
         float(x)
@@ -384,3 +392,91 @@ def q_unigram_prune_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = viterbi_piece_counts(wf, probs).collect()
     probs3 = prune_to_vocab(counts, keep_multi=_PRUNE_KEEP_MULTI)
     return viterbi_piece_counts(wf, probs3).select("piece", "n")
+
+
+# ---------------------------------------------------------------------------
+# OPQ + IVFADC — the full FAISS "OPQ..,IVF..,PQ.." serving stack
+# ---------------------------------------------------------------------------
+
+from ._core import ORACLES as _ORACLES
+
+#: the rotation CTEs shared by the OPQ oracles: project every embedding
+#: through the committed sf0.01 rotation fixture → ``rvec(vec_id,
+#: embedding DOUBLE[])``. The IVFADC replay below is the UNCHANGED
+#: ``ann_ivf_adc_knn`` oracle re-pointed at ``rvec`` — the composition
+#: is literally the existing end-to-end replay in the rotated space.
+_OPQ_RVEC = rf"""basis AS (
+      SELECT comp, v
+      FROM read_parquet('{_FIXTURES_DIR}/opq_rot_sf0.01.parquet/*.parquet')
+    ),
+    m AS (SELECT v AS mv FROM basis WHERE comp = -1),
+    comps AS (
+      SELECT comp, v, list_dot_product(m.mv, v) AS mw
+      FROM basis CROSS JOIN m WHERE comp >= 0
+    ),
+    coords AS (
+      SELECT e.vec_id, c.comp,
+             list_dot_product(e.embedding::DOUBLE[], c.v) - c.mw AS x
+      FROM embeddings e CROSS JOIN comps c
+    ),
+    rvec AS (
+      SELECT vec_id, list(x ORDER BY comp) AS embedding
+      FROM coords GROUP BY vec_id
+    )"""
+
+_OPQ_IVF_ADC_SQL = (
+    "WITH "
+    + _OPQ_RVEC
+    + ",\n    "
+    + _ORACLES["ann_ivf_adc_knn"].split("WITH ", 1)[1].replace(
+        "FROM embeddings", "FROM rvec"
+    )
+)
+assert "FROM embeddings" not in _OPQ_IVF_ADC_SQL.split("rvec AS", 1)[1]
+
+
+@query("opq_ivf_adc_knn", _OPQ_IVF_ADC_SQL)
+def q_opq_ivf_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS-style compressed-ANN stack — ``OPQ + IVF + PQ``
+    (the index-factory string "OPQ64,IVF,PQ4" shape) under hash check:
+    rotate the corpus through the persisted parametric-OPQ fixture,
+    then run the UNCHANGED residual-IVFADC pipeline in the rotated
+    space — coarse cells from fixed rotated rows 200-207, 4×4
+    data-derived residual codebooks (rotated rows 100-103), nprobe=2,
+    per-(query, cell) residual lookup tables, ADC top-5. The oracle is
+    the ``ann_ivf_adc_knn`` end-to-end replay verbatim, re-pointed at
+    the rotated CTE — every coarse assignment, residual, code and
+    distance replays bit-for-bit. Oracle valid at sf0.01 (per-sf
+    rotation fixture), like the other OPQ/PCA queries."""
+    from multimodal_vector_db_spark.operators.ann import (
+        ivf_adc_build,
+        ivf_adc_search,
+    )
+    from multimodal_vector_db_spark.operators.quantization import (
+        data_derived_codebooks,
+    )
+
+    rotated = _rotated_embeddings(spark, sf_dir)
+    centroids = [
+        r["embedding"]
+        for r in rotated.where(
+            (F.col("vec_id") >= 200) & (F.col("vec_id") < 208)
+        ).orderBy("vec_id").select("embedding").collect()
+    ]
+    books = data_derived_codebooks(rotated, n_subquantizers=4, n_codes=4)
+    index = ivf_adc_build(
+        rotated.select(F.col("vec_id").alias("id"), "embedding"),
+        centroids,
+        books,
+    )
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in rotated.where(F.col("vec_id") < 5)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    out = ivf_adc_search(index, queries, centroids, books, k=5, nprobe=2)
+    return out.select(
+        "query_id", "id", "adc_dist", F.col("rank").cast("long").alias("rank")
+    )
