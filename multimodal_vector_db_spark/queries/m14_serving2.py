@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ._core import _t, query
+from .m2_text_dedup import _TOKS
 from .m12_curation4 import _afp_media
 
 # ---------------------------------------------------------------------------
@@ -479,4 +480,165 @@ def q_opq_ivf_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_adc_search(index, queries, centroids, books, k=5, nprobe=2)
     return out.select(
         "query_id", "id", "adc_dist", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing — the mT5/UNIMAX sampling rule
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 60  # total docs the mixed corpus may draw
+
+
+@query(
+    "temperature_source_mix",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len({_TOKS.format(col="lower(text)")})::BIGINT AS ntok
+      FROM documents
+    ),
+    src AS (
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(ntok)::BIGINT AS n_toks
+      FROM t GROUP BY 1
+    ),
+    w AS (SELECT source, sqrt(n_toks::DOUBLE) AS sw FROM src),
+    tot AS (
+      SELECT list_sum(list(sw ORDER BY source)) AS s FROM w
+    ),
+    wt AS (SELECT source, round(sw / tot.s, 6) AS w6 FROM w, tot),
+    q0 AS (
+      SELECT source, w6,
+             floor({_MIX_BUDGET} * w6)::BIGINT AS base,
+             {_MIX_BUDGET} * w6 - floor({_MIX_BUDGET} * w6) AS rem
+      FROM wt
+    ),
+    lo AS (SELECT {_MIX_BUDGET} - sum(base)::BIGINT AS k FROM q0),
+    ranked AS (
+      SELECT source, w6, base, rem,
+             row_number() OVER (ORDER BY rem DESC, source ASC) AS rr
+      FROM q0
+    ),
+    quota AS (
+      SELECT source, w6,
+             (base + CASE WHEN rr <= lo.k THEN 1 ELSE 0 END)::BIGINT
+               AS quota
+      FROM ranked, lo
+    ),
+    picked AS (
+      SELECT x.source, count(*)::BIGINT AS picked_docs,
+             sum(x.ntok)::BIGINT AS picked_tokens
+      FROM (
+        SELECT t.source, t.ntok,
+               row_number() OVER (
+                 PARTITION BY t.source ORDER BY t.doc_id) AS rn
+        FROM t
+      ) x
+      JOIN quota ON quota.source = x.source
+      WHERE x.rn <= quota.quota
+      GROUP BY 1
+    )
+    SELECT s.source, s.n_docs, s.n_toks, q.w6, q.quota,
+           coalesce(p.picked_docs, 0)::BIGINT AS picked_docs,
+           coalesce(p.picked_tokens, 0)::BIGINT AS picked_tokens
+    FROM src s
+    JOIN quota q ON q.source = s.source
+    LEFT JOIN picked p ON p.source = s.source
+    """,
+)
+def q_temperature_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing — the multilingual/multi-source
+    sampling rule of mT5 / UNIMAX (sample source i with probability
+    ``∝ n_i^(1/T)``; here T=2, i.e. ``sqrt`` — chosen deliberately so
+    the weight arithmetic is IEEE-correctly-rounded in ANY engine, no
+    libm ``pow`` exposure) with EXACT largest-remainder (Hamilton)
+    apportionment of a 60-doc budget: floor quotas + the remainder
+    ranking hand out every leftover seat deterministically (remainder
+    DESC, source ASC). Each source then contributes its quota's
+    lowest-id docs. The weight total is an ORDERED fold (list_sum over
+    source-sorted weights / the same sequential fold on the Spark
+    side) so the float sum is engine-identical; quotas and token
+    accounting are integers. Completes the budget tier next to
+    `source_mixing` / the funnel's uniform cap — this is the
+    temperature knob production mixes actually use."""
+    from multimodal_vector_db_spark.functions.text import tokens
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.lower("text"))).cast("long").alias("ntok"),
+    )
+    src = t.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_toks"),
+    )
+    w = src.select(
+        "source", "n_docs", "n_toks",
+        F.sqrt(F.col("n_toks").cast("double")).alias("sw"),
+    )
+    # ordered fold: source-sorted sequential sum, the oracle's
+    # list_sum(list(sw ORDER BY source)) bit-for-bit
+    tot = w.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "sw"))),
+                lambda s: s["sw"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s")
+    )
+    # the per-source table is tiny; pin it once for its consumers
+    wt = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_toks",
+            F.round(F.col("sw") / F.col("s"), 6).alias("w6"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    b = float(_MIX_BUDGET)
+    q0 = wt.select(
+        "source", "n_docs", "n_toks", "w6",
+        F.floor(b * F.col("w6")).cast("long").alias("base"),
+        (b * F.col("w6") - F.floor(b * F.col("w6"))).alias("rem"),
+    )
+    lo = q0.agg((F.lit(_MIX_BUDGET) - F.sum("base")).alias("k"))
+    ranked = q0.withColumn(
+        "rr",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+        ),
+    )
+    quota = ranked.crossJoin(F.broadcast(lo)).select(
+        "source", "n_docs", "n_toks", "w6",
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("k"), 1).otherwise(0)
+        ).cast("long").alias("quota"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")
+    )
+    picked = (
+        t.withColumn("rn", rn)
+        .join(F.broadcast(quota.select("source", "quota")), "source")
+        .where(F.col("rn") <= F.col("quota"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("picked_docs"),
+            F.sum("ntok").cast("long").alias("picked_tokens"),
+        )
+    )
+    return quota.join(picked, "source", "left").select(
+        "source", "n_docs", "n_toks", "w6", "quota",
+        F.coalesce("picked_docs", F.lit(0)).cast("long").alias(
+            "picked_docs"
+        ),
+        F.coalesce("picked_tokens", F.lit(0)).cast("long").alias(
+            "picked_tokens"
+        ),
     )
