@@ -96,3 +96,84 @@ def pack_shards(
         )
         .drop("__b", "__lcum", "__tot", "__off")
     )
+
+
+def context_window_spans(
+    docs: "DataFrame",
+    window: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """GPT-style pretraining sequence packing: concatenate every
+    document in ``id_col`` order with ONE end-of-document token
+    between them, split the token stream into fixed ``window``-sized
+    context windows, and report per window which documents it spans —
+    ``(window_id, n_docs, first_doc, last_doc, n_tokens)``. This is
+    the op that turns a curated corpus into the actual training
+    batches (concat-then-chunk with document-boundary accounting);
+    :func:`pack_shards` is its shard-level sibling (docs → whole
+    shards), this is the token-level one (docs may STRADDLE windows).
+
+    Exact integer arithmetic end to end: per-doc whitespace token
+    counts + 1 EOD each, a cumulative-offset window, and one explode
+    of each doc over the windows it touches — linear, SQL-replayable.
+    The last window reports its true (possibly short) token count.
+
+    Scale shape: one global cumulative window over (ntok+1) is the
+    only total ordering this op fundamentally needs (the token stream
+    IS ordered); everything else is a bounded explode (a doc touches
+    ⌈(ntok+1)/window⌉ windows) and a window_id groupBy with partial
+    aggs. At 100 TB the cumsum runs per-shard after :func:`pack_shards`
+    assigns shard boundaries — document the composition, don't hide
+    the global sort."""
+    from pyspark.sql import Window as W
+
+    from multimodal_vector_db_spark.functions.text import tokens
+
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.size(tokens(F.lower(F.col(text_col)))) + 1)
+        .cast("long")
+        .alias("len1"),  # +1 = the EOD token
+    )
+    cum = t.withColumn(
+        "end_",
+        F.sum("len1").over(
+            W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    ).select(
+        "doc_id",
+        (F.col("end_") - F.col("len1")).alias("start_"),
+        "end_",
+    )
+    spans = cum.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_") / window).cast("long"),
+                F.floor((F.col("end_") - 1) / window).cast("long"),
+            )
+        ).alias("window_id"),
+        "start_",
+        "end_",
+    )
+    total = cum.agg(F.max("end_").alias("n"))
+    return (
+        spans.groupBy("window_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "window_id",
+            "n_docs",
+            "first_doc",
+            "last_doc",
+            F.least(
+                F.lit(window).cast("long"),
+                F.col("n") - F.col("window_id") * window,
+            ).alias("n_tokens"),
+        )
+    )

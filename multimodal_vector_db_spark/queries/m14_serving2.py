@@ -642,3 +642,267 @@ def q_temperature_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "picked_tokens"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window sequence packing — corpus → training batches
+# ---------------------------------------------------------------------------
+
+_CTX_W = 256
+
+
+@query(
+    "context_window_spans",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             (len({_TOKS.format(col="lower(text)")}) + 1)::BIGINT AS len1
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id,
+             (sum(len1) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - len1)::BIGINT AS start_,
+             (sum(len1) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               AS end_
+      FROM t
+    ),
+    tot AS (SELECT max(end_) AS n FROM cum),
+    spans AS (
+      SELECT doc_id, u.window_id
+      FROM cum,
+           UNNEST(generate_series(start_ // {_CTX_W},
+                                  (end_ - 1) // {_CTX_W})) AS u(window_id)
+    )
+    SELECT window_id::BIGINT AS window_id,
+           count(*)::BIGINT AS n_docs,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc,
+           least({_CTX_W}, tot.n - window_id * {_CTX_W})::BIGINT
+             AS n_tokens
+    FROM spans, tot
+    GROUP BY window_id, tot.n
+    """,
+)
+def q_context_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing under hash check: concatenate the
+    corpus in doc_id order with one EOD token per document, split into
+    fixed 256-token context windows, and account per window which
+    documents it spans (docs straddle windows — the real training-batch
+    geometry, unlike shard packing's whole-doc placement). Exact
+    integer arithmetic: cumulative offsets, a bounded explode of each
+    doc over ⌈len/W⌉ windows, one window_id groupBy. See
+    operators/packing.py:context_window_spans for the 100 TB note
+    (compose after pack_shards so the cumsum is per-shard)."""
+    from multimodal_vector_db_spark.operators.packing import (
+        context_window_spans,
+    )
+
+    return context_window_spans(
+        _t(spark, sf_dir, "documents"), window=_CTX_W
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paired bootstrap significance test — the eval-tier calibration piece
+# ---------------------------------------------------------------------------
+
+from .m3_metrics_compression import _AP_SQL, _RANKINGS_CTE
+
+_BOOT_M = 200  # resamples
+_BOOT_N = 20   # queries (vec_id 0..19, so ids index the diff list)
+
+
+@query(
+    "bootstrap_map_diff",
+    rf"""
+    WITH {_RANKINGS_CTE},
+    eb AS (
+      SELECT vec_id, embedding[1:16]::DOUBLE[] AS v FROM embeddings
+    ),
+    nb AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+      FROM eb
+    ),
+    qb AS (
+      SELECT vec_id AS query_id, v AS qv FROM nb WHERE vec_id < {_BOOT_N}
+    ),
+    ranked_b AS (
+      SELECT qb.query_id, nb.vec_id AS id,
+             row_number() OVER (
+               PARTITION BY qb.query_id
+               ORDER BY list_dot_product(nb.v, qb.qv) DESC, nb.vec_id ASC
+             ) AS rank
+      FROM nb, qb
+    ),
+    retr_b AS (
+      SELECT query_id, list(id ORDER BY rank) AS retrieved
+      FROM ranked_b WHERE rank <= 10 GROUP BY query_id
+    ),
+    ap_a AS (SELECT query_id, {_AP_SQL} AS ap FROM rr),
+    rr_b AS (
+      SELECT retr_b.query_id, retr_b.retrieved, rel.relevant
+      FROM retr_b JOIN rel ON rel.query_id = retr_b.query_id
+    ),
+    ap_b AS (SELECT query_id, {_AP_SQL} AS ap FROM rr_b),
+    diffs AS (
+      SELECT a.query_id, round(a.ap - b.ap, 6) AS d
+      FROM ap_a a JOIN ap_b b ON a.query_id = b.query_id
+    ),
+    dl AS (SELECT list(d ORDER BY query_id) AS ds FROM diffs),
+    means AS (
+      SELECT b,
+             round(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(generate_series(0, {_BOOT_N} - 1), i ->
+                 dl.ds[(('0x' || substring(md5(b::VARCHAR || '_'
+                         || i::VARCHAR), 1, 8))::BIGINT % {_BOOT_N}) + 1])),
+               (x, y) -> x + y) / {_BOOT_N}.0, 6) AS m
+      FROM UNNEST(generate_series(0, {_BOOT_M} - 1)) AS t(b), dl
+    ),
+    stats AS (
+      SELECT
+        round(list_reduce(list_prepend(0.0::DOUBLE, list(m ORDER BY b)),
+          (x, y) -> x + y) / {_BOOT_M}.0, 6) AS mean_diff,
+        list_sort(list(m))[{_BOOT_M} // 40 + 1] AS ci_lo,
+        list_sort(list(m))[{_BOOT_M} - {_BOOT_M} // 40] AS ci_hi,
+        round(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END)::DOUBLE
+              / {_BOOT_M}.0, 6) AS frac_positive
+      FROM means
+    )
+    SELECT mean_diff, ci_lo, ci_hi, frac_positive FROM stats
+    """,
+)
+def q_bootstrap_map_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired bootstrap significance test for retrieval quality — the
+    standard way to decide whether system A (exact full-dim kNN)
+    really beats system B (Matryoshka 16-dim prefix) or the MAP gap is
+    query-sampling noise (Sakai SIGIR 2006 / the IR-eval staple). Per
+    query: AP under both systems against the same same-label ground
+    truth; 200 deterministic bootstrap resamples of the 20-query set
+    (resample indices are md5-derived — seeded randomness as data, the
+    repo's standard trick); per-resample mean AP-difference; report
+    the mean difference, the exact 2.5%/97.5% order-statistic CI, and
+    the fraction of resamples favoring A. Every arithmetic step is the
+    rounded sequential-fold canon, so the whole test — rankings, APs,
+    resampling, CI — replays bit-for-bit in DuckDB."""
+    from multimodal_vector_db_spark.functions.vector import (
+        slice_renormalize,
+    )
+    from multimodal_vector_db_spark.operators.knn import knn_join
+    from multimodal_vector_db_spark.operators.metrics import (
+        average_precision,
+        rankings_from_knn,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus_a = emb.select(F.col("vec_id").alias("id"), "embedding")
+    qs_a = emb.where(F.col("vec_id") < _BOOT_N).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    sliced = emb.select(
+        "vec_id", slice_renormalize("embedding", 16).alias("v")
+    )
+    corpus_b = sliced.select(
+        F.col("vec_id").alias("id"), F.col("v").alias("embedding")
+    )
+    qs_b = sliced.where(F.col("vec_id") < _BOOT_N).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q_emb")
+    )
+    relevant = (
+        emb.where(F.col("vec_id") < _BOOT_N)
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql"))
+        .join(emb.select("vec_id", "label"), F.col("ql") == F.col("label"))
+        .groupBy("query_id")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("relevant"))
+    )
+
+    def ap_of(corpus, qs):
+        retr = rankings_from_knn(knn_join(corpus, qs, k=10))
+        return retr.join(relevant, "query_id").select(
+            "query_id",
+            F.round(
+                average_precision(F.col("retrieved"), F.col("relevant")), 6
+            ).alias("ap"),
+        )
+
+    diffs = (
+        ap_of(corpus_a, qs_a)
+        .join(
+            ap_of(corpus_b, qs_b).withColumnRenamed("ap", "ap_b"),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            F.round(F.col("ap") - F.col("ap_b"), 6).alias("d"),
+        )
+    )
+    ds = [
+        float(r["d"]) for r in diffs.orderBy("query_id").collect()
+    ]  # 20 canon-rounded doubles, ordered by query_id
+    d_lit = F.array(*[F.lit(x) for x in ds])
+    means = (
+        spark.range(_BOOT_M)
+        .select(F.col("id").alias("b"))
+        .select(
+            "b",
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(_BOOT_N - 1)),
+                        lambda i: F.element_at(
+                            d_lit,
+                            (
+                                F.conv(
+                                    F.substring(
+                                        F.md5(
+                                            F.concat(
+                                                F.col("b").cast("string"),
+                                                F.lit("_"),
+                                                i.cast("string"),
+                                            )
+                                        ),
+                                        1,
+                                        8,
+                                    ),
+                                    16,
+                                    10,
+                                ).cast("long")
+                                % _BOOT_N
+                                + 1
+                            ).cast("int"),
+                        ),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / float(_BOOT_N),
+                6,
+            ).alias("m"),
+        )
+    )
+    lo_i, hi_i = _BOOT_M // 40 + 1, _BOOT_M - _BOOT_M // 40
+    return means.agg(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("b", "m"))),
+                    lambda s: s["m"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / float(_BOOT_M),
+            6,
+        ).alias("mean_diff"),
+        F.element_at(F.array_sort(F.collect_list("m")), lo_i).alias("ci_lo"),
+        F.element_at(F.array_sort(F.collect_list("m")), hi_i).alias("ci_hi"),
+        F.round(
+            F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).cast("double")
+            / float(_BOOT_M),
+            6,
+        ).alias("frac_positive"),
+    )
