@@ -906,3 +906,89 @@ def q_bootstrap_map_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("frac_positive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the compliance pass every released corpus runs
+# ---------------------------------------------------------------------------
+
+#: Regexes restricted to the RE2 ∩ java.util.regex common subset
+#: (character classes, +, {m,}) so both engines match identically.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_DIGITS = r"[0-9]{7,}"
+
+
+@query(
+    "pii_redaction_stats",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' contact user' || doc_id::VARCHAR
+                       || '@example.com or call 55512' || doc_id::VARCHAR
+                       || '99 now'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, text,
+             regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_DIGITS}', '<NUM>', 'g') AS cleaned
+      FROM t
+    )
+    SELECT doc_id,
+           (length(text)
+             - length(regexp_replace(text, '{_PII_EMAIL}', '', 'g')))
+             ::BIGINT AS email_chars,
+           len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT
+             AS n_emails,
+           len(regexp_extract_all(
+             regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_DIGITS}'))::BIGINT AS n_digit_runs,
+           length(cleaned)::BIGINT AS n_chars_cleaned,
+           md5(cleaned) AS cleaned_md5
+    FROM r
+    """,
+)
+def q_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every released pretraining
+    corpus runs (emails and long digit runs → placeholder tokens; the
+    C4/RefinedWeb-style scrub). The synthetic docs carry no PII, so
+    every 3rd document gets a deterministic planted email + number
+    (identical derivation in both engines) and the query reports, per
+    doc, matched-span accounting and the md5 of the REDACTED text — a
+    regex-dialect or replacement-order bug breaks the hash. Patterns
+    are restricted to the RE2 ∩ java.util.regex common subset so both
+    engines match the same spans; one JVM-side projection, no shuffle
+    (the 100 TB shape: redaction is map-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 55512"),
+            F.col("doc_id").cast("string"),
+            F.lit("99 now"),
+        ),
+    ).otherwise(F.col("text"))
+    t = docs.select("doc_id", planted.alias("text"))
+    no_email = F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>")
+    cleaned = F.regexp_replace(no_email, _PII_DIGITS, "<NUM>")
+    return t.select(
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), _PII_EMAIL, ""))
+        ).cast("long").alias("email_chars"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(_PII_DIGITS), 0))
+        .cast("long")
+        .alias("n_digit_runs"),
+        F.length(cleaned).cast("long").alias("n_chars_cleaned"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )
