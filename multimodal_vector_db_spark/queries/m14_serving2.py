@@ -1,7 +1,22 @@
-"""Round-7 serving additions: content-based audio retrieval
-(``audio_content_knn`` — the torch-free M5/J5 shape, hash-checked end
-to end) and OPQ-rotated product quantization (``opq_*`` — the public
-serving-quality step ahead of plain PQ/ADC).
+"""Round-7 additions past the m13 capstone — serving, tokenizer,
+budget, packing, eval and compliance tiers, every query hash-checked:
+
+- ``audio_content_knn`` — content-based audio retrieval (the
+  torch-free M5/J5 shape): real WAV decode → integer-exact
+  Walsh-Hadamard sequency bands → exact kNN
+- ``opq_adc_knn`` / ``opq_ivf_adc_knn`` — parametric OPQ rotation
+  (Ge et al. CVPR 2013, persisted fixture) ahead of PQ/ADC and of the
+  full residual-IVFADC stack (the FAISS "OPQ,IVF,PQ" factory string)
+- ``unigram_prune_iteration`` — the SentencePiece vocab-size control,
+  completing the seed → EM → prune → re-EM → apply training loop
+- ``temperature_source_mix`` — mT5/UNIMAX temperature sampling with
+  exact largest-remainder budget apportionment
+- ``context_window_spans`` — GPT-style concat-with-EOD → fixed
+  context-window packing with doc-span accounting
+- ``bootstrap_map_diff`` — paired bootstrap significance test over
+  two retrieval systems (md5-seeded resamples, order-statistic CI)
+- ``pii_redaction_stats`` — the compliance scrub (emails/digit runs →
+  placeholders) with planted PII and redacted-text digests
 """
 
 from __future__ import annotations
