@@ -82,3 +82,40 @@ def test_hex_prefix_bucket_is_monotone_in_key_order(spark):
     bs = [r["b"] for r in rows]
     assert bs == sorted(bs)
     assert len(set(bs)) > 10  # actually spreads
+
+
+def test_context_window_spans_invariants(spark):
+    """Concat-with-EOD → fixed-window split: windows are contiguous
+    from 0, token counts sum to the exact stream length, every doc
+    appears in ≥1 window, and long docs straddle window boundaries."""
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.operators.packing import (
+        context_window_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),                      # 3 + EOD = 4
+            (1, " ".join(["w"] * 13)),         # 13 + 1 = 14 (straddles)
+            (2, "x y"),                        # 3
+            (3, " ".join(["z"] * 7)),          # 8
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        context_window_spans(docs, window=8).collect(),
+        key=lambda r: r["window_id"],
+    )
+    total = 4 + 14 + 3 + 8  # 29 tokens incl. EODs
+    assert [r["window_id"] for r in out] == list(range((total + 7) // 8))
+    assert sum(r["n_tokens"] for r in out) == total
+    assert out[-1]["n_tokens"] == total - 8 * (len(out) - 1)
+    # doc 1 (tokens 4..17) straddles windows 0..2
+    spans1 = [r for r in out if r["first_doc"] <= 1 <= r["last_doc"]]
+    assert [r["window_id"] for r in spans1] == [0, 1, 2]
+    # every doc covered
+    covered = set()
+    for r in out:
+        covered.update(range(r["first_doc"], r["last_doc"] + 1))
+    assert covered == {0, 1, 2, 3}

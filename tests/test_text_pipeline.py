@@ -683,3 +683,21 @@ def test_prune_to_vocab_keeps_chars_and_caps_multi(spark):
         key=lambda t: (-t[0], t[1]),
     )[:2]
     assert sorted(kept_multi) == sorted(p for _, p in ranked)
+
+
+def test_temperature_mix_quotas_sum_to_budget(spark):
+    """Largest-remainder apportionment: quotas are non-negative and
+    sum EXACTLY to the budget; picked docs never exceed quota or
+    availability."""
+    from multimodal_vector_db_spark.queries.m14_serving2 import (
+        _MIX_BUDGET,
+        q_temperature_source_mix,
+    )
+
+    rows = q_temperature_source_mix(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sum(r["quota"] for r in rows) == _MIX_BUDGET
+    for r in rows:
+        assert r["quota"] >= 0
+        assert r["picked_docs"] == min(r["quota"], r["n_docs"])
