@@ -521,6 +521,17 @@ def audio_sequency_features(
     total ≤ 2^48 — exact in int64 AND in IEEE double, so the
     downstream relative-energy division is correctly rounded to the
     same double in every IEEE engine."""
+    if n_samples & (n_samples - 1) or n_samples <= 0:
+        raise ValueError(
+            f"audio_sequency_features: n_samples={n_samples} must be a "
+            f"power of two (the WHT sign matrix is only orthogonal for "
+            f"power-of-two lengths)"
+        )
+    if n_samples % n_bands:
+        raise ValueError(
+            f"audio_sequency_features: n_samples={n_samples} not "
+            f"divisible by n_bands={n_bands}"
+        )
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),

@@ -255,17 +255,23 @@ def ivf_assign_blocked(
     cluster_col: str = "cluster_id",
     metric: str = "dot",
 ) -> DataFrame:
-    """BLAS twin of :func:`ivf_assign` — identical semantics (max-dot /
-    min-L2, ties → HIGHER cid), built for centroid counts where the
-    expression tree goes superlinear: :func:`nearest_centroid` is an
-    O(k·d) literal tree evaluated interpretively per row, while this is
-    one ``mapInPandas`` matmul per Arrow batch against the broadcast
-    centroid matrix (the assignment stage of
-    ``dedup.semantic_dedup_blocked``, factored out for reuse —
-    vector_refresh_stream's probe measured throughput plateauing on
-    the expression form as SemDeDup-style k∝N growth kicked in).
-    Parity with :func:`ivf_assign` (including ties) is pinned in
-    tests/test_ann.py."""
+    """BLAS twin of :func:`ivf_assign` — same RULE (max-dot / min-L2,
+    ties → HIGHER cid), built for centroid counts where the expression
+    tree goes superlinear: :func:`nearest_centroid` is an O(k·d)
+    literal tree evaluated interpretively per row, while this is one
+    ``mapInPandas`` matmul per Arrow batch against the broadcast
+    centroid matrix (vector_refresh_stream's probe measured throughput
+    plateauing on the expression form as SemDeDup-style k∝N growth
+    kicked in). Rule parity with :func:`ivf_assign` (including exact
+    ties) is pinned in tests/test_ann.py.
+
+    Blocked-family float caveat (same as ``semantic_dedup_blocked``,
+    whose assignment stage this is): BLAS accumulation order differs
+    from the sequential fold, and the L2 path uses the expanded
+    ``|v|² − 2v·c + |c|²`` form — scores within ~1 ulp of a tie can
+    assign differently than the expression form. Discrete outputs on
+    real data are unaffected in practice (planted ties are exact);
+    the ORACLE-checked queries keep the expression path."""
     import numpy as np
 
     from pyspark.sql import types as T

@@ -773,35 +773,19 @@ def semantic_dedup_blocked(
     import numpy as np
     import pandas as pd
 
-    C = np.asarray(centroids, dtype=np.float64)  # (k, d)
-    nc = C.shape[0]
-    use_l2 = metric == "l2"
-    c_sq = (C * C).sum(axis=1)
+    from multimodal_vector_db_spark.operators.ann import ivf_assign_blocked
 
-    def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.vstack(pdf[vector_col].to_numpy()).astype(np.float64)
-            S = V @ C.T
-            if use_l2:
-                prox = (V * V).sum(axis=1)[:, None] - 2.0 * S + c_sq[None, :]
-                cid = (nc - 1) - np.argmin(prox[:, ::-1], axis=1)
-            else:
-                cid = (nc - 1) - np.argmax(S[:, ::-1], axis=1)
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].to_numpy(),
-                    "cluster_id": cid.astype(np.int64),
-                    "v": pdf[vector_col],
-                }
-            )
-
-    src = emb.select(id_col, vector_col)
-    vec_type = src.schema[vector_col].dataType.simpleString()
-    assigned = src.mapInPandas(
-        assign, schema=f"id long, cluster_id long, v {vec_type}"
-    )
+    # assignment stage = the shared BLAS assigner (one definition of
+    # the tie/metric arithmetic — round 7 factored it into ann.py for
+    # vector_refresh_stream; this call replaced the in-place copy)
+    assigned = ivf_assign_blocked(
+        emb.select(
+            F.col(id_col).alias("id"), F.col(vector_col).alias("v")
+        ),
+        centroids,
+        vector_col="v",
+        metric=metric,
+    ).select("id", F.col("cluster_id").cast("long").alias("cluster_id"), "v")
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         order = np.argsort(pdf["id"].to_numpy(), kind="stable")

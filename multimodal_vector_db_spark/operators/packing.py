@@ -130,9 +130,21 @@ def context_window_spans(
 
     from multimodal_vector_db_spark.functions.text import tokens
 
+    # clamp: size() is -1/NULL for NULL text; a doc always contributes
+    # at least its EOD token, so len1 >= 1 and every span sequence is
+    # ascending (len1 = 0 would make sequence(start/w, (start-1)/w)
+    # run BACKWARDS at window boundaries and invent phantom spans)
     t = docs.select(
         F.col(id_col).alias("doc_id"),
-        (F.size(tokens(F.lower(F.col(text_col)))) + 1)
+        (
+            F.greatest(
+                F.coalesce(
+                    F.size(tokens(F.lower(F.col(text_col)))), F.lit(0)
+                ),
+                F.lit(0),
+            )
+            + 1
+        )
         .cast("long")
         .alias("len1"),  # +1 = the EOD token
     )

@@ -249,13 +249,16 @@ _FUNNEL_ORACLE = rf"""
              CASE WHEN i.doc_id IS NULL THEN 1 ELSE 0 END AS f2,
              CASE WHEN a.doc_id IS NULL THEN 1 ELSE 0 END AS f3,
              CASE WHEN v.doc_id IS NULL THEN 1 ELSE 0 END AS f4,
-             ck.kept AS f5
+             coalesce(ck.kept, 0) AS f5
       FROM t
       LEFT JOIN tkeep tk ON tk.doc_id = t.doc_id
       LEFT JOIN im_drop i ON i.doc_id = t.doc_id
       LEFT JOIN au_drop a ON a.doc_id = t.doc_id
       LEFT JOIN vi_drop v ON v.doc_id = t.doc_id
-      JOIN ck ON ck.doc_id = t.doc_id
+      -- LEFT join: a doc whose mismatch partner is absent from the
+      -- corpus cannot validate cross-modal consistency — it fails the
+      -- clip GATE (f5=0) but must still count in the ingest stage
+      LEFT JOIN ck ON ck.doc_id = t.doc_id
     ),
     s5 AS (
       SELECT * FROM flags
@@ -435,7 +438,11 @@ def multimodal_funnel(
         .join(im_drop, "doc_id", "left")
         .join(au_drop, "doc_id", "left")
         .join(vi_drop, "doc_id", "left")
-        .join(ck, "doc_id")
+        # LEFT: a doc whose mismatch partner is absent (id gaps in a
+        # probe corpus) fails the clip GATE instead of silently
+        # vanishing from every stage including ingest
+        .join(ck, "doc_id", "left")
+        .withColumn("f5", F.coalesce(F.col("f5"), F.lit(0)))
     )
     # flag table is one narrow row per doc and feeds FOUR consumers
     # (reputation rollup, budget window, reach, final agg) — pin it so

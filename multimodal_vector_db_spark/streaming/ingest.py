@@ -66,6 +66,29 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(hconf).exists(p)
 
 
+def _read_parquet_if_any(spark: SparkSession, path: str):
+    """``spark.read.parquet(path)`` or ``None`` when the sink has no
+    committed data yet. Two 'empty' shapes map to None: the path does
+    not exist (true first batch), and the path exists but holds NO
+    committed parquet files — the state a crash during the very FIRST
+    write leaves behind (a bare directory / _temporary only). Without
+    the second case, the existence check alone would wedge the stream
+    forever: exists→read→'unable to infer schema'→batch fails→replay
+    hits the identical state. Any OTHER read failure still propagates,
+    so a transient FS error on a real sink fails the batch for
+    checkpoint retry instead of silently skipping dedup."""
+    if not _path_exists(spark, path):
+        return None
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return None
+        raise
+
+
 def events_stream(
     spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -187,13 +210,16 @@ def ingest_events_to_corpus(
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         fresh = batch.dropDuplicates([id_col])
-        if _path_exists(spark, corpus_path):
-            # Any read error past this point (permissions, corrupt
-            # footer, transient FS) FAILS the batch so the streaming
-            # checkpoint retries it — a swallowed error here would
-            # silently skip dedup and double-insert on replay.
-            existing = spark.read.parquet(corpus_path).select(id_col)
-            fresh = fresh.join(existing, on=id_col, how="left_anti")
+        # Any read error on a REAL sink fails the batch so the
+        # checkpoint retries it; a sink with no committed files yet
+        # (first batch, or a crash during the very first write) reads
+        # as None instead of wedging the stream — see
+        # _read_parquet_if_any.
+        existing = _read_parquet_if_any(spark, corpus_path)
+        if existing is not None:
+            fresh = fresh.join(
+                existing.select(id_col), on=id_col, how="left_anti"
+            )
         fresh.write.mode("append").parquet(corpus_path)
 
     return (
@@ -247,15 +273,12 @@ def corpus_refresh_stream(
     def refresh(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         fresh = batch.dropDuplicates([id_col])
-        # Existence is checked explicitly (not with a bare except around
-        # the read): a transient FS/parquet failure must FAIL the batch
-        # so the checkpoint retries it — treating it as "first batch
-        # ever" would skip dedup and permanently admit near-duplicates.
-        idx = (
-            spark.read.parquet(index_path)
-            if _path_exists(spark, index_path)
-            else None
-        )
+        # A transient FS/parquet failure on a REAL index must FAIL the
+        # batch (checkpoint retries); only a sink with no committed
+        # files reads as None (_read_parquet_if_any) — treating an
+        # error as "first batch ever" would permanently admit
+        # near-duplicates.
+        idx = _read_parquet_if_any(spark, index_path)
         if idx is not None:
             flags = incremental_near_duplicates(
                 fresh,
@@ -280,9 +303,11 @@ def corpus_refresh_stream(
         # replayed row whose corpus append landed but whose index
         # append did not still gets its signatures written.
         to_corpus = fresh
-        if _path_exists(spark, corpus_path):
-            done = spark.read.parquet(corpus_path).select(id_col)
-            to_corpus = fresh.join(done, on=id_col, how="left_anti")
+        done_corpus = _read_parquet_if_any(spark, corpus_path)
+        if done_corpus is not None:
+            to_corpus = fresh.join(
+                done_corpus.select(id_col), on=id_col, how="left_anti"
+            )
         to_index = fresh
         if idx is not None:
             indexed = idx.select(
@@ -353,7 +378,14 @@ def media_refresh_stream(
     rows check against ids already in the corpus, band slices against
     ids already in the index — so the replay appends no duplicate
     corpus row AND heals the index with the fingerprints the crash
-    dropped (instead of permanently blinding future dedup)."""
+    dropped (instead of permanently blinding future dedup).
+
+    Guard cost note: the id guards scan ONE id column of each sink per
+    microbatch (columnar projection — bytes ∝ 8·rows, not corpus
+    bytes). Linear in corpus AGE, so at the very largest corpora the
+    upgrade path is batch_id-keyed idempotent writes (partition
+    overwrite per batch) instead of anti-joins; the fingerprint-index
+    near-dup check itself stays band-key-pruned either way."""
     try:
         fp_attr, hash_col, total_bits, n_bands = _MEDIA_FP[modality]
     except KeyError:
@@ -379,11 +411,11 @@ def media_refresh_stream(
         hashes = fingerprint(
             fresh, id_col=id_col, content_col=content_col
         ).localCheckpoint(eager=True)
-        # Explicit existence check — a transient index-read failure
-        # must fail the batch (checkpoint retries), not silently admit
-        # the whole batch as "first batch ever".
-        if _path_exists(spark, index_path):
-            idx = spark.read.parquet(index_path)
+        # A transient index-read failure must fail the batch
+        # (checkpoint retries), not silently admit the whole batch as
+        # "first batch ever"; an uncommitted sink reads as None.
+        idx = _read_parquet_if_any(spark, index_path)
+        if idx is not None:
             dup_ids = (
                 incremental_near_dup_images(
                     hashes,
@@ -404,15 +436,13 @@ def media_refresh_stream(
         # slices dedup against INDEX ids, so a replay after a
         # corpus-append-only crash writes no duplicate corpus row but
         # DOES write the missing fingerprints (heals the index).
-        if _path_exists(spark, corpus_path):
-            done = spark.read.parquet(corpus_path).select(id_col)
-            fresh = fresh.join(done, on=id_col, how="left_anti")
-        if _path_exists(spark, index_path):
-            indexed = (
-                spark.read.parquet(index_path)
-                .select(F.col("id").alias(id_col))
-                .distinct()
+        done_media = _read_parquet_if_any(spark, corpus_path)
+        if done_media is not None:
+            fresh = fresh.join(
+                done_media.select(id_col), on=id_col, how="left_anti"
             )
+        if idx is not None:
+            indexed = idx.select(F.col("id").alias(id_col)).distinct()
             hashes = hashes.join(indexed, on=id_col, how="left_anti")
         fresh = fresh.localCheckpoint(eager=True)
         hashes = hashes.localCheckpoint(eager=True)
@@ -457,15 +487,25 @@ def vector_refresh_stream(
     3. appended cell-partitioned, so nprobe search sees the new
        vectors immediately and partition pruning keeps working.
 
-    Same contracts as the media refresh: cross-batch near-dups are
-    dropped, in-batch near-dups both survive (run the batch pair scan
-    first if required); replay is idempotent via the id-level
-    anti-join against the index (one sink here, so the two-append
-    crash window of the media refresh does not exist); a transient
-    index-read failure FAILS the batch for checkpoint retry
-    (:func:`_path_exists`). The index must already exist — refreshing
-    presupposes a built index, and a missing centroid file is a setup
-    error, not an empty history."""
+    Contracts: vectors are assumed L2-NORMALIZED — ``threshold`` is a
+    cosine (dot) similarity, the
+    :func:`~multimodal_vector_db_spark.operators.dedup.semantic_dedup`
+    convention, REGARDLESS of ``metric``; ``metric`` controls only
+    cell assignment and must match how the centroids were fitted
+    (``build_ivf_index`` fits MLlib KMeans = l2; on normalized vectors
+    max-dot and min-L2 rank centroids identically away from ties).
+    Same dedup contract as the media refresh: cross-batch near-dups
+    are dropped, in-batch near-dups both survive (run the batch pair
+    scan first if required); replay is idempotent via the id-level
+    anti-join against the TOUCHED CELLS of the index (assignment is
+    deterministic, so a replayed id can only live in its own cells —
+    the guard never rescans the whole index; one sink here, so the
+    two-append crash window of the media refresh does not exist); a
+    transient index-read failure FAILS the batch for checkpoint retry,
+    and a sink with no committed files reads as empty
+    (:func:`_read_parquet_if_any`). The index must already exist —
+    refreshing presupposes a built index, and a missing centroid file
+    is a setup error, not an empty history."""
     import json as _json
 
     from multimodal_vector_db_spark.functions.vector import dot
@@ -484,19 +524,19 @@ def vector_refresh_stream(
         # assignment dispatch: the expression form's O(k·d) literal
         # tree is interpreted per row, so with SemDeDup-style k∝N
         # centroid growth it plateaus (measured in the probe); the
-        # BLAS twin has identical semantics incl. tie-break
+        # BLAS twin applies the same rule (float near-ties can differ
+        # — the documented blocked-family caveat)
         assign = ivf_assign if len(centroids) < 16 else ivf_assign_blocked
         assigned = assign(fresh, centroids, metric=metric)
         assigned = assigned.localCheckpoint(eager=True)
-        if _path_exists(spark, index_path):
+        whole = _read_parquet_if_any(spark, index_path)
+        if whole is not None:
             cells = [
                 r["cluster_id"]
                 for r in assigned.select("cluster_id").distinct().collect()
             ]
             # partition filter → only the touched cells' files are read
-            hist = spark.read.parquet(index_path).where(
-                F.col("cluster_id").isin(cells)
-            )
+            hist = whole.where(F.col("cluster_id").isin(cells))
             dup_ids = (
                 assigned.join(
                     hist.select(
@@ -511,9 +551,14 @@ def vector_refresh_stream(
                 .distinct()
             )
             assigned = assigned.join(dup_ids, "id", "left_anti")
-            # id-level replay guard (mirrors the other refresh streams)
-            done = spark.read.parquet(index_path).select("id")
-            assigned = assigned.join(done, "id", "left_anti")
+            # id-level replay guard: assignment is deterministic, so a
+            # replayed id can only live in its OWN cells — the already
+            # cell-filtered hist covers every possible replay, and the
+            # guard never re-scans the whole index (the O(history)
+            # trap the module contract forbids)
+            assigned = assigned.join(
+                hist.select("id"), "id", "left_anti"
+            )
         assigned = assigned.localCheckpoint(eager=True)
         assigned.write.mode("append").partitionBy("cluster_id").parquet(
             index_path
@@ -702,14 +747,12 @@ def serve_knn_queries(
     def answer(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         fresh = batch.dropDuplicates([query_id_col])
-        # Explicit existence check (not a bare except around the read):
-        # "first batch ever" is distinguishable from a transient read
-        # failure, which must FAIL the batch for checkpoint retry
-        # rather than silently re-answer every query in it.
-        if _path_exists(spark, results_path):
-            done = spark.read.parquet(results_path).select(
-                F.col("query_id")
-            ).distinct()
+        # A transient read failure on a real sink FAILS the batch for
+        # checkpoint retry rather than silently re-answering every
+        # query; an uncommitted sink reads as None.
+        prev = _read_parquet_if_any(spark, results_path)
+        if prev is not None:
+            done = prev.select(F.col("query_id")).distinct()
             fresh = fresh.join(
                 done,
                 fresh[query_id_col] == done["query_id"],
