@@ -189,3 +189,102 @@ def context_window_spans(
             ).alias("n_tokens"),
         )
     )
+
+
+def context_window_spans_sharded(
+    docs: "DataFrame",
+    window: int,
+    shard_tokens: int = 1 << 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_impl: str = "xxhash64",
+) -> "DataFrame":
+    """The PARALLEL form of :func:`context_window_spans` — the shape a
+    100 TB corpus actually runs: :func:`pack_shards` first assigns
+    whole documents to token-budgeted shards (its windows are already
+    parallel-friendly), then each shard is an INDEPENDENT token stream
+    that gets its own cumulative offsets and context windows. The one
+    global cumsum of the flat form becomes a per-shard cumsum —
+    ``partitionBy(shard)`` instead of a single total order, so the
+    only global step left is pack_shards' own bounded shard-offset
+    window over the tiny per-shard table.
+
+    Output: ``(shard_id, window_id, n_docs, first_doc, last_doc,
+    n_tokens)`` — window ids are LOCAL to the shard (shards are
+    independent training streams; that is the point).
+
+    Semantics note: per-shard streams insert a window boundary at each
+    shard boundary, so windows never span shards — the standard
+    behavior of sharded pretraining data (each shard is shuffled and
+    consumed independently)."""
+    from pyspark.sql import Window as W
+
+    from multimodal_vector_db_spark.functions.text import tokens
+
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(id_col).cast("string")).alias("ord"),
+        (
+            F.greatest(
+                F.coalesce(
+                    F.size(tokens(F.lower(F.col(text_col)))), F.lit(0)
+                ),
+                F.lit(0),
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("len1"),
+    )
+    sharded = pack_shards(
+        t.select("doc_id", "ord", F.col("len1").alias("w")),
+        "w",
+        shard_tokens,
+        order_cols=["ord", "doc_id"],
+    ).select("doc_id", F.col("w").alias("len1"), "shard_id")
+    # per-shard streams order by doc_id (the flat form's order within
+    # each independent stream)
+    cum = sharded.withColumn(
+        "end_",
+        F.sum("len1").over(
+            W.partitionBy("shard_id")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    ).select(
+        "shard_id",
+        "doc_id",
+        (F.col("end_") - F.col("len1")).alias("start_"),
+        "end_",
+    )
+    spans = cum.select(
+        "shard_id",
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_") / window).cast("long"),
+                F.floor((F.col("end_") - 1) / window).cast("long"),
+            )
+        ).alias("window_id"),
+    )
+    totals = cum.groupBy("shard_id").agg(F.max("end_").alias("n"))
+    return (
+        spans.groupBy("shard_id", "window_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .join(totals, "shard_id")
+        .select(
+            "shard_id",
+            "window_id",
+            "n_docs",
+            "first_doc",
+            "last_doc",
+            F.least(
+                F.lit(window).cast("long"),
+                F.col("n") - F.col("window_id") * window,
+            ).alias("n_tokens"),
+        )
+    )

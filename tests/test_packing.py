@@ -119,3 +119,40 @@ def test_context_window_spans_invariants(spark):
     for r in out:
         covered.update(range(r["first_doc"], r["last_doc"] + 1))
     assert covered == {0, 1, 2, 3}
+
+
+def test_context_window_spans_sharded_parallel_form(spark):
+    """The sharded (parallel) form: token counts conserve per shard,
+    windows are local and contiguous per shard, and every doc lands in
+    exactly one shard's stream."""
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.operators.packing import (
+        context_window_spans_sharded,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(300)
+    out = context_window_spans_sharded(
+        docs, window=64, shard_tokens=2000
+    ).collect()
+    assert len(out) > 1
+    shards = {}
+    for r in out:
+        shards.setdefault(r["shard_id"], []).append(r)
+    assert len(shards) > 1  # the budget actually cut shards
+    total_tokens = 0
+    for sid, rows in shards.items():
+        rows = sorted(rows, key=lambda r: r["window_id"])
+        assert [r["window_id"] for r in rows] == list(range(len(rows)))
+        assert all(r["n_tokens"] == 64 for r in rows[:-1])
+        assert 1 <= rows[-1]["n_tokens"] <= 64
+        total_tokens += sum(r["n_tokens"] for r in rows)
+    # conservation: sum over all shards == sum over docs of (ntok + 1)
+    from multimodal_vector_db_spark.functions.text import tokens
+
+    want = docs.select(
+        (F.size(tokens(F.lower("text"))) + 1).cast("long").alias("l")
+    ).agg(F.sum("l")).first()[0]
+    assert total_tokens == want

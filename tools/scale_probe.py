@@ -721,6 +721,28 @@ def main() -> None:
 
         probe("multimodal_training_pipeline", funnel_run)
 
+    # sharded context-window packing (round-7): pack_shards' two-phase
+    # distributed prefix sum assigns token-budgeted shards, then each
+    # shard gets its own cumsum + fixed context windows — the PARALLEL
+    # form of context_window_spans (whose one global cumsum is the
+    # documented serial step). Expect ~linear.
+    if _want("context_window_packing"):
+        from multimodal_vector_db_spark.operators.packing import (
+            context_window_spans_sharded,
+        )
+
+        def ctx_run(f):
+            d = spark.read.parquet(f"{WORK}/documents_{f}")
+
+            def run():
+                context_window_spans_sharded(
+                    d, window=256, shard_tokens=20000
+                ).write.format("noop").mode("overwrite").save()
+
+            return run
+
+        probe("context_window_packing", ctx_run)
+
     # shard packing: two windows + tiny offset window, expect ~linear
     def pack_run(f):
         t = spark.read.parquet(f"{WORK}/documents_{f}").select(
