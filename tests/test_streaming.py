@@ -706,3 +706,60 @@ def test_vector_refresh_stream_dedups_and_assigns_cells(spark, tmp_path):
     assert any(
         e.startswith("cluster_id=") for e in os.listdir(index)
     )
+
+
+def test_uncommitted_sink_reads_as_empty_not_wedged(spark, tmp_path):
+    """A crash during the very FIRST sink write leaves a bare directory
+    (no committed parquet). The replay guards must treat that as 'no
+    history yet' — with a plain existence check the stream would wedge
+    forever (exists → read fails → retry hits the same state). Real
+    sinks still propagate read failures for checkpoint retry."""
+    import os
+
+    import pytest
+
+    from multimodal_vector_db_spark.streaming.ingest import (
+        _read_parquet_if_any,
+    )
+
+    bare = tmp_path / "bare_sink"
+    bare.mkdir()
+    (bare / "_temporary").mkdir()  # what an interrupted write leaves
+    assert _read_parquet_if_any(spark, str(bare)) is None
+    assert _read_parquet_if_any(spark, str(tmp_path / "absent")) is None
+
+    # a sink with committed data reads normally
+    real = str(tmp_path / "real_sink")
+    spark.range(3).write.parquet(real)
+    got = _read_parquet_if_any(spark, real)
+    assert got is not None and got.count() == 3
+
+    # ...and a CORRUPT committed file still fails the batch (retry),
+    # never silently reads as empty
+    corrupt = tmp_path / "corrupt_sink"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"not parquet at all")
+    with pytest.raises(Exception):
+        df = _read_parquet_if_any(spark, str(corrupt))
+        assert df is not None
+        df.count()
+
+    # end-to-end: ingest into a pre-existing BARE corpus dir works
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = tmp_path / "wedge_corpus"
+    corpus.mkdir()  # simulate the crash-before-commit state
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(10)
+    ev.coalesce(1).write.parquet(str(src / "b0"))
+    from multimodal_vector_db_spark.streaming import (
+        events_stream,
+        ingest_events_to_corpus,
+    )
+
+    ingest_events_to_corpus(
+        events_stream(spark, f"{src}/*"),
+        str(corpus),
+        str(tmp_path / "ck"),
+    ).start().awaitTermination(120)
+    assert spark.read.parquet(str(corpus)).count() == 10
+    assert os.path.isdir(str(corpus))
