@@ -527,10 +527,10 @@ def audio_sequency_features(
             f"power of two (the WHT sign matrix is only orthogonal for "
             f"power-of-two lengths)"
         )
-    if n_samples % n_bands:
+    if n_bands <= 0 or n_samples % n_bands:
         raise ValueError(
-            f"audio_sequency_features: n_samples={n_samples} not "
-            f"divisible by n_bands={n_bands}"
+            f"audio_sequency_features: n_bands={n_bands} must be a "
+            f"positive divisor of n_samples={n_samples}"
         )
     out_schema = T.StructType(
         [

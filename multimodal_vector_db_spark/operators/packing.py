@@ -197,7 +197,6 @@ def context_window_spans_sharded(
     shard_tokens: int = 1 << 20,
     text_col: str = "text",
     id_col: str = "doc_id",
-    hash_impl: str = "xxhash64",
 ) -> "DataFrame":
     """The PARALLEL form of :func:`context_window_spans` — the shape a
     100 TB corpus actually runs: :func:`pack_shards` first assigns

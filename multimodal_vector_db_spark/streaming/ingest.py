@@ -497,10 +497,12 @@ def vector_refresh_stream(
     Same dedup contract as the media refresh: cross-batch near-dups
     are dropped, in-batch near-dups both survive (run the batch pair
     scan first if required); replay is idempotent via the id-level
-    anti-join against the TOUCHED CELLS of the index (assignment is
-    deterministic, so a replayed id can only live in its own cells —
-    the guard never rescans the whole index; one sink here, so the
-    two-append crash window of the media refresh does not exist); a
+    anti-join against the index's id column (id-only columnar scan;
+    the guard is index-WIDE deliberately — a replayed id can re-assign
+    to a different cell under input-duplicate or near-tie drift, so a
+    cell-filtered guard could double-append — while the near-dup check
+    itself stays cell-pruned; one sink here, so the two-append crash
+    window of the media refresh does not exist); a
     transient index-read failure FAILS the batch for checkpoint retry,
     and a sink with no committed files reads as empty
     (:func:`_read_parquet_if_any`). The index must already exist —
@@ -551,13 +553,19 @@ def vector_refresh_stream(
                 .distinct()
             )
             assigned = assigned.join(dup_ids, "id", "left_anti")
-            # id-level replay guard: assignment is deterministic, so a
-            # replayed id can only live in its OWN cells — the already
-            # cell-filtered hist covers every possible replay, and the
-            # guard never re-scans the whole index (the O(history)
-            # trap the module contract forbids)
+            # id-level replay guard against the WHOLE index id column:
+            # a replayed id can land in a DIFFERENT cell than its first
+            # append (a duplicate input row with another embedding wins
+            # dropDuplicates, a ~1-ulp near-tie resolves differently on
+            # the BLAS path, or the centroid file was refreshed), so a
+            # cell-filtered guard would double-append it. The scan is a
+            # columnar id-only projection (bytes ∝ 8·rows — linear in
+            # index AGE; batch_id-keyed partition overwrite is the
+            # upgrade at the very largest indexes, as in the text/media
+            # refresh notes). The near-dup CHECK above stays
+            # cell-pruned — only the id guard reads index-wide.
             assigned = assigned.join(
-                hist.select("id"), "id", "left_anti"
+                whole.select("id"), "id", "left_anti"
             )
         assigned = assigned.localCheckpoint(eager=True)
         assigned.write.mode("append").partitionBy("cluster_id").parquet(

@@ -131,9 +131,11 @@ def test_context_window_spans_sharded_parallel_form(spark):
         context_window_spans_sharded,
     )
 
+    from pyspark.sql import functions as FF
+
     docs = spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet"
-    ).limit(300)
+    ).where(FF.col("doc_id") < 300)  # deterministic subset (limit isn't)
     out = context_window_spans_sharded(
         docs, window=64, shard_tokens=2000
     ).collect()
