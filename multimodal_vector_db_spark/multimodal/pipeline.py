@@ -585,3 +585,47 @@ def audio_sequency_features(
     return media.select(id_col, content_col).mapInPandas(
         batches, schema=out_schema
     )
+
+
+def audio_signature_vector(
+    content: bytes, n_samples: int = 64, n_bands: int = 16
+) -> list[float]:
+    """Driver-side single-clip twin of :func:`audio_sequency_features`
+    (+ the relative-energy/L2-normalize staging of the
+    ``audio_content_knn`` query): WAV/FLAC bytes → L2-normalized
+    ``n_bands``-d content signature. This is the QUERY-side embed for
+    content-based audio search through the engine facade — the
+    reference embeds the query clip through CLAP
+    (``audio_embedder.py:199-250``) and searches; here the torch-free
+    signature plays that role, and the same arithmetic runs corpus-side
+    in the distributed operator, so query and corpus live in one
+    space."""
+    import math
+
+    import numpy as np
+
+    from multimodal_vector_db_spark.multimodal.codecs import decode_wav
+    from multimodal_vector_db_spark.multimodal.flac import decode_flac
+
+    if n_samples & (n_samples - 1) or n_samples <= 0:
+        raise ValueError("n_samples must be a power of two")
+    if n_bands <= 0 or n_samples % n_bands:
+        raise ValueError("n_bands must be a positive divisor of n_samples")
+    if content[:4] == b"fLaC":
+        _sr, x = decode_flac(bytes(content))
+    else:
+        _sr, x = decode_wav(bytes(content))
+    s = np.rint(np.asarray(x)[:n_samples] * 32768.0).astype(np.int64)
+    if len(s) < n_samples:
+        s = np.pad(s, (0, n_samples - len(s)))
+    idx = np.arange(n_samples, dtype=np.int64)
+    pop = np.array(
+        [bin(i & n).count("1") for i in idx for n in idx], dtype=np.int64
+    ).reshape(n_samples, n_samples)
+    H = np.where(pop % 2 == 0, 1, -1).astype(np.int64)
+    sq = (H @ s) ** 2
+    bands = sq.reshape(n_bands, n_samples // n_bands).sum(axis=1)
+    total = int(sq.sum())
+    rel = [(int(b) / total) if total else 0.0 for b in bands]
+    norm = math.sqrt(sum(v * v for v in rel))
+    return [v / norm for v in rel] if norm > 0 else rel

@@ -458,3 +458,53 @@ def test_search_batch_matches_search(spark):
             assert all(
                 r["content"] is not None for r in batched[qi]
             )
+
+
+def test_search_by_audio_content_through_facade(spark):
+    """M5-shape parity without torch: an audio corpus embedded with the
+    distributed sequency front-end, a raw WAV query embedded with the
+    driver-side single-clip twin, searched through the engine facade —
+    the query clip's own group ranks first (the reference's
+    query-by-audio flow, audio_embedder.py:199-250 + 327-352, with the
+    CLAP forward replaced by the deterministic signature)."""
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.engine import MultiModalSearchEngine
+    from multimodal_vector_db_spark.functions.vector import l2_normalize
+    from multimodal_vector_db_spark.multimodal.pipeline import (
+        audio_sequency_features,
+        audio_signature_vector,
+    )
+    from multimodal_vector_db_spark.queries.m12_curation4 import _afp_media
+
+    docs = spark.range(80).select(F.col("id").alias("doc_id"))
+    media = _afp_media(docs)
+    feats = audio_sequency_features(media)
+    rel = F.transform(
+        F.col("bands"),
+        lambda b: F.coalesce(
+            F.try_divide(b.cast("double"), F.col("total").cast("double")),
+            F.lit(0.0),
+        ),
+    )
+    items = feats.select(
+        F.col("doc_id").alias("id"),
+        F.lit("audio").alias("modality"),
+        F.lit("audio_sig").alias("space"),
+        l2_normalize(rel).alias("embedding"),
+        F.lit(16).alias("dim"),
+        F.lit(False).alias("deleted"),
+        F.concat(F.lit("clip "), F.col("doc_id")).alias("content"),
+        F.concat(F.lit("clip_"), F.col("doc_id")).alias("display_name"),
+    )
+    eng = MultiModalSearchEngine(spark, items=items, dim=16)
+
+    # the query is clip 45's RAW BYTES, embedded driver-side
+    qbytes = media.where(F.col("doc_id") == 45).first()["content"]
+    qvec = audio_signature_vector(bytes(qbytes))
+    hits = eng.search(qvec, k=3, query_space="audio_sig")
+    ids = [h["id"] for h in hits]
+    assert ids[0] == 45  # exact self match (identical arithmetic)
+    # the nearest non-self neighbour is the clip's only group mate
+    # (80 docs / 40 groups = 2 clips per group)
+    assert ids[1] == 5, ids
