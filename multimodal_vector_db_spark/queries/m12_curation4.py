@@ -220,6 +220,15 @@ _PHASH_ORACLE = rf"""
 """
 
 
+def phash_fp_subquery(out: str = "h") -> str:
+    """``(doc_id, <out>)`` derived-table form of the dHash derivation —
+    literally ``_PHASH_HS`` wrapped in a nested WITH, so composing
+    oracles (m13's funnel) reuse THIS fragment instead of restating the
+    md5 pixel derivation; a future change here propagates everywhere
+    (the ``_UNI_BASE``/``_uni_viterbi_cte`` sharing pattern)."""
+    return f"(WITH {_PHASH_HS} SELECT doc_id, dhash AS {out} FROM hs)"
+
+
 def _phash_media(docs: DataFrame, groups: int = 40) -> DataFrame:
     """One REAL binary P5 image per document (9×7, md5-derived pixels;
     mod-``groups`` groups share a base image and differ in ONE pixel —
@@ -695,6 +704,12 @@ _AFP_ORACLE = rf"""
 """
 
 
+def afp_fp_subquery(out: str = "h") -> str:
+    """``(doc_id, <out>)`` derived-table form of the audio
+    energy-contour derivation — see :func:`phash_fp_subquery`."""
+    return f"(WITH {_AFP_FP} SELECT doc_id, afp AS {out} FROM fp)"
+
+
 @query("audio_fingerprint_dedup", _AFP_ORACLE)
 def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup dedup: build one REAL PCM WAV per document (64
@@ -832,6 +847,12 @@ _VTS_ORACLE = rf"""
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.vts, b.vts)) <= 1
 """
+
+
+def vts_fp_subquery(out: str = "h") -> str:
+    """``(doc_id, <out>)`` derived-table form of the video block-sum
+    contour derivation — see :func:`phash_fp_subquery`."""
+    return f"(WITH {_VTS_FP} SELECT doc_id, vts AS {out} FROM fp)"
 
 
 @query("video_temporal_dedup", _VTS_ORACLE)

@@ -62,7 +62,14 @@ from pyspark.sql import functions as F
 
 from ._core import _t, query
 from .m2_text_dedup import _TOKS
-from .m12_curation4 import _afp_media, _phash_media, _vts_media
+from .m12_curation4 import (
+    _afp_media,
+    _phash_media,
+    _vts_media,
+    afp_fp_subquery,
+    phash_fp_subquery,
+    vts_fp_subquery,
+)
 
 _BUDGET_CAP = 1  # stage-7 per-source doc budget (uniform mix)
 _STAGES = [
@@ -76,111 +83,16 @@ _STAGES = [
     "budget_mix",
 ]
 
-# The three fingerprint derivations below mirror m12_curation4's
-# _PHASH_HS / _AFP_FP / _VTS_FP fragments (same md5-hex pixel/sample
-# derivations, same bit rules) restated as nested subqueries so they
-# compose in one WITH block without CTE-name collisions.
+# The three fingerprint derivations compose m12_curation4's
+# _PHASH_HS / _AFP_FP / _VTS_FP fragments VERBATIM (nested-WITH
+# derived tables, so they slot into one outer WITH block without
+# CTE-name collisions) — one definition per derivation, the
+# _UNI_BASE/_uni_viterbi_cte sharing pattern; the two oracles cannot
+# drift.
 
-_IM_FP = r"""
-      SELECT doc_id,
-             list_sum(list_transform(generate_series(0, 55), b ->
-               CASE WHEN p[(b // 8) * 9 + (b % 8) + 2]
-                         > p[(b // 8) * 9 + (b % 8) + 1]
-                    THEN 1::BIGINT << b ELSE 0::BIGINT END))::BIGINT AS h
-      FROM (
-        SELECT doc_id,
-               list_transform(generate_series(0, 62), i ->
-                 CASE WHEN i = 62 THEN ('0x' || pb)::BIGINT
-                      ELSE ('0x' || substring(hexes, 2 * i + 1, 2))::BIGINT
-                 END) AS p
-        FROM (
-          SELECT doc_id,
-                 md5('ph' || (doc_id % 40)::VARCHAR)
-                   || md5('ph' || (doc_id % 40)::VARCHAR || 'x')
-                   || md5('ph' || (doc_id % 40)::VARCHAR || 'y')
-                   || md5('ph' || (doc_id % 40)::VARCHAR || 'z') AS hexes,
-                 substring(md5(doc_id::VARCHAR || 'pp'), 1, 2) AS pb
-          FROM documents WHERE doc_id < 200
-        )
-      )
-"""
-
-_AU_FP = r"""
-      SELECT doc_id,
-             list_sum(list_transform(generate_series(0, 14), b ->
-               CASE WHEN es[b + 2] > es[b + 1]
-                    THEN 1::BIGINT << b ELSE 0::BIGINT END))::BIGINT AS h
-      FROM (
-        SELECT doc_id,
-               list_transform(generate_series(0, 15), w ->
-                 smp[4 * w + 1] * smp[4 * w + 1]
-                 + smp[4 * w + 2] * smp[4 * w + 2]
-                 + smp[4 * w + 3] * smp[4 * w + 3]
-                 + smp[4 * w + 4] * smp[4 * w + 4]) AS es
-        FROM (
-          SELECT doc_id,
-                 list_transform(generate_series(0, 63), i ->
-                   CASE WHEN ('0x' || substring(hx, 4 * i + 1, 2))::BIGINT
-                             + 256 * ('0x' || substring(hx, 4 * i + 3, 2))::BIGINT
-                             >= 32768
-                        THEN ('0x' || substring(hx, 4 * i + 1, 2))::BIGINT
-                             + 256 * ('0x' || substring(hx, 4 * i + 3, 2))::BIGINT
-                             - 65536
-                        ELSE ('0x' || substring(hx, 4 * i + 1, 2))::BIGINT
-                             + 256 * ('0x' || substring(hx, 4 * i + 3, 2))::BIGINT
-                   END) AS smp
-          FROM (
-            SELECT doc_id, substring(hexes, 1, 252) || pb AS hx
-            FROM (
-              SELECT doc_id,
-                     md5('af' || (doc_id % 40)::VARCHAR)
-                       || md5('af' || (doc_id % 40)::VARCHAR || 'x')
-                       || md5('af' || (doc_id % 40)::VARCHAR || 'y')
-                       || md5('af' || (doc_id % 40)::VARCHAR || 'z')
-                       || md5('af' || (doc_id % 40)::VARCHAR || 'u')
-                       || md5('af' || (doc_id % 40)::VARCHAR || 'v')
-                       || md5('af' || (doc_id % 40)::VARCHAR || 'w')
-                       || md5('af' || (doc_id % 40)::VARCHAR || 'q') AS hexes,
-                     substring(md5(doc_id::VARCHAR || 'ap'), 1, 4) AS pb
-              FROM documents WHERE doc_id < 200
-            )
-          )
-        )
-      )
-"""
-
-_VI_FP = r"""
-      SELECT doc_id,
-             list_sum(list_transform(generate_series(0, 14), b ->
-               CASE WHEN vals[b + 2] > vals[b + 1]
-                    THEN 1::BIGINT << b ELSE 0::BIGINT END))::BIGINT AS h
-      FROM (
-        SELECT doc_id,
-               list_transform(generate_series(0, 15), k ->
-                 px[16 * (k // 4) + 8 * ((k % 4) // 2) + 2 * (k % 2) + 1]
-                 + px[16 * (k // 4) + 8 * ((k % 4) // 2) + 2 * (k % 2) + 2]
-                 + px[16 * (k // 4) + 8 * ((k % 4) // 2) + 2 * (k % 2) + 5]
-                 + px[16 * (k // 4) + 8 * ((k % 4) // 2) + 2 * (k % 2) + 6]
-               ) AS vals
-        FROM (
-          SELECT doc_id,
-                 list_transform(generate_series(0, 63), i ->
-                   ('0x' || substring(hx, 2 * i + 1, 2))::BIGINT) AS px
-          FROM (
-            SELECT doc_id, substring(hexes, 1, 126) || pb AS hx
-            FROM (
-              SELECT doc_id,
-                     md5('vt' || (doc_id % 40)::VARCHAR || '-0')
-                       || md5('vt' || (doc_id % 40)::VARCHAR || '-1')
-                       || md5('vt' || (doc_id % 40)::VARCHAR || '-2')
-                       || md5('vt' || (doc_id % 40)::VARCHAR || '-3') AS hexes,
-                     substring(md5(doc_id::VARCHAR || 'vp'), 1, 2) AS pb
-              FROM documents WHERE doc_id < 200
-            )
-          )
-        )
-      )
-"""
+_IM_FP = f"SELECT doc_id, h FROM {phash_fp_subquery()}"
+_AU_FP = f"SELECT doc_id, h FROM {afp_fp_subquery()}"
+_VI_FP = f"SELECT doc_id, h FROM {vts_fp_subquery()}"
 
 # hashing-TF feature vector over a token list (m12's _HTF, restated)
 _FN_HTF = r"""

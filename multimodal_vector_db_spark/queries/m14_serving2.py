@@ -448,7 +448,17 @@ _OPQ_IVF_ADC_SQL = (
         "FROM embeddings", "FROM rvec"
     )
 )
-assert "FROM embeddings" not in _OPQ_IVF_ADC_SQL.split("rvec AS", 1)[1]
+# Explicit raise, not `assert`: the invariant (every corpus scan of the
+# spliced oracle re-pointed at the rotated CTE) must hold under
+# `python -O` too — a silently un-replaced reference would yield a
+# running but WRONG oracle.
+if "FROM embeddings" in _OPQ_IVF_ADC_SQL.split("rvec AS", 1)[1]:
+    raise RuntimeError(
+        "opq_ivf_adc_knn oracle splice failed: an un-replaced "
+        "'FROM embeddings' survives after the rvec CTE — the "
+        "ann_ivf_adc_knn oracle text changed shape; update _OPQ_RVEC "
+        "composition in m14_serving2.py"
+    )
 
 
 @query("opq_ivf_adc_knn", _OPQ_IVF_ADC_SQL)
@@ -670,8 +680,11 @@ _CTX_W = 256
     "context_window_spans",
     rf"""
     WITH t AS (
+      -- coalesce mirrors the Spark operator's greatest/coalesce clamp
+      -- (packing.py): a NULL-text doc still contributes its EOD token
       SELECT doc_id,
-             (len({_TOKS.format(col="lower(text)")}) + 1)::BIGINT AS len1
+             (coalesce(len({_TOKS.format(col="lower(text)")}), 0) + 1)
+               ::BIGINT AS len1
       FROM documents
     ),
     cum AS (

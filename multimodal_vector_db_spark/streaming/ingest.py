@@ -84,7 +84,21 @@ def _read_parquet_if_any(spark: SparkSession, path: str):
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
-        if "UNABLE_TO_INFER_SCHEMA" in str(e):
+        # Prefer the structured error class (stable across message
+        # rewording); fall back to BOTH message phrasings — the
+        # SQLSTATE-era constant and the legacy sentence — so a Spark
+        # version that renames either doesn't silently re-introduce
+        # the wedge-forever behavior this branch exists to prevent.
+        get_cls = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", None
+        )
+        err_cls = (get_cls() if callable(get_cls) else None) or ""
+        msg = str(e)
+        if (
+            "UNABLE_TO_INFER_SCHEMA" in err_cls
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+            or "Unable to infer schema" in msg
+        ):
             return None
         raise
 
@@ -465,7 +479,7 @@ def vector_refresh_stream(
     threshold: float = 0.95,
     id_col: str = "id",
     vector_col: str = "embedding",
-    metric: str = "dot",
+    metric: str = "l2",
 ):
     """Streaming VECTOR-index refresh — the IVF twin of
     :func:`media_refresh_stream`, closing the serving-freshness loop
@@ -491,9 +505,16 @@ def vector_refresh_stream(
     cosine (dot) similarity, the
     :func:`~multimodal_vector_db_spark.operators.dedup.semantic_dedup`
     convention, REGARDLESS of ``metric``; ``metric`` controls only
-    cell assignment and must match how the centroids were fitted
-    (``build_ivf_index`` fits MLlib KMeans = l2; on normalized vectors
-    max-dot and min-L2 rank centroids identically away from ties).
+    cell assignment and must match how the centroids were fitted.
+    The default is ``"l2"`` because the centroid file this stream
+    consumes comes from ``build_ivf_index`` (MLlib KMeans = min-L2
+    assignment; ``ivf_append_assign`` uses the same rule). Note the
+    two rules do NOT coincide even on normalized inputs: KMeans
+    centroids have unequal norms, and ``argmin |c|² − 2v·c ≠
+    argmax v·c`` when ``|c|`` varies — a mismatched metric would land
+    arrivals in different cells than a rebuild, blinding the
+    cell-pruned near-dup check and drifting the partition layout.
+    Pass ``metric="dot"`` only for centroids fitted under max-dot.
     Same dedup contract as the media refresh: cross-batch near-dups
     are dropped, in-batch near-dups both survive (run the batch pair
     scan first if required); replay is idempotent via the id-level

@@ -685,6 +685,9 @@ def test_vector_refresh_stream_dedups_and_assigns_cells(spark, tmp_path):
     assert got2 == {0, 1, 2, 3, 4, 5, 100, 201}
 
     # streamed cell assignment == the batch operator's assignment
+    # under the BUILD rule (build_ivf_index = MLlib KMeans = min-L2;
+    # the stream's default metric must agree — a max-dot default would
+    # drift cells because KMeans centroids have unequal norms)
     streamed = {
         r["id"]: r["cluster_id"]
         for r in idx.where(F.col("id") >= 100).collect()
@@ -696,6 +699,7 @@ def test_vector_refresh_stream_dedups_and_assigns_cells(spark, tmp_path):
                 [(100, novel_a), (201, novel_b)], schema
             ),
             centroids,
+            metric="l2",
         ).collect()
     }
     assert streamed == want
