@@ -148,6 +148,22 @@ def context_window_spans(
         .cast("long")
         .alias("len1"),  # +1 = the EOD token
     )
+    return context_window_spans_from_lengths(t, window)
+
+
+def context_window_spans_from_lengths(
+    t: "DataFrame", window: int
+) -> "DataFrame":
+    """The window-span accounting core over precomputed per-doc token
+    counts — ``t`` is ``(doc_id, len1)`` with ``len1 >= 1`` (the doc's
+    token count INCLUDING its EOD token; the ≥1 invariant keeps every
+    span sequence ascending — callers clamp). Factored out so the
+    length definition is pluggable: :func:`context_window_spans` feeds
+    whitespace-token counts, ``tokenized_context_windows`` feeds REAL
+    subword counts from a trained tokenizer — the corpus → tokenizer →
+    training-batch handoff a pretraining pipeline ships."""
+    from pyspark.sql import Window as W
+
     cum = t.withColumn(
         "end_",
         F.sum("len1").over(

@@ -29,6 +29,7 @@ from .m11_curation3 import *  # noqa: F401,F403
 from .m12_curation4 import *  # noqa: F401,F403
 from .m13_funnel import *  # noqa: F401,F403
 from .m14_serving2 import *  # noqa: F401,F403
+from .m15_tokenpack import *  # noqa: F401,F403
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness harness verifies the FIRST

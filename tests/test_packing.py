@@ -158,3 +158,30 @@ def test_context_window_spans_sharded_parallel_form(spark):
         (F.size(tokens(F.lower("text"))) + 1).cast("long").alias("l")
     ).agg(F.sum("l")).first()[0]
     assert total_tokens == want
+
+
+def test_context_window_spans_from_lengths_pluggable_core(spark):
+    """The lengths-based core (tokenized_context_windows' engine):
+    explicit per-doc lengths — including the len1=1 empty-doc floor —
+    produce conserved totals, straddle accounting, and a short last
+    window."""
+    from multimodal_vector_db_spark.operators.packing import (
+        context_window_spans_from_lengths,
+    )
+
+    # doc 0: 5 tokens, doc 1: empty (EOD only), doc 2: 9, doc 3: 3
+    t = spark.createDataFrame(
+        [(0, 5), (1, 1), (2, 9), (3, 3)], "doc_id long, len1 long"
+    )
+    rows = sorted(
+        context_window_spans_from_lengths(t, window=8).collect(),
+        key=lambda r: r["window_id"],
+    )
+    # stream = 18 tokens -> windows [0,8) [8,16) [16,18)
+    assert [r["window_id"] for r in rows] == [0, 1, 2]
+    assert sum(r["n_tokens"] for r in rows) == 18
+    assert rows[-1]["n_tokens"] == 2
+    # doc 2 spans offsets [6,15): straddles windows 0 and 1
+    assert rows[0]["last_doc"] == 2 and rows[1]["first_doc"] == 2
+    # empty doc 1 sits wholly in window 0
+    assert rows[0]["n_docs"] == 3
