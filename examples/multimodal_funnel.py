@@ -15,7 +15,9 @@ stream), and a sample is dropped when ANY facet fails its gate:
                                 every 4th pair deliberately
                                 mismatched — the LAION/DataComp gate)
   6. source-reputation gate    (below-mean sources blocklisted)
-  7. per-source budget mix     (uniform source representation)
+  7. temperature budget mix    (per-source weights ∝ sqrt(tokens),
+                                Hamilton apportionment of a 16-doc
+                                budget — the mT5/UNIMAX mix rule)
 
 Prints the per-stage survivor table — the funnel report every
 curation run publishes. The same composition is the registered,

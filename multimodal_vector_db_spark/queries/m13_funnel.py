@@ -35,9 +35,14 @@ gate, the conservative LAION-style rule):
   stage 6  source_reputation sources whose surviving docs' mean token
                              count falls below 0.9× the global mean
                              are blocklisted and anti-joined out
-  stage 7  budget_mix        uniform source mix: the single
-                             lowest-id doc per surviving source
-                             (deterministic token/source budgeting)
+  stage 7  budget_mix        temperature source mix (round 8; was a
+                             uniform cap=1): per-source weights
+                             ∝ sqrt(surviving tokens) (mT5/UNIMAX
+                             T=2), Hamilton largest-remainder
+                             apportionment of a 16-doc budget, each
+                             source contributing its quota's
+                             lowest-id docs — the mix rule a
+                             production pretraining run uses
 
 Output: one row per stage — ``(stage, stage_name, n_docs, n_tokens,
 n_sources)`` — the funnel report every curation run publishes. Every
@@ -71,7 +76,13 @@ from .m12_curation4 import (
     vts_fp_subquery,
 )
 
-_BUDGET_CAP = 1  # stage-7 per-source doc budget (uniform mix)
+#: stage-7 TOTAL doc budget, Hamilton-apportioned across surviving
+#: sources by temperature-T sampling weights (T=2 ⇒ sqrt — the
+#: IEEE-exact case the oracle replays); round 8 replaced the round-7
+#: uniform cap=1 with the mix rule a production run actually uses
+#: (the `temperature_source_mix` machinery composed into the capstone)
+_FUNNEL_BUDGET = 16
+_FUNNEL_T = 2.0
 _STAGES = [
     "ingest",
     "text_exact_dedup",
@@ -191,13 +202,43 @@ _FUNNEL_ORACLE = rf"""
       SELECT * FROM s5
       WHERE source NOT IN (SELECT source FROM blocked)
     ),
+    -- stage 7: temperature-quota budget mix (mT5/UNIMAX rule, T=2):
+    -- per-source weights ∝ sqrt(surviving tokens), ordered-fold
+    -- normalization, Hamilton largest-remainder apportionment of the
+    -- {_FUNNEL_BUDGET}-doc budget, each source contributing its
+    -- quota's lowest-id docs
+    s6w AS (
+      SELECT source, sqrt(sum(ntok)::DOUBLE) AS sw FROM s6 GROUP BY 1
+    ),
+    s6tot AS (SELECT list_sum(list(sw ORDER BY source)) AS s FROM s6w),
+    q0 AS (
+      SELECT source,
+             floor({_FUNNEL_BUDGET} * round(sw / s6tot.s, 6))::BIGINT
+               AS base,
+             {_FUNNEL_BUDGET} * round(sw / s6tot.s, 6)
+               - floor({_FUNNEL_BUDGET} * round(sw / s6tot.s, 6)) AS rem
+      FROM s6w, s6tot
+    ),
+    lo AS (SELECT {_FUNNEL_BUDGET} - sum(base)::BIGINT AS k FROM q0),
+    rankedq AS (
+      SELECT source, base, rem,
+             row_number() OVER (ORDER BY rem DESC, source ASC) AS rr
+      FROM q0
+    ),
+    quota AS (
+      SELECT source,
+             (base + CASE WHEN rr <= lo.k THEN 1 ELSE 0 END)::BIGINT
+               AS quota
+      FROM rankedq, lo
+    ),
     s7 AS (
-      SELECT doc_id FROM (
-        SELECT doc_id,
+      SELECT x.doc_id FROM (
+        SELECT doc_id, source,
                row_number() OVER (
                  PARTITION BY source ORDER BY doc_id) AS rn
         FROM s6
-      ) WHERE rn <= {_BUDGET_CAP}
+      ) x JOIN quota ON quota.source = x.source
+      WHERE x.rn <= quota.quota
     ),
     reach AS (
       SELECT f.doc_id, f.source, f.ntok,
@@ -255,12 +296,20 @@ def multimodal_funnel(
     im_media: DataFrame,
     au_media: DataFrame,
     vi_media: DataFrame,
-    cap: int = _BUDGET_CAP,
+    budget: int = _FUNNEL_BUDGET,
+    temperature: float = _FUNNEL_T,
 ) -> DataFrame:
     """The funnel core over an arbitrary documents frame plus its three
     media facets (``(doc_id, content binary)`` each) — the registered
     query binds the oracle-pinned derivations; scale probes feed
-    replicated corpora with a scaled facet-group modulus."""
+    replicated corpora with a scaled facet-group modulus.
+
+    ``budget``/``temperature`` parameterize the stage-7 mix: sources
+    are weighted ``(surviving tokens)^(1/T)`` and the total doc budget
+    is Hamilton-apportioned across them. Only ``temperature=2.0``
+    (sqrt — correctly-rounded IEEE in every engine) is oracle-
+    replayable; other T values route through libm ``pow`` and are for
+    production use, not hash checks."""
     from multimodal_vector_db_spark.functions.text import (
         fingerprint,
         tokens,
@@ -387,16 +436,62 @@ def multimodal_funnel(
         .select("source", F.lit(1).alias("b6"))
     )
 
-    # stage 7: per-source budget — keep the ``cap`` lowest ids
+    # stage 7: temperature-quota budget mix — per-source weights
+    # ∝ tokens^(1/T) over the stage-6 survivors, ordered-fold
+    # normalization, Hamilton largest-remainder apportionment of the
+    # total doc budget, each source keeping its quota's lowest ids.
+    # Every frame below is n_sources rows (tiny): the single-partition
+    # windows/folds are the same justified driver-bound tail as
+    # temperature_source_mix (PLANS.md).
     s6 = s5.join(F.broadcast(blocked), "source", "left_anti")
+    tokd = F.sum("ntok").cast("double")
+    sw = (
+        F.sqrt(tokd)
+        if temperature == 2.0
+        else F.pow(tokd, 1.0 / temperature)
+    )
+    s6w = s6.groupBy("source").agg(sw.alias("sw"))
+    tot = s6w.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "sw"))),
+                lambda s: s["sw"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s")
+    )
+    b = float(budget)
+    w6 = F.round(F.col("sw") / F.col("s"), 6)
+    q0 = s6w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(b * w6).cast("long").alias("base"),
+        (b * w6 - F.floor(b * w6)).alias("rem"),
+    )
+    lo = q0.agg((F.lit(budget) - F.sum("base")).alias("k"))
+    rankedq = q0.withColumn(
+        "rr",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+        ),
+    )
+    quota = rankedq.crossJoin(F.broadcast(lo)).select(
+        "source",
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("k"), 1).otherwise(0)
+        ).cast("long").alias("quota"),
+    )
     s7 = (
         s6.select(
             "doc_id",
+            "source",
             F.row_number()
             .over(Window.partitionBy("source").orderBy("doc_id"))
             .alias("rn"),
         )
-        .where(F.col("rn") <= cap)
+        .join(F.broadcast(quota), "source")
+        .where(F.col("rn") <= F.col("quota"))
         .select("doc_id", F.lit(1).alias("k7"))
     )
 

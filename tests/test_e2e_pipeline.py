@@ -74,12 +74,13 @@ def test_full_build_search_evaluate_cycle(spark, tmp_path):
 
 
 def test_multimodal_training_funnel_invariants(spark):
-    """The round-7 capstone funnel: per-stage survivor counts are
-    monotone non-increasing in docs/tokens/sources, every stage row is
-    present exactly once, and the terminal stage respects the
-    per-source budget cap (n_docs == n_sources when the cap is 1)."""
+    """The capstone funnel: per-stage survivor counts are monotone
+    non-increasing in docs/tokens/sources, every stage row is present
+    exactly once, and the terminal stage respects the TOTAL
+    temperature-quota budget (round 8: Hamilton apportionment of
+    _FUNNEL_BUDGET docs across surviving sources)."""
     from multimodal_vector_db_spark.queries.m13_funnel import (
-        _BUDGET_CAP,
+        _FUNNEL_BUDGET,
         _STAGES,
         q_multimodal_training_pipeline,
     )
@@ -96,7 +97,9 @@ def test_multimodal_training_funnel_invariants(spark):
     first, last = rows[0], rows[-1]
     assert first["n_docs"] == 200  # full ingest at this sf
     assert last["n_docs"] > 0  # the funnel doesn't drain the corpus
-    assert last["n_docs"] <= _BUDGET_CAP * last["n_sources"]
+    # Hamilton quotas sum exactly to the budget; sources can run out
+    # of docs before exhausting their quota, so <= not ==
+    assert last["n_docs"] <= _FUNNEL_BUDGET
     # the media dedup stages must actually bite (mod-40 facet groups)
     by_name = {r["stage_name"]: r for r in rows}
     assert by_name["image_near_dedup"]["n_docs"] < by_name["text_exact_dedup"]["n_docs"]
