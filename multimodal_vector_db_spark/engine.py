@@ -39,6 +39,14 @@ from multimodal_vector_db_spark.sources.storage import CorpusStorage
 #: modality → embedding space (README.md:36)
 SPACE_OF = {"image": "clip", "video": "clip", "text": "clip", "audio": "clap"}
 
+#: the torch-free audio CONTENT space (WHT sequency signatures) —
+#: distinct from "clap" (the env-gated learned space): rows ingested by
+#: :meth:`MultiModalSearchEngine.ingest_audio_content` and queries from
+#: :meth:`MultiModalSearchEngine.search_audio_content` live here, and
+#: the space-correctness rule keeps them from ever scoring against
+#: CLIP/CLAP rows
+AUDIO_SIG_SPACE = "audio_sig"
+
 #: canonical items schema (batch_ingest and the SQL view agree on this)
 _ITEMS_SCHEMA = (
     "id long, modality string, space string, "
@@ -414,6 +422,126 @@ class MultiModalSearchEngine:
                     {**fetched[r["id"]], "sim": r["sim"]}
                 )
         return out
+
+    # -- content-based audio search (search_audio.py UX, torch-free) ----
+    def ingest_audio_content(
+        self,
+        media: DataFrame,
+        id_col: str = "doc_id",
+        content_col: str = "content",
+        n_samples: int = 64,
+        n_bands: int = 16,
+        display_name_col: str | None = None,
+    ) -> None:
+        """Corpus-side embed for content-based audio retrieval: each
+        ``(id, WAV-or-FLAC bytes)`` row is decoded through the REAL
+        codecs on the executors, Walsh-Hadamard sequency-band
+        fingerprinted (integer-exact), converted to a relative-energy
+        L2-normalized signature, and appended to the items table in the
+        dedicated ``audio_sig`` space. This is the reference's
+        ``build_audio_index.py`` flow with the CLAP forward replaced by
+        the deterministic real-DSP front-end — the same arithmetic
+        :meth:`search_audio_content` runs on the query clip, so query
+        and corpus live in one space. One ``mapInPandas`` decode pass,
+        no driver loop; ids are the caller's (they must not collide
+        with existing item ids)."""
+        from multimodal_vector_db_spark.functions.vector import (
+            l2_normalize,
+        )
+        from multimodal_vector_db_spark.multimodal.pipeline import (
+            audio_sequency_features,
+        )
+
+        feats = audio_sequency_features(
+            media,
+            n_samples=n_samples,
+            n_bands=n_bands,
+            id_col=id_col,
+            content_col=content_col,
+        )
+        rel = F.transform(
+            F.col("bands"),
+            lambda b: F.coalesce(
+                F.try_divide(
+                    b.cast("double"), F.col("total").cast("double")
+                ),
+                F.lit(0.0),
+            ),
+        )
+        display = (
+            media.select(
+                F.col(id_col).alias("__did"),
+                F.col(display_name_col).alias("__dname"),
+            )
+            if display_name_col is not None
+            else None
+        )
+        new = feats.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.lit("audio").alias("modality"),
+            F.lit(AUDIO_SIG_SPACE).alias("space"),
+            l2_normalize(rel).cast("array<float>").alias("embedding"),
+            F.lit(n_bands).alias("dim"),
+            F.lit(False).alias("deleted"),
+            F.lit(None).cast("string").alias("content"),
+            F.concat(F.lit("audio_"), F.col(id_col).cast("string")).alias(
+                "display_name"
+            ),
+        )
+        if display is not None:
+            new = (
+                new.join(display, new["id"] == display["__did"], "left")
+                .withColumn(
+                    "display_name",
+                    F.coalesce(F.col("__dname"), F.col("display_name")),
+                )
+                .drop("__did", "__dname")
+            )
+        n_new = None
+        if self._n_rows is not None:
+            new = new.localCheckpoint(eager=True)
+            n_new = new.count()
+        self.items = (
+            new
+            if self.items is None
+            else self.items.unionByName(new, allowMissingColumns=True)
+        )
+        if self._n_rows is not None and n_new is not None:
+            self._n_rows += n_new
+
+    def search_audio_content(
+        self,
+        content: bytes,
+        k: int = 10,
+        predicate: Column | None = None,
+        scorer: str = "auto",
+        n_samples: int = 64,
+        n_bands: int = 16,
+    ) -> list[dict[str, Any]]:
+        """Query-by-audio through the facade — the reference's
+        ``search_audio.py`` UX, torch-free: embed the raw WAV/FLAC
+        query clip driver-side with
+        :func:`~multimodal_vector_db_spark.multimodal.pipeline.
+        audio_signature_vector` (the single-clip twin of the corpus
+        operator — identical integer WHT arithmetic) and run the
+        standard space-correct top-k against the ``audio_sig`` rows
+        ingested by :meth:`ingest_audio_content`. All :meth:`search`
+        machinery applies (scorer dispatch, predicates, payload
+        fetch)."""
+        from multimodal_vector_db_spark.multimodal.pipeline import (
+            audio_signature_vector,
+        )
+
+        qvec = audio_signature_vector(
+            bytes(content), n_samples=n_samples, n_bands=n_bands
+        )
+        return self.search(
+            qvec,
+            k=k,
+            query_space=AUDIO_SIG_SPACE,
+            predicate=predicate,
+            scorer=scorer,
+        )
 
     def _fetch_payload(
         self, corpus: DataFrame, ids: list[int], pay: list[str]

@@ -508,3 +508,41 @@ def test_search_by_audio_content_through_facade(spark):
     # the nearest non-self neighbour is the clip's only group mate
     # (80 docs / 40 groups = 2 clips per group)
     assert ids[1] == 5, ids
+
+
+def test_search_audio_content_facade_method(spark):
+    """Round-8 facade closure: ingest raw audio bytes through
+    engine.ingest_audio_content (distributed decode -> sequency
+    signature, dedicated 'audio_sig' space) and retrieve with
+    engine.search_audio_content(raw bytes) — the reference's
+    search_audio.py UX with zero manual vector plumbing. The query
+    clip's own id ranks first and its only group mate second; text
+    rows in the same engine are never scored (space correctness)."""
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.engine import MultiModalSearchEngine
+    from multimodal_vector_db_spark.queries.m12_curation4 import _afp_media
+
+    eng = MultiModalSearchEngine(spark, dim=16)
+    # a mixed engine: some text rows first (must not leak into results)
+    eng.batch_ingest(
+        [{"content": f"text doc {i}", "modality": "text"} for i in range(5)]
+    )
+    docs = spark.range(80).select((F.col("id") + 1000).alias("doc_id"))
+    media = _afp_media(docs)
+    eng.ingest_audio_content(media)
+    assert eng.get_stats()["by_modality"]["audio"] == 80
+
+    qbytes = bytes(media.where(F.col("doc_id") == 1045).first()["content"])
+    hits = eng.search_audio_content(qbytes, k=3)
+    ids = [h["id"] for h in hits]
+    assert ids[0] == 1045  # self match
+    # 80 docs over mod-40 facet groups -> exactly one group mate
+    assert ids[1] == 1005, ids
+    assert all(h["modality"] == "audio" for h in hits)
+
+    # predicate pushes into the same plan: exclude the self id
+    hits2 = eng.search_audio_content(
+        qbytes, k=2, predicate=F.col("id") != 1045
+    )
+    assert [h["id"] for h in hits2][0] == 1005
