@@ -1949,6 +1949,25 @@ def main() -> None:
         _apq_r, _apq_m = _adc_recall_mse(_aniso)
         _aopq_r, _aopq_m = _adc_recall_mse(_arot)
 
+        # round-8: the TRAINED rotation (OPQ-NP, Ge et al. Alg. 1 —
+        # alternating Lloyd/Procrustes, warm-started from the
+        # parametric solution above) on the same anisotropic data,
+        # same codebook budget — the committed fixtures are built this
+        # way now (tools/build_fixtures.py)
+        from multimodal_vector_db_spark.operators.projection_training import (
+            fit_opq_rotation_trained,
+        )
+
+        _trm, _trR, _trbooks, _thist = fit_opq_rotation_trained(
+            _aniso, n_subquantizers=4, n_codes=32, n_iter=8
+        )
+        _trot = (
+            pca_project(_aniso, "embedding", _trm, _trR, normalize=False)
+            .select("id", F.col("proj").alias("embedding"))
+            .localCheckpoint(eager=True)
+        )
+        _atq_r, _atq_m = _adc_recall_mse(_trot)
+
         opq_section = {
             "isotropic_driver_embeddings": {
                 "pq_adc_recall10": _pq_r,
@@ -1970,10 +1989,25 @@ def main() -> None:
                 "pq_mse": _apq_m,
                 "opq_mse": _aopq_m,
                 "mse_cut_pct": round((_apq_m - _aopq_m) / _apq_m * 100, 1),
+                "opq_np_adc_recall10": _atq_r,
+                "opq_np_recall_delta_vs_parametric": round(
+                    _atq_r - _aopq_r, 4
+                ),
+                "opq_np_mse": _atq_m,
+                "opq_np_mse_cut_vs_parametric_pct": round(
+                    (_aopq_m - _atq_m) / _aopq_m * 100, 1
+                ),
+                "opq_np_objective_first_last": [
+                    round(_thist[0], 5),
+                    round(_thist[-1], 5),
+                ],
                 "note": (
                     "seeded N(0,1)·diag(geomspace 4.0→0.1)·Qᵀ — the "
                     "correlated-spectrum regime OPQ exists for "
-                    "(Ge et al. CVPR 2013)"
+                    "(Ge et al. CVPR 2013); opq_np_* rows are the "
+                    "TRAINED Alg.-1 rotation (8 alternating iters, "
+                    "the committed fixtures' recipe) vs the §4 "
+                    "parametric warm start"
                 ),
             },
             "codebooks": "kmeans 4 subspaces x 32 codes, seed 42",

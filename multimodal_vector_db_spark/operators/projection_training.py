@@ -156,6 +156,189 @@ def fit_opq_rotation(
     return mean.tolist(), R.tolist(), alloc
 
 
+def fit_opq_rotation_trained(
+    df: DataFrame,
+    col: str = "embedding",
+    n_subquantizers: int = 4,
+    n_codes: int = 32,
+    n_iter: int = 8,
+    seed: int = 42,
+) -> tuple[list, list, list, list]:
+    """NON-parametric OPQ (Ge et al., "Optimized Product Quantization",
+    CVPR 2013, **Algorithm 1** — alternating minimization), the trained
+    upgrade of :func:`fit_opq_rotation`'s closed-form Gaussian solution:
+
+    - init: the parametric rotation (the paper's recommended warm
+      start) + one seeded MLlib-KMeans codebook fit per subspace in the
+      rotated space;
+    - each iteration alternates (a) one distributed Lloyd step on the
+      per-subspace codebooks under the CURRENT rotation (assign →
+      per-(sub, code) mean), then (b) an orthogonal-Procrustes update
+      of the rotation given the codewords — ``R = U Vᵀ`` from
+      ``SVD(Xcᵀ Ŷ)``, the closed-form minimizer of ``‖Xc R − Ŷ‖_F``
+      over orthogonal R.
+
+    Every step weakly decreases the shared quantization objective
+    ``‖Xc R − Ŷ‖²`` (Lloyd assignment, Lloyd mean-update, and
+    Procrustes are each exact partial minimizers), so the returned
+    per-iteration objective history is monotone non-increasing —
+    property-pinned in tests.
+
+    Scale shape (fit-type, like :func:`fit_pca_components`): per
+    iteration, two ``mapInPandas`` scans emitting bounded partials —
+    pass A yields per-(sub, code) sums/counts (``n_sub × n_codes``
+    rows of subdim doubles), pass B yields per-Arrow-batch ``Xcᵀ Ŷ``
+    cross-moments (one d×d double matrix each, 32 KB at d=64) plus the
+    objective. Partials carry the (partition, batch) total order and
+    are driver-summed sorted, so the fit is deterministic. Nothing
+    corpus-sized is collected; the SVD is O(d³) driver-side.
+
+    Returns ``(mean, R, codebooks, objective_history)`` — ``R`` in the
+    same d×d column layout as :func:`fit_opq_rotation`, ready for the
+    same fixture format and the UNCHANGED serving/oracle replay."""
+    from pyspark.sql import types as T
+
+    from multimodal_vector_db_spark.operators.quantization import (
+        kmeans_codebooks,
+    )
+
+    mean, R0, _alloc = fit_opq_rotation(df, col, n_subquantizers)
+    mu = np.asarray(mean, dtype=np.float64)
+    R = np.asarray(R0, dtype=np.float64)
+    d = len(mean)
+    subdim = d // n_subquantizers
+
+    src = df.select(F.col(col).cast("array<double>").alias("x"))
+
+    def _assigned_blocks(X, R_cur, books):
+        """(Y, Yhat) for one Arrow batch under (R_cur, books)."""
+        Xc = X - mu
+        Y = Xc @ R_cur
+        Yhat = np.empty_like(Y)
+        assigns = []
+        for s in range(n_subquantizers):
+            blk = Y[:, s * subdim : (s + 1) * subdim]
+            C = books[s]  # (n_codes, subdim)
+            d2 = (
+                (blk * blk).sum(axis=1, keepdims=True)
+                - 2.0 * blk @ C.T
+                + (C * C).sum(axis=1)
+            )
+            a = np.argmin(d2, axis=1)  # ties → lowest code
+            assigns.append(a)
+            Yhat[:, s * subdim : (s + 1) * subdim] = C[a]
+        return Xc, Y, Yhat, assigns
+
+    # init codebooks: seeded MLlib KMeans per subspace in the rotated
+    # space (the same fitter the PQ tier uses)
+    rot0 = pca_project(
+        src, "x", mean, R.tolist(), out_col="y", normalize=False
+    ).select(F.col("y").alias("embedding"))
+    books = np.asarray(
+        kmeans_codebooks(
+            rot0, n_subquantizers, n_codes=n_codes, seed=seed
+        ),
+        dtype=np.float64,
+    )  # (n_sub, n_codes, subdim)
+
+    a_schema = T.StructType(
+        [
+            T.StructField("sub", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    b_schema = T.StructType(
+        [
+            T.StructField("pid", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("obj", T.DoubleType()),
+            T.StructField("m", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    history: list[float] = []
+    for _it in range(n_iter):
+        R_b, books_b = R.copy(), books.copy()
+
+        def pass_a(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                X = np.vstack(pdf["x"].to_numpy()).astype(np.float64)
+                _Xc, Y, _Yh, assigns = _assigned_blocks(X, R_b, books_b)
+                rows = {"sub": [], "code": [], "n": [], "s": []}
+                for s in range(n_subquantizers):
+                    blk = Y[:, s * subdim : (s + 1) * subdim]
+                    for c in np.unique(assigns[s]):
+                        sel = blk[assigns[s] == c]
+                        rows["sub"].append(s)
+                        rows["code"].append(int(c))
+                        rows["n"].append(len(sel))
+                        rows["s"].append(sel.sum(axis=0).tolist())
+                yield pd.DataFrame(rows)
+
+        sums = (
+            src.mapInPandas(pass_a, schema=a_schema)
+            .groupBy("sub", "code")
+            .agg(
+                F.sum("n").alias("n"),
+                F.array(
+                    *[
+                        F.sum(F.element_at("s", i + 1))
+                        for i in range(subdim)
+                    ]
+                ).alias("s"),
+            )
+            .collect()
+        )
+        new_books = books.copy()  # empty cluster keeps its codeword
+        for r in sums:
+            if r["n"]:
+                new_books[r["sub"], r["code"]] = (
+                    np.asarray(r["s"]) / r["n"]
+                )
+        books = new_books
+        books_b2 = books.copy()
+
+        def pass_b(it):
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            part = ctx.partitionId() if ctx is not None else 0
+            batch = 0
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                X = np.vstack(pdf["x"].to_numpy()).astype(np.float64)
+                Xc, Y, Yhat, _a = _assigned_blocks(X, R_b, books_b2)
+                err = Y - Yhat
+                yield pd.DataFrame(
+                    {
+                        "pid": [(part << 40) | batch],
+                        "n": [len(X)],
+                        "obj": [float((err * err).sum())],
+                        "m": [(Xc.T @ Yhat).ravel().tolist()],
+                    }
+                )
+                batch += 1
+
+        rows = src.mapInPandas(pass_b, schema=b_schema).collect()
+        rows.sort(key=lambda r: r["pid"])
+        n_total = sum(r["n"] for r in rows)
+        M = np.zeros((d, d))
+        obj = 0.0
+        for r in rows:
+            M += np.asarray(r["m"]).reshape(d, d)
+            obj += r["obj"]
+        history.append(obj / max(n_total, 1))
+        U, _S, Vt = np.linalg.svd(M)
+        R = U @ Vt  # orthogonal Procrustes minimizer
+
+    return mean, R.tolist(), books.tolist(), history
+
+
 def pca_project(
     df: DataFrame,
     col: str,

@@ -230,3 +230,34 @@ class TestOpqRotation:
             return err / n
 
         assert pq_mse(Y) < pq_mse(Xc), (pq_mse(Y), pq_mse(Xc))
+
+    def test_trained_opq_monotone_and_beats_parametric(self, spark):
+        """OPQ-NP (Algorithm 1, round 8): the alternating minimization
+        keeps the rotation orthogonal, weakly decreases the
+        quantization objective every iteration, and ends at-or-below
+        the parametric warm start's own quantization error under the
+        SAME (distributed-Lloyd-refined) codebook budget — the trained
+        rotation can only improve on its init."""
+        import numpy as np
+
+        from multimodal_vector_db_spark.operators.projection_training import (
+            fit_opq_rotation_trained,
+        )
+
+        df, _X = self._aniso(spark)
+        mean, R, books, hist = fit_opq_rotation_trained(
+            df, n_subquantizers=4, n_codes=8, n_iter=5, seed=42
+        )
+        R = np.asarray(R)
+        assert np.abs(R.T @ R - np.eye(16)).max() < 1e-9
+        assert len(hist) == 5
+        # per-iteration objective is monotone non-increasing (every
+        # alternation step is an exact partial minimizer)
+        assert all(
+            a >= b - 1e-9 for a, b in zip(hist, hist[1:])
+        ), hist
+        # iteration 0's objective is measured under the PARAMETRIC
+        # rotation (before any Procrustes update), so the final
+        # objective <= the parametric rotation's own error
+        assert hist[-1] <= hist[0]
+        assert np.asarray(books).shape == (4, 8, 4)

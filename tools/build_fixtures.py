@@ -35,24 +35,31 @@ DEFAULT_SFS = [
 
 PCA_K = 16
 OPQ_SUBS = 4
+OPQ_CODES = 32  # training code budget = the bench serving-quality point
+OPQ_ITERS = 8
 
 
 def build_opq_rotation(spark, sf_dir: str, out_path: str) -> None:
-    """OPQ-P rotation fixture (Ge et al. CVPR 2013 §4): full-d PCA +
-    eigenvalue-balanced subspace allocation. Rows: comp=-1 the mean,
-    comps 0..d-1 the rotation COLUMNS in allocated (subspace-blocked)
-    order — serving computes ``y_j = x·v_j − μ·v_j``."""
+    """TRAINED OPQ rotation fixture (Ge et al. CVPR 2013, Algorithm 1 —
+    non-parametric alternating minimization, warm-started from the §4
+    parametric solution; round 8 upgraded this builder from the
+    parametric closed form). Rows: comp=-1 the mean, comps 0..d-1 the
+    rotation COLUMNS in allocated (subspace-blocked) order — serving
+    computes ``y_j = x·v_j − μ·v_j``, UNCHANGED from the parametric
+    fixture (same layout, same oracles)."""
     from pyspark.sql import functions as F
 
     from multimodal_vector_db_spark.operators.projection_training import (
-        fit_opq_rotation,
+        fit_opq_rotation_trained,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    mean, R, _alloc = fit_opq_rotation(
+    mean, R, _books, hist = fit_opq_rotation_trained(
         emb.select(F.col("vec_id").alias("id"), "embedding"),
         "embedding",
         n_subquantizers=OPQ_SUBS,
+        n_codes=OPQ_CODES,
+        n_iter=OPQ_ITERS,
     )
     d = len(mean)
     rows = [(-1, [float(x) for x in mean])] + [
@@ -61,7 +68,10 @@ def build_opq_rotation(spark, sf_dir: str, out_path: str) -> None:
     spark.createDataFrame(rows, "comp long, v array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(out_path)
-    print(f"wrote {out_path} (d={d}, {OPQ_SUBS} subspaces)")
+    print(
+        f"wrote {out_path} (d={d}, {OPQ_SUBS} subspaces, trained "
+        f"{OPQ_ITERS} iters, obj {hist[0]:.5f} -> {hist[-1]:.5f})"
+    )
 
 
 def build_pca_basis(spark, sf_dir: str, out_path: str) -> None:
