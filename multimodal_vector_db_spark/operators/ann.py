@@ -893,6 +893,7 @@ def build_ivf_index(
     vector_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
+    batch_id_layout: bool = False,
 ) -> list[list[float]]:
     """Materialize an IVF index as a storage artifact — the engine's
     ``build_all_indices.py``: fit coarse centroids (MLlib KMeans), write
@@ -900,6 +901,14 @@ def build_ivf_index(
     partition, so nprobe search prunes whole files), persist the
     centroids as ``<path>.centroids.json``. Build once, query many —
     the same amortization as the reference's HNSW build.
+
+    ``batch_id_layout=True`` adds ``batch_id`` as the INNER partition
+    level (build rows stamped ``batch_id=-1``) — the layout
+    ``streaming.vector_refresh_stream`` auto-detects for its
+    replaceWhere-style idempotent replay (each microbatch owns its
+    ``cluster_id=*/batch_id=N`` dirs; no index-wide id guard).
+    ``cluster_id`` stays the outer level, so nprobe partition pruning
+    is identical in both layouts.
 
     Returns the centroids (also saved) for immediate searching."""
     import json as _json
@@ -910,9 +919,16 @@ def build_ivf_index(
         seed=seed,
         max_iter=max_iter,
     )
-    assigned.repartition("cluster_id").write.mode("overwrite").partitionBy(
-        "cluster_id"
-    ).parquet(path)
+    if batch_id_layout:
+        assigned.withColumn(
+            "batch_id", F.lit(-1).cast("long")
+        ).repartition("cluster_id").write.mode("overwrite").partitionBy(
+            "cluster_id", "batch_id"
+        ).parquet(path)
+    else:
+        assigned.repartition("cluster_id").write.mode(
+            "overwrite"
+        ).partitionBy("cluster_id").parquet(path)
     with open(path + ".centroids.json", "w") as f:
         _json.dump(centroids, f)
     return centroids

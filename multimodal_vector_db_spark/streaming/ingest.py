@@ -103,6 +103,39 @@ def _read_parquet_if_any(spark: SparkSession, path: str):
         raise
 
 
+def _delete_batch_partitions(
+    spark: SparkSession, path: str, batch_id: int, nested: bool
+) -> None:
+    """replaceWhere-style replay cleanup for batch-id-partitioned
+    sinks: delete every ``batch_id=<batch_id>`` partition directory
+    under ``path`` (``nested=True``: one level down, i.e.
+    ``<outer>=*/batch_id=N`` — the IVF layout where ``cluster_id``
+    stays the OUTER partition so nprobe pruning is untouched). Bounded
+    FS metadata ops — O(#outer dirs), never a data scan — and safe on
+    a partially-written batch (exactly the crash state it exists to
+    clear)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return
+    leaf = f"batch_id={batch_id}"
+    if not nested:
+        sub = jvm.org.apache.hadoop.fs.Path(root, leaf)
+        if fs.exists(sub):
+            fs.delete(sub, True)
+        return
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        if "=" not in st.getPath().getName():
+            continue  # _spark_metadata etc.
+        sub = jvm.org.apache.hadoop.fs.Path(st.getPath(), leaf)
+        if fs.exists(sub):
+            fs.delete(sub, True)
+
+
 def events_stream(
     spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -394,12 +427,30 @@ def media_refresh_stream(
     corpus row AND heals the index with the fingerprints the crash
     dropped (instead of permanently blinding future dedup).
 
-    Guard cost note: the id guards scan ONE id column of each sink per
-    microbatch (columnar projection — bytes ∝ 8·rows, not corpus
-    bytes). Linear in corpus AGE, so at the very largest corpora the
-    upgrade path is batch_id-keyed idempotent writes (partition
-    overwrite per batch) instead of anti-joins; the fingerprint-index
-    near-dup check itself stays band-key-pruned either way."""
+    Replay guards (round 8 — two tiers, auto-detected PER SINK from
+    its schema): a sink that carries ``batch_id`` (every sink this
+    stream CREATES, and any pre-existing one written with the layout)
+    gets replaceWhere-style idempotence — the microbatch deletes its
+    own ``batch_id=N`` partition dir (one bounded FS op,
+    :func:`_delete_batch_partitions`) and appends stamped rows, and
+    the near-dup check excludes the batch's own partition so a
+    crashed attempt's partial rows never self-dup the replay. Cost is
+    CONSTANT in corpus age. A pre-existing sink WITHOUT ``batch_id``
+    falls back to the legacy id-level anti-join guard (columnar
+    id-only scan — linear in corpus AGE). The two sinks are detected
+    independently, so a legacy corpus can coexist with a new-layout
+    index; the fingerprint-index near-dup check stays band-key-pruned
+    in both tiers.
+
+    Contract note: ``batch_id`` is the replay key WITHIN one
+    checkpoint lineage (the Structured Streaming guarantee). Starting
+    over with a fresh checkpoint re-delivers every file as new
+    batches whose ids collide with the old lineage's — the overwrite
+    tier then recomputes and overwrites those partitions (idempotent
+    when the source files are unchanged, but it is re-ingest, not
+    replay). The legacy id-anti-join tier additionally tolerated
+    checkpoint loss at its linear-scan price; keep it (write the
+    sinks without ``batch_id``) if checkpoints are disposable."""
     try:
         fp_attr, hash_col, total_bits, n_bands = _MEDIA_FP[modality]
     except KeyError:
@@ -416,7 +467,7 @@ def media_refresh_stream(
 
     fingerprint = getattr(_phash, fp_attr)
 
-    def refresh(batch: DataFrame, batch_id: int) -> None:
+    def refresh(batch: DataFrame, bid: int) -> None:
         spark = batch.sparkSession
         fresh = batch.dropDuplicates([id_col])
         # Decode + fingerprint exactly once per batch; the eager
@@ -429,11 +480,19 @@ def media_refresh_stream(
         # (checkpoint retries), not silently admit the whole batch as
         # "first batch ever"; an uncommitted sink reads as None.
         idx = _read_parquet_if_any(spark, index_path)
+        # per-sink replay-guard tier: batch_id layout → partition
+        # overwrite (constant cost); legacy layout → id anti-join
+        idx_overwrite = idx is None or "batch_id" in idx.columns
         if idx is not None:
+            idx_hist = (
+                idx.where(F.col("batch_id") != bid)
+                if idx_overwrite
+                else idx
+            )
             dup_ids = (
                 incremental_near_dup_images(
                     hashes,
-                    idx,
+                    idx_hist,
                     total_bits=total_bits,
                     n_bands=n_bands,
                     max_hamming=max_hamming,
@@ -445,25 +504,48 @@ def media_refresh_stream(
             )
             fresh = fresh.join(dup_ids, on=id_col, how="left_anti")
             hashes = hashes.join(dup_ids, on=id_col, how="left_anti")
-        # Per-sink id-level replay guards for the crash window between
-        # the two appends: corpus rows dedup against corpus ids; band
-        # slices dedup against INDEX ids, so a replay after a
-        # corpus-append-only crash writes no duplicate corpus row but
-        # DOES write the missing fingerprints (heals the index).
         done_media = _read_parquet_if_any(spark, corpus_path)
-        if done_media is not None:
+        corpus_overwrite = (
+            done_media is None or "batch_id" in done_media.columns
+        )
+        # LEGACY per-sink id-level replay guards for the crash window
+        # between the two appends: corpus rows dedup against corpus
+        # ids; band slices dedup against INDEX ids, so a replay after
+        # a corpus-append-only crash writes no duplicate corpus row
+        # but DOES write the missing fingerprints (heals the index).
+        # The batch-id tier needs neither — each sink's own
+        # batch_id=N partition is cleared and rewritten.
+        if done_media is not None and not corpus_overwrite:
             fresh = fresh.join(
                 done_media.select(id_col), on=id_col, how="left_anti"
             )
-        if idx is not None:
+        if idx is not None and not idx_overwrite:
             indexed = idx.select(F.col("id").alias(id_col)).distinct()
             hashes = hashes.join(indexed, on=id_col, how="left_anti")
         fresh = fresh.localCheckpoint(eager=True)
         hashes = hashes.localCheckpoint(eager=True)
-        fresh.write.mode("append").parquet(corpus_path)
-        band_slices(
+        # corpus append FIRST (data loss is never the failure mode)
+        if corpus_overwrite:
+            _delete_batch_partitions(spark, corpus_path, bid, nested=False)
+            fresh.withColumn(
+                "batch_id", F.lit(bid).cast("long")
+            ).write.mode("append").partitionBy("batch_id").parquet(
+                corpus_path
+            )
+        else:
+            fresh.write.mode("append").parquet(corpus_path)
+        slices = band_slices(
             hashes, total_bits, n_bands, id_col=id_col, hash_col=hash_col
-        ).write.mode("append").parquet(index_path)
+        )
+        if idx_overwrite:
+            _delete_batch_partitions(spark, index_path, bid, nested=False)
+            slices.withColumn(
+                "batch_id", F.lit(bid).cast("long")
+            ).write.mode("append").partitionBy("batch_id").parquet(
+                index_path
+            )
+        else:
+            slices.write.mode("append").parquet(index_path)
 
     return (
         stream.writeStream.foreachBatch(refresh)
@@ -517,18 +599,38 @@ def vector_refresh_stream(
     Pass ``metric="dot"`` only for centroids fitted under max-dot.
     Same dedup contract as the media refresh: cross-batch near-dups
     are dropped, in-batch near-dups both survive (run the batch pair
-    scan first if required); replay is idempotent via the id-level
-    anti-join against the index's id column (id-only columnar scan;
-    the guard is index-WIDE deliberately — a replayed id can re-assign
-    to a different cell under input-duplicate or near-tie drift, so a
-    cell-filtered guard could double-append — while the near-dup check
-    itself stays cell-pruned; one sink here, so the two-append crash
-    window of the media refresh does not exist); a
-    transient index-read failure FAILS the batch for checkpoint retry,
-    and a sink with no committed files reads as empty
+    scan first if required). Replay idempotence has TWO tiers,
+    auto-detected from the persisted index's schema:
+
+    - **batch-id partition overwrite** (round 8 — the scale path):
+      an index built with ``build_ivf_index(batch_id_layout=True)``
+      is partitioned ``cluster_id/batch_id``; each microbatch (a)
+      excludes its OWN ``batch_id`` partitions from the near-dup
+      history (partition-pruned — a crashed attempt's partial rows
+      never self-dup the replay), (b) deletes its own
+      ``cluster_id=*/batch_id=N`` dirs (bounded FS metadata ops,
+      :func:`_delete_batch_partitions`), and (c) appends stamped
+      rows. A replayed batch recomputes to the identical row set and
+      overwrites exactly its own partitions — idempotent with NO
+      index-wide scan of any kind, constant in index AGE.
+      ``cluster_id`` stays the OUTER partition so nprobe pruning is
+      untouched.
+    - **id anti-join** (legacy layout fallback): the guard scans the
+      whole index's id column (columnar, bytes ∝ 8·rows — linear in
+      index AGE; index-WIDE deliberately, because a replayed id can
+      re-assign to a different cell under input-duplicate or
+      near-tie drift, so a cell-filtered guard could double-append).
+
+    A transient index-read failure FAILS the batch for checkpoint
+    retry, and a sink with no committed files reads as empty
     (:func:`_read_parquet_if_any`). The index must already exist —
     refreshing presupposes a built index, and a missing centroid file
-    is a setup error, not an empty history."""
+    is a setup error, not an empty history. Same contract note as the
+    media refresh: ``batch_id`` is the replay key within ONE
+    checkpoint lineage; a discarded checkpoint re-delivers files as
+    new colliding batch ids, which the overwrite tier recomputes and
+    overwrites (idempotent for unchanged sources, but re-ingest, not
+    replay) — use the legacy layout if checkpoints are disposable."""
     import json as _json
 
     from multimodal_vector_db_spark.functions.vector import dot
@@ -553,13 +655,22 @@ def vector_refresh_stream(
         assigned = assign(fresh, centroids, metric=metric)
         assigned = assigned.localCheckpoint(eager=True)
         whole = _read_parquet_if_any(spark, index_path)
+        overwrite_layout = (
+            whole is not None and "batch_id" in whole.columns
+        )
         if whole is not None:
+            hist_src = whole
+            if overwrite_layout:
+                # exclude THIS batch's own partitions (partial rows
+                # from a crashed attempt) — partition-pruned, so the
+                # replay's dedup decisions equal the first attempt's
+                hist_src = whole.where(F.col("batch_id") != batch_id)
             cells = [
                 r["cluster_id"]
                 for r in assigned.select("cluster_id").distinct().collect()
             ]
             # partition filter → only the touched cells' files are read
-            hist = whole.where(F.col("cluster_id").isin(cells))
+            hist = hist_src.where(F.col("cluster_id").isin(cells))
             dup_ids = (
                 assigned.join(
                     hist.select(
@@ -574,24 +685,38 @@ def vector_refresh_stream(
                 .distinct()
             )
             assigned = assigned.join(dup_ids, "id", "left_anti")
-            # id-level replay guard against the WHOLE index id column:
-            # a replayed id can land in a DIFFERENT cell than its first
-            # append (a duplicate input row with another embedding wins
-            # dropDuplicates, a ~1-ulp near-tie resolves differently on
-            # the BLAS path, or the centroid file was refreshed), so a
-            # cell-filtered guard would double-append it. The scan is a
-            # columnar id-only projection (bytes ∝ 8·rows — linear in
-            # index AGE; batch_id-keyed partition overwrite is the
-            # upgrade at the very largest indexes, as in the text/media
-            # refresh notes). The near-dup CHECK above stays
-            # cell-pruned — only the id guard reads index-wide.
-            assigned = assigned.join(
-                whole.select("id"), "id", "left_anti"
-            )
+            if not overwrite_layout:
+                # LEGACY id-level replay guard against the WHOLE index
+                # id column: a replayed id can land in a DIFFERENT cell
+                # than its first append (a duplicate input row with
+                # another embedding wins dropDuplicates, a ~1-ulp
+                # near-tie resolves differently on the BLAS path, or
+                # the centroid file was refreshed), so a cell-filtered
+                # guard would double-append it. Columnar id-only
+                # projection — linear in index AGE; the batch-id
+                # layout above is the constant-cost upgrade.
+                assigned = assigned.join(
+                    whole.select("id"), "id", "left_anti"
+                )
         assigned = assigned.localCheckpoint(eager=True)
-        assigned.write.mode("append").partitionBy("cluster_id").parquet(
-            index_path
-        )
+        if overwrite_layout:
+            # replaceWhere-style: clear this batch's own partitions
+            # (no-op on first delivery; the partial-append dirs on
+            # replay), then append stamped — cell-drift between
+            # attempts cannot double-append because EVERY
+            # cluster_id=*/batch_id=N dir is cleared first
+            _delete_batch_partitions(
+                spark, index_path, batch_id, nested=True
+            )
+            assigned.withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            ).write.mode("append").partitionBy(
+                "cluster_id", "batch_id"
+            ).parquet(index_path)
+        else:
+            assigned.write.mode("append").partitionBy(
+                "cluster_id"
+            ).parquet(index_path)
 
     return (
         stream.writeStream.foreachBatch(refresh)

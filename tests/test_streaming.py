@@ -470,7 +470,8 @@ def test_media_refresh_stream_drops_cross_batch_image_dup(spark, tmp_path):
     idx = spark.read.parquet(index)
     # 3 surviving images x 4 bands in the band_slices layout
     assert idx.count() == 12
-    assert set(idx.columns) == {"id", "h", "band_k", "band_v"}
+    # round 8: fresh sinks carry the batch_id replay-partition column
+    assert set(idx.columns) == {"id", "h", "band_k", "band_v", "batch_id"}
     assert sorted(
         r["id"] for r in idx.select("id").distinct().collect()
     ) == [1, 2, 11]
@@ -773,3 +774,161 @@ def test_uncommitted_sink_reads_as_empty_not_wedged(spark, tmp_path):
     ).start().awaitTermination(120)
     assert spark.read.parquet(str(corpus)).count() == 10
     assert os.path.isdir(str(corpus))
+
+
+def test_vector_refresh_batch_id_overwrite_replay(spark, tmp_path):
+    """Round-8 replay tier: with build_ivf_index(batch_id_layout=True)
+    the stream owns cluster_id=*/batch_id=N partitions — a replayed
+    batch (fresh checkpoint, same files) is a no-op, a crash-window
+    partial append is cleared and rewritten, and no index-wide id scan
+    exists (the history read is partition-pruned; plan-asserted)."""
+    import contextlib
+    import io
+    import os
+    import re
+
+    import numpy as np
+
+    from multimodal_vector_db_spark.operators.ann import build_ivf_index
+    from multimodal_vector_db_spark.streaming import vector_refresh_stream
+
+    rng = np.random.default_rng(31)
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    d = 8
+    hist = spark.createDataFrame(
+        [(i, unit(rng.standard_normal(d))) for i in range(6)],
+        "id long, embedding array<double>",
+    )
+    index = str(tmp_path / "ivf_bid")
+    build_ivf_index(hist, index, n_clusters=2, seed=7, batch_id_layout=True)
+    built = spark.read.parquet(index)
+    assert "batch_id" in built.columns and built.count() == 6
+
+    novel = [(100 + i, unit(rng.standard_normal(d))) for i in range(4)]
+    src = tmp_path / "vb_src"
+    src.mkdir()
+    schema = "id long, embedding array<double>"
+    spark.createDataFrame(novel, schema).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    vector_refresh_stream(
+        spark.readStream.schema(schema).parquet(f"{src}/*"),
+        index, str(tmp_path / "vb_ck1"), threshold=0.95,
+    ).start().awaitTermination(120)
+    after1 = spark.read.parquet(index)
+    assert after1.count() == 10
+    # streamed rows landed under batch_id=0 INSIDE the cluster dirs
+    # (cluster_id stays outer -> nprobe pruning untouched)
+    cells = [e for e in os.listdir(index) if e.startswith("cluster_id=")]
+    assert any(
+        "batch_id=0" in os.listdir(os.path.join(index, c)) for c in cells
+    )
+
+    # REPLAY (fresh checkpoint, same source): recompute + overwrite own
+    # partitions -> idempotent, still 10 rows, no index-wide scan run
+    vector_refresh_stream(
+        spark.readStream.schema(schema).parquet(f"{src}/*"),
+        index, str(tmp_path / "vb_ck2"), threshold=0.95,
+    ).start().awaitTermination(120)
+    after2 = spark.read.parquet(index)
+    assert after2.count() == 10
+    assert sorted(
+        r["id"] for r in after2.where("batch_id = 0").collect()
+    ) == [100, 101, 102, 103]
+
+    # crash-window shape: a partial batch_id=0 dir with a WRONG extra
+    # row gets cleared by the next replay, not merged
+    stray_cell = cells[0]
+    spark.createDataFrame(
+        [(999, novel[0][1])], schema
+    ).coalesce(1).write.mode("append").parquet(
+        os.path.join(index, stray_cell, "batch_id=0")
+    )
+    assert spark.read.parquet(index).count() == 11
+    vector_refresh_stream(
+        spark.readStream.schema(schema).parquet(f"{src}/*"),
+        index, str(tmp_path / "vb_ck3"), threshold=0.95,
+    ).start().awaitTermination(120)
+    after3 = spark.read.parquet(index)
+    assert after3.count() == 10
+    assert 999 not in {r["id"] for r in after3.collect()}
+
+    # plan assertion: the history read excluding the batch's own
+    # partitions is PARTITION pruning (batch_id in PartitionFilters),
+    # i.e. the guard costs file listing, not an index-wide id scan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        spark.read.parquet(index).where("batch_id != 0").explain(
+            "formatted"
+        )
+    p = buf.getvalue()
+    assert re.search(r"PartitionFilters: \[[^\]]*batch_id[^\]]*\]", p), p
+
+
+def test_media_refresh_fresh_sinks_use_batch_id_layout(spark, tmp_path):
+    """Fresh media-refresh sinks are created batch_id-partitioned; a
+    later microbatch under the SAME checkpoint still drops cross-batch
+    near-dups, and a crashed attempt's partial partition (pre-seeded
+    stray rows under the upcoming batch's own batch_id) is CLEARED and
+    rewritten by the partition-overwrite replay tier — no id anti-join
+    anywhere."""
+    import numpy as np
+
+    from multimodal_vector_db_spark.multimodal.phash import dhash56
+    from multimodal_vector_db_spark.streaming import media_refresh_stream
+
+    rng = np.random.default_rng(33)
+    corpus = str(tmp_path / "mb_corpus")
+    index = str(tmp_path / "mb_index")
+    ckpt = str(tmp_path / "mb_ck")  # ONE checkpoint — the replay key
+    src = tmp_path / "mb_src"
+    src.mkdir()
+    schema = "doc_id long, content binary"
+
+    base = np.tile(np.arange(9, dtype=np.uint8) * 10, (7, 1))
+    near = base.copy()
+    near[0, 1] = 0  # flips exactly one dHash comparison bit
+    assert bin(dhash56(base) ^ dhash56(near)).count("1") == 1
+    other = rng.integers(0, 256, (7, 9), dtype=np.uint8)
+    assert bin(dhash56(base) ^ dhash56(other)).count("1") > 1
+
+    spark.createDataFrame(
+        [(0, _p5(base)), (1, _p5(other))], schema
+    ).coalesce(1).write.parquet(str(src / "a"))
+    media_refresh_stream(
+        spark.readStream.schema(schema).parquet(f"{src}/*"),
+        corpus, index, ckpt, modality="image",
+    ).start().awaitTermination(120)
+    got = spark.read.parquet(corpus)
+    assert "batch_id" in got.columns and got.count() == 2
+    assert "batch_id" in spark.read.parquet(index).columns
+
+    # crash-window simulation: a crashed batch-1 attempt left partial
+    # stray rows in BOTH sinks under batch_id=1 before the commit
+    import os
+
+    spark.createDataFrame([(999, _p5(other))], schema).coalesce(
+        1
+    ).write.mode("append").parquet(os.path.join(corpus, "batch_id=1"))
+    assert spark.read.parquet(corpus).count() == 3
+
+    # batch 1 (same checkpoint): a near-dup of doc 0 -> dropped via the
+    # persisted index; a novel doc survives; the stray partial is gone
+    spark.createDataFrame(
+        [(2, _p5(near)), (3, _p5(rng.integers(0, 256, (7, 9), dtype=np.uint8)))],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b"))
+    media_refresh_stream(
+        spark.readStream.schema(schema).parquet(f"{src}/*"),
+        corpus, index, ckpt, modality="image",
+    ).start().awaitTermination(120)
+    final = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert final == [0, 1, 3], final  # 2 deduped, 999 cleared
+    idx = spark.read.parquet(index)
+    assert sorted(
+        r["id"] for r in idx.select("id").distinct().collect()
+    ) == [0, 1, 3]

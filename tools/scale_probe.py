@@ -925,6 +925,106 @@ def main() -> None:
         results["streaming_vector_refresh"] = vr_res
         print("streaming_vector_refresh", vr_res, flush=True)
 
+    # Replay-guard cost vs index AGE (round 8): the vector refresh's
+    # two guard tiers measured against a synthesized DEEP index
+    # (direct parquet layout — no KMeans; depth is the variable) with
+    # a FIXED 2,000-row microbatch touching 4 of 64 cells. The legacy
+    # tier's id anti-join scans the whole index id column (∝ age);
+    # the batch-id tier's partition overwrite costs O(#cluster dirs)
+    # FS metadata ops, independent of age. Expect sec_legacy to grow
+    # with depth and sec_batchid to stay ~flat (both carry ~1-2 s of
+    # streaming-trigger floor plus the identical cell-pruned near-dup
+    # join).
+    if _want("vector_refresh_guard_depth"):
+        import json as _json
+
+        import numpy as np
+        import pandas as pd
+
+        from multimodal_vector_db_spark.streaming.ingest import (
+            vector_refresh_stream,
+        )
+
+        d, k = 8, 64
+        rngc = np.random.default_rng(5)
+        C = rngc.standard_normal((k, d))
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+        DEPTH = {1: 200_000, 4: 800_000, 16: 3_200_000}
+
+        def gen_rows(it):
+            for pdf in it:
+                ids = pdf["id"].to_numpy()
+                if len(ids) == 0:
+                    continue
+                g = np.random.default_rng(int(ids[0]) + 1)
+                X = g.standard_normal((len(ids), d))
+                X = X / np.linalg.norm(X, axis=1, keepdims=True)
+                yield pd.DataFrame(
+                    {
+                        "id": ids,
+                        "embedding": [list(map(float, r)) for r in X],
+                        "cluster_id": (ids % k).astype("int32"),
+                    }
+                )
+
+        batch_rows = [
+            (10**9 + i, [float(x) for x in C[i % 4]]) for i in range(2000)
+        ]
+        gd_res = {
+            "index_rows": {},
+            "sec_legacy": {},
+            "sec_batchid": {},
+            "legacy_ratio_vs_1x": {},
+            "batchid_ratio_vs_1x": {},
+        }
+        for f in FACTORS:
+            n = DEPTH[f]
+            rows = spark.range(n).mapInPandas(
+                gen_rows,
+                schema="id long, embedding array<double>, cluster_id int",
+            )
+            src = f"{WORK}/vrg_src_{f}"
+            shutil.rmtree(src, ignore_errors=True)
+            spark.createDataFrame(
+                batch_rows, "id long, embedding array<double>"
+            ).coalesce(1).write.parquet(src)
+            for layout in ("legacy", "batchid"):
+                index = f"{WORK}/vrg_{layout}_{f}"
+                ckpt = f"{WORK}/vrg_ck_{layout}_{f}"
+                for p in (index, ckpt):
+                    shutil.rmtree(p, ignore_errors=True)
+                w = rows
+                parts = ["cluster_id"]
+                if layout == "batchid":
+                    w = rows.withColumn(
+                        "batch_id", F.lit(-1).cast("long")
+                    )
+                    parts = ["cluster_id", "batch_id"]
+                w.repartition("cluster_id").write.mode(
+                    "overwrite"
+                ).partitionBy(*parts).parquet(index)
+                with open(index + ".centroids.json", "w") as fh:
+                    _json.dump(C.tolist(), fh)
+                stream = spark.readStream.schema(
+                    "id long, embedding array<double>"
+                ).parquet(f"{src}")
+                t0 = time.time()
+                vector_refresh_stream(
+                    stream, index, ckpt, threshold=0.999
+                ).start().awaitTermination(600)
+                gd_res[f"sec_{layout}"][str(f)] = round(
+                    time.time() - t0, 3
+                )
+            gd_res["index_rows"][str(f)] = n
+        for layout in ("legacy", "batchid"):
+            base = gd_res[f"sec_{layout}"]["1"] or 1e-9
+            gd_res[f"{layout}_ratio_vs_1x"] = {
+                str(f): round(gd_res[f"sec_{layout}"][str(f)] / base, 2)
+                for f in FACTORS
+            }
+        results["vector_refresh_guard_depth"] = gd_res
+        print("vector_refresh_guard_depth", gd_res, flush=True)
+
     # skew-join remedy, measured: a fact table where ONE key holds 80%
     # of all rows, shuffle-joined (broadcast disabled — the situation
     # when the dim side is too big to broadcast) plain vs salted. AQE's
