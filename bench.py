@@ -1239,6 +1239,257 @@ def ref_scale_16x_bench(spark, wh_dir: str, timed_median) -> dict:
     return out
 
 
+# --- 64× reference scale (2,844,416 × 512-d) ------------------------
+# Round 8: one more doubling-of-doublings past the 16× section — the
+# scale where file-count and driver-planning effects first appear on
+# this box (~5.6 GB of float32 vectors per regime). Env-gated like the
+# 16× section (SPARK_GRAFT_BENCH_SECTIONS=ref64x measures; the all
+# pass carries the last measured section forward, marked). Facade rows
+# are intentionally absent (single-call wall = local-mode scheduling
+# floor, documented at 44k/16×); the serving costs are exact blocked
+# batch, IVF operating points, and Matryoshka retention — mixture
+# regime only for Matryoshka (planted is the transparency row at any
+# size, see the 16× table).
+
+REF64_FACTOR = 64
+REF64_N = REF_N * REF64_FACTOR  # 2,844,416
+#: sqrt(N) scaling continued: 128 cells @ 44k, 256 @ 711k, 512 here —
+#: per-probe scan fraction stays comparable across the family
+REF64_CLUSTERS = 512
+
+
+def build_ref_scale_64x(spark, wh_dir: str) -> None:
+    """Materialize the 64× reference-shape corpora (planted + mixture),
+    their IVF indexes (512 coarse cells), 256 held-out queries each,
+    and the mixture Matryoshka family."""
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.operators.ann import build_ivf_index
+
+    ids = spark.range(REF64_N).select(
+        "id", F.floor(F.col("id") / REF_REPS).alias("base_id")
+    )
+    _ref_synth(ids, noise_seed=41).repartition(256).write.mode(
+        "overwrite"
+    ).parquet(f"{wh_dir}/ref2845k.parquet")
+    build_ivf_index(
+        spark.read.parquet(f"{wh_dir}/ref2845k.parquet").select(
+            "id", "embedding"
+        ),
+        f"{wh_dir}/ref2845k_ivf.parquet",
+        n_clusters=REF64_CLUSTERS,
+        max_iter=5,
+    )
+    _ref_synth(
+        spark.range(256).select(
+            (F.col("id") + 60_000_000).alias("id"),
+            F.col("id").alias("base_id"),
+        ),
+        noise_seed=83,
+    ).select(
+        (F.col("id") - 60_000_000).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    ).repartition(1).write.mode("overwrite").parquet(
+        f"{wh_dir}/ref2845k_queries.parquet"
+    )
+
+    _ref_synth(ids, noise_seed=43, noise_amp=REF_NOISE_HARD).repartition(
+        256
+    ).write.mode("overwrite").parquet(f"{wh_dir}/ref2845k_mix.parquet")
+    build_ivf_index(
+        spark.read.parquet(f"{wh_dir}/ref2845k_mix.parquet"),
+        f"{wh_dir}/ref2845k_mix_ivf.parquet",
+        n_clusters=REF64_CLUSTERS,
+        max_iter=5,
+    )
+    _ref_synth(
+        spark.range(256).select(
+            (F.col("id") + 70_000_000).alias("id"),
+            F.col("id").alias("base_id"),  # perturb SEEN bases 0..255
+        ),
+        noise_seed=29,
+        noise_amp=REF_NOISE_HARD,
+    ).select(
+        (F.col("id") - 70_000_000).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    ).repartition(1).write.mode("overwrite").parquet(
+        f"{wh_dir}/ref2845k_mix_queries.parquet"
+    )
+
+    from multimodal_vector_db_spark.sources.storage import CorpusStorage
+
+    CorpusStorage(wh_dir).build_matryoshka_tables(
+        spark.read.parquet(f"{wh_dir}/ref2845k_mix.parquet").select(
+            "id", "embedding"
+        ),
+        "ref2845k_mix_mat",
+        dims=[64, 128, 256],
+    )
+
+
+def ref_scale_64x_bench(spark, wh_dir: str, timed_median) -> dict:
+    """Serving comparables at 2.845M × 512-d: exact blocked batch kNN,
+    IVF nprobe/recall curves + operating points (planted + mixture),
+    and mixture Matryoshka retention. Scan-granularity conf scoped as
+    in the 16× section, sized for the ~5.6 GB corpus (48 MB splits →
+    ~120 tasks over 32 cores)."""
+    import numpy as _np
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.operators.ann import (
+        ivf_search_blocked,
+        open_ivf_index,
+    )
+    from multimodal_vector_db_spark.operators.knn import knn_join_blocked
+    from multimodal_vector_db_spark.sources.storage import CorpusStorage
+
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(48 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(1024 * 1024))
+
+    corpus = spark.read.parquet(f"{wh_dir}/ref2845k.parquet").select(
+        "id", "embedding"
+    )
+    qdf = spark.read.parquet(f"{wh_dir}/ref2845k_queries.parquet")
+
+    out: dict = {
+        "corpus": {
+            "rows": REF64_N,
+            "dim": REF_DIM,
+            "factor_vs_reference": REF64_FACTOR,
+            "ivf_clusters": REF64_CLUSTERS,
+        },
+        "notes": (
+            "64x the reference corpus — corpus growth = more "
+            "partitions; the build is one KMeans + partitioned write "
+            "where an HNSW family would need full O(N log N) "
+            "rebuilds. Facade rows intentionally absent (local-mode "
+            "scheduling floor, see ref_scale.notes); Matryoshka is "
+            "mixture-only (planted is the transparency regime at any "
+            "size). Scalar rows are median-of-5 in-process plus min; "
+            "run the dedicated fresh-process pass "
+            "(SPARK_GRAFT_BENCH_SECTIONS=ref64x) to refresh."
+        ),
+    }
+
+    med, mn = _tm5(
+        lambda: knn_join_blocked(corpus, qdf, k=10)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    out["exact_blocked_ms_per_query_256"] = round(med / 256 * 1000, 3)
+    out["exact_blocked_ms_per_query_256_min"] = round(mn / 256 * 1000, 3)
+
+    def _curve(corpus_name: str, probes: tuple[int, ...]) -> dict:
+        c_corpus, c_centroids = open_ivf_index(
+            spark, f"{wh_dir}/{corpus_name}_ivf.parquet"
+        )
+        c_corpus = c_corpus.select("id", "embedding", "cluster_id")
+        c_qdf = spark.read.parquet(
+            f"{wh_dir}/{corpus_name}_queries.parquet"
+        )
+        plain = spark.read.parquet(
+            f"{wh_dir}/{corpus_name}.parquet"
+        ).select("id", "embedding")
+        truth = knn_join_blocked(plain, c_qdf, k=10).select(
+            "query_id", "id"
+        )
+        truth.cache()
+        n_truth = truth.count()
+        c_qs = [
+            (r["query_id"], [float(x) for x in r["q_emb"]])
+            for r in c_qdf.collect()
+        ]
+        cv: dict = {}
+        for nprobe in probes:
+            sec = timed_median(
+                lambda: ivf_search_blocked(
+                    c_corpus, c_qs, c_centroids, k=10, nprobe=nprobe,
+                    probe_metric="l2",
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            hits = (
+                ivf_search_blocked(
+                    c_corpus, c_qs, c_centroids, k=10, nprobe=nprobe,
+                    probe_metric="l2",
+                )
+                .select("query_id", "id")
+                .join(truth, on=["query_id", "id"])
+                .count()
+            )
+            cv[str(nprobe)] = {
+                "ms_per_query": round(sec / len(c_qs) * 1000, 3),
+                "recall10": round(hits / n_truth, 4),
+            }
+        truth.unpersist()
+        return cv
+
+    for regime, corpus_name, probes in (
+        ("planted", "ref2845k", (4, 8, 16, 32)),
+        ("mixture", "ref2845k_mix", (32, 64, 128)),
+    ):
+        curve = _curve(corpus_name, probes)
+        out[f"ivf_nprobe_curve_{regime}"] = curve
+        ok = [
+            (int(np_), v)
+            for np_, v in curve.items()
+            if v["recall10"] >= 0.95
+        ]
+        if ok:
+            np_best, v = min(ok, key=lambda t: t[1]["ms_per_query"])
+            out[f"ivf_operating_point_{regime}"] = {"nprobe": np_best, **v}
+
+    def _trunc64(vec, d: int) -> list:
+        a = _np.asarray(vec, dtype=_np.float64)[:d]
+        n = float(_np.linalg.norm(a))
+        return (a / n).tolist() if n > 0 else a.tolist()
+
+    mat_store = CorpusStorage(wh_dir)
+    plain = spark.read.parquet(f"{wh_dir}/ref2845k_mix.parquet").select(
+        "id", "embedding"
+    )
+    m_qdf = spark.read.parquet(f"{wh_dir}/ref2845k_mix_queries.parquet")
+    truth = knn_join_blocked(plain, m_qdf, k=10).select("query_id", "id")
+    truth.cache()
+    n_truth = truth.count()
+    q_rows = [
+        (r["query_id"], [float(x) for x in r["q_emb"]])
+        for r in m_qdf.collect()
+    ]
+    mat: dict = {}
+    for mdim in (64, 128, 256):
+        c_t, _m = mat_store.load_index(spark, f"ref2845k_mix_mat_d{mdim}")
+        q_list = [(qid, _trunc64(v, mdim)) for qid, v in q_rows]
+        med, mn = _tm5(
+            lambda c=c_t, q=q_list: knn_join_blocked(c, q, k=10)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        pairs = knn_join_blocked(c_t, q_list, k=10).select(
+            "query_id", "id"
+        )
+        mat[str(mdim)] = {
+            "ms_per_query": round(med / len(q_list) * 1000, 3),
+            "ms_per_query_min": round(mn / len(q_list) * 1000, 3),
+            "retained_r10": round(
+                pairs.join(truth, on=["query_id", "id"]).count() / n_truth,
+                4,
+            ),
+        }
+    truth.unpersist()
+    out["matryoshka_retention_mixture"] = mat
+
+    spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+    spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pyspark.sql import functions as F
@@ -1266,7 +1517,7 @@ def main() -> None:
     # are taken in isolation; default "all" runs every other section.
     sections = os.environ.get("SPARK_GRAFT_BENCH_SECTIONS", "all")
 
-    if sections == "ref16x":
+    if sections in ("ref16x", "ref64x"):
         def _tm(run, samples: int = 3) -> float:
             run()
             ts = sorted(
@@ -1285,15 +1536,23 @@ def main() -> None:
             return time.time() - t0
 
         os.makedirs(wh_dir, exist_ok=True)
+        if sections == "ref16x":
+            build_fn, bench_fn = build_ref_scale_16x, ref_scale_16x_bench
+            stamp, stamp_v = ".ref_scale_16x.stamp", "ref711k_mat"
+            section_key = "ref_scale_16x"
+        else:
+            build_fn, bench_fn = build_ref_scale_64x, ref_scale_64x_bench
+            stamp, stamp_v = ".ref_scale_64x.stamp", "ref2845k"
+            section_key = "ref_scale_64x"
         t0 = time.time()
         _build_cached(
-            lambda: build_ref_scale_16x(spark, wh_dir),
-            os.path.join(wh_dir, ".ref_scale_16x.stamp"),
-            "ref711k_mat",  # v2: + per-dim Matryoshka tables (round 7)
+            lambda: build_fn(spark, wh_dir),
+            os.path.join(wh_dir, stamp),
+            stamp_v,
         )
-        build_16x_sec = round(time.time() - t0, 4)
-        section = ref_scale_16x_bench(spark, wh_dir, _tm)
-        section["build_sec"] = build_16x_sec
+        build_sec = round(time.time() - t0, 4)
+        section = bench_fn(spark, wh_dir, _tm)
+        section["build_sec"] = build_sec
         section["carried_forward"] = False
         # round-freshness audit trail: a carried-forward section keeps
         # this stamp, so staleness is visible instead of silent
@@ -1308,10 +1567,10 @@ def main() -> None:
                 detail = json.load(fh)
         except (OSError, ValueError):
             detail = {}
-        detail["ref_scale_16x"] = section
+        detail[section_key] = section
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1)
-        print(json.dumps({"metric": "ref_scale_16x", **{
+        print(json.dumps({"metric": section_key, **{
             k: v for k, v in section.items()
             if not isinstance(v, (dict, str))
         }}, separators=(",", ":")))
@@ -2070,12 +2329,18 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
     ref_scale_16x = None
+    ref_scale_64x = None
     try:
         with open(detail_path) as fh:
-            prev = json.load(fh).get("ref_scale_16x")
+            _prev_detail = json.load(fh)
+        prev = _prev_detail.get("ref_scale_16x")
         if prev:
             prev["carried_forward"] = True
             ref_scale_16x = prev
+        prev64 = _prev_detail.get("ref_scale_64x")
+        if prev64:
+            prev64["carried_forward"] = True
+            ref_scale_64x = prev64
     except (OSError, ValueError):
         pass
 
@@ -2122,6 +2387,8 @@ def main() -> None:
         detail["opq"] = opq_section
     if ref_scale_16x is not None:
         detail["ref_scale_16x"] = ref_scale_16x
+    if ref_scale_64x is not None:
+        detail["ref_scale_64x"] = ref_scale_64x
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
     print(f"full detail -> {detail_path}", file=sys.stderr)

@@ -96,6 +96,11 @@ class MultiModalSearchEngine:
         # Soft deletes don't decrement — an upper bound only ever errs
         # toward the faster scorer.
         self._n_rows: int | None = 0 if items is None else None
+        # per-space IVF coarse index for the auto route (build_ann_index)
+        self._ann: dict[str, dict] = {}
+        #: the last search's routing decision — the planner log surface
+        #: (route, reason, and the IVF parameters when taken)
+        self.last_route: dict[str, Any] | None = None
 
     # -- ingestion (search_engine.py:81-172) ---------------------------
     def batch_ingest(self, rows: list[dict[str, Any]]) -> None:
@@ -264,6 +269,94 @@ class MultiModalSearchEngine:
             ),
         )
 
+    # -- ANN route (SURVEY §4's deferred planner rule, round 8) ---------
+    def build_ann_index(
+        self,
+        space: str = "clip",
+        n_clusters: int | None = None,
+        seed: int = 42,
+    ) -> dict:
+        """Fit the IVF coarse index the ``route="auto"`` planner can
+        choose: MLlib KMeans over the CURRENT live rows of ``space``
+        (sqrt(N) cells by default — the scan-fraction scaling the
+        ref-scale bench family uses), assignment kept as a slim
+        ``(id, cluster_id)`` frame joined back at query time so
+        tombstones and predicates keep working unchanged. Returns the
+        build stats. Rows ingested AFTER the build are not covered —
+        the auto route detects the drift by row count and falls back
+        to exact (rebuild to re-enable)."""
+        import math
+
+        from multimodal_vector_db_spark.operators.ann import (
+            ivf_fit_assign,
+        )
+
+        corpus = active(self.items).where(F.col("space") == space)
+        n = corpus.count()
+        if n_clusters is None:
+            n_clusters = max(2, int(math.isqrt(n)))
+        assigned, centroids = ivf_fit_assign(
+            corpus.select("id", "embedding"),
+            n_clusters=n_clusters,
+            seed=seed,
+        )
+        self._ann[space] = {
+            "assign": assigned.select("id", "cluster_id").localCheckpoint(
+                eager=True
+            ),
+            "centroids": centroids,
+            "rows_at_build": self._corpus_rows(),
+        }
+        return {"space": space, "n_clusters": n_clusters, "rows": n}
+
+    #: recall_floor → fraction of cells probed. The contract is the
+    #: MEASURED nprobe/recall curves (bench_detail ivf_nprobe_curve_*,
+    #: 44k/16×/64×): 1/8 of cells gave R@10 ≥ 0.95 on clustered
+    #: (planted) data and ~0.8 on the hard mixture; 1/4 gave ≥ 0.95 on
+    #: the mixture too. The planner maps a floor ≤ 0.9 to the cheap
+    #: point and anything tighter (but < 1.0) to the conservative one;
+    #: floor = 1.0 means the caller requires exactness → never IVF.
+    _NPROBE_FRACTION = ((0.9, 0.125), (1.0, 0.25))
+
+    def _route(
+        self, space: str, recall_floor: float, route: str, approximate: bool
+    ) -> tuple[bool, str]:
+        """The auto planner: IVF iff the caller declared slack
+        (recall_floor < 1), an index covering the current corpus
+        exists, and the corpus is big enough that the exact blocked
+        scan is the alternative (same size×dim threshold). Returns
+        (use_ivf, reason) — the reason string is logged on
+        ``last_route`` either way."""
+        if route == "ivf":
+            return True, "forced"
+        if route != "auto":
+            return False, "forced-exact"
+        if approximate:
+            return False, "binary-shortlist requested"
+        if recall_floor >= 1.0:
+            return False, "recall_floor=1.0 requires exact"
+        info = self._ann.get(space)
+        if info is None:
+            return False, f"no ANN index for space {space!r}"
+        if self._corpus_rows() != info["rows_at_build"]:
+            return False, (
+                "corpus changed since ANN build "
+                f"({info['rows_at_build']} -> {self._corpus_rows()} "
+                "rows); rebuild to re-enable"
+            )
+        if self._corpus_rows() * self.dim < self._single_threshold():
+            return False, "below size threshold — exact scan is cheap"
+        return True, "auto"
+
+    def _ivf_nprobe(self, space: str, recall_floor: float) -> int:
+        import math
+
+        n_cells = len(self._ann[space]["centroids"])
+        for bound, frac in self._NPROBE_FRACTION:
+            if recall_floor <= bound:
+                return max(1, math.ceil(frac * n_cells))
+        return n_cells
+
     # -- search (search_engine.py:174-223) -----------------------------
     def search(
         self,
@@ -277,11 +370,24 @@ class MultiModalSearchEngine:
         approximate: bool = False,
         shortlist: int = 200,
         scorer: str = "auto",
+        route: str = "auto",
+        recall_floor: float = 1.0,
     ) -> list[dict[str, Any]]:
         """Top-k search. Text queries embed into ``query_space``
         (default: the space implied by ``filter_content_type``, else
         clip). Only same-space rows are scored — cross-space similarity
         is refused by construction.
+
+        **Exact-vs-IVF planner** (round 8 — SURVEY §4's deferred rule):
+        ``recall_floor`` declares the quality contract. At the default
+        1.0 the search is always exact. A floor < 1.0 lets
+        ``route="auto"`` pick the IVF index built by
+        :meth:`build_ann_index` when the corpus clears the same
+        size×dim threshold as the blocked dispatch AND the index still
+        covers the corpus (row-count drift → exact + logged reason) —
+        nprobe comes from the floor via the MEASURED recall curves
+        (see ``_NPROBE_FRACTION``). ``route="ivf"``/``"exact"`` force a
+        path. Every call records its decision on ``self.last_route``.
 
         **Scorer dispatch** (``scorer="auto"``, the default): when
         ``corpus_rows × dim`` exceeds 8× ``blocked_threshold_cells``
@@ -320,6 +426,52 @@ class MultiModalSearchEngine:
             corpus = self._binary_shortlist(corpus, qvec, shortlist)
         diversity = strategy not in (None, "distance")
         fetch_n = max(k * 4, 20) if diversity else k
+        use_ivf, why = self._route(space, recall_floor, route, approximate)
+        if use_ivf:
+            from multimodal_vector_db_spark.operators.ann import (
+                ivf_search_blocked,
+            )
+
+            info = self._ann[space]
+            nprobe = self._ivf_nprobe(space, recall_floor)
+            self.last_route = {
+                "route": "ivf",
+                "reason": why,
+                "nprobe": nprobe,
+                "n_clusters": len(info["centroids"]),
+                "recall_floor": recall_floor,
+            }
+            # join the slim (id, cluster_id) assignment back so
+            # tombstones/predicates applied to `corpus` above hold;
+            # MLlib-fitted centroids → probe by the SAME l2 rule
+            assigned = corpus.select("id", "embedding").join(
+                info["assign"], "id"
+            )
+            winner_rows = ivf_search_blocked(
+                assigned,
+                [(0, [float(x) for x in qvec])],
+                info["centroids"],
+                k=fetch_n,
+                nprobe=nprobe,
+                probe_metric="l2",
+            ).collect()
+            winner_rows.sort(key=lambda r: (-r["sim"], r["id"]))
+            ids = [r["id"] for r in winner_rows]
+            sims = {r["id"]: r["sim"] for r in winner_rows}
+            pay = [
+                c
+                for c in corpus.columns
+                if c not in ("embedding", "dim", "id")
+            ]
+            if diversity:
+                pay.append("embedding")
+            fetched = self._fetch_payload(corpus, ids, pay)
+            rows = [
+                {**fetched[i], "id": i, "sim": sims[i]}
+                for i in ids
+                if i in fetched
+            ]
+            return rerank(rows, strategy=strategy, top_k=k)
         # diversity reranking needs the candidates' vectors: carry the
         # embedding column THROUGH the top-k as a payload column (the
         # same single-plan shape as q_mmr_rerank) instead of a second
@@ -332,6 +484,11 @@ class MultiModalSearchEngine:
             and not approximate  # shortlist already capped the corpus
             and self._corpus_rows() * self.dim >= self._single_threshold()
         )
+        self.last_route = {
+            "route": "exact-blocked" if use_blocked else "exact-hof",
+            "reason": why,
+            "recall_floor": recall_floor,
+        }
         if use_blocked:
             # Two small actions, each the cheapest possible shape:
             # 1. the scoring pass over a TWO-column scan —

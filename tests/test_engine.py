@@ -546,3 +546,61 @@ def test_search_audio_content_facade_method(spark):
         qbytes, k=2, predicate=F.col("id") != 1045
     )
     assert [h["id"] for h in hits2][0] == 1005
+
+
+def test_auto_route_exact_vs_ivf_planner(spark):
+    """Round-8 stretch: the SURVEY-§4 planner rule as an engine
+    heuristic. recall_floor=1.0 -> always exact; a declared floor with
+    a covering ANN index and a big-enough corpus -> IVF with nprobe
+    from the measured recall contract; corpus drift after the build ->
+    exact with the reason logged. Self-queries stay rank-1 on the IVF
+    route (the query's nearest centroid IS its assigned cell)."""
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.engine import MultiModalSearchEngine
+
+    # tiny threshold so 120 rows x 16 dims counts as "big": the
+    # single-query threshold is 8x this = 80 cells < 1920
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10)
+    eng.batch_ingest(
+        [{"content": f"planner doc {i}", "modality": "text"}
+         for i in range(120)]
+    )
+
+    # 1. default floor -> exact, with the reason recorded
+    eng.search("planner doc 7", k=3)
+    assert eng.last_route["route"] == "exact-blocked"
+    assert "recall_floor=1.0" in eng.last_route["reason"]
+
+    # 2. declared slack but no index yet -> exact, reason says so
+    eng.search("planner doc 7", k=3, recall_floor=0.95)
+    assert eng.last_route["route"].startswith("exact")
+    assert "no ANN index" in eng.last_route["reason"]
+
+    # 3. build the index -> auto picks IVF at the conservative point
+    stats = eng.build_ann_index(space="clip", n_clusters=8)
+    assert stats["n_clusters"] == 8
+    qvec = eng.items.where(F.col("id") == 42).first()["embedding"]
+    hits = eng.search([float(x) for x in qvec], k=3, recall_floor=0.95)
+    assert eng.last_route["route"] == "ivf"
+    assert eng.last_route["nprobe"] == 2  # ceil(0.25 * 8)
+    assert hits[0]["id"] == 42  # self-query rank-1 on the IVF route
+    # cheaper point for a loose floor
+    eng.search([float(x) for x in qvec], k=3, recall_floor=0.9)
+    assert eng.last_route["nprobe"] == 1  # ceil(0.125 * 8)
+
+    # 4. tombstones hold on the IVF route (predicate path shared)
+    eng.remove([42])
+    hits = eng.search([float(x) for x in qvec], k=3, recall_floor=0.95)
+    assert eng.last_route["route"] == "ivf"
+    assert all(h["id"] != 42 for h in hits)
+
+    # 5. corpus drift -> auto falls back to exact with the reason
+    eng.ingest_content("late arrival", modality="text")
+    eng.search("late arrival", k=3, recall_floor=0.95)
+    assert eng.last_route["route"].startswith("exact")
+    assert "corpus changed" in eng.last_route["reason"]
+    # forced ivf still runs (documented: covers build-time rows only)
+    hits = eng.search("planner doc 7", k=3, recall_floor=0.95, route="ivf")
+    assert eng.last_route["route"] == "ivf"
+    assert len(hits) > 0
