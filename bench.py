@@ -2227,6 +2227,49 @@ def main() -> None:
         )
         _atq_r, _atq_m = _adc_recall_mse(_trot)
 
+        # round-8: the NON-Gaussian regime. On exactly-Gaussian data
+        # the parametric closed form is provably OPTIMAL (Ge et al.
+        # §4's derivation assumes Gaussianity), so the trained
+        # rotation can only tie there — the rows above are the
+        # transparency regime for Alg. 1. Where training pays is
+        # multi-modal statistics: a mixture of 8 clusters, each with
+        # its OWN random anisotropic covariance and mean (the shape
+        # real embedding corpora have).
+        _rng2 = _onp.random.default_rng(17)
+        _parts = []
+        for _k in range(8):
+            _Qk, _ = _onp.linalg.qr(_rng2.standard_normal((_d, _d)))
+            _sk = _rng2.uniform(0.05, 3.0, _d)
+            _muk = _rng2.standard_normal(_d) * 2
+            _parts.append(
+                _rng2.standard_normal((250, _d)) * _sk @ _Qk.T + _muk
+            )
+        _XM = _onp.vstack(_parts)
+        _mmix = spark.createDataFrame(
+            [(i, [float(v) for v in _XM[i]]) for i in range(len(_XM))],
+            "id long, embedding array<double>",
+        ).localCheckpoint(eager=True)
+        _pm2, _pR2, _ = fit_opq_rotation(_mmix, n_subquantizers=4)
+        _prot2 = (
+            pca_project(_mmix, "embedding", _pm2, _pR2, normalize=False)
+            .select("id", F.col("proj").alias("embedding"))
+            .localCheckpoint(eager=True)
+        )
+        _tm2, _tR2, _tb2, _th2 = fit_opq_rotation_trained(
+            _mmix, n_subquantizers=4, n_codes=32, n_iter=8
+        )
+        _trot2 = (
+            pca_project(_mmix, "embedding", _tm2, _tR2, normalize=False)
+            .select("id", F.col("proj").alias("embedding"))
+            .localCheckpoint(eager=True)
+        )
+        _truth.unpersist()
+        _truth = _l2_top10(_mmix, _qs(_mmix)).localCheckpoint(eager=True)
+        _n_truth = _truth.count()
+        _mpq_r, _mpq_m = _adc_recall_mse(_mmix)
+        _mp_r, _mp_m = _adc_recall_mse(_prot2)
+        _mt_r, _mt_m = _adc_recall_mse(_trot2)
+
         opq_section = {
             "isotropic_driver_embeddings": {
                 "pq_adc_recall10": _pq_r,
@@ -2266,7 +2309,34 @@ def main() -> None:
                     "(Ge et al. CVPR 2013); opq_np_* rows are the "
                     "TRAINED Alg.-1 rotation (8 alternating iters, "
                     "the committed fixtures' recipe) vs the §4 "
-                    "parametric warm start"
+                    "parametric warm start. On exactly-GAUSSIAN data "
+                    "the parametric form is provably optimal, so "
+                    "NP ≈ P here BY THEORY — this is Alg. 1's "
+                    "transparency regime; see multimodal_mixture for "
+                    "where training pays"
+                ),
+            },
+            "multimodal_mixture": {
+                "pq_adc_recall10": _mpq_r,
+                "opq_parametric_adc_recall10": _mp_r,
+                "opq_np_adc_recall10": _mt_r,
+                "pq_mse": _mpq_m,
+                "opq_parametric_mse": _mp_m,
+                "opq_np_mse": _mt_m,
+                "opq_np_mse_cut_vs_parametric_pct": round(
+                    (_mp_m - _mt_m) / _mp_m * 100, 1
+                ),
+                "opq_np_objective_first_last": [
+                    round(_th2[0], 5),
+                    round(_th2[-1], 5),
+                ],
+                "note": (
+                    "8 seeded clusters, each with its own random "
+                    "anisotropic covariance + mean — NON-Gaussian "
+                    "multi-modal statistics (the real-corpus shape), "
+                    "where the §4 Gaussian-optimal closed form is no "
+                    "longer optimal and Alg. 1's alternation earns "
+                    "its keep"
                 ),
             },
             "codebooks": "kmeans 4 subspaces x 32 codes, seed 42",

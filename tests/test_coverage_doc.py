@@ -33,6 +33,7 @@ def test_documented_names_resolve_to_code():
             "/root/repo/multimodal_vector_db_spark/**/*.py", recursive=True
         )
         + glob.glob("/root/repo/tests/*.py")
+        + glob.glob("/root/repo/tools/*.py")  # probe row names citable
         + ["/root/repo/bench.py"]  # bench metric keys are citable too
     ):
         source += open(f).read()
