@@ -925,6 +925,59 @@ def main() -> None:
         results["streaming_vector_refresh"] = vr_res
         print("streaming_vector_refresh", vr_res, flush=True)
 
+    # tokenizer-aware packing (round-8): the corpus run through the
+    # REAL unigram-LM apply (distinct-word Viterbi — vocab-bounded,
+    # not corpus-bounded) into per-doc subword counts, then the
+    # context-window span accounting. The word explode + count join
+    # are linear; the DP is vocab-bounded; the one global cumsum is
+    # the documented serial twin (per-shard at 100 TB). Expect
+    # near-flat-to-sub-linear like unigram_estep + context_window.
+    if _want("tokenized_context_windows"):
+        from multimodal_vector_db_spark.functions.text import tokens
+        from multimodal_vector_db_spark.operators.packing import (
+            context_window_spans_from_lengths,
+        )
+        from multimodal_vector_db_spark.operators.unigram_lm import (
+            seed_probs,
+            viterbi_segments,
+            word_freqs,
+        )
+
+        def tcw_run(f):
+            d = spark.read.parquet(f"{WORK}/documents_{f}")
+
+            def run():
+                wf = word_freqs(d).localCheckpoint(eager=True)
+                segs = viterbi_segments(wf, seed_probs(wf)).select(
+                    "w", F.size("seg").cast("long").alias("np")
+                )
+                words = d.select(
+                    "doc_id",
+                    F.explode(tokens(F.lower(F.col("text")))).alias("w"),
+                )
+                perdoc = (
+                    words.join(segs, "w")
+                    .groupBy("doc_id")
+                    .agg(F.sum("np").cast("long").alias("np"))
+                )
+                tl = (
+                    d.select("doc_id")
+                    .join(perdoc, "doc_id", "left")
+                    .select(
+                        "doc_id",
+                        (F.coalesce("np", F.lit(0)) + 1)
+                        .cast("long")
+                        .alias("len1"),
+                    )
+                )
+                context_window_spans_from_lengths(
+                    tl, window=512
+                ).write.format("noop").mode("overwrite").save()
+
+            return run
+
+        probe("tokenized_context_windows", tcw_run)
+
     # Replay-guard cost vs index AGE (round 8): the vector refresh's
     # two guard tiers measured against a synthesized DEEP index
     # (direct parquet layout — no KMeans; depth is the variable) with
