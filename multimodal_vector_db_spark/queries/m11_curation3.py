@@ -791,8 +791,16 @@ def q_source_reputation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: definition — the three oracles cannot drift.
 _UNI_MAX_PIECE = 4
 
-_UNI_BASE = rf"""t AS (
-      SELECT {_TOKS.format(col="lower(text)")} AS toks FROM documents
+
+def _uni_base_over(src: str) -> str:
+    """The seed-model CTE chain (word freqs → ≤MAX_PIECE substring
+    inventory → exact integer-ratio probs) over an arbitrary docs
+    relation ``src`` (must expose ``text``) — parameterized so
+    composed oracles (m15's curated-corpus tokenizer) train the model
+    on a SUBSET while the standalone queries keep ``documents``; one
+    definition either way."""
+    return rf"""t AS (
+      SELECT {_TOKS.format(col="lower(text)")} AS toks FROM {src}
     ),
     wfreq AS (
       SELECT u.w, count(*)::BIGINT AS freq
@@ -815,6 +823,9 @@ _UNI_BASE = rf"""t AS (
     ),
     tot AS (SELECT sum(c)::DOUBLE AS s FROM seedp),
     probs AS (SELECT piece, c / tot.s AS p FROM seedp, tot)"""
+
+
+_UNI_BASE = _uni_base_over("documents")
 
 
 def _uni_viterbi_cte(name: str, prob_table: str, guard_nulls: bool) -> str:

@@ -115,14 +115,18 @@ _FN_HTF = r"""
             bk -> bk = i))::DOUBLE) AS tf
 """
 
-_FUNNEL_ORACLE = rf"""
-    WITH t AS (
+# The funnel CTE chain through the stage-7 survivor set, shared
+# between the funnel report oracle below and m15's composed
+# curated-training-batches oracle (which tokenizes the s7 survivors).
+# The docs CTE is named ``fd`` (not ``t``) so the chain composes with
+# the unigram family's _uni_base_over fragment without collisions.
+_FUNNEL_CTES = rf"""fd AS (
       SELECT doc_id, source,
              {_TOKS.format(col="lower(text)")} AS toks,
              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
       FROM documents WHERE doc_id < 200
     ),
-    tkeep AS (SELECT min(doc_id) AS doc_id FROM t GROUP BY fp),
+    tkeep AS (SELECT min(doc_id) AS doc_id FROM fd GROUP BY fp),
     im AS ({_IM_FP}),
     im_drop AS (
       SELECT DISTINCT b.doc_id FROM im b JOIN im a ON a.doc_id < b.doc_id
@@ -138,8 +142,8 @@ _FUNNEL_ORACLE = rf"""
       SELECT DISTINCT b.doc_id FROM vi b JOIN vi a ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.h, b.h)) <= 1
     ),
-    ch AS (SELECT doc_id, toks[1:(len(toks) + 1) // 2] AS toks FROM t),
-    cvf AS ({_FN_HTF} FROM t),
+    ch AS (SELECT doc_id, toks[1:(len(toks) + 1) // 2] AS toks FROM fd),
+    cvf AS ({_FN_HTF} FROM fd),
     cvh AS ({_FN_HTF} FROM ch),
     cnf AS (
       SELECT doc_id,
@@ -162,26 +166,26 @@ _FUNNEL_ORACLE = rf"""
       FROM (SELECT doc_id,
                    CASE WHEN doc_id % 4 = 0 THEN doc_id + 1
                         ELSE doc_id END AS partner_id
-            FROM t) p
+            FROM fd) p
       JOIN cnf a ON a.doc_id = p.doc_id
       JOIN cnh b ON b.doc_id = p.partner_id
     ),
     flags AS (
-      SELECT t.doc_id, t.source, len(t.toks)::BIGINT AS ntok,
+      SELECT fd.doc_id, fd.source, len(fd.toks)::BIGINT AS ntok,
              CASE WHEN tk.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f1,
              CASE WHEN i.doc_id IS NULL THEN 1 ELSE 0 END AS f2,
              CASE WHEN a.doc_id IS NULL THEN 1 ELSE 0 END AS f3,
              CASE WHEN v.doc_id IS NULL THEN 1 ELSE 0 END AS f4,
              coalesce(ck.kept, 0) AS f5
-      FROM t
-      LEFT JOIN tkeep tk ON tk.doc_id = t.doc_id
-      LEFT JOIN im_drop i ON i.doc_id = t.doc_id
-      LEFT JOIN au_drop a ON a.doc_id = t.doc_id
-      LEFT JOIN vi_drop v ON v.doc_id = t.doc_id
+      FROM fd
+      LEFT JOIN tkeep tk ON tk.doc_id = fd.doc_id
+      LEFT JOIN im_drop i ON i.doc_id = fd.doc_id
+      LEFT JOIN au_drop a ON a.doc_id = fd.doc_id
+      LEFT JOIN vi_drop v ON v.doc_id = fd.doc_id
       -- LEFT join: a doc whose mismatch partner is absent from the
       -- corpus cannot validate cross-modal consistency — it fails the
       -- clip GATE (f5=0) but must still count in the ingest stage
-      LEFT JOIN ck ON ck.doc_id = t.doc_id
+      LEFT JOIN ck ON ck.doc_id = fd.doc_id
     ),
     s5 AS (
       SELECT * FROM flags
@@ -239,7 +243,10 @@ _FUNNEL_ORACLE = rf"""
         FROM s6
       ) x JOIN quota ON quota.source = x.source
       WHERE x.rn <= quota.quota
-    ),
+    )"""
+
+_FUNNEL_ORACLE = rf"""
+    WITH {_FUNNEL_CTES},
     reach AS (
       SELECT f.doc_id, f.source, f.ntok,
              CASE WHEN f.f1 = 0 THEN 0
@@ -310,6 +317,80 @@ def multimodal_funnel(
     (sqrt — correctly-rounded IEEE in every engine) is oracle-
     replayable; other T values route through libm ``pow`` and are for
     production use, not hash checks."""
+    flags, blocked, s7 = _funnel_frames(
+        docs, im_media, au_media, vi_media, budget, temperature
+    )
+    spark = docs.sparkSession
+
+    reach = (
+        flags.join(F.broadcast(blocked), "source", "left")
+        .join(s7, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "ntok",
+            F.when(F.col("f1").isNull(), 0)
+            .when(F.col("d2").isNotNull(), 1)
+            .when(F.col("d3").isNotNull(), 2)
+            .when(F.col("d4").isNotNull(), 3)
+            .when(F.col("f5") == 0, 4)
+            .when(F.col("b6").isNotNull(), 5)
+            .when(F.col("k7").isNull(), 6)
+            .otherwise(7)
+            .alias("reach"),
+        )
+    )
+
+    stage_names = F.array(*[F.lit(n) for n in _STAGES])
+    stages = spark.range(len(_STAGES)).select(
+        F.col("id").cast("long").alias("stage"),
+        F.element_at(stage_names, F.col("id").cast("int") + 1).alias(
+            "stage_name"
+        ),
+    )
+    return (
+        stages.join(
+            reach, F.col("reach") >= F.col("stage"), "left"
+        )
+        .groupBy("stage", "stage_name")
+        .agg(
+            F.count("doc_id").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("ntok"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+    )
+
+
+def funnel_survivor_ids(
+    docs: DataFrame,
+    im_media: DataFrame,
+    au_media: DataFrame,
+    vi_media: DataFrame,
+    budget: int = _FUNNEL_BUDGET,
+    temperature: float = _FUNNEL_T,
+) -> DataFrame:
+    """``(doc_id)`` frame of the funnel's terminal (stage-7) survivors
+    — the curated corpus a downstream tokenizer/packer consumes (m15's
+    ``curated_training_batches``)."""
+    _flags, _blocked, s7 = _funnel_frames(
+        docs, im_media, au_media, vi_media, budget, temperature
+    )
+    return s7.select("doc_id")
+
+
+def _funnel_frames(
+    docs: DataFrame,
+    im_media: DataFrame,
+    au_media: DataFrame,
+    vi_media: DataFrame,
+    budget: int,
+    temperature: float,
+) -> tuple:
+    """The shared stage machinery: returns ``(flags, blocked, s7)`` —
+    the per-doc gate-flag table (pinned), the broadcastable source
+    blocklist, and the stage-7 survivor picks ``(doc_id, k7)``."""
     from multimodal_vector_db_spark.functions.text import (
         fingerprint,
         tokens,
@@ -494,43 +575,4 @@ def multimodal_funnel(
         .where(F.col("rn") <= F.col("quota"))
         .select("doc_id", F.lit(1).alias("k7"))
     )
-
-    reach = (
-        flags.join(F.broadcast(blocked), "source", "left")
-        .join(s7, "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            "ntok",
-            F.when(F.col("f1").isNull(), 0)
-            .when(F.col("d2").isNotNull(), 1)
-            .when(F.col("d3").isNotNull(), 2)
-            .when(F.col("d4").isNotNull(), 3)
-            .when(F.col("f5") == 0, 4)
-            .when(F.col("b6").isNotNull(), 5)
-            .when(F.col("k7").isNull(), 6)
-            .otherwise(7)
-            .alias("reach"),
-        )
-    )
-
-    stage_names = F.array(*[F.lit(n) for n in _STAGES])
-    stages = spark.range(len(_STAGES)).select(
-        F.col("id").cast("long").alias("stage"),
-        F.element_at(stage_names, F.col("id").cast("int") + 1).alias(
-            "stage_name"
-        ),
-    )
-    return (
-        stages.join(
-            reach, F.col("reach") >= F.col("stage"), "left"
-        )
-        .groupBy("stage", "stage_name")
-        .agg(
-            F.count("doc_id").cast("long").alias("n_docs"),
-            F.coalesce(F.sum("ntok"), F.lit(0)).cast("long").alias(
-                "n_tokens"
-            ),
-            F.countDistinct("source").cast("long").alias("n_sources"),
-        )
-    )
+    return flags, blocked, s7

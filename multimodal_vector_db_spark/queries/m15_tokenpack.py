@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ._core import _t, query
 from .m2_text_dedup import _TOKS
-from .m11_curation3 import _UNI_BASE, _uni_viterbi_cte
+from .m11_curation3 import _UNI_BASE, _uni_base_over, _uni_viterbi_cte
 
 # ---------------------------------------------------------------------------
 # tokenized_context_windows — corpus → trained tokenizer → batches
@@ -133,3 +133,131 @@ def q_tokenized_context_windows(
         )
     )
     return context_window_spans_from_lengths(tl, window=_TCW_W)
+
+
+# ---------------------------------------------------------------------------
+# curated_training_batches — the WHOLE pipeline in one hash check:
+# curation funnel → tokenizer trained on the curated corpus → batches
+# ---------------------------------------------------------------------------
+
+from .m13_funnel import _FUNNEL_CTES
+
+_CTB_W = 64  # the terminal survivor corpus is small; short windows
+
+_CTB_ORACLE = rf"""
+    WITH RECURSIVE {_FUNNEL_CTES},
+    sdocs AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN s7 ON s7.doc_id = d.doc_id
+    ),
+    {_uni_base_over("sdocs")},
+    {_uni_viterbi_cte("rec", "probs", guard_nulls=False)},
+    best AS (
+      SELECT w, len(seg1)::BIGINT AS np FROM rec WHERE j = length(w)
+    ),
+    dw AS (
+      SELECT doc_id, u.w
+      FROM (SELECT doc_id, {_TOKS.format(col="lower(text)")} AS toks
+            FROM sdocs) x,
+           UNNEST(toks) AS u(w)
+    ),
+    perdoc AS (
+      SELECT dw.doc_id, sum(b.np)::BIGINT AS np
+      FROM dw JOIN best b ON b.w = dw.w GROUP BY 1
+    ),
+    tl AS (
+      SELECT s.doc_id, (coalesce(p.np, 0) + 1)::BIGINT AS len1
+      FROM sdocs s LEFT JOIN perdoc p ON p.doc_id = s.doc_id
+    ),
+    cum2 AS (
+      SELECT doc_id,
+             (sum(len1) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - len1)::BIGINT AS start_,
+             (sum(len1) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               AS end_
+      FROM tl
+    ),
+    grand AS (SELECT max(end_) AS n FROM cum2),
+    spans2 AS (
+      SELECT doc_id, u.window_id
+      FROM cum2,
+           UNNEST(generate_series(start_ // {_CTB_W},
+                                  (end_ - 1) // {_CTB_W})) AS u(window_id)
+    )
+    SELECT window_id::BIGINT AS window_id,
+           count(*)::BIGINT AS n_docs,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc,
+           least({_CTB_W}, grand.n - window_id * {_CTB_W})::BIGINT
+             AS n_tokens
+    FROM spans2, grand
+    GROUP BY window_id, grand.n
+"""
+
+
+@query("curated_training_batches", _CTB_ORACLE)
+def q_curated_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE training-data pipeline as one hash-checked query —
+    the capstone using its own best parts end to end:
+
+    1. the 8-stage multimodal curation funnel (text exact dedup,
+       image/audio/video real-codec near-dup, CLIP gate, source
+       reputation, temperature-quota budget) selects the terminal
+       survivor corpus (:func:`...m13_funnel.funnel_survivor_ids`);
+    2. a unigram-LM tokenizer is trained ON THE CURATED CORPUS (seed
+       model over the survivors — the production order: curate first,
+       then fit the tokenizer to what you kept);
+    3. the survivors are tokenized (distinct-word Viterbi apply) and
+       packed into fixed 64-subword context windows with doc-span
+       accounting — the batches a trainer would actually consume.
+
+    The DuckDB oracle replays ALL of it in one WITH block: pixels →
+    hash bits → gate decisions → Hamilton quotas → lattice DP over the
+    survivor vocabulary → cumulative offsets → window spans,
+    bit-for-bit. Composes the `multimodal_training_pipeline`,
+    `unigram_apply_tokens` and `tokenized_context_windows` fragments
+    (one definition each — nothing restated). Reference anchor: this
+    is `build_cross_modal_index.py`'s scan→assemble pipeline extended
+    through the curation and batch-assembly stages a 100 TB
+    pretraining run ships."""
+    from multimodal_vector_db_spark.functions.text import tokens
+    from multimodal_vector_db_spark.operators.packing import (
+        context_window_spans_from_lengths,
+    )
+    from multimodal_vector_db_spark.operators.unigram_lm import (
+        seed_probs,
+        viterbi_segments,
+        word_freqs,
+    )
+
+    from .m12_curation4 import _afp_media, _phash_media, _vts_media
+    from .m13_funnel import funnel_survivor_ids
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    surv = funnel_survivor_ids(
+        docs, _phash_media(docs), _afp_media(docs), _vts_media(docs)
+    ).localCheckpoint(eager=True)  # the funnel runs once, not per branch
+    sdocs = docs.join(surv, "doc_id").select("doc_id", "text")
+    wf = word_freqs(sdocs).localCheckpoint(eager=True)
+    segs = viterbi_segments(wf, seed_probs(wf)).select(
+        "w", F.size("seg").cast("long").alias("np")
+    )
+    words = sdocs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    perdoc = (
+        words.join(segs, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("np").cast("long").alias("np"))
+    )
+    tl = (
+        sdocs.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce("np", F.lit(0)) + 1).cast("long").alias("len1"),
+        )
+    )
+    return context_window_spans_from_lengths(tl, window=_CTB_W)
