@@ -73,3 +73,15 @@ def test_multimodal_funnel_example_runs():
     assert "multimodal training-data funnel" in out.stdout
     assert "budget_mix" in out.stdout
     assert "final keep rate" in out.stdout
+
+
+def test_curated_batches_example_runs():
+    out = subprocess.run(
+        [sys.executable, "/root/repo/examples/curated_batches.py"],
+        capture_output=True,
+        text=True,
+        timeout=500,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "curated training batches" in out.stdout
+    assert "subword tokens" in out.stdout
