@@ -319,12 +319,19 @@ class MultiModalSearchEngine:
     _NPROBE_FRACTION = ((0.9, 0.125), (1.0, 0.25))
 
     def _route(
-        self, space: str, recall_floor: float, route: str, approximate: bool
+        self,
+        space: str,
+        recall_floor: float,
+        route: str,
+        approximate: bool,
+        threshold_cells: int | None = None,
     ) -> tuple[bool, str]:
         """The auto planner: IVF iff the caller declared slack
         (recall_floor < 1), an index covering the current corpus
         exists, and the corpus is big enough that the exact blocked
-        scan is the alternative (same size×dim threshold). Returns
+        scan is the alternative (``threshold_cells`` — defaults to the
+        single-query size×dim threshold; ``search_batch`` passes the
+        batch one, where the crossover arrives earlier). Returns
         (use_ivf, reason) — the reason string is logged on
         ``last_route`` either way."""
         if route == "ivf":
@@ -344,7 +351,9 @@ class MultiModalSearchEngine:
                 f"({info['rows_at_build']} -> {self._corpus_rows()} "
                 "rows); rebuild to re-enable"
             )
-        if self._corpus_rows() * self.dim < self._single_threshold():
+        if threshold_cells is None:
+            threshold_cells = self._single_threshold()
+        if self._corpus_rows() * self.dim < threshold_cells:
             return False, "below size threshold — exact scan is cheap"
         return True, "auto"
 
@@ -522,6 +531,8 @@ class MultiModalSearchEngine:
         filter_content_type: str | None = None,
         query_space: str | None = None,
         scorer: str = "auto",
+        route: str = "auto",
+        recall_floor: float = 1.0,
     ) -> dict[int, list[dict[str, Any]]]:
         """Batch top-k search — the facade twin of the reference's
         ``VectorIndex.batch_search`` (``vector_index.py:162-210``), and
@@ -549,10 +560,74 @@ class MultiModalSearchEngine:
         corpus = active(self.items).where(F.col("space") == space)
         if filter_content_type is not None:
             corpus = corpus.where(F.col("modality") == filter_content_type)
+        # exact-vs-IVF planner, batch form — the path where IVF pays
+        # most (one pruned job amortizes over every query). Same
+        # contract as search(): recall_floor declares the slack, the
+        # decision is logged, drift falls back to exact. The batch
+        # size threshold is the BATCH one (not the 8× single-query
+        # one): with many queries the blocked/IVF crossover arrives
+        # earlier, matching the scorer dispatch below.
+        use_ivf, why = self._route(
+            space,
+            recall_floor,
+            route,
+            False,
+            threshold_cells=self.blocked_threshold_cells,
+        )
+        if use_ivf:
+            from multimodal_vector_db_spark.operators.ann import (
+                ivf_search_blocked,
+            )
+
+            info = self._ann[space]
+            nprobe = self._ivf_nprobe(space, recall_floor)
+            self.last_route = {
+                "route": "ivf",
+                "reason": why,
+                "nprobe": nprobe,
+                "n_clusters": len(info["centroids"]),
+                "recall_floor": recall_floor,
+            }
+            assigned = corpus.select("id", "embedding").join(
+                info["assign"], "id"
+            )
+            scored = ivf_search_blocked(
+                assigned,
+                [(i, [float(x) for x in v]) for i, v in enumerate(qvecs)],
+                info["centroids"],
+                k=k,
+                nprobe=nprobe,
+                probe_metric="l2",
+            )
+            pairs = sorted(
+                scored.collect(),
+                key=lambda r: (r["query_id"], -r["sim"], r["id"]),
+            )
+            ids = sorted({r["id"] for r in pairs})
+            pay = [
+                c
+                for c in corpus.columns
+                if c not in ("embedding", "dim", "id")
+            ]
+            fetched = self._fetch_payload(corpus, ids, pay)
+            out: dict[int, list[dict[str, Any]]] = {
+                i: [] for i in range(len(queries))
+            }
+            for r in pairs:
+                if r["id"] in fetched:
+                    out[r["query_id"]].append(
+                        {**fetched[r["id"]], "id": r["id"], "sim": r["sim"]}
+                    )
+            return out
         use_blocked = scorer == "blocked" or (
             scorer == "auto"
             and self._corpus_rows() * self.dim >= self.blocked_threshold_cells
         )
+        self.last_route = {
+            "route": "exact-blocked" if use_blocked else "exact-hof",
+            "reason": why,
+            "recall_floor": recall_floor,
+        }
         if use_blocked:
             # vectors ride the task closure — no query-DF collect job
             scored = knn_join_blocked(

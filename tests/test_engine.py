@@ -604,3 +604,36 @@ def test_auto_route_exact_vs_ivf_planner(spark):
     hits = eng.search("planner doc 7", k=3, recall_floor=0.95, route="ivf")
     assert eng.last_route["route"] == "ivf"
     assert len(hits) > 0
+
+
+def test_auto_route_batch_ivf(spark):
+    """Batch planner: search_batch with a declared recall floor routes
+    the WHOLE batch through one cell-pruned IVF job (the path where
+    pruning pays most) and self-queries stay rank-1; exact floor keeps
+    the exact path; results carry payload like the exact form."""
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.engine import MultiModalSearchEngine
+
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10)
+    eng.batch_ingest(
+        [{"content": f"batch planner doc {i}", "modality": "text"}
+         for i in range(120)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=8)
+    qrows = (
+        eng.items.where(F.col("id").isin([3, 77]))
+        .orderBy("id")
+        .select("id", "embedding")
+        .collect()
+    )
+    qvecs = [[float(x) for x in r["embedding"]] for r in qrows]
+
+    out = eng.search_batch(qvecs, k=3, recall_floor=0.95)
+    assert eng.last_route["route"] == "ivf"
+    assert eng.last_route["nprobe"] == 2
+    assert out[0][0]["id"] == 3 and out[1][0]["id"] == 77
+    assert out[0][0]["content"] is not None  # payload fetched
+
+    eng.search_batch(qvecs, k=3)  # default floor -> exact
+    assert eng.last_route["route"].startswith("exact")
