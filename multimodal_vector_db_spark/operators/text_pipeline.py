@@ -242,21 +242,36 @@ def source_reputation_gate(
         docs.groupBy(F.md5(F.col(text_col)).alias("__h"))
         .agg(F.count("*").alias("__n_occ"))
     )
+    # Per-source means over INTEGER-scaled per-doc values (×1e6 of the
+    # 6-decimal-rounded signals): integer sums are order-free exact,
+    # so the mean is bit-identical in any engine at any scale, while
+    # staying a plain map-side-combinable groupBy — a float
+    # F.avg(double) here is shuffle-order-sensitive in its last ulp,
+    # which surfaced as a round(·, 6) boundary flip at sf0.1 (one
+    # source's mean_quality 0.6760765 rounding differently per run).
     scored = (
         per_doc.join(ppl, "id", "left")
         .join(dup_texts, "__h")
         .select(
             "source",
-            "q",
-            "log_ppl",
+            F.round(F.col("q") * 1e6).cast("long").alias("qi"),
+            F.round(F.round("log_ppl", 6) * 1e6).cast("long").alias("pi"),
             F.when(F.col("__n_occ") > 1, 1).otherwise(0).alias("is_dup"),
         )
     )
     src = scored.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.avg("q").alias("mq"),
-        F.avg("log_ppl").alias("mp"),
+        F.sum("qi").alias("sq"),
+        F.sum("pi").alias("sp"),
+        F.count("pi").alias("np_"),  # docs with >= 1 bigram
         F.avg(F.col("is_dup").cast("double")).alias("dr"),
+    )
+    src = src.select(
+        "source",
+        "n_docs",
+        (F.col("sq").cast("double") / F.col("n_docs") / 1e6).alias("mq"),
+        (F.col("sp").cast("double") / F.col("np_") / 1e6).alias("mp"),
+        "dr",
     )
     # The per-source table is tiny (thousands of rows web-scale) but
     # feeds FOUR consumers (global means, blocklist, gate, final

@@ -735,7 +735,15 @@ def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     dupt AS (SELECT md5(text) AS h, count(*) AS n_occ
              FROM documents GROUP BY 1),
     perdoc AS (
-      SELECT d.doc_id, d.source, q.quality, ppl.log_ppl,
+      -- integer-scaled per-doc signals (×1e6 of the 6-decimal
+      -- roundings): integer sums are order-free exact, so the source
+      -- means are bit-identical across engines at any scale (a float
+      -- avg() is shuffle-order-sensitive in its last ulp — observed
+      -- as a round(·,6) boundary flip at sf0.1); mirrors the Spark
+      -- operator exactly
+      SELECT d.doc_id, d.source,
+             round(q.quality * 1000000)::BIGINT AS qi,
+             round(round(ppl.log_ppl, 6) * 1000000)::BIGINT AS pi,
              CASE WHEN dupt.n_occ > 1 THEN 1 ELSE 0 END AS is_dup
       FROM documents d
       JOIN q ON q.doc_id = d.doc_id
@@ -743,8 +751,10 @@ def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN dupt ON dupt.h = md5(d.text)
     ),
     src AS (
-      SELECT source, count(*)::BIGINT AS n_docs, avg(quality) AS mq,
-             avg(log_ppl) AS mp, avg(is_dup::DOUBLE) AS dr
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(qi)::DOUBLE / count(*) / 1000000.0 AS mq,
+             sum(pi)::DOUBLE / count(pi) / 1000000.0 AS mp,
+             avg(is_dup::DOUBLE) AS dr
       FROM perdoc GROUP BY 1
     ),
     g AS (SELECT avg(mq) AS gq, avg(mp) AS gp FROM src),
