@@ -77,6 +77,8 @@ class MultiModalSearchEngine:
         dim: int = 64,
         embed_fn: Callable[[str, str], list[float]] | None = None,
         blocked_threshold_cells: int | None = None,
+        drift_threshold: float = 4.0,
+        ann_auto_append: bool = True,
     ):
         self.spark = spark
         self.dim = dim
@@ -96,8 +98,25 @@ class MultiModalSearchEngine:
         # Soft deletes don't decrement — an upper bound only ever errs
         # toward the faster scorer.
         self._n_rows: int | None = 0 if items is None else None
+        # per-SPACE row counts for the ANN coverage/drift check —
+        # ingesting into an unrelated space must not flag another
+        # space's index as stale. Same lazy contract as _n_rows.
+        self._n_rows_by_space: dict[str, int] | None = (
+            {} if items is None else None
+        )
         # per-space IVF coarse index for the auto route (build_ann_index)
         self._ann: dict[str, dict] = {}
+        #: appended-batch cohesion ratio above which an IVF index is
+        #: flagged drifted and the auto route falls back to exact until
+        #: rebuild (see :meth:`append_to_ann_index`)
+        self.drift_threshold = drift_threshold
+        #: when True (default), the auto route transparently absorbs
+        #: post-build ingests into the index via
+        #: :meth:`append_to_ann_index` instead of disabling IVF — the
+        #: reference serves ingest-then-search from ONE mutable index
+        #: (``search_engine.py:81-131`` + ``:174-223``), and a rebuild
+        #: per ingest is the one thing a 100 TB deployment cannot do
+        self.ann_auto_append = ann_auto_append
         #: the last search's routing decision — the planner log surface
         #: (route, reason, and the IVF parameters when taken)
         self.last_route: dict[str, Any] | None = None
@@ -133,6 +152,8 @@ class MultiModalSearchEngine:
         )
         if self._n_rows is not None:
             self._n_rows += len(rows)
+        for r in rows:
+            self._bump_space(SPACE_OF[r.get("modality", "text")], 1)
 
     def ingest_content(self, content: str, modality: str = "text", **meta) -> None:
         self.batch_ingest([{"content": content, "modality": modality, **meta}])
@@ -183,12 +204,19 @@ class MultiModalSearchEngine:
         src = df.withColumn("__pid", F.spark_partition_id()).withColumn(
             "__mono", F.monotonically_increasing_id()
         ).persist()
-        counts = {
-            r["__pid"]: r["cnt"]
-            for r in src.groupBy("__pid")
+        # one job answers both questions: per-pid counts (the id prefix
+        # sum) grouped alongside modality, whose SPACE_OF image gives
+        # the per-space increments the ANN coverage check tracks
+        counts: dict[int, int] = {}
+        space_delta: dict[str, int] = {}
+        for r in (
+            src.groupBy("__pid", modality_col)
             .agg(F.count("*").alias("cnt"))
             .collect()
-        }
+        ):
+            counts[r["__pid"]] = counts.get(r["__pid"], 0) + r["cnt"]
+            sp = SPACE_OF.get(r[modality_col], "clip")
+            space_delta[sp] = space_delta.get(sp, 0) + r["cnt"]
         running, offsets = 0, []
         for pid in sorted(counts):
             offsets.append((pid, running))
@@ -258,6 +286,8 @@ class MultiModalSearchEngine:
         )
         if self._n_rows is not None:
             self._n_rows += running  # total of the partition counts
+        for sp, n in space_delta.items():
+            self._bump_space(sp, n)
 
     def remove(self, ids: list[int]) -> None:
         """Soft delete — and unlike the reference's write-only tombstone
@@ -269,12 +299,21 @@ class MultiModalSearchEngine:
             ),
         )
 
-    # -- ANN route (SURVEY §4's deferred planner rule, round 8) ---------
+    # -- ANN route (SURVEY §4's deferred planner rule, rounds 8-9) ------
     def build_ann_index(
         self,
         space: str = "clip",
         n_clusters: int | None = None,
         seed: int = 42,
+        calibrate: bool = True,
+        calibration_queries: int = 64,
+        calibration_k: int = 10,
+        calibration_fractions: tuple[float, ...] = (
+            0.0625,
+            0.125,
+            0.25,
+            0.5,
+        ),
     ) -> dict:
         """Fit the IVF coarse index the ``route="auto"`` planner can
         choose: MLlib KMeans over the CURRENT live rows of ``space``
@@ -282,9 +321,32 @@ class MultiModalSearchEngine:
         ref-scale bench family uses), assignment kept as a slim
         ``(id, cluster_id)`` frame joined back at query time so
         tombstones and predicates keep working unchanged. Returns the
-        build stats. Rows ingested AFTER the build are not covered —
-        the auto route detects the drift by row count and falls back
-        to exact (rebuild to re-enable)."""
+        build stats.
+
+        **Per-index recall calibration** (round 9, on by default): the
+        module used to pin a recall_floor→nprobe-fraction map measured
+        on THIS repo's bench corpora — an unseen corpus with a
+        different cluster balance could get materially less recall
+        than the declared floor. Now the build samples
+        ``calibration_queries`` corpus rows (deterministic xxhash64
+        order), runs them through the exact path AND the IVF path at
+        each ``calibration_fractions`` point, and stores the MEASURED
+        recall@``calibration_k`` curve (self-hits excluded on both
+        sides) plus the measured per-query wall costs in the index
+        manifest. The planner then routes from the measured curve: the
+        cheapest point whose measured recall meets the caller's floor,
+        and exact when no point does — the floor is honored on the
+        corpus actually being served, not on a corpus the module
+        author benchmarked. The timing pair also powers the
+        measured-cost exact-vs-IVF crossover (see :meth:`_route`).
+        Calibration cost is ~(1 + |fractions|) bounded batch jobs —
+        small next to the KMeans fit (measured in BENCH
+        ``ann_calibration`` section).
+
+        Rows ingested AFTER the build are absorbed by
+        :meth:`append_to_ann_index` (auto-invoked by the route when
+        ``ann_auto_append``); a drifted append disables the IVF route
+        until rebuild."""
         import math
 
         from multimodal_vector_db_spark.operators.ann import (
@@ -295,28 +357,251 @@ class MultiModalSearchEngine:
         n = corpus.count()
         if n_clusters is None:
             n_clusters = max(2, int(math.isqrt(n)))
-        assigned, centroids = ivf_fit_assign(
+        assigned, centroids, cost = ivf_fit_assign(
             corpus.select("id", "embedding"),
             n_clusters=n_clusters,
             seed=seed,
+            return_cost=True,
         )
-        self._ann[space] = {
+        info: dict[str, Any] = {
             "assign": assigned.select("id", "cluster_id").localCheckpoint(
                 eager=True
             ),
             "centroids": centroids,
-            "rows_at_build": self._corpus_rows(),
+            "rows_at_build": self._space_rows(space),
+            # build-time cohesion baseline for the drift check: mean
+            # squared row→centroid distance (KMeans trainingCost / N)
+            "mean_sq_dist": cost / max(n, 1),
+            "appended_rows": 0,
+            "drift": None,
+            "drifted": False,
+            "calibration": None,
         }
-        return {"space": space, "n_clusters": n_clusters, "rows": n}
+        if calibrate and n > 0:
+            info["calibration"] = self._calibrate_ann(
+                corpus.select("id", "embedding"),
+                info,
+                n_queries=calibration_queries,
+                k=calibration_k,
+                fractions=calibration_fractions,
+            )
+        self._ann[space] = info
+        return {
+            "space": space,
+            "n_clusters": n_clusters,
+            "rows": n,
+            "calibration": info["calibration"],
+        }
 
-    #: recall_floor → fraction of cells probed. The contract is the
-    #: MEASURED nprobe/recall curves (bench_detail ivf_nprobe_curve_*,
-    #: 44k/16×/64×): 1/8 of cells gave R@10 ≥ 0.95 on clustered
-    #: (planted) data and ~0.8 on the hard mixture; 1/4 gave ≥ 0.95 on
-    #: the mixture too. The planner maps a floor ≤ 0.9 to the cheap
-    #: point and anything tighter (but < 1.0) to the conservative one;
-    #: floor = 1.0 means the caller requires exactness → never IVF.
-    _NPROBE_FRACTION = ((0.9, 0.125), (1.0, 0.25))
+    def _calibrate_ann(
+        self,
+        corpus: DataFrame,
+        info: dict,
+        n_queries: int,
+        k: int,
+        fractions: tuple[float, ...],
+    ) -> dict:
+        """Measure THIS index's recall/cost curve (see
+        :meth:`build_ann_index`). Queries are corpus rows picked by a
+        deterministic xxhash64 top-N (one bounded TakeOrdered collect —
+        no full-id collect, scale-safe); ground truth is the exact
+        blocked path at k+1 with each query's self-hit dropped, so a
+        guaranteed self-cell hit cannot inflate the curve."""
+        import math
+        import time
+
+        from multimodal_vector_db_spark.operators.ann import (
+            ivf_search_blocked,
+        )
+        from multimodal_vector_db_spark.operators.knn import (
+            knn_join_blocked,
+        )
+
+        t_start = time.time()
+        qrows = (
+            corpus.select("id", "embedding")
+            .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+            .limit(n_queries)
+            .collect()
+        )
+        queries = [
+            (i, [float(x) for x in r["embedding"]])
+            for i, r in enumerate(qrows)
+        ]
+        self_id = {i: r["id"] for i, r in enumerate(qrows)}
+        slim = corpus.select("id", "embedding").persist()
+        assigned = slim.join(info["assign"], "id").persist()
+        try:
+            t0 = time.time()
+            exact_rows = knn_join_blocked(slim, queries, k=k + 1).collect()
+            exact_ms = (time.time() - t0) * 1000.0 / max(len(queries), 1)
+            truth: dict[int, list[int]] = {i: [] for i, _ in queries}
+            for r in sorted(
+                exact_rows, key=lambda r: (r["query_id"], -r["sim"], r["id"])
+            ):
+                qi = r["query_id"]
+                if r["id"] != self_id[qi] and len(truth[qi]) < k:
+                    truth[qi].append(r["id"])
+            n_cells = len(info["centroids"])
+            points = []
+            for frac in sorted(fractions):
+                nprobe = max(1, math.ceil(frac * n_cells))
+                t0 = time.time()
+                got_rows = ivf_search_blocked(
+                    assigned,
+                    queries,
+                    info["centroids"],
+                    k=k + 1,
+                    nprobe=nprobe,
+                    probe_metric="l2",
+                ).collect()
+                ivf_ms = (time.time() - t0) * 1000.0 / max(len(queries), 1)
+                got: dict[int, set] = {i: set() for i, _ in queries}
+                for r in got_rows:
+                    if r["id"] != self_id[r["query_id"]]:
+                        got[r["query_id"]].add(r["id"])
+                recs = [
+                    len(got[qi] & set(t)) / len(t)
+                    for qi, t in truth.items()
+                    if t
+                ]
+                points.append(
+                    {
+                        "fraction": frac,
+                        "nprobe": nprobe,
+                        "recall": (
+                            sum(recs) / len(recs) if recs else 1.0
+                        ),
+                        "ms_per_q": ivf_ms,
+                    }
+                )
+        finally:
+            slim.unpersist()
+            assigned.unpersist()
+        return {
+            "points": points,  # ascending fraction
+            "exact_ms_per_q": exact_ms,
+            "k": k,
+            "n_queries": len(queries),
+            "calibration_sec": round(time.time() - t_start, 3),
+        }
+
+    def append_to_ann_index(self, space: str = "clip") -> dict:
+        """Incremental IVF maintenance at the facade (round 9 — the
+        reference serves ingest-then-search from ONE mutable index,
+        ``search_engine.py:81-131`` + ``:174-223``; our batch layer
+        already had ``ann.py:ivf_append`` and the streaming refresh,
+        this wires the same move into the serving front door): rows of
+        ``space`` added since the build/last append are assigned to
+        the EXISTING centroids — the same L2 rule MLlib KMeans used,
+        so boundary rows land where a rebuild would put them — and
+        merged into the assignment frame; the covered-row count
+        updates so the auto route keeps choosing IVF.
+
+        **Drift contract**: each appended batch's mean squared
+        centroid distance is compared to the build-time baseline
+        (KMeans trainingCost / N). A ratio above ``drift_threshold``
+        means the new rows don't live in the fitted cell structure —
+        nprobe'd recall on them is unknowable — so the index is
+        flagged ``drifted`` and the auto route falls back to exact
+        until :meth:`build_ann_index` re-fits. Appends stay cheap
+        (one blocked assignment pass over only the NEW rows, cost
+        constant in index age); the rebuild trigger is the measured
+        drift, not every ingest."""
+        from multimodal_vector_db_spark.operators.ann import (
+            ivf_assign_blocked,
+        )
+
+        info = self._ann.get(space)
+        if info is None:
+            raise ValueError(
+                f"append_to_ann_index: no ANN index for space {space!r}; "
+                "call build_ann_index first"
+            )
+        corpus = active(self.items).where(F.col("space") == space)
+        new_rows = corpus.select("id", "embedding").join(
+            info["assign"].select("id"), "id", "left_anti"
+        )
+        assigned_new = ivf_assign_blocked(
+            new_rows, info["centroids"], metric="l2", dist_col="__sq"
+        ).localCheckpoint(eager=True)
+        stats = assigned_new.agg(
+            F.count("*").alias("n"), F.sum("__sq").alias("sq")
+        ).first()
+        n_new = stats["n"]
+        if n_new:
+            batch_mean = stats["sq"] / n_new
+            base = max(info["mean_sq_dist"], 1e-12)
+            info["drift"] = batch_mean / base
+            info["assign"] = (
+                info["assign"]
+                .unionByName(assigned_new.select("id", "cluster_id"))
+                .localCheckpoint(eager=True)
+            )
+            info["appended_rows"] += n_new
+            if info["drift"] > self.drift_threshold:
+                info["drifted"] = True
+        info["rows_at_build"] = self._space_rows(space)
+        return {
+            "space": space,
+            "appended": n_new,
+            "drift": info["drift"],
+            "drifted": info["drifted"],
+        }
+
+    #: UNCALIBRATED fallback (``build_ann_index(calibrate=False)``):
+    #: recall_floor → fraction of cells probed, from the repo's own
+    #: measured curves (bench_detail ivf_nprobe_curve_*, 44k/16×/64×):
+    #: 1/8 of cells gave R@10 ≥ 0.95 on clustered (planted) data but
+    #: only ~0.8 on the hard mixture, so floors above 0.8 may NOT map
+    #: to the 1/8 point (round-8's map let a 0.9 floor ride it); 1/4
+    #: gave ≥ 0.95 on the mixture; tighter floors get 1/2. These are
+    #: this box's corpora — a calibrated index routes from ITS OWN
+    #: measured curve instead (the honest per-corpus contract).
+    _NPROBE_FRACTION = ((0.8, 0.125), (0.95, 0.25), (1.0, 0.5))
+
+    def _ivf_plan(
+        self, space: str, recall_floor: float
+    ) -> tuple[int | None, float | None, str]:
+        """Pick nprobe for a declared floor: from the index's own
+        measured calibration curve when present (cheapest point whose
+        measured recall meets the floor; ``None`` if no point does —
+        the caller must go exact), else from the module-level
+        ``_NPROBE_FRACTION`` fallback. Returns
+        ``(nprobe | None, measured_ivf_ms_per_q | None, why)``."""
+        import math
+
+        info = self._ann[space]
+        cal = info.get("calibration")
+        if cal:
+            for p in cal["points"]:
+                if p["recall"] >= recall_floor:
+                    return (
+                        p["nprobe"],
+                        p["ms_per_q"],
+                        (
+                            f"calibrated: frac={p['fraction']} measured "
+                            f"R@{cal['k']}={p['recall']:.3f} >= floor"
+                        ),
+                    )
+            best = max(p["recall"] for p in cal["points"])
+            return (
+                None,
+                None,
+                (
+                    f"calibrated curve max R@{cal['k']}={best:.3f} < "
+                    f"floor {recall_floor}"
+                ),
+            )
+        n_cells = len(info["centroids"])
+        for bound, frac in self._NPROBE_FRACTION:
+            if recall_floor <= bound:
+                return (
+                    max(1, math.ceil(frac * n_cells)),
+                    None,
+                    f"uncalibrated fraction map ({frac})",
+                )
+        return n_cells, None, "uncalibrated (probe all cells)"
 
     def _route(
         self,
@@ -325,46 +610,87 @@ class MultiModalSearchEngine:
         route: str,
         approximate: bool,
         threshold_cells: int | None = None,
-    ) -> tuple[bool, str]:
+        scorer: str = "auto",
+    ) -> tuple[bool, str, int | None]:
         """The auto planner: IVF iff the caller declared slack
         (recall_floor < 1), an index covering the current corpus
-        exists, and the corpus is big enough that the exact blocked
-        scan is the alternative (``threshold_cells`` — defaults to the
-        single-query size×dim threshold; ``search_batch`` passes the
-        batch one, where the crossover arrives earlier). Returns
-        (use_ivf, reason) — the reason string is logged on
-        ``last_route`` either way."""
+        exists (post-build ingests are absorbed by auto-append), the
+        index can MEET the floor on its measured curve, and IVF is the
+        measured-cheaper path (calibrated timings; size threshold as
+        the uncalibrated fallback — ``threshold_cells`` defaults to
+        the single-query size×dim threshold; ``search_batch`` passes
+        the batch one). An explicit exact ``scorer`` wins over the
+        approximate route — ``scorer="blocked"``/``"hof"`` is the
+        documented exact-parity surface and must never silently return
+        approximate results. Returns (use_ivf, reason, nprobe) — the
+        reason is logged on ``last_route`` either way."""
         if route == "ivf":
-            return True, "forced"
+            if self._ann.get(space) is None:
+                raise ValueError(
+                    f'route="ivf" requires build_ann_index(space='
+                    f"{space!r}) — no ANN index exists for this space"
+                )
+            nprobe, _ms, _why = self._ivf_plan(space, recall_floor)
+            if nprobe is None:
+                # forced route is honored; probe every cell (exhaustive
+                # IVF) rather than silently under-delivering the floor
+                nprobe = len(self._ann[space]["centroids"])
+            return True, "forced", nprobe
         if route != "auto":
-            return False, "forced-exact"
+            return False, "forced-exact", None
+        if scorer != "auto":
+            return (
+                False,
+                f"explicit scorer={scorer!r} forces the exact path "
+                "(exact-parity surface wins over route)",
+                None,
+            )
         if approximate:
-            return False, "binary-shortlist requested"
+            return False, "binary-shortlist requested", None
         if recall_floor >= 1.0:
-            return False, "recall_floor=1.0 requires exact"
+            return False, "recall_floor=1.0 requires exact", None
         info = self._ann.get(space)
         if info is None:
-            return False, f"no ANN index for space {space!r}"
-        if self._corpus_rows() != info["rows_at_build"]:
+            return False, f"no ANN index for space {space!r}", None
+        if self._space_rows(space) != info["rows_at_build"]:
+            if self.ann_auto_append and not info["drifted"]:
+                self.append_to_ann_index(space)
+            else:
+                return False, (
+                    "corpus changed since ANN build "
+                    f"({info['rows_at_build']} -> "
+                    f"{self._space_rows(space)} rows in {space!r}); "
+                    "append_to_ann_index or rebuild to re-enable"
+                ), None
+        if info["drifted"]:
             return False, (
-                "corpus changed since ANN build "
-                f"({info['rows_at_build']} -> {self._corpus_rows()} "
-                "rows); rebuild to re-enable"
-            )
+                f"embedding drift {info['drift']:.2f}x exceeds "
+                f"threshold {self.drift_threshold}; rebuild to re-enable"
+            ), None
+        nprobe, ivf_ms, plan_why = self._ivf_plan(space, recall_floor)
+        if nprobe is None:
+            return False, plan_why + " — exact honors the floor", None
+        cal = info.get("calibration")
+        if cal is not None and ivf_ms is not None:
+            # measured-cost crossover: both sides timed on THIS corpus
+            # at build time — the dispatch moves with dim, cluster
+            # count and corpus size instead of a module constant
+            exact_ms = cal["exact_ms_per_q"]
+            if ivf_ms >= exact_ms:
+                return False, (
+                    f"measured cost: ivf {ivf_ms:.2f} >= exact "
+                    f"{exact_ms:.2f} ms/q at the calibrated operating "
+                    "point — exact is the cheaper way to honor the floor"
+                ), None
+            return True, (
+                f"auto ({plan_why}; measured ivf {ivf_ms:.2f} < exact "
+                f"{exact_ms:.2f} ms/q)"
+            ), nprobe
         if threshold_cells is None:
             threshold_cells = self._single_threshold()
-        if self._corpus_rows() * self.dim < threshold_cells:
-            return False, "below size threshold — exact scan is cheap"
-        return True, "auto"
-
-    def _ivf_nprobe(self, space: str, recall_floor: float) -> int:
-        import math
-
-        n_cells = len(self._ann[space]["centroids"])
-        for bound, frac in self._NPROBE_FRACTION:
-            if recall_floor <= bound:
-                return max(1, math.ceil(frac * n_cells))
-        return n_cells
+        if self._space_rows(space) * self.dim < threshold_cells:
+            return False, "below size threshold — exact scan is cheap", None
+        return True, f"auto ({plan_why})", nprobe
 
     # -- search (search_engine.py:174-223) -----------------------------
     def search(
@@ -435,14 +761,15 @@ class MultiModalSearchEngine:
             corpus = self._binary_shortlist(corpus, qvec, shortlist)
         diversity = strategy not in (None, "distance")
         fetch_n = max(k * 4, 20) if diversity else k
-        use_ivf, why = self._route(space, recall_floor, route, approximate)
+        use_ivf, why, nprobe = self._route(
+            space, recall_floor, route, approximate, scorer=scorer
+        )
         if use_ivf:
             from multimodal_vector_db_spark.operators.ann import (
                 ivf_search_blocked,
             )
 
             info = self._ann[space]
-            nprobe = self._ivf_nprobe(space, recall_floor)
             self.last_route = {
                 "route": "ivf",
                 "reason": why,
@@ -567,12 +894,13 @@ class MultiModalSearchEngine:
         # size threshold is the BATCH one (not the 8× single-query
         # one): with many queries the blocked/IVF crossover arrives
         # earlier, matching the scorer dispatch below.
-        use_ivf, why = self._route(
+        use_ivf, why, nprobe = self._route(
             space,
             recall_floor,
             route,
             False,
             threshold_cells=self.blocked_threshold_cells,
+            scorer=scorer,
         )
         if use_ivf:
             from multimodal_vector_db_spark.operators.ann import (
@@ -580,7 +908,6 @@ class MultiModalSearchEngine:
             )
 
             info = self._ann[space]
-            nprobe = self._ivf_nprobe(space, recall_floor)
             self.last_route = {
                 "route": "ivf",
                 "reason": why,
@@ -730,7 +1057,7 @@ class MultiModalSearchEngine:
                 .drop("__did", "__dname")
             )
         n_new = None
-        if self._n_rows is not None:
+        if self._n_rows is not None or self._n_rows_by_space is not None:
             new = new.localCheckpoint(eager=True)
             n_new = new.count()
         self.items = (
@@ -738,8 +1065,10 @@ class MultiModalSearchEngine:
             if self.items is None
             else self.items.unionByName(new, allowMissingColumns=True)
         )
-        if self._n_rows is not None and n_new is not None:
-            self._n_rows += n_new
+        if n_new is not None:
+            if self._n_rows is not None:
+                self._n_rows += n_new
+            self._bump_space(AUDIO_SIG_SPACE, n_new)
 
     def search_audio_content(
         self,
@@ -805,6 +1134,32 @@ class MultiModalSearchEngine:
         if self._n_rows is None:
             self._n_rows = self.items.count() if self.items is not None else 0
         return self._n_rows
+
+    def _space_rows(self, space: str) -> int:
+        """Cached PER-SPACE row count — the ANN coverage/drift check
+        compares this, not the global total, so ingesting into an
+        unrelated space (e.g. ``ingest_audio_content`` → 'audio_sig')
+        never flags another space's index as stale. Maintained
+        incrementally by every ingest path; computed once (one
+        groupBy-count job) for corpora loaded from disk."""
+        if self._n_rows_by_space is None:
+            self._n_rows_by_space = (
+                {
+                    r["space"]: r["n"]
+                    for r in self.items.groupBy("space")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+                if self.items is not None
+                else {}
+            )
+        return self._n_rows_by_space.get(space, 0)
+
+    def _bump_space(self, space: str, n: int) -> None:
+        if self._n_rows_by_space is not None:
+            self._n_rows_by_space[space] = (
+                self._n_rows_by_space.get(space, 0) + n
+            )
 
     def _single_threshold(self) -> int:
         """Single-query dispatch threshold: 8× the batch one (see

@@ -134,6 +134,7 @@ def ivf_fit_assign(
     cluster_col: str = "cluster_id",
     seed: int = 42,
     max_iter: int = 10,
+    return_cost: bool = False,
 ):
     """Fit IVF centroids AND assign every row in one pass, using the
     fitted MLlib model's JVM-vectorized ``transform`` for assignment.
@@ -145,7 +146,10 @@ def ivf_fit_assign(
     (measured: 64 clusters × 64 dims made the assignment write ~10×
     slower than the KMeans fit itself). Returns ``(assigned_df,
     centroids)``; the assigned frame keeps the input columns plus
-    ``cluster_col``."""
+    ``cluster_col``. With ``return_cost=True``, also returns the fit's
+    training cost (MLlib's sum of squared row→centroid distances) as a
+    third element — the build-time cohesion baseline the engine's
+    embedding-drift check compares appended batches against."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -162,10 +166,13 @@ def ivf_fit_assign(
     ).fit(feats)
     assigned = model.transform(feats).drop("__features")
     centroids = [c.tolist() for c in model.clusterCenters()]
+    cost = float(model.summary.trainingCost) if return_cost else None
     # The cache earned its keep during the fit's max_iter passes; drop
     # it now rather than leak — the later assignment materialization
     # re-reads the (cheap) input lineage once.
     feats.unpersist(blocking=False)
+    if return_cost:
+        return assigned, centroids, cost
     return assigned, centroids
 
 
@@ -254,6 +261,7 @@ def ivf_assign_blocked(
     vector_col: str = "embedding",
     cluster_col: str = "cluster_id",
     metric: str = "dot",
+    dist_col: str | None = None,
 ) -> DataFrame:
     """BLAS twin of :func:`ivf_assign` — same RULE (max-dot / min-L2,
     ties → HIGHER cid), built for centroid counts where the expression
@@ -264,6 +272,11 @@ def ivf_assign_blocked(
     plateauing on the expression form as SemDeDup-style k∝N growth
     kicked in). Rule parity with :func:`ivf_assign` (including exact
     ties) is pinned in tests/test_ann.py.
+
+    ``dist_col``: when set, a second output column carries each row's
+    proximity to its assigned centroid — SQUARED L2 distance under
+    ``metric="l2"`` (the engine drift-check statistic), negated dot
+    under ``metric="dot"`` (lower = closer on both conventions).
 
     Blocked-family float caveat (same as ``semantic_dedup_blocked``,
     whose assignment stage this is): BLAS accumulation order differs
@@ -281,9 +294,10 @@ def ivf_assign_blocked(
     use_l2 = metric == "l2"
     c_sq = (C * C).sum(axis=1)
     fields = [f for f in corpus.schema.fields]
-    out_schema = T.StructType(
-        fields + [T.StructField(cluster_col, T.IntegerType())]
-    )
+    extra = [T.StructField(cluster_col, T.IntegerType())]
+    if dist_col is not None:
+        extra.append(T.StructField(dist_col, T.DoubleType()))
+    out_schema = T.StructType(fields + extra)
 
     def assign(batches):
         import pandas as pd
@@ -300,9 +314,14 @@ def ivf_assign_blocked(
                 # ties → HIGHER cid: argmin over the reversed axis
                 cid = (nc - 1) - np.argmin(prox[:, ::-1], axis=1)
             else:
+                prox = -S
                 cid = (nc - 1) - np.argmax(S[:, ::-1], axis=1)
             out = pdf.copy()
             out[cluster_col] = cid.astype("int32")
+            if dist_col is not None:
+                d = prox[np.arange(len(cid)), cid]
+                # the expanded |v|²−2v·c+|c|² form can dip ~1 ulp below 0
+                out[dist_col] = np.maximum(d, 0.0) if use_l2 else d
             yield out
 
     return corpus.mapInPandas(assign, schema=out_schema)

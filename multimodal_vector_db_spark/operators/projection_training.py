@@ -189,8 +189,18 @@ def fit_opq_rotation_trained(
     pass A yields per-(sub, code) sums/counts (``n_sub × n_codes``
     rows of subdim doubles), pass B yields per-Arrow-batch ``Xcᵀ Ŷ``
     cross-moments (one d×d double matrix each, 32 KB at d=64) plus the
-    objective. Partials carry the (partition, batch) total order and
-    are driver-summed sorted, so the fit is deterministic. Nothing
+    objective. Determinism holds on BOTH passes: pass B's partials
+    carry the (partition, batch) total order and are driver-summed
+    sorted; pass A's distributed codebook sums aggregate
+    ``decimal(38,18)``-cast values — decimal addition is exact, hence
+    shuffle-order-insensitive (the float-``sum`` form was last-ulp
+    order-sensitive, which could flip a near-tie argmin in the next
+    assignment pass — the same bug class fixed in
+    ``text_pipeline.py:242``'s integer-scaled means), and it stays
+    map-side combinable, unlike a driver-side re-sort of per-batch
+    partials (which would collect ``batches × n_sub × n_codes`` rows).
+    The 1e-18 quantization is ~1e-16 relative at this data's O(1)
+    magnitudes — below double ulp of the resulting means. Nothing
     corpus-sized is collected; the SVD is O(d³) driver-side.
 
     Returns ``(mean, R, codebooks, objective_history)`` — ``R`` in the
@@ -279,6 +289,10 @@ def fit_opq_rotation_trained(
                         rows["s"].append(sel.sum(axis=0).tolist())
                 yield pd.DataFrame(rows)
 
+        # exact (decimal) element sums: shuffle-order-insensitive, so
+        # the codebook update is deterministic run-to-run (see the
+        # docstring's determinism note); the mean is taken driver-side
+        # in float64 from the exact sums
         sums = (
             src.mapInPandas(pass_a, schema=a_schema)
             .groupBy("sub", "code")
@@ -286,7 +300,9 @@ def fit_opq_rotation_trained(
                 F.sum("n").alias("n"),
                 F.array(
                     *[
-                        F.sum(F.element_at("s", i + 1))
+                        F.sum(
+                            F.element_at("s", i + 1).cast("decimal(38,18)")
+                        )
                         for i in range(subdim)
                     ]
                 ).alias("s"),
@@ -297,7 +313,7 @@ def fit_opq_rotation_trained(
         for r in sums:
             if r["n"]:
                 new_books[r["sub"], r["code"]] = (
-                    np.asarray(r["s"]) / r["n"]
+                    np.asarray([float(x) for x in r["s"]]) / r["n"]
                 )
         books = new_books
         books_b2 = books.copy()

@@ -560,8 +560,11 @@ def test_auto_route_exact_vs_ivf_planner(spark):
     from multimodal_vector_db_spark.engine import MultiModalSearchEngine
 
     # tiny threshold so 120 rows x 16 dims counts as "big": the
-    # single-query threshold is 8x this = 80 cells < 1920
-    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10)
+    # single-query threshold is 8x this = 80 cells < 1920.
+    # ann_auto_append=False: this test pins the DISABLED-maintenance
+    # fallback; the append path has its own tests below.
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
+                                 ann_auto_append=False)
     eng.batch_ingest(
         [{"content": f"planner doc {i}", "modality": "text"}
          for i in range(120)]
@@ -578,15 +581,22 @@ def test_auto_route_exact_vs_ivf_planner(spark):
     assert "no ANN index" in eng.last_route["reason"]
 
     # 3. build the index -> auto picks IVF at the conservative point
-    stats = eng.build_ann_index(space="clip", n_clusters=8)
+    # (calibrate=False pins the fixed fraction-map fallback; the
+    # calibrated route has its own tests below)
+    stats = eng.build_ann_index(space="clip", n_clusters=8,
+                                calibrate=False)
     assert stats["n_clusters"] == 8
     qvec = eng.items.where(F.col("id") == 42).first()["embedding"]
     hits = eng.search([float(x) for x in qvec], k=3, recall_floor=0.95)
     assert eng.last_route["route"] == "ivf"
     assert eng.last_route["nprobe"] == 2  # ceil(0.25 * 8)
     assert hits[0]["id"] == 42  # self-query rank-1 on the IVF route
-    # cheaper point for a loose floor
+    # a 0.9 floor is NOT honored by the 1/8 point on non-clustered
+    # data (measured ~0.8 on the mixture regime) — it must map to the
+    # conservative point; only floors <= 0.8 get the cheap one
     eng.search([float(x) for x in qvec], k=3, recall_floor=0.9)
+    assert eng.last_route["nprobe"] == 2  # ceil(0.25 * 8)
+    eng.search([float(x) for x in qvec], k=3, recall_floor=0.8)
     assert eng.last_route["nprobe"] == 1  # ceil(0.125 * 8)
 
     # 4. tombstones hold on the IVF route (predicate path shared)
@@ -595,11 +605,12 @@ def test_auto_route_exact_vs_ivf_planner(spark):
     assert eng.last_route["route"] == "ivf"
     assert all(h["id"] != 42 for h in hits)
 
-    # 5. corpus drift -> auto falls back to exact with the reason
+    # 5. corpus change with auto-append DISABLED -> exact + the reason
     eng.ingest_content("late arrival", modality="text")
     eng.search("late arrival", k=3, recall_floor=0.95)
     assert eng.last_route["route"].startswith("exact")
     assert "corpus changed" in eng.last_route["reason"]
+    assert "append_to_ann_index" in eng.last_route["reason"]
     # forced ivf still runs (documented: covers build-time rows only)
     hits = eng.search("planner doc 7", k=3, recall_floor=0.95, route="ivf")
     assert eng.last_route["route"] == "ivf"
@@ -620,7 +631,7 @@ def test_auto_route_batch_ivf(spark):
         [{"content": f"batch planner doc {i}", "modality": "text"}
          for i in range(120)]
     )
-    eng.build_ann_index(space="clip", n_clusters=8)
+    eng.build_ann_index(space="clip", n_clusters=8, calibrate=False)
     qrows = (
         eng.items.where(F.col("id").isin([3, 77]))
         .orderBy("id")
@@ -637,3 +648,228 @@ def test_auto_route_batch_ivf(spark):
 
     eng.search_batch(qvecs, k=3)  # default floor -> exact
     assert eng.last_route["route"].startswith("exact")
+
+
+# ---------------------------------------------------------------------------
+# round 9: incremental IVF maintenance + per-index calibration + cost gate
+# ---------------------------------------------------------------------------
+
+
+def test_forced_ivf_without_index_raises(spark):
+    """route='ivf' with no built index must fail with a meaningful
+    ValueError, not a bare KeyError deep in the IVF path."""
+    eng = MultiModalSearchEngine(spark, dim=16)
+    eng.batch_ingest(
+        [{"content": f"doc {i}", "modality": "text"} for i in range(10)]
+    )
+    with pytest.raises(ValueError, match="build_ann_index"):
+        eng.search("doc 3", k=3, route="ivf")
+
+
+def test_scorer_override_forces_exact(spark):
+    """An explicit scorer= is the documented exact-parity surface: it
+    must win over route='auto' + recall_floor<1 (never silently return
+    approximate results), with the override logged as the reason."""
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10)
+    eng.batch_ingest(
+        [{"content": f"sc doc {i}", "modality": "text"} for i in range(120)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=8, calibrate=False)
+    # sanity: without the override this floor routes IVF
+    eng.search("sc doc 7", k=3, recall_floor=0.95)
+    assert eng.last_route["route"] == "ivf"
+    exact = eng.search("sc doc 7", k=3, scorer="blocked", recall_floor=0.95)
+    assert eng.last_route["route"] == "exact-blocked"
+    assert "scorer" in eng.last_route["reason"]
+    want = eng.search("sc doc 7", k=3, scorer="blocked")  # floor 1.0
+    assert [r["id"] for r in exact] == [r["id"] for r in want]
+    # batch form honors the same contract
+    eng.search_batch(["sc doc 7"], k=3, scorer="hof", recall_floor=0.95)
+    assert eng.last_route["route"] == "exact-hof"
+    assert "scorer" in eng.last_route["reason"]
+
+
+def test_append_keeps_ivf_route_and_ranks(spark):
+    """Round-9 headline: ingest after build no longer disables the IVF
+    route — the auto route transparently appends the new rows to the
+    existing cells (same L2 rule as the build), the appended rows are
+    retrievable at their true ranks, and the coverage counter updates
+    so no further appends run until the next ingest."""
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10)
+    eng.batch_ingest(
+        [{"content": f"base doc {i}", "modality": "text"}
+         for i in range(120)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=8, calibrate=False)
+    eng.batch_ingest(
+        [{"content": f"appended doc {i}", "modality": "text"}
+         for i in range(10)]
+    )
+    # self-query of an APPENDED row: auto route must stay IVF and the
+    # appended row must be rank-1 (its assigned cell is its nearest)
+    qvec = [float(x) for x in
+            eng.items.where(F.col("id") == 125).first()["embedding"]]
+    hits = eng.search(qvec, k=3, recall_floor=0.95)
+    assert eng.last_route["route"] == "ivf"
+    assert hits[0]["id"] == 125
+    info = eng._ann["clip"]
+    assert info["appended_rows"] == 10
+    assert info["drifted"] is False
+    assert info["drift"] is not None and info["drift"] < 4.0
+    # coverage counter updated: a second search triggers NO new append
+    eng.search(qvec, k=3, recall_floor=0.95)
+    assert eng._ann["clip"]["appended_rows"] == 10
+    assert eng.last_route["route"] == "ivf"
+    # batch route also stays IVF and returns the appended row
+    out = eng.search_batch([qvec], k=3, recall_floor=0.95)
+    assert eng.last_route["route"] == "ivf"
+    assert out[0][0]["id"] == 125
+
+
+def test_append_drift_threshold_forces_exact(spark):
+    """Appended rows from a SHIFTED distribution (mean squared centroid
+    distance >> the build-time baseline) flag the index drifted: the
+    auto route falls back to exact with the measured ratio in the
+    reason, until a rebuild re-fits the cells."""
+    import numpy as np
+
+    def embed(text, space):
+        v = fake_embed_numpy(text, space, 16).astype(np.float64)
+        if text.startswith("far"):
+            v = v * 10.0  # off-manifold: ~100x the build cohesion
+        return v.tolist()
+
+    eng = MultiModalSearchEngine(
+        spark, dim=16, blocked_threshold_cells=10, embed_fn=embed
+    )
+    eng.batch_ingest(
+        [{"content": f"near doc {i}", "modality": "text"}
+         for i in range(120)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=8, calibrate=False)
+    eng.batch_ingest(
+        [{"content": f"far doc {i}", "modality": "text"} for i in range(8)]
+    )
+    eng.search("near doc 7", k=3, recall_floor=0.95)
+    assert eng.last_route["route"].startswith("exact")
+    assert "drift" in eng.last_route["reason"]
+    info = eng._ann["clip"]
+    assert info["drifted"] is True and info["drift"] > 4.0
+    # rebuild re-fits on everything -> IVF usable again
+    eng.build_ann_index(space="clip", n_clusters=8, calibrate=False)
+    eng.search("near doc 7", k=3, recall_floor=0.95)
+    assert eng.last_route["route"] == "ivf"
+
+
+def test_unrelated_space_ingest_keeps_index_fresh(spark):
+    """Ingesting into a DIFFERENT space (audio_sig) must not flag the
+    clip index as stale: the coverage check is per-space row counts,
+    not the global total."""
+    from multimodal_vector_db_spark.queries.m12_curation4 import _afp_media
+
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10)
+    eng.batch_ingest(
+        [{"content": f"clip doc {i}", "modality": "text"}
+         for i in range(120)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=8, calibrate=False)
+    docs = spark.range(20).select((F.col("id") + 5000).alias("doc_id"))
+    eng.ingest_audio_content(_afp_media(docs))
+    eng.search("clip doc 7", k=3, recall_floor=0.95)
+    assert eng.last_route["route"] == "ivf"
+    assert eng._ann["clip"]["appended_rows"] == 0  # nothing to absorb
+
+
+def test_calibration_on_skewed_corpus_honors_floor(spark):
+    """Per-index recall calibration (round 9): one tight mega-cluster —
+    dot-product neighbors barely correlate with the fitted Voronoi
+    cells, so the old module-pinned 1/8-of-cells point measures WAY
+    under a 0.9 floor on this corpus. The calibrated planner must (a)
+    measure that, and (b) route at a point whose MEASURED recall meets
+    the floor instead."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n, d = 256, 16
+    c = np.zeros(d)
+    c[0] = 1.0
+    X = c[None, :] + 0.01 * rng.randn(n, d)  # one mega-cluster
+    rows = [
+        (i, "text", "clip", [float(x) for x in X[i]], d, False,
+         f"mega {i}", f"item_{i}")
+        for i in range(n)
+    ]
+    items = spark.createDataFrame(
+        rows,
+        "id long, modality string, space string, embedding array<float>, "
+        "dim int, deleted boolean, content string, display_name string",
+    )
+    eng = MultiModalSearchEngine(spark, items=items, dim=d)
+    stats = eng.build_ann_index(
+        space="clip",
+        n_clusters=8,
+        calibration_queries=32,
+        calibration_fractions=(0.125, 0.25, 0.5, 1.0),
+    )
+    cal = stats["calibration"]
+    assert cal is not None and len(cal["points"]) == 4
+    by_frac = {p["fraction"]: p for p in cal["points"]}
+    # the pinned 1/8 point misses the floor on this geometry...
+    assert by_frac[0.125]["recall"] < 0.9, by_frac
+    # ...but some measured point meets it (1.0 always does)
+    meeting = [p for p in cal["points"] if p["recall"] >= 0.9]
+    assert meeting
+    chosen = meeting[0]  # points ascend by fraction -> cheapest first
+    # neutralize the measured-cost gate (timing noise on a tiny corpus)
+    # so the routing decision under test is the RECALL selection
+    eng._ann["clip"]["calibration"]["exact_ms_per_q"] = 1e9
+    qvec = [float(x) for x in X[17]]
+    hits = eng.search(qvec, k=5, recall_floor=0.9)
+    assert eng.last_route["route"] == "ivf"
+    assert eng.last_route["nprobe"] == chosen["nprobe"]
+    assert "calibrated" in eng.last_route["reason"]
+    # quality spot-check vs the exact path (note: under dot on this
+    # NON-normalized blob the query's own row need not rank first —
+    # rows with a larger mean-direction component outscore it, so the
+    # honest check is overlap with exact, not a self-hit)
+    exact = eng.search(qvec, k=5, scorer="blocked")
+    overlap = {h["id"] for h in hits} & {h["id"] for h in exact}
+    assert len(overlap) >= 3, (hits, exact)
+    # an unmeetable floor falls back to exact with the measured ceiling
+    eng._ann["clip"]["calibration"]["points"] = [
+        p for p in cal["points"] if p["recall"] < 0.999
+    ]
+    if eng._ann["clip"]["calibration"]["points"]:
+        eng.search(qvec, k=5, recall_floor=0.9999)
+        assert eng.last_route["route"].startswith("exact")
+        assert "calibrated curve max" in eng.last_route["reason"]
+
+
+def test_measured_cost_gate_both_sides(spark):
+    """The exact-vs-IVF crossover comes from the calibration's measured
+    per-query costs, not a size constant: injected timings flip the
+    auto route deterministically in both directions."""
+    eng = MultiModalSearchEngine(spark, dim=16)
+    eng.batch_ingest(
+        [{"content": f"cost doc {i}", "modality": "text"}
+         for i in range(120)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=8, calibration_queries=16)
+    cal = eng._ann["clip"]["calibration"]
+    assert cal["exact_ms_per_q"] > 0
+    assert cal["calibration_sec"] > 0
+
+    # side 1: IVF measured slower than exact -> exact, reason says so
+    for p in cal["points"]:
+        p["recall"] = 1.0
+        p["ms_per_q"] = 50.0
+    cal["exact_ms_per_q"] = 1.0
+    eng.search("cost doc 7", k=3, recall_floor=0.9)
+    assert eng.last_route["route"].startswith("exact")
+    assert "measured cost" in eng.last_route["reason"]
+
+    # side 2: IVF measured cheaper -> IVF at the calibrated point
+    cal["exact_ms_per_q"] = 500.0
+    eng.search("cost doc 7", k=3, recall_floor=0.9)
+    assert eng.last_route["route"] == "ivf"
+    assert eng.last_route["nprobe"] == cal["points"][0]["nprobe"]
