@@ -908,6 +908,112 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
     return out
 
 
+def serving_concurrency_bench(spark, wh_dir: str) -> dict:
+    """N simultaneous callers against ONE engine/session (round 9) —
+    the serving question the reference's sequential-loop baseline
+    (``metrics.py:237-252`` qps over a driver loop) cannot answer: a
+    Spark facade serves many callers from one SparkSession, so the
+    real contract is per-caller latency and aggregate qps UNDER
+    contention, not an idle-box mean.
+
+    Mechanics: 1/4/16/64 Python threads issue ``search_batch``
+    (batch=32, exact blocked path, 44,444 × 512-d corpus — the
+    ref_scale geometry) against one engine. Each thread runs in its
+    own FAIR scheduler pool (``spark.scheduler.mode=FAIR`` is set by
+    this bench's session; pools are created on demand with equal
+    weight, so no caller starves behind another's job — with FIFO a
+    64-caller burst would serialize head-of-line). Total call count is
+    FIXED across levels, so aggregate qps is comparable: more threads
+    = same work, more overlap. Reported: per-call p50/p95 wall (and
+    per-query at batch depth), aggregate qps, and the contention
+    floor — the p50 per-call latency at 64 callers vs 1, which on one
+    32-core box is bounded below by cores, not by the engine (every
+    call's scan already parallelizes across all cores; concurrency
+    buys overlap of driver-side assembly and job scheduling, then
+    saturates compute). On a real cluster the same FAIR-pool setup
+    spreads callers across executors instead."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.engine import MultiModalSearchEngine
+
+    items = spark.read.parquet(f"{wh_dir}/ref44k.parquet").select(
+        "id",
+        "modality",
+        F.lit("clip").alias("space"),
+        "embedding",
+        F.lit(REF_DIM).alias("dim"),
+        F.lit(False).alias("deleted"),
+        F.concat(F.lit("content "), F.col("id")).alias("content"),
+        F.concat(F.lit("ref_"), F.col("id")).alias("display_name"),
+    )
+    eng = MultiModalSearchEngine(spark, items=items, dim=REF_DIM)
+    eng._corpus_rows()  # prime the cached count before threads share it
+    qdf = spark.read.parquet(f"{wh_dir}/ref44k_queries.parquet")
+    qs = [
+        [float(x) for x in r["q_emb"]]
+        for r in qdf.orderBy("query_id").collect()
+    ]
+    B = 32
+    TOTAL_CALLS = 64
+
+    def _call(i: int) -> float:
+        # rotate the query window per call so no thread replays one
+        # literal plan; all calls share the same work shape
+        qbatch = [qs[(i * 7 + j) % len(qs)] for j in range(B)]
+        t0 = time.time()
+        eng.search_batch(qbatch, k=10)
+        return time.time() - t0
+
+    out: dict = {
+        "batch_size": B,
+        "total_calls_per_level": TOTAL_CALLS,
+        "corpus": "ref44k (44,444 x 512-d)",
+        "scheduler": "FAIR, one pool per caller thread",
+    }
+    _call(0)  # warm: codegen + Python worker startup paid once
+    for T in (1, 4, 16, 64):
+        per_thread = TOTAL_CALLS // T
+        lat: list[float] = []
+        lock = threading.Lock()
+
+        def worker(tid: int) -> None:
+            # pinned-thread mode (Spark 4 default): local properties
+            # are per-Python-thread, so each caller gets its own pool
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"caller{tid}"
+            )
+            local = [
+                _call(tid * per_thread + c) for c in range(per_thread)
+            ]
+            with lock:
+                lat.extend(local)
+
+        t0 = time.time()
+        threads = [
+            threading.Thread(target=worker, args=(t,)) for t in range(T)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        wall = time.time() - t0
+        lat.sort()
+        n = len(lat)
+        p50 = lat[int(0.5 * (n - 1))]
+        p95 = lat[int(0.95 * (n - 1))]
+        out[f"threads_{T}"] = {
+            "call_p50_ms": round(p50 * 1000, 1),
+            "call_p95_ms": round(p95 * 1000, 1),
+            "ms_per_query_p50": round(p50 * 1000 / B, 3),
+            "ms_per_query_p95": round(p95 * 1000 / B, 3),
+            "aggregate_qps": round(TOTAL_CALLS * B / wall, 1),
+            "wall_sec": round(wall, 3),
+        }
+    return out
+
+
 # --- 16× reference scale (711,104 × 512-d) --------------------------
 # The 44k ref_scale section proves parity at the reference's OWN size;
 # this section proves the serving story SURVIVES 16× growth — where an
@@ -1498,7 +1604,10 @@ def main() -> None:
     from multimodal_vector_db_spark.operators.knn import knn_join
     from multimodal_vector_db_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # FAIR scheduler for the serving_concurrency section (pools are
+    # created on demand per caller thread); single-stream sections see
+    # no behavior change — they all run in one default pool
+    spark = get_spark("bench", extra_conf={"spark.scheduler.mode": "FAIR"})
     # warm up JVM + parquet footer caches
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
@@ -2391,6 +2500,9 @@ def main() -> None:
     ref_scale = ref_scale_bench(spark, wh_dir, timed_median)
     ref_scale["build_sec"] = ref_scale_build_sec
 
+    # concurrent serving (round 9): N simultaneous callers, FAIR pools
+    serving_concurrency = serving_concurrency_bench(spark, wh_dir)
+
     # 16× reference scale: measured ONLY by a dedicated fresh-process
     # run (SPARK_GRAFT_BENCH_SECTIONS=ref16x — see the note above on
     # end-of-run JVM-state inflation); the all-sections run carries the
@@ -2452,6 +2564,7 @@ def main() -> None:
         "training_pipeline_sec": training_pipeline_sec,
         "streaming_ingest": streaming_ingest,
         "ref_scale": ref_scale,
+        "serving_concurrency": serving_concurrency,
     }
     if opq_section is not None:
         detail["opq"] = opq_section

@@ -978,6 +978,45 @@ def main() -> None:
 
         probe("tokenized_context_windows", tcw_run)
 
+    # round 9: the UNPINNED funnel→tokenizer→packing composition
+    # (queries/m15_tokenpack.py:curated_training_batches_df — the
+    # registered query pins doc_id < 200 only for its recursive DuckDB
+    # oracle; this measures the operator itself, uncapped, 5k → 80k
+    # docs). Media facet groups scale with the corpus (constant
+    # planted-dup density, same recipe as the funnel probe) and the
+    # token budget scales ∝ f so the tokenizer/packing stages see a
+    # GROWING survivor corpus — a fixed budget would make the tail
+    # trivially constant. Every composed stage measured sub-linear
+    # separately (funnel 1.9×, E-step flat, packing 1.13× at 16×);
+    # this row proves the composition inherits that shape.
+    if _want("curated_training_batches"):
+        from multimodal_vector_db_spark.queries.m12_curation4 import (
+            _afp_media,
+            _phash_media,
+            _vts_media,
+        )
+        from multimodal_vector_db_spark.queries.m15_tokenpack import (
+            curated_training_batches_df,
+        )
+
+        def ctb_run(f):
+            d = spark.read.parquet(f"{WORK}/documents_{f}")
+            g = 1000 * f
+
+            def run():
+                curated_training_batches_df(
+                    d,
+                    _phash_media(d, groups=g),
+                    _afp_media(d, groups=g),
+                    _vts_media(d, groups=g),
+                    window=512,
+                    budget=512 * f,
+                ).write.format("noop").mode("overwrite").save()
+
+            return run
+
+        probe("curated_training_batches", ctb_run)
+
     # Replay-guard cost vs index AGE (round 8): the vector refresh's
     # two guard tiers measured against a synthesized DEEP index
     # (direct parquet layout — no KMeans; depth is the variable) with
