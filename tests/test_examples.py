@@ -85,3 +85,18 @@ def test_curated_batches_example_runs():
     assert out.returncode == 0, out.stderr[-2000:]
     assert "curated training batches" in out.stdout
     assert "subword tokens" in out.stdout
+
+
+def test_serving_routes_runs():
+    out = subprocess.run(
+        [sys.executable, "/root/repo/examples/serving_routes.py"],
+        capture_output=True,
+        text=True,
+        timeout=400,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "calibration points" in out.stdout
+    assert "route=ivf" in out.stdout          # some floor routes IVF
+    assert "auto-append" in out.stdout
+    assert "late doc retrievable: True" in out.stdout
+    assert "scorer override" in out.stdout
