@@ -56,3 +56,76 @@ def test_orc_scan_pushes_filters(spark, tmp_path):
     )
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)" in plan, plan
     assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# FLAC multi-frame stress (round 9 — the decoder path a 100 TB audio
+# crawl would hit): randomized block sizes, ragged final blocks,
+# inter-frame boundaries, every subframe predictor, rice partition
+# orders and stereo decorrelation modes, property-tested with a
+# seeded (derandomized) hypothesis sweep.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,  # seeded: the sweep is reproducible run-to-run
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    seed=st.integers(0, 2**16),
+    n=st.integers(0, 2400),
+    block=st.integers(16, 512),
+    bps=st.sampled_from([8, 12, 16, 24]),
+    mode=st.sampled_from(
+        ["verbatim", "fixed0", "fixed1", "fixed2", "fixed3", "fixed4",
+         "lpc"]
+    ),
+    part=st.integers(0, 3),
+    stereo=st.sampled_from(
+        [None, "independent", "left_side", "right_side", "mid_side"]
+    ),
+)
+def test_flac_multiframe_randomized_round_trip(
+    seed, n, block, bps, mode, part, stereo
+):
+    """encode_flac -> decode_flac must be bit-exact for EVERY
+    (signal, block_size, bps, predictor, partition order, channel
+    assignment) combination — in particular when n % block_size != 0
+    (short final frame: predictor/partition fallbacks), when
+    block_size > n (single ragged frame), and across many frames
+    (inter-frame boundary state: frame numbering, CRCs, bit
+    alignment)."""
+    from multimodal_vector_db_spark.multimodal.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.default_rng(seed)
+    lim = 1 << (bps - 1)
+    scale = float(lim)
+    if stereo is None:
+        x = rng.integers(-lim, lim, n).astype(np.int64)
+        want = x.astype(np.float64) / scale
+        blob = encode_flac(
+            x, 16000, bps=bps, block_size=block, subframe=mode,
+            part_order=part,
+        )
+    else:
+        x = rng.integers(-lim, lim, (n, 2)).astype(np.int64)
+        want = x.mean(axis=1) / scale  # decoder downmixes to mono
+        blob = encode_flac(
+            x, 16000, bps=bps, block_size=block, subframe=mode,
+            part_order=part, stereo=stereo,
+        )
+    sr, y = decode_flac(blob)
+    assert sr == 16000
+    assert y.shape == (n,)
+    assert np.array_equal(y, want), (
+        n, block, bps, mode, part, stereo,
+    )
