@@ -713,16 +713,22 @@ class MultiModalSearchEngine:
         clip). Only same-space rows are scored — cross-space similarity
         is refused by construction.
 
-        **Exact-vs-IVF planner** (round 8 — SURVEY §4's deferred rule):
-        ``recall_floor`` declares the quality contract. At the default
-        1.0 the search is always exact. A floor < 1.0 lets
+        **Exact-vs-IVF planner** (rounds 8-9 — SURVEY §4's deferred
+        rule): ``recall_floor`` declares the quality contract. At the
+        default 1.0 the search is always exact. A floor < 1.0 lets
         ``route="auto"`` pick the IVF index built by
-        :meth:`build_ann_index` when the corpus clears the same
-        size×dim threshold as the blocked dispatch AND the index still
-        covers the corpus (row-count drift → exact + logged reason) —
-        nprobe comes from the floor via the MEASURED recall curves
-        (see ``_NPROBE_FRACTION``). ``route="ivf"``/``"exact"`` force a
-        path. Every call records its decision on ``self.last_route``.
+        :meth:`build_ann_index`: nprobe comes from the index's OWN
+        build-time calibration curve (cheapest measured point whose
+        recall meets the floor; exact when none does), IVF is taken
+        only when it also MEASURED cheaper than the exact scan
+        (uncalibrated indexes fall back to ``_NPROBE_FRACTION`` + the
+        size×dim threshold), and post-build ingests are absorbed by
+        :meth:`append_to_ann_index` (auto-invoked; measured embedding
+        drift above ``drift_threshold`` → exact until rebuild).
+        ``route="ivf"``/``"exact"`` force a path; an explicit
+        ``scorer=`` forces exact (the parity surface wins over the
+        approximate route). Every call records its decision on
+        ``self.last_route``.
 
         **Scorer dispatch** (``scorer="auto"``, the default): when
         ``corpus_rows × dim`` exceeds 8× ``blocked_threshold_cells``
