@@ -1332,6 +1332,15 @@ class MultiModalSearchEngine:
 
     # -- persistence (search_engine.py:225-258) ------------------------
     def save(self, base_path: str, name: str = "items") -> None:
+        """Persist the corpus AND the ANN serving state. The reference
+        persists its index structure alongside the data
+        (``vector_index.py:224-252`` saves the HNSW graph +
+        metadata); round 9 gives the facade the same property — each
+        built space's slim ``(id, cluster_id)`` assignment goes to
+        parquet and its centroids / drift baseline / CALIBRATION curve
+        to the index manifest, so a reloaded engine routes IVF with
+        the same measured contract without re-running KMeans or
+        calibration."""
         storage = CorpusStorage(base_path)
         storage.save_index(
             self.items,
@@ -1339,7 +1348,30 @@ class MultiModalSearchEngine:
             manifest={"dim": self.dim, "metric": "cosine"},
             partition_by=["modality"],
         )
-        storage.save_config({"dim": self.dim, "metric": "cosine"})
+        for space, info in self._ann.items():
+            storage.save_index(
+                info["assign"],
+                f"{name}_ann_{space}",
+                manifest={
+                    k: info[k]
+                    for k in (
+                        "centroids",
+                        "rows_at_build",
+                        "mean_sq_dist",
+                        "appended_rows",
+                        "drift",
+                        "drifted",
+                        "calibration",
+                    )
+                },
+            )
+        storage.save_config(
+            {
+                "dim": self.dim,
+                "metric": "cosine",
+                "ann_spaces": sorted(self._ann),
+            }
+        )
 
     @classmethod
     def load(
@@ -1348,6 +1380,25 @@ class MultiModalSearchEngine:
         storage = CorpusStorage(base_path)
         df, manifest = storage.load_index(spark, name)
         eng = cls(spark, items=df, dim=manifest.get("dim", 64))
+        for space in storage.load_config().get("ann_spaces", []):
+            assign, ann_manifest = storage.load_index(
+                spark, f"{name}_ann_{space}"
+            )
+            eng._ann[space] = {
+                "assign": assign.select("id", "cluster_id"),
+                **{
+                    k: ann_manifest[k]
+                    for k in (
+                        "centroids",
+                        "rows_at_build",
+                        "mean_sq_dist",
+                        "appended_rows",
+                        "drift",
+                        "drifted",
+                        "calibration",
+                    )
+                },
+            }
         return eng
 
     def save_matryoshka(

@@ -873,3 +873,47 @@ def test_measured_cost_gate_both_sides(spark):
     eng.search("cost doc 7", k=3, recall_floor=0.9)
     assert eng.last_route["route"] == "ivf"
     assert eng.last_route["nprobe"] == cal["points"][0]["nprobe"]
+
+
+def test_ann_state_survives_save_load(spark, tmp_path):
+    """Round-9 persistence parity: the reference saves its index
+    structure with the data (vector_index.py:224-252); the facade must
+    too — a reloaded engine routes IVF from the SAME calibrated
+    contract (centroids, assignment, measured curve, drift baseline)
+    without re-running KMeans or calibration."""
+    eng = MultiModalSearchEngine(spark, dim=16)
+    eng.batch_ingest(
+        [{"content": f"persist doc {i}", "modality": "text"}
+         for i in range(150)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=8,
+                        calibration_queries=16)
+    # force a deterministic route: curve honors any floor, IVF cheaper
+    cal = eng._ann["clip"]["calibration"]
+    for p in cal["points"]:
+        p["recall"] = 1.0
+        p["ms_per_q"] = 1.0
+    cal["exact_ms_per_q"] = 99.0
+
+    base = str(tmp_path / "wh_ann")
+    eng.save(base)
+    loaded = MultiModalSearchEngine.load(spark, base)
+    assert "clip" in loaded._ann
+    info = loaded._ann["clip"]
+    assert info["centroids"] == eng._ann["clip"]["centroids"]
+    assert info["calibration"]["points"][0]["ms_per_q"] == 1.0
+    assert info["drifted"] is False
+
+    hits = loaded.search("persist doc 7", k=3, recall_floor=0.9)
+    assert loaded.last_route["route"] == "ivf"
+    assert (loaded.last_route["nprobe"]
+            == info["calibration"]["points"][0]["nprobe"])
+    assert hits[0]["content"] == "persist doc 7"
+
+    # post-load ingest still auto-appends into the restored index
+    loaded.batch_ingest(
+        [{"content": "persist late", "modality": "text"}]
+    )
+    loaded.search("persist late", k=3, recall_floor=0.9)
+    assert loaded.last_route["route"] == "ivf"
+    assert loaded._ann["clip"]["appended_rows"] == 1
