@@ -504,10 +504,13 @@ class MultiModalSearchEngine:
         means the new rows don't live in the fitted cell structure —
         nprobe'd recall on them is unknowable — so the index is
         flagged ``drifted`` and the auto route falls back to exact
-        until :meth:`build_ann_index` re-fits. Appends stay cheap
-        (one blocked assignment pass over only the NEW rows, cost
-        constant in index age); the rebuild trigger is the measured
-        drift, not every ingest."""
+        until :meth:`build_ann_index` re-fits. Appends stay cheap:
+        one blocked assignment pass over only the NEW rows plus a
+        slim-id anti-join to find them (the only age-dependent term —
+        asymptotically linear in the id column like the replay
+        guard's legacy tier, measured FLAT on this box: SCALE_PROBE
+        ``ann_append_vs_index_age``); the rebuild trigger is the
+        measured drift, not every ingest."""
         from multimodal_vector_db_spark.operators.ann import (
             ivf_assign_blocked,
         )

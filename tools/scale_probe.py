@@ -1017,6 +1017,59 @@ def main() -> None:
 
         probe("curated_training_batches", ctb_run)
 
+    # round 9: facade IVF append cost vs INDEX AGE — a FIXED 500-row
+    # ingest absorbed by engine.append_to_ann_index against an index
+    # built over 2k → 32k vectors. The timed work = constant driver
+    # embed + constant blocked assignment of the batch + the slim-id
+    # anti-join that finds uncovered rows (the only age-dependent
+    # term — the same shape as the replay guard's legacy tier, linear
+    # in the id column asymptotically but under this box's job floor
+    # at these depths). Flat ratios = ingest-then-search stays cheap
+    # as the index ages; the rebuild trigger is measured drift, not
+    # cost creep.
+    if _want("ann_append_vs_index_age"):
+        from multimodal_vector_db_spark.engine import (
+            MultiModalSearchEngine,
+        )
+
+        def append_run(f):
+            emb = spark.read.parquet(f"{WORK}/embeddings_{f}")
+            items = emb.select(
+                F.col("vec_id").alias("id"),
+                F.lit("text").alias("modality"),
+                F.lit("clip").alias("space"),
+                F.col("embedding"),
+                F.lit(64).alias("dim"),
+                F.lit(False).alias("deleted"),
+                F.concat(F.lit("doc "), F.col("vec_id")).alias("content"),
+                F.concat(F.lit("doc_"), F.col("vec_id")).alias(
+                    "display_name"
+                ),
+            )
+            eng = MultiModalSearchEngine(spark, items=items, dim=64)
+            eng.build_ann_index(space="clip", n_clusters=16,
+                                calibrate=False)
+            counter = [0]
+
+            def run():
+                # each timed pass ingests a FRESH constant-size batch
+                # (append is consumed by the previous pass otherwise)
+                counter[0] += 1
+                eng.batch_ingest(
+                    [
+                        {
+                            "content": f"age probe {counter[0]}-{i}",
+                            "modality": "text",
+                        }
+                        for i in range(500)
+                    ]
+                )
+                eng.append_to_ann_index("clip")
+
+            return run
+
+        probe("ann_append_vs_index_age", append_run)
+
     # Replay-guard cost vs index AGE (round 8): the vector refresh's
     # two guard tiers measured against a synthesized DEEP index
     # (direct parquet layout — no KMeans; depth is the variable) with
