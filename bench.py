@@ -1639,8 +1639,16 @@ def main() -> None:
 
     # FAIR scheduler for the serving_concurrency section (pools are
     # created on demand per caller thread); single-stream sections see
-    # no behavior change — they all run in one default pool
-    spark = get_spark("bench", extra_conf={"spark.scheduler.mode": "FAIR"})
+    # no behavior change — they all run in one default pool. A/B knob
+    # (SPARK_GRAFT_SCHEDULER=FIFO) kept for measurement hygiene.
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.scheduler.mode": os.environ.get(
+                "SPARK_GRAFT_SCHEDULER", "FAIR"
+            )
+        },
+    )
     # warm up JVM + parquet footer caches
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
@@ -1658,6 +1666,51 @@ def main() -> None:
     # 12 ms/q fresh-JVM for the same blocked scan), so the 16× numbers
     # are taken in isolation; default "all" runs every other section.
     sections = os.environ.get("SPARK_GRAFT_BENCH_SECTIONS", "all")
+
+    if sections == "concurrency":
+        # dedicated FRESH-process run for the serving-concurrency
+        # section (same rationale as ref16x: it runs last in the
+        # all-sections process, where accumulated JVM/Python-worker
+        # state inflates wall times ~3x — measured: threads_1 p50
+        # 1,380 ms end-of-run vs ~300 ms fresh for the same call).
+        # The all-sections run carries this forward verbatim, marked.
+        os.makedirs(wh_dir, exist_ok=True)
+        src_mtime = int(os.path.getmtime(f"{sf_dir}/lineitem.parquet"))
+        _build_cached(
+            lambda: build_warehouse(spark, sf_dir, wh_dir),
+            os.path.join(wh_dir, ".warehouse.stamp"),
+            f"wh:{sf_dir}:{src_mtime}",
+        )
+        _build_cached(
+            lambda: build_ref_scale(spark, wh_dir),
+            os.path.join(wh_dir, ".ref_scale.stamp"),
+            "ref44k",
+        )
+        section = serving_concurrency_bench(spark, wh_dir)
+        section["carried_forward"] = False
+        section["measured_at"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%S", time.gmtime()
+        )
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+        )
+        try:
+            with open(detail_path) as fh:
+                detail = json.load(fh)
+        except (OSError, ValueError):
+            detail = {}
+        detail["serving_concurrency"] = section
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+        print(json.dumps(
+            {
+                "metric": "serving_concurrency",
+                "qps_1": section["threads_1"]["aggregate_qps"],
+                "qps_64": section["threads_64"]["aggregate_qps"],
+            },
+            separators=(",", ":"),
+        ))
+        return
 
     if sections in ("ref16x", "ref64x"):
         def _tm(run, samples: int = 3) -> float:
@@ -2533,8 +2586,28 @@ def main() -> None:
     ref_scale = ref_scale_bench(spark, wh_dir, timed_median)
     ref_scale["build_sec"] = ref_scale_build_sec
 
-    # concurrent serving (round 9): N simultaneous callers, FAIR pools
-    serving_concurrency = serving_concurrency_bench(spark, wh_dir)
+    # concurrent serving (round 9): N simultaneous callers, FAIR
+    # pools. Measured ONLY by the dedicated fresh-process run
+    # (SPARK_GRAFT_BENCH_SECTIONS=concurrency — late-section JVM-state
+    # inflation; see that branch); carried forward verbatim here, or
+    # measured inline (marked) only when no fresh artifact exists yet.
+    serving_concurrency = None
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "bench_detail.json",
+            )
+        ) as fh:
+            prev_conc = json.load(fh).get("serving_concurrency")
+        if prev_conc and prev_conc.get("measured_at"):
+            prev_conc["carried_forward"] = True
+            serving_concurrency = prev_conc
+    except (OSError, ValueError):
+        pass
+    if serving_concurrency is None:
+        serving_concurrency = serving_concurrency_bench(spark, wh_dir)
+        serving_concurrency["measured_inline_end_of_run"] = True
 
     # 16× reference scale: measured ONLY by a dedicated fresh-process
     # run (SPARK_GRAFT_BENCH_SECTIONS=ref16x — see the note above on

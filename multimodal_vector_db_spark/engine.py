@@ -486,6 +486,102 @@ class MultiModalSearchEngine:
             "calibration_sec": round(time.time() - t_start, 3),
         }
 
+    def attach_ann_index(
+        self,
+        space: str,
+        path: str,
+        calibrate: bool = True,
+        calibration_queries: int = 64,
+        calibration_k: int = 10,
+        calibration_fractions: tuple[float, ...] = (
+            0.0625,
+            0.125,
+            0.25,
+            0.5,
+        ),
+    ) -> dict:
+        """Serve from an IVF index that lives ON DISK — the artifact
+        :func:`~multimodal_vector_db_spark.operators.ann.build_ivf_index`
+        writes and ``streaming.vector_refresh_stream`` maintains
+        incrementally. This closes the remaining loop between the
+        batch/streaming index machinery and the serving front door: a
+        pipeline can build + refresh the index out-of-band (cluster
+        jobs, a streaming query) and any engine attaches it in O(1)
+        build work.
+
+        The attached ``(id, cluster_id)`` assignment is a SNAPSHOT of
+        the files present at attach time (re-attach to pick up later
+        stream appends); ids must be item ids of ``space``'s rows.
+        Rows of the space NOT covered by the artifact are absorbed by
+        the normal auto-append path. The drift baseline is computed
+        from the artifact itself (one bounded agg: mean squared
+        distance of assigned rows to their centroids); calibration
+        runs exactly as in :meth:`build_ann_index` so the recall-floor
+        contract is measured on THIS corpus, not assumed from the
+        builder's."""
+        from multimodal_vector_db_spark.operators.ann import (
+            open_ivf_index,
+        )
+
+        assigned, centroids = open_ivf_index(self.spark, path)
+        assign = assigned.select("id", "cluster_id")
+        corpus = active(self.items).where(F.col("space") == space)
+        # drift baseline from the artifact: |x - c|^2 per covered row,
+        # centroids joined as a BROADCAST frame (a literal centroid
+        # matrix would plan O(n_clusters x dim) expression nodes — the
+        # same blow-up nearest_centroid hits past ~16 cells)
+        covered = corpus.select("id", "embedding").join(assign, "id")
+        cdf = F.broadcast(
+            self.spark.createDataFrame(
+                [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+                "cluster_id int, __centroid array<double>",
+            )
+        )
+        sq = F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("__centroid"),
+                lambda x, c: (x - c) * (x - c),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        stats = covered.join(cdf, "cluster_id").select(sq.alias("sq")).agg(
+            F.count("*").alias("n"), F.sum("sq").alias("s")
+        ).first()
+        n_cov = stats["n"]
+        info: dict[str, Any] = {
+            "assign": assign.localCheckpoint(eager=True),
+            "centroids": centroids,
+            # covered rows only: uncovered ones go through auto-append,
+            # which compares its batch against this baseline
+            "rows_at_build": n_cov,
+            "mean_sq_dist": (stats["s"] or 0.0) / max(n_cov, 1),
+            "appended_rows": 0,
+            "drift": None,
+            "drifted": False,
+            "calibration": None,
+        }
+        self._ann[space] = info
+        if self._space_rows(space) != n_cov:
+            # absorb rows the artifact predates (and measure their drift)
+            self.append_to_ann_index(space)
+        if calibrate and n_cov > 0:
+            info["calibration"] = self._calibrate_ann(
+                corpus.select("id", "embedding"),
+                info,
+                n_queries=calibration_queries,
+                k=calibration_k,
+                fractions=calibration_fractions,
+            )
+        return {
+            "space": space,
+            "n_clusters": len(centroids),
+            "rows": n_cov,
+            "appended": info["appended_rows"],
+            "calibration": info["calibration"],
+        }
+
     def append_to_ann_index(self, space: str = "clip") -> dict:
         """Incremental IVF maintenance at the facade (round 9 — the
         reference serves ingest-then-search from ONE mutable index,

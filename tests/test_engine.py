@@ -917,3 +917,50 @@ def test_ann_state_survives_save_load(spark, tmp_path):
     loaded.search("persist late", k=3, recall_floor=0.9)
     assert loaded.last_route["route"] == "ivf"
     assert loaded._ann["clip"]["appended_rows"] == 1
+
+
+def test_attach_disk_ivf_index(spark, tmp_path):
+    """attach_ann_index: the engine serves from an IVF artifact built
+    (and stream-maintained) OUT-OF-BAND by ann.build_ivf_index — the
+    remaining serving-loop closure. Rows the artifact predates are
+    absorbed by auto-append at attach time; the drift baseline comes
+    from the artifact itself; routing works immediately."""
+    from multimodal_vector_db_spark.operators.ann import build_ivf_index
+    from multimodal_vector_db_spark.sources.corpus import active
+
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10)
+    eng.batch_ingest(
+        [{"content": f"attach doc {i}", "modality": "text"}
+         for i in range(100)]
+    )
+    path = str(tmp_path / "ivf_artifact")
+    build_ivf_index(
+        active(eng.items).where(F.col("space") == "clip")
+        .select("id", "embedding"),
+        path,
+        n_clusters=8,
+    )
+    # the artifact now predates these rows
+    eng.batch_ingest(
+        [{"content": f"post-artifact doc {i}", "modality": "text"}
+         for i in range(30)]
+    )
+    stats = eng.attach_ann_index("clip", path, calibrate=False)
+    assert stats["n_clusters"] == 8
+    assert stats["rows"] == 100          # covered by the artifact
+    assert stats["appended"] == 30       # absorbed at attach
+    info = eng._ann["clip"]
+    assert info["drifted"] is False and info["drift"] < 4.0
+    assert info["mean_sq_dist"] > 0
+
+    # route immediately: self-query of a POST-ARTIFACT row stays rank-1
+    qvec = [float(x) for x in
+            eng.items.where(F.col("id") == 115).first()["embedding"]]
+    hits = eng.search(qvec, k=3, recall_floor=0.95)
+    assert eng.last_route["route"] == "ivf"
+    assert hits[0]["id"] == 115
+
+    # attach with calibration produces the measured contract too
+    stats2 = eng.attach_ann_index("clip", path, calibration_queries=8)
+    assert stats2["calibration"] is not None
+    assert len(stats2["calibration"]["points"]) == 4
