@@ -136,6 +136,93 @@ def q_tokenized_context_windows(
 
 
 # ---------------------------------------------------------------------------
+# tokenizer_fertility — per-language fertility (round 9)
+# ---------------------------------------------------------------------------
+
+_FERT_ORACLE = rf"""
+    WITH RECURSIVE {_UNI_BASE},
+    {_uni_viterbi_cte("rec", "probs", guard_nulls=False)},
+    best AS (
+      SELECT w, len(seg1)::BIGINT AS np FROM rec WHERE j = length(w)
+    ),
+    d AS (
+      SELECT doc_id, lang, u.w
+      FROM (SELECT doc_id, lang, {_TOKS.format(col="lower(text)")} AS toks
+            FROM documents) x,
+           UNNEST(toks) AS u(w)
+    ),
+    agg AS (
+      SELECT d.lang,
+             count(*)::BIGINT AS words,
+             sum(b.np)::BIGINT AS subwords,
+             sum(length(d.w))::BIGINT AS chars
+      FROM d JOIN best b ON b.w = d.w
+      GROUP BY d.lang
+    )
+    SELECT lang, words, subwords, chars,
+           subwords::DOUBLE / words::DOUBLE AS fertility,
+           chars::DOUBLE / subwords::DOUBLE AS chars_per_subword
+    FROM agg
+"""
+
+
+@query("tokenizer_fertility", _FERT_ORACLE)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer FERTILITY — the metric every multilingual
+    tokenizer eval reports (subwords per word; SentencePiece/mT5-style
+    analyses use it to show which languages a vocabulary under-serves,
+    since high-fertility languages pay more sequence length per word
+    of content) plus chars-per-subword (compression). The trained
+    unigram-LM tokenizer (the hash-checked seed+Viterbi apply path) is
+    applied to DISTINCT words once; per-language totals come from the
+    word-explode join, so cost is one linear pass + a vocab-bounded
+    DP. All aggregates are exact integer sums; the two ratios are
+    single IEEE divisions of exactly-representable ints — bit-identical
+    across engines with no rounding canonicalization needed. At 100 TB
+    this is the per-language report a tokenizer-training run ships
+    next to its vocab artifact (reference anchor: the text-assembly
+    stage it grades, ``build_text_index.py:113-116``)."""
+    from multimodal_vector_db_spark.functions.text import tokens
+    from multimodal_vector_db_spark.operators.unigram_lm import (
+        seed_probs,
+        viterbi_segments,
+        word_freqs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = word_freqs(docs).localCheckpoint(eager=True)
+    segs = viterbi_segments(wf, seed_probs(wf)).select(
+        "w", F.size("seg").cast("long").alias("np")
+    )
+    words = docs.select(
+        "lang", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    return (
+        words.join(segs, "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("words"),
+            F.sum("np").cast("long").alias("subwords"),
+            F.sum(F.length("w")).cast("long").alias("chars"),
+        )
+        .select(
+            "lang",
+            "words",
+            "subwords",
+            "chars",
+            (
+                F.col("subwords").cast("double")
+                / F.col("words").cast("double")
+            ).alias("fertility"),
+            (
+                F.col("chars").cast("double")
+                / F.col("subwords").cast("double")
+            ).alias("chars_per_subword"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # curated_training_batches — the WHOLE pipeline in one hash check:
 # curation funnel → tokenizer trained on the curated corpus → batches
 # ---------------------------------------------------------------------------
