@@ -710,6 +710,7 @@ class MultiModalSearchEngine:
         approximate: bool,
         threshold_cells: int | None = None,
         scorer: str = "auto",
+        filtered: bool = False,
     ) -> tuple[bool, str, int | None]:
         """The auto planner: IVF iff the caller declared slack
         (recall_floor < 1), an index covering the current corpus
@@ -746,6 +747,18 @@ class MultiModalSearchEngine:
             )
         if approximate:
             return False, "binary-shortlist requested", None
+        if filtered:
+            # filtered-ANN honesty: the calibration curve was measured
+            # UNFILTERED — a selective predicate concentrates the true
+            # top-k into cells nprobe may skip, so the declared floor
+            # is not honorable from the curve. The reference over-fetches
+            # k*10 for the same reason (vector_index.py:129); our exact
+            # path pushes the predicate below the scan instead.
+            return False, (
+                "explicit filter/predicate present — calibrated recall "
+                "holds only unfiltered, so the exact path honors the "
+                "floor"
+            ), None
         if recall_floor >= 1.0:
             return False, "recall_floor=1.0 requires exact", None
         info = self._ann.get(space)
@@ -867,7 +880,14 @@ class MultiModalSearchEngine:
         diversity = strategy not in (None, "distance")
         fetch_n = max(k * 4, 20) if diversity else k
         use_ivf, why, nprobe = self._route(
-            space, recall_floor, route, approximate, scorer=scorer
+            space,
+            recall_floor,
+            route,
+            approximate,
+            scorer=scorer,
+            filtered=(
+                predicate is not None or filter_content_type is not None
+            ),
         )
         if use_ivf:
             from multimodal_vector_db_spark.operators.ann import (
@@ -1006,6 +1026,7 @@ class MultiModalSearchEngine:
             False,
             threshold_cells=self.blocked_threshold_cells,
             scorer=scorer,
+            filtered=filter_content_type is not None,
         )
         if use_ivf:
             from multimodal_vector_db_spark.operators.ann import (

@@ -964,3 +964,37 @@ def test_attach_disk_ivf_index(spark, tmp_path):
     stats2 = eng.attach_ann_index("clip", path, calibration_queries=8)
     assert stats2["calibration"] is not None
     assert len(stats2["calibration"]["points"]) == 4
+
+
+def test_filtered_search_forces_exact_route(spark):
+    """Filtered-ANN honesty: calibration is measured UNFILTERED, so an
+    explicit predicate / filter_content_type with a declared floor must
+    route EXACT (a selective filter concentrates the true top-k into
+    cells nprobe may skip) — forced route='ivf' still obeys the caller."""
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10)
+    eng.batch_ingest(
+        [{"content": f"filt doc {i}", "modality": ["text", "image"][i % 2]}
+         for i in range(120)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=8, calibrate=False)
+    # unfiltered: IVF as before
+    eng.search("filt doc 7", k=3, recall_floor=0.95)
+    assert eng.last_route["route"] == "ivf"
+    # predicate -> exact with the honesty reason
+    hits = eng.search("filt doc 7", k=3, recall_floor=0.95,
+                      predicate=F.col("id") < 60)
+    assert eng.last_route["route"].startswith("exact")
+    assert "unfiltered" in eng.last_route["reason"]
+    assert all(h["id"] < 60 for h in hits)
+    # modality filter -> exact too (narrows within the clip space)
+    eng.search("filt doc 7", k=3, recall_floor=0.95,
+               filter_content_type="image")
+    assert eng.last_route["route"].startswith("exact")
+    # batch form honors it
+    eng.search_batch(["filt doc 7"], k=3, recall_floor=0.95,
+                     filter_content_type="image")
+    assert eng.last_route["route"].startswith("exact")
+    # forced ivf is still the caller's choice
+    eng.search("filt doc 7", k=3, route="ivf", recall_floor=0.95,
+               predicate=F.col("id") < 60)
+    assert eng.last_route["route"] == "ivf"
