@@ -19,6 +19,7 @@ Mirrors ``src/retrieval/search_engine.py``'s surface:
 
 from __future__ import annotations
 
+import threading
 from typing import Any, Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -46,6 +47,11 @@ SPACE_OF = {"image": "clip", "video": "clip", "text": "clip", "audio": "clap"}
 #: the space-correctness rule keeps them from ever scoring against
 #: CLIP/CLAP rows
 AUDIO_SIG_SPACE = "audio_sig"
+
+#: default nprobe fractions the per-index recall calibration measures —
+#: ONE definition shared by build_ann_index and attach_ann_index so
+#: built and attached indexes always get the same measured contract
+_CALIBRATION_FRACTIONS = (0.0625, 0.125, 0.25, 0.5)
 
 #: canonical items schema (batch_ingest and the SQL view agree on this)
 _ITEMS_SCHEMA = (
@@ -117,6 +123,10 @@ class MultiModalSearchEngine:
         #: (``search_engine.py:81-131`` + ``:174-223``), and a rebuild
         #: per ingest is the one thing a 100 TB deployment cannot do
         self.ann_auto_append = ann_auto_append
+        #: serializes index MUTATION (append/attach/build bookkeeping)
+        #: across the concurrent callers the facade advertises — the
+        #: read path never blocks on it; only maintenance does
+        self._ann_lock = threading.Lock()
         #: the last search's routing decision — the planner log surface
         #: (route, reason, and the IVF parameters when taken)
         self.last_route: dict[str, Any] | None = None
@@ -308,12 +318,7 @@ class MultiModalSearchEngine:
         calibrate: bool = True,
         calibration_queries: int = 64,
         calibration_k: int = 10,
-        calibration_fractions: tuple[float, ...] = (
-            0.0625,
-            0.125,
-            0.25,
-            0.5,
-        ),
+        calibration_fractions: tuple[float, ...] | None = None,
     ) -> dict:
         """Fit the IVF coarse index the ``route="auto"`` planner can
         choose: MLlib KMeans over the CURRENT live rows of ``space``
@@ -378,12 +383,12 @@ class MultiModalSearchEngine:
             "calibration": None,
         }
         if calibrate and n > 0:
-            info["calibration"] = self._calibrate_ann(
-                corpus.select("id", "embedding"),
+            self._run_calibration(
+                corpus,
                 info,
-                n_queries=calibration_queries,
-                k=calibration_k,
-                fractions=calibration_fractions,
+                calibration_queries,
+                calibration_k,
+                calibration_fractions,
             )
         self._ann[space] = info
         return {
@@ -392,6 +397,26 @@ class MultiModalSearchEngine:
             "rows": n,
             "calibration": info["calibration"],
         }
+
+    def _run_calibration(
+        self,
+        corpus: DataFrame,
+        info: dict,
+        n_queries: int,
+        k: int,
+        fractions: tuple[float, ...] | None,
+    ) -> None:
+        """Shared calibration entry for built AND attached indexes —
+        one definition so both get the identical measured contract."""
+        info["calibration"] = self._calibrate_ann(
+            corpus.select("id", "embedding"),
+            info,
+            n_queries=n_queries,
+            k=k,
+            fractions=(
+                _CALIBRATION_FRACTIONS if fractions is None else fractions
+            ),
+        )
 
     def _calibrate_ann(
         self,
@@ -404,9 +429,18 @@ class MultiModalSearchEngine:
         """Measure THIS index's recall/cost curve (see
         :meth:`build_ann_index`). Queries are corpus rows picked by a
         deterministic xxhash64 top-N (one bounded TakeOrdered collect —
-        no full-id collect, scale-safe); ground truth is the exact
-        blocked path at k+1 with each query's self-hit dropped, so a
-        guaranteed self-cell hit cannot inflate the curve."""
+        no full-id collect, scale-safe); BOTH sides are ranked top-k
+        lists after each query's self-hit is dropped (fetched at k+1),
+        so neither a guaranteed self-cell hit nor an extra surviving
+        candidate can inflate the measured recall.
+
+        Costs are measured at TWO depths: the batch walls (all
+        ``n_queries`` through one job — what ``search_batch`` pays
+        per query) and single-query walls (one query per job — what a
+        lone ``search`` pays; the batch numbers misprice it in both
+        directions: the exact batch amortizes the corpus scan over
+        every query while the IVF batch probes the UNION of all
+        queries' cells)."""
         import math
         import time
 
@@ -429,19 +463,27 @@ class MultiModalSearchEngine:
             for i, r in enumerate(qrows)
         ]
         self_id = {i: r["id"] for i, r in enumerate(qrows)}
+        def _topk_after_self(rows) -> dict[int, list[int]]:
+            out: dict[int, list[int]] = {i: [] for i, _ in queries}
+            for r in sorted(
+                rows, key=lambda r: (r["query_id"], -r["sim"], r["id"])
+            ):
+                qi = r["query_id"]
+                if r["id"] != self_id[qi] and len(out[qi]) < k:
+                    out[qi].append(r["id"])
+            return out
+
         slim = corpus.select("id", "embedding").persist()
         assigned = slim.join(info["assign"], "id").persist()
+        q_one = queries[:1]
         try:
             t0 = time.time()
             exact_rows = knn_join_blocked(slim, queries, k=k + 1).collect()
             exact_ms = (time.time() - t0) * 1000.0 / max(len(queries), 1)
-            truth: dict[int, list[int]] = {i: [] for i, _ in queries}
-            for r in sorted(
-                exact_rows, key=lambda r: (r["query_id"], -r["sim"], r["id"])
-            ):
-                qi = r["query_id"]
-                if r["id"] != self_id[qi] and len(truth[qi]) < k:
-                    truth[qi].append(r["id"])
+            truth = _topk_after_self(exact_rows)
+            t0 = time.time()
+            knn_join_blocked(slim, q_one, k=k + 1).collect()
+            exact_ms_single = (time.time() - t0) * 1000.0
             n_cells = len(info["centroids"])
             points = []
             for frac in sorted(fractions):
@@ -456,12 +498,19 @@ class MultiModalSearchEngine:
                     probe_metric="l2",
                 ).collect()
                 ivf_ms = (time.time() - t0) * 1000.0 / max(len(queries), 1)
-                got: dict[int, set] = {i: set() for i, _ in queries}
-                for r in got_rows:
-                    if r["id"] != self_id[r["query_id"]]:
-                        got[r["query_id"]].add(r["id"])
+                t0 = time.time()
+                ivf_search_blocked(
+                    assigned,
+                    q_one,
+                    info["centroids"],
+                    k=k + 1,
+                    nprobe=nprobe,
+                    probe_metric="l2",
+                ).collect()
+                ivf_ms_single = (time.time() - t0) * 1000.0
+                got = _topk_after_self(got_rows)
                 recs = [
-                    len(got[qi] & set(t)) / len(t)
+                    len(set(got[qi]) & set(t)) / len(t)
                     for qi, t in truth.items()
                     if t
                 ]
@@ -473,6 +522,7 @@ class MultiModalSearchEngine:
                             sum(recs) / len(recs) if recs else 1.0
                         ),
                         "ms_per_q": ivf_ms,
+                        "ms_single": ivf_ms_single,
                     }
                 )
         finally:
@@ -481,6 +531,7 @@ class MultiModalSearchEngine:
         return {
             "points": points,  # ascending fraction
             "exact_ms_per_q": exact_ms,
+            "exact_ms_single": exact_ms_single,
             "k": k,
             "n_queries": len(queries),
             "calibration_sec": round(time.time() - t_start, 3),
@@ -493,12 +544,7 @@ class MultiModalSearchEngine:
         calibrate: bool = True,
         calibration_queries: int = 64,
         calibration_k: int = 10,
-        calibration_fractions: tuple[float, ...] = (
-            0.0625,
-            0.125,
-            0.25,
-            0.5,
-        ),
+        calibration_fractions: tuple[float, ...] | None = None,
     ) -> dict:
         """Serve from an IVF index that lives ON DISK — the artifact
         :func:`~multimodal_vector_db_spark.operators.ann.build_ivf_index`
@@ -550,6 +596,16 @@ class MultiModalSearchEngine:
             F.count("*").alias("n"), F.sum("sq").alias("s")
         ).first()
         n_cov = stats["n"]
+        if n_cov == 0:
+            # fail fast on an id-domain mismatch: silently attaching a
+            # zero-coverage artifact would yield a 0.0 drift baseline,
+            # and the first auto-append would then latch the index
+            # drifted with a nonsensical ratio
+            raise ValueError(
+                f"attach_ann_index: artifact at {path!r} covers no "
+                f"active rows of space {space!r} — its ids do not "
+                "match the corpus item ids"
+            )
         info: dict[str, Any] = {
             "assign": assign.localCheckpoint(eager=True),
             "centroids": centroids,
@@ -566,13 +622,13 @@ class MultiModalSearchEngine:
         if self._space_rows(space) != n_cov:
             # absorb rows the artifact predates (and measure their drift)
             self.append_to_ann_index(space)
-        if calibrate and n_cov > 0:
-            info["calibration"] = self._calibrate_ann(
-                corpus.select("id", "embedding"),
+        if calibrate:
+            self._run_calibration(
+                corpus,
                 info,
-                n_queries=calibration_queries,
-                k=calibration_k,
-                fractions=calibration_fractions,
+                calibration_queries,
+                calibration_k,
+                calibration_fractions,
             )
         return {
             "space": space,
@@ -617,36 +673,61 @@ class MultiModalSearchEngine:
                 f"append_to_ann_index: no ANN index for space {space!r}; "
                 "call build_ann_index first"
             )
-        corpus = active(self.items).where(F.col("space") == space)
-        new_rows = corpus.select("id", "embedding").join(
-            info["assign"].select("id"), "id", "left_anti"
-        )
-        assigned_new = ivf_assign_blocked(
-            new_rows, info["centroids"], metric="l2", dist_col="__sq"
-        ).localCheckpoint(eager=True)
-        stats = assigned_new.agg(
-            F.count("*").alias("n"), F.sum("__sq").alias("sq")
-        ).first()
-        n_new = stats["n"]
-        if n_new:
-            batch_mean = stats["sq"] / n_new
-            base = max(info["mean_sq_dist"], 1e-12)
-            info["drift"] = batch_mean / base
-            info["assign"] = (
-                info["assign"]
-                .unionByName(assigned_new.select("id", "cluster_id"))
-                .localCheckpoint(eager=True)
+        # mutation is serialized: without the lock two concurrent
+        # searches that both observe stale coverage would anti-join
+        # against the SAME old assignment and union the new rows twice
+        # (duplicate candidates in every later IVF top-k)
+        with self._ann_lock:
+            info = self._ann[space]
+            if info["drifted"]:
+                # a drifted index is frozen until rebuild/attach:
+                # merging more rows (however cohesive) cannot restore
+                # the fitted-cell contract, and overwriting `drift`
+                # would make the logged reason contradict the latch
+                return {
+                    "space": space,
+                    "appended": 0,
+                    "drift": info["drift"],
+                    "drifted": True,
+                }
+            if self._space_rows(space) == info["rows_at_build"]:
+                # another caller already absorbed this ingest
+                return {
+                    "space": space,
+                    "appended": 0,
+                    "drift": info["drift"],
+                    "drifted": False,
+                }
+            corpus = active(self.items).where(F.col("space") == space)
+            new_rows = corpus.select("id", "embedding").join(
+                info["assign"].select("id"), "id", "left_anti"
             )
-            info["appended_rows"] += n_new
-            if info["drift"] > self.drift_threshold:
-                info["drifted"] = True
-        info["rows_at_build"] = self._space_rows(space)
-        return {
-            "space": space,
-            "appended": n_new,
-            "drift": info["drift"],
-            "drifted": info["drifted"],
-        }
+            assigned_new = ivf_assign_blocked(
+                new_rows, info["centroids"], metric="l2", dist_col="__sq"
+            ).localCheckpoint(eager=True)
+            stats = assigned_new.agg(
+                F.count("*").alias("n"), F.sum("__sq").alias("sq")
+            ).first()
+            n_new = stats["n"]
+            if n_new:
+                batch_mean = stats["sq"] / n_new
+                base = max(info["mean_sq_dist"], 1e-12)
+                info["drift"] = batch_mean / base
+                info["assign"] = (
+                    info["assign"]
+                    .unionByName(assigned_new.select("id", "cluster_id"))
+                    .localCheckpoint(eager=True)
+                )
+                info["appended_rows"] += n_new
+                if info["drift"] > self.drift_threshold:
+                    info["drifted"] = True
+            info["rows_at_build"] = self._space_rows(space)
+            return {
+                "space": space,
+                "appended": n_new,
+                "drift": info["drift"],
+                "drifted": info["drifted"],
+            }
 
     #: UNCALIBRATED fallback (``build_ann_index(calibrate=False)``):
     #: recall_floor → fraction of cells probed, from the repo's own
@@ -660,24 +741,32 @@ class MultiModalSearchEngine:
     _NPROBE_FRACTION = ((0.8, 0.125), (0.95, 0.25), (1.0, 0.5))
 
     def _ivf_plan(
-        self, space: str, recall_floor: float
+        self, space: str, recall_floor: float, batch: bool = False
     ) -> tuple[int | None, float | None, str]:
         """Pick nprobe for a declared floor: from the index's own
         measured calibration curve when present (cheapest point whose
         measured recall meets the floor; ``None`` if no point does —
         the caller must go exact), else from the module-level
-        ``_NPROBE_FRACTION`` fallback. Returns
-        ``(nprobe | None, measured_ivf_ms_per_q | None, why)``."""
+        ``_NPROBE_FRACTION`` fallback. The returned cost estimate is
+        depth-matched: batch callers get the batch-amortized wall,
+        single callers the single-query wall (falling back to the
+        batch number for calibrations persisted before round 9).
+        Returns ``(nprobe | None, measured_ivf_ms | None, why)``."""
         import math
 
         info = self._ann[space]
         cal = info.get("calibration")
-        if cal:
+        if cal and cal.get("points"):  # empty points → fraction map
             for p in cal["points"]:
                 if p["recall"] >= recall_floor:
+                    est = (
+                        p["ms_per_q"]
+                        if batch
+                        else p.get("ms_single", p["ms_per_q"])
+                    )
                     return (
                         p["nprobe"],
-                        p["ms_per_q"],
+                        est,
                         (
                             f"calibrated: frac={p['fraction']} measured "
                             f"R@{cal['k']}={p['recall']:.3f} >= floor"
@@ -711,6 +800,7 @@ class MultiModalSearchEngine:
         threshold_cells: int | None = None,
         scorer: str = "auto",
         filtered: bool = False,
+        batch: bool = False,
     ) -> tuple[bool, str, int | None]:
         """The auto planner: IVF iff the caller declared slack
         (recall_floor < 1), an index covering the current corpus
@@ -764,9 +854,60 @@ class MultiModalSearchEngine:
         info = self._ann.get(space)
         if info is None:
             return False, f"no ANN index for space {space!r}", None
+
+        def _drift_reason() -> str:
+            return (
+                f"embedding drift {info['drift']:.2f}x exceeds "
+                f"threshold {self.drift_threshold}; rebuild to re-enable"
+            )
+
+        if info["drifted"]:
+            return False, _drift_reason(), None
+        # floor/cost gates run BEFORE coverage maintenance: they don't
+        # depend on it, and triggering an append for an index the route
+        # then rejects anyway would be pure wasted work per ingest
+        nprobe, ivf_ms, plan_why = self._ivf_plan(
+            space, recall_floor, batch=batch
+        )
+        if nprobe is None:
+            return False, plan_why + " — exact honors the floor", None
+        cal = info.get("calibration")
+        why_cost = ""
+        if cal is not None and ivf_ms is not None:
+            # measured-cost crossover: both sides timed on THIS corpus
+            # at build time, at the MATCHING depth (batch-amortized vs
+            # single-query walls) — the dispatch moves with dim,
+            # cluster count and corpus size instead of a module constant
+            exact_ms = (
+                cal["exact_ms_per_q"]
+                if batch
+                else cal.get("exact_ms_single", cal["exact_ms_per_q"])
+            )
+            depth = "batch" if batch else "single-query"
+            if ivf_ms >= exact_ms:
+                return False, (
+                    f"measured cost ({depth}): ivf {ivf_ms:.2f} >= "
+                    f"exact {exact_ms:.2f} ms — exact is the cheaper "
+                    "way to honor the floor"
+                ), None
+            why_cost = (
+                f"; measured {depth} ivf {ivf_ms:.2f} < exact "
+                f"{exact_ms:.2f} ms"
+            )
+        else:
+            if threshold_cells is None:
+                threshold_cells = self._single_threshold()
+            if self._space_rows(space) * self.dim < threshold_cells:
+                return (
+                    False,
+                    "below size threshold — exact scan is cheap",
+                    None,
+                )
         if self._space_rows(space) != info["rows_at_build"]:
-            if self.ann_auto_append and not info["drifted"]:
+            if self.ann_auto_append:
                 self.append_to_ann_index(space)
+                if info["drifted"]:  # this append latched it
+                    return False, _drift_reason(), None
             else:
                 return False, (
                     "corpus changed since ANN build "
@@ -774,35 +915,7 @@ class MultiModalSearchEngine:
                     f"{self._space_rows(space)} rows in {space!r}); "
                     "append_to_ann_index or rebuild to re-enable"
                 ), None
-        if info["drifted"]:
-            return False, (
-                f"embedding drift {info['drift']:.2f}x exceeds "
-                f"threshold {self.drift_threshold}; rebuild to re-enable"
-            ), None
-        nprobe, ivf_ms, plan_why = self._ivf_plan(space, recall_floor)
-        if nprobe is None:
-            return False, plan_why + " — exact honors the floor", None
-        cal = info.get("calibration")
-        if cal is not None and ivf_ms is not None:
-            # measured-cost crossover: both sides timed on THIS corpus
-            # at build time — the dispatch moves with dim, cluster
-            # count and corpus size instead of a module constant
-            exact_ms = cal["exact_ms_per_q"]
-            if ivf_ms >= exact_ms:
-                return False, (
-                    f"measured cost: ivf {ivf_ms:.2f} >= exact "
-                    f"{exact_ms:.2f} ms/q at the calibrated operating "
-                    "point — exact is the cheaper way to honor the floor"
-                ), None
-            return True, (
-                f"auto ({plan_why}; measured ivf {ivf_ms:.2f} < exact "
-                f"{exact_ms:.2f} ms/q)"
-            ), nprobe
-        if threshold_cells is None:
-            threshold_cells = self._single_threshold()
-        if self._space_rows(space) * self.dim < threshold_cells:
-            return False, "below size threshold — exact scan is cheap", None
-        return True, f"auto ({plan_why})", nprobe
+        return True, f"auto ({plan_why}{why_cost})", nprobe
 
     # -- search (search_engine.py:174-223) -----------------------------
     def search(
@@ -1027,6 +1140,7 @@ class MultiModalSearchEngine:
             threshold_cells=self.blocked_threshold_cells,
             scorer=scorer,
             filtered=filter_content_type is not None,
+            batch=True,
         )
         if use_ivf:
             from multimodal_vector_db_spark.operators.ann import (

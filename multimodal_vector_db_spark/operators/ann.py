@@ -314,14 +314,17 @@ def ivf_assign_blocked(
                 # ties → HIGHER cid: argmin over the reversed axis
                 cid = (nc - 1) - np.argmin(prox[:, ::-1], axis=1)
             else:
-                prox = -S
                 cid = (nc - 1) - np.argmax(S[:, ::-1], axis=1)
             out = pdf.copy()
             out[cluster_col] = cid.astype("int32")
             if dist_col is not None:
-                d = prox[np.arange(len(cid)), cid]
-                # the expanded |v|²−2v·c+|c|² form can dip ~1 ulp below 0
-                out[dist_col] = np.maximum(d, 0.0) if use_l2 else d
+                if use_l2:
+                    d = prox[np.arange(len(cid)), cid]
+                    # the expanded |v|²−2v·c+|c|² form can dip ~1 ulp
+                    # below 0
+                    out[dist_col] = np.maximum(d, 0.0)
+                else:
+                    out[dist_col] = -S[np.arange(len(cid)), cid]
             yield out
 
     return corpus.mapInPandas(assign, schema=out_schema)

@@ -823,6 +823,7 @@ def test_calibration_on_skewed_corpus_honors_floor(spark):
     # neutralize the measured-cost gate (timing noise on a tiny corpus)
     # so the routing decision under test is the RECALL selection
     eng._ann["clip"]["calibration"]["exact_ms_per_q"] = 1e9
+    eng._ann["clip"]["calibration"]["exact_ms_single"] = 1e9
     qvec = [float(x) for x in X[17]]
     hits = eng.search(qvec, k=5, recall_floor=0.9)
     assert eng.last_route["route"] == "ivf"
@@ -859,20 +860,38 @@ def test_measured_cost_gate_both_sides(spark):
     assert cal["exact_ms_per_q"] > 0
     assert cal["calibration_sec"] > 0
 
+    assert cal["exact_ms_single"] > 0  # single-query walls measured too
+    assert all("ms_single" in p for p in cal["points"])
+
     # side 1: IVF measured slower than exact -> exact, reason says so
+    # (both depths injected: search uses the single-query walls,
+    # search_batch the batch-amortized ones)
     for p in cal["points"]:
         p["recall"] = 1.0
         p["ms_per_q"] = 50.0
+        p["ms_single"] = 50.0
     cal["exact_ms_per_q"] = 1.0
+    cal["exact_ms_single"] = 1.0
     eng.search("cost doc 7", k=3, recall_floor=0.9)
     assert eng.last_route["route"].startswith("exact")
     assert "measured cost" in eng.last_route["reason"]
+    eng.search_batch(["cost doc 7"], k=3, recall_floor=0.9)
+    assert eng.last_route["route"].startswith("exact")
+    assert "batch" in eng.last_route["reason"]
 
     # side 2: IVF measured cheaper -> IVF at the calibrated point
     cal["exact_ms_per_q"] = 500.0
+    cal["exact_ms_single"] = 500.0
     eng.search("cost doc 7", k=3, recall_floor=0.9)
     assert eng.last_route["route"] == "ivf"
     assert eng.last_route["nprobe"] == cal["points"][0]["nprobe"]
+    # depth divergence: batch says IVF wins, single says exact wins —
+    # each call shape follows ITS OWN measured wall
+    cal["exact_ms_single"] = 1.0
+    eng.search("cost doc 7", k=3, recall_floor=0.9)
+    assert eng.last_route["route"].startswith("exact")
+    eng.search_batch(["cost doc 7"], k=3, recall_floor=0.9)
+    assert eng.last_route["route"] == "ivf"
 
 
 def test_ann_state_survives_save_load(spark, tmp_path):
@@ -893,7 +912,9 @@ def test_ann_state_survives_save_load(spark, tmp_path):
     for p in cal["points"]:
         p["recall"] = 1.0
         p["ms_per_q"] = 1.0
+        p["ms_single"] = 1.0
     cal["exact_ms_per_q"] = 99.0
+    cal["exact_ms_single"] = 99.0
 
     base = str(tmp_path / "wh_ann")
     eng.save(base)
@@ -998,3 +1019,72 @@ def test_filtered_search_forces_exact_route(spark):
     eng.search("filt doc 7", k=3, route="ivf", recall_floor=0.95,
                predicate=F.col("id") < 60)
     assert eng.last_route["route"] == "ivf"
+
+
+def test_concurrent_searches_append_once(spark):
+    """Maintenance is serialized: N concurrent searches observing the
+    same stale coverage must absorb the ingest exactly once — no
+    duplicate (id, cluster_id) assignments (which would duplicate
+    candidates in every later IVF top-k)."""
+    import threading
+
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10)
+    eng.batch_ingest(
+        [{"content": f"conc doc {i}", "modality": "text"}
+         for i in range(120)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=8, calibrate=False)
+    eng.batch_ingest(
+        [{"content": f"conc late {i}", "modality": "text"}
+         for i in range(10)]
+    )
+    errs = []
+
+    def go():
+        try:
+            eng.search("conc doc 3", k=3, recall_floor=0.95)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=go) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    info = eng._ann["clip"]
+    assert info["appended_rows"] == 10
+    n = info["assign"].count()
+    nd = info["assign"].select("id").distinct().count()
+    assert n == nd == 130, (n, nd)
+
+
+def test_drifted_index_is_frozen(spark):
+    """Once drifted, appends are no-ops (merging cohesive rows cannot
+    restore the fitted-cell contract, and overwriting `drift` would
+    make the logged reason contradict the latch) until a rebuild."""
+    import numpy as np
+
+    def embed(text, space):
+        v = fake_embed_numpy(text, space, 16).astype(np.float64)
+        return (v * 10.0).tolist() if text.startswith("far") else v.tolist()
+
+    eng = MultiModalSearchEngine(
+        spark, dim=16, blocked_threshold_cells=10, embed_fn=embed
+    )
+    eng.batch_ingest(
+        [{"content": f"frz doc {i}", "modality": "text"} for i in range(120)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=8, calibrate=False)
+    eng.batch_ingest([{"content": "far away", "modality": "text"}])
+    out = eng.append_to_ann_index("clip")
+    assert out["drifted"] is True
+    drift0 = eng._ann["clip"]["drift"]
+    # a later cohesive ingest: append is a frozen no-op, drift unchanged
+    eng.batch_ingest([{"content": "frz cohesive", "modality": "text"}])
+    out2 = eng.append_to_ann_index("clip")
+    assert out2 == {"space": "clip", "appended": 0, "drift": drift0,
+                    "drifted": True}
+    eng.search("frz doc 3", k=3, recall_floor=0.95)
+    assert eng.last_route["route"].startswith("exact")
+    assert f"{drift0:.2f}" in eng.last_route["reason"]
