@@ -792,18 +792,26 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
             3,
         ),
         "exact_ms_per_q": round(cal["exact_ms_per_q"], 3),
+        "exact_ms_single": round(cal["exact_ms_single"], 3),
         "points": [
             {
                 "fraction": p["fraction"],
                 "nprobe": p["nprobe"],
                 "recall": round(p["recall"], 4),
                 "ms_per_q": round(p["ms_per_q"], 3),
+                "ms_single": round(p["ms_single"], 3),
             }
             for p in cal["points"]
         ],
     }
+    # the logged decision at BOTH depths: a lone search() is priced on
+    # single-query walls, search_batch on batch-amortized walls — the
+    # two can legitimately diverge (one corpus scan amortized over 256
+    # queries is cheap per query; paid by one query it is not)
     eng.search(q0, k=10, recall_floor=0.95)
-    out["ann_calibration"]["route_at_floor_0.95"] = eng.last_route
+    out["ann_calibration"]["route_at_floor_0.95_single"] = eng.last_route
+    eng.search_batch(q256[:64], k=10, recall_floor=0.95)
+    out["ann_calibration"]["route_at_floor_0.95_batch"] = eng.last_route
 
     # -- compare_modalities: the §3.3 signature query at ref scale ----
     # (reference search_cross_modal.py:107-173; its comparable is the
