@@ -223,6 +223,101 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# padding_vs_packing — why the packing operators exist, quantified
+# ---------------------------------------------------------------------------
+
+_PVP_ORACLE = rf"""
+    WITH n AS (
+      SELECT doc_id,
+             len({_TOKS.format(col="lower(text)")})::BIGINT AS n
+      FROM documents
+    ),
+    tot AS (SELECT sum(n)::BIGINT AS total_tokens FROM n),
+    w AS (SELECT unnest([64, 128, 256, 512])::BIGINT AS win),
+    pad AS (
+      SELECT w.win,
+             sum(((n.n + w.win - 1) // w.win) * w.win)::BIGINT AS padded_tokens,
+             sum((n.n + w.win - 1) // w.win)::BIGINT AS padded_windows
+      FROM n, w GROUP BY w.win
+    )
+    SELECT pad.win AS win,
+           tot.total_tokens,
+           pad.padded_tokens,
+           pad.padded_windows,
+           ((tot.total_tokens + pad.win - 1) // pad.win)::BIGINT
+             AS packed_windows,
+           (pad.padded_tokens - tot.total_tokens)::DOUBLE
+             / pad.padded_tokens::DOUBLE AS pad_waste,
+           pad.padded_windows::DOUBLE
+             / (((tot.total_tokens + pad.win - 1) // pad.win))::DOUBLE
+             AS padded_over_packed
+    FROM pad, tot
+"""
+
+
+@query("padding_vs_packing", _PVP_ORACLE)
+def q_padding_vs_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured case FOR sequence packing, per context size: pad
+    every document to its next window multiple (the BERT-style
+    one-doc-per-sequence convention) vs concat-and-split packing (the
+    GPT convention the `context_window_*` operators implement). For
+    each window ∈ {64, 128, 256, 512}: total real tokens, padded
+    tokens and window counts, the packed window count, the pad-waste
+    fraction, and the padded/packed sequence-count ratio — the number
+    a pipeline owner reads to decide the packing stage is worth its
+    cumsum (at 512 tokens the ratio is the fraction of compute that
+    would be spent attending to padding). Exact integer arithmetic
+    throughout; the two ratios are single IEEE divisions of
+    exactly-representable ints — hash-identical across engines. One
+    corpus pass + a 4-row broadcast cross join; the per-window agg is
+    map-side combinable, so the shape is 100 TB-safe."""
+    from multimodal_vector_db_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.select(
+        F.size(tokens(F.lower(F.col("text")))).cast("long").alias("n")
+    )
+    wdf = spark.createDataFrame(
+        [(64,), (128,), (256,), (512,)], "win long"
+    )
+    pad = (
+        n.crossJoin(F.broadcast(wdf))
+        .groupBy("win")
+        .agg(
+            F.sum(
+                F.expr("((n + win - 1) DIV win) * win")
+            ).cast("long").alias("padded_tokens"),
+            F.sum(F.expr("(n + win - 1) DIV win"))
+            .cast("long")
+            .alias("padded_windows"),
+        )
+    )
+    tot = n.agg(F.sum("n").cast("long").alias("total_tokens"))
+    return (
+        pad.crossJoin(F.broadcast(tot))
+        .select(
+            "win",
+            "total_tokens",
+            "padded_tokens",
+            "padded_windows",
+            F.expr("(total_tokens + win - 1) DIV win")
+            .cast("long")
+            .alias("packed_windows"),
+            (
+                (F.col("padded_tokens") - F.col("total_tokens")).cast(
+                    "double"
+                )
+                / F.col("padded_tokens").cast("double")
+            ).alias("pad_waste"),
+            (
+                F.col("padded_windows").cast("double")
+                / F.expr("(total_tokens + win - 1) DIV win").cast("double")
+            ).alias("padded_over_packed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # curated_training_batches — the WHOLE pipeline in one hash check:
 # curation funnel → tokenizer trained on the curated corpus → batches
 # ---------------------------------------------------------------------------
