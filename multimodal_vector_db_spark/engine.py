@@ -85,6 +85,10 @@ class MultiModalSearchEngine:
         blocked_threshold_cells: int | None = None,
         drift_threshold: float = 4.0,
         ann_auto_append: bool = True,
+        local_exact_budget_bytes: int = 256 * 1024 * 1024,
+        recalibration_fraction: float = 0.25,
+        cum_drift_threshold: float | None = None,
+        cum_drift_mass_fraction: float = 0.25,
     ):
         self.spark = spark
         self.dim = dim
@@ -130,6 +134,45 @@ class MultiModalSearchEngine:
         #: the last search's routing decision — the planner log surface
         #: (route, reason, and the IVF parameters when taken)
         self.last_route: dict[str, Any] | None = None
+        #: corpus bytes (rows × dim × 4, the float32 vector mass) below
+        #: which single/batch searches are served from a DRIVER-RESIDENT
+        #: copy of the space's corpus with the SAME blocked-BLAS kernel
+        #: and tie-break as the Spark exact path (round 10 — closes the
+        #: one >2×-vs-baseline metric, the ~0.5 s per-job scheduling
+        #: floor Spark local mode puts under every single interactive
+        #: query; the reference's hnswlib search is a single in-process
+        #: call, ``search_images.py:42-59``). 0 disables the micro-path.
+        #: NOTE the budget counts the raw vector bytes; the resident
+        #: cache holds a float64 matrix + payload dicts, ~2-3× that.
+        self.local_exact_budget_bytes = local_exact_budget_bytes
+        #: per-space driver cache for the micro-path: space →
+        #: {epoch, ids, emb, modality, payload}; dropped whenever the
+        #: corpus epoch moves past the cached one
+        self._local_cache: dict[str, dict[str, Any]] = {}
+        #: corpus mutation epoch — bumped by every path that reassigns
+        #: ``self.items`` (ingest, bulk ingest, remove, audio ingest) so
+        #: driver caches can invalidate without comparing DataFrames
+        self._epoch = 0
+        #: appended-rows fraction of the calibrated corpus above which
+        #: the route re-runs calibration before trusting the stored
+        #: curve (round 10 — a curve measured on the build-time corpus
+        #: with ground truth that excludes appended rows goes stale)
+        self.recalibration_fraction = recalibration_fraction
+        #: CUMULATIVE drift latch (round 10): per-batch `drift` only
+        #: sees the latest batch, so many batches each marginally below
+        #: ``drift_threshold`` never latch even when the appended mass
+        #: collectively no longer fits the fitted cells. Once appended
+        #: rows exceed ``cum_drift_mass_fraction`` of the index, the
+        #: appended-mass-weighted mean ratio is ALSO checked against
+        #: this tighter threshold (default: halfway between perfect fit
+        #: and the per-batch limit — a large mass is held to a stricter
+        #: standard than a single small batch).
+        self.cum_drift_threshold = (
+            1.0 + (drift_threshold - 1.0) / 2.0
+            if cum_drift_threshold is None
+            else cum_drift_threshold
+        )
+        self.cum_drift_mass_fraction = cum_drift_mass_fraction
 
     # -- ingestion (search_engine.py:81-172) ---------------------------
     def batch_ingest(self, rows: list[dict[str, Any]]) -> None:
@@ -160,6 +203,7 @@ class MultiModalSearchEngine:
         self.items = new if self.items is None else self.items.unionByName(
             new, allowMissingColumns=True
         )
+        self._epoch += 1
         if self._n_rows is not None:
             self._n_rows += len(rows)
         for r in rows:
@@ -294,6 +338,7 @@ class MultiModalSearchEngine:
             if self.items is None
             else self.items.unionByName(new, allowMissingColumns=True)
         )
+        self._epoch += 1
         if self._n_rows is not None:
             self._n_rows += running  # total of the partition counts
         for sp, n in space_delta.items():
@@ -308,6 +353,7 @@ class MultiModalSearchEngine:
                 F.col("deleted")
             ),
         )
+        self._epoch += 1
 
     # -- ANN route (SURVEY §4's deferred planner rule, rounds 8-9) ------
     def build_ann_index(
@@ -379,6 +425,8 @@ class MultiModalSearchEngine:
             "mean_sq_dist": cost / max(n, 1),
             "appended_rows": 0,
             "drift": None,
+            "cum_appended_sq": 0.0,
+            "cum_drift": None,
             "drifted": False,
             "calibration": None,
         }
@@ -417,6 +465,46 @@ class MultiModalSearchEngine:
                 _CALIBRATION_FRACTIONS if fractions is None else fractions
             ),
         )
+
+    def _maybe_recalibrate(self, space: str, info: dict) -> bool:
+        """Refresh a STALE calibration curve: when the live corpus of
+        ``space`` has outgrown ``rows_at_calibration`` by more than
+        ``recalibration_fraction``, re-run the same measured
+        recall/cost calibration on the CURRENT corpus (so appended
+        rows are eligible as sampled queries and present in the exact
+        ground truth) at the same n_queries/k/fractions as the stored
+        curve. Serialized on the index-maintenance lock; the staleness
+        check repeats inside it so concurrent searches refresh once.
+        Returns True iff this call performed a recalibration."""
+        cal = info.get("calibration")
+        if not (
+            cal
+            and cal.get("points")
+            and cal.get("rows_at_calibration")
+            and self._space_rows(space)
+            > cal["rows_at_calibration"]
+            * (1.0 + self.recalibration_fraction)
+        ):
+            return False
+        with self._ann_lock:
+            cal = info.get("calibration")
+            if not (
+                cal
+                and cal.get("rows_at_calibration")
+                and self._space_rows(space)
+                > cal["rows_at_calibration"]
+                * (1.0 + self.recalibration_fraction)
+            ):
+                return False  # another caller already refreshed
+            corpus = active(self.items).where(F.col("space") == space)
+            self._run_calibration(
+                corpus,
+                info,
+                cal.get("n_queries", 64),
+                cal.get("k", 10),
+                tuple(p["fraction"] for p in cal["points"]) or None,
+            )
+            return True
 
     def _calibrate_ann(
         self,
@@ -473,17 +561,32 @@ class MultiModalSearchEngine:
                     out[qi].append(r["id"])
             return out
 
+        def _median_wall_ms(fn, samples: int = 3) -> float:
+            # single-query walls are one small job each — dominated by
+            # scheduling jitter on small corpora, so the dispatch they
+            # feed (the exact-vs-IVF cost gate) takes the median of 3
+            # instead of trusting one sample (batch walls already
+            # amortize over n_queries and stay single-sample)
+            walls = []
+            for _ in range(samples):
+                t0 = time.time()
+                fn()
+                walls.append((time.time() - t0) * 1000.0)
+            walls.sort()
+            return walls[len(walls) // 2]
+
         slim = corpus.select("id", "embedding").persist()
         assigned = slim.join(info["assign"], "id").persist()
         q_one = queries[:1]
         try:
+            n_rows = slim.count()
             t0 = time.time()
             exact_rows = knn_join_blocked(slim, queries, k=k + 1).collect()
             exact_ms = (time.time() - t0) * 1000.0 / max(len(queries), 1)
             truth = _topk_after_self(exact_rows)
-            t0 = time.time()
-            knn_join_blocked(slim, q_one, k=k + 1).collect()
-            exact_ms_single = (time.time() - t0) * 1000.0
+            exact_ms_single = _median_wall_ms(
+                lambda: knn_join_blocked(slim, q_one, k=k + 1).collect()
+            )
             n_cells = len(info["centroids"])
             points = []
             for frac in sorted(fractions):
@@ -498,16 +601,16 @@ class MultiModalSearchEngine:
                     probe_metric="l2",
                 ).collect()
                 ivf_ms = (time.time() - t0) * 1000.0 / max(len(queries), 1)
-                t0 = time.time()
-                ivf_search_blocked(
-                    assigned,
-                    q_one,
-                    info["centroids"],
-                    k=k + 1,
-                    nprobe=nprobe,
-                    probe_metric="l2",
-                ).collect()
-                ivf_ms_single = (time.time() - t0) * 1000.0
+                ivf_ms_single = _median_wall_ms(
+                    lambda: ivf_search_blocked(
+                        assigned,
+                        q_one,
+                        info["centroids"],
+                        k=k + 1,
+                        nprobe=nprobe,
+                        probe_metric="l2",
+                    ).collect()
+                )
                 got = _topk_after_self(got_rows)
                 recs = [
                     len(set(got[qi]) & set(t)) / len(t)
@@ -534,6 +637,14 @@ class MultiModalSearchEngine:
             "exact_ms_single": exact_ms_single,
             "k": k,
             "n_queries": len(queries),
+            # which corpus rows served as calibration queries — the
+            # staleness test's evidence that a RE-calibration's ground
+            # truth covers appended ids (they enter the xxhash64 sample)
+            "query_ids": sorted(self_id.values()),
+            # corpus size the curve was measured on; the route
+            # re-calibrates when the live corpus outgrows this by
+            # ``recalibration_fraction`` (round 10)
+            "rows_at_calibration": n_rows,
             "calibration_sec": round(time.time() - t_start, 3),
         }
 
@@ -615,6 +726,8 @@ class MultiModalSearchEngine:
             "mean_sq_dist": (stats["s"] or 0.0) / max(n_cov, 1),
             "appended_rows": 0,
             "drift": None,
+            "cum_appended_sq": 0.0,
+            "cum_drift": None,
             "drifted": False,
             "calibration": None,
         }
@@ -652,7 +765,13 @@ class MultiModalSearchEngine:
 
         **Drift contract**: each appended batch's mean squared
         centroid distance is compared to the build-time baseline
-        (KMeans trainingCost / N). A ratio above ``drift_threshold``
+        (KMeans trainingCost / N), and (round 10) the
+        appended-mass-weighted CUMULATIVE ratio is checked against the
+        tighter ``cum_drift_threshold`` once appended rows exceed
+        ``cum_drift_mass_fraction`` of the index — a stream of batches
+        each marginally under the per-batch limit can collectively
+        stop fitting the cells, and the per-batch statistic alone
+        never sees that. A ratio above ``drift_threshold``
         means the new rows don't live in the fitted cell structure —
         nprobe'd recall on them is unknowable — so the index is
         flagged ``drifted`` and the auto route falls back to exact
@@ -690,7 +809,16 @@ class MultiModalSearchEngine:
                     "drift": info["drift"],
                     "drifted": True,
                 }
-            if self._space_rows(space) == info["rows_at_build"]:
+            # SNAPSHOT the coverage target BEFORE capturing the corpus:
+            # a concurrent batch_ingest landing between the corpus
+            # capture and the bookkeeping below bumps _space_rows, and
+            # reading the counter at the END would mark those rows
+            # covered without ever assigning them — silently missing
+            # from every later IVF top-k. With the snapshot, rows
+            # ingested mid-append still read as uncovered on the next
+            # route pass and get their own append.
+            target = self._space_rows(space)
+            if target == info["rows_at_build"]:
                 # another caller already absorbed this ingest
                 return {
                     "space": space,
@@ -719,13 +847,31 @@ class MultiModalSearchEngine:
                     .localCheckpoint(eager=True)
                 )
                 info["appended_rows"] += n_new
+                # cumulative (appended-mass-weighted) drift alongside
+                # the per-batch one: a stream of batches each marginally
+                # under the threshold still latches once the appended
+                # mass is a material share of the index AND its weighted
+                # mean ratio exceeds the tighter cumulative threshold
+                info["cum_appended_sq"] = (
+                    info.get("cum_appended_sq", 0.0) + stats["sq"]
+                )
+                info["cum_drift"] = (
+                    info["cum_appended_sq"] / info["appended_rows"]
+                ) / base
                 if info["drift"] > self.drift_threshold:
                     info["drifted"] = True
-            info["rows_at_build"] = self._space_rows(space)
+                elif (
+                    info["appended_rows"]
+                    >= self.cum_drift_mass_fraction * max(target, 1)
+                    and info["cum_drift"] > self.cum_drift_threshold
+                ):
+                    info["drifted"] = True
+            info["rows_at_build"] = target
             return {
                 "space": space,
                 "appended": n_new,
                 "drift": info["drift"],
+                "cum_drift": info.get("cum_drift"),
                 "drifted": info["drifted"],
             }
 
@@ -757,21 +903,31 @@ class MultiModalSearchEngine:
         info = self._ann[space]
         cal = info.get("calibration")
         if cal and cal.get("points"):  # empty points → fraction map
-            for p in cal["points"]:
-                if p["recall"] >= recall_floor:
-                    est = (
-                        p["ms_per_q"]
-                        if batch
-                        else p.get("ms_single", p["ms_per_q"])
-                    )
-                    return (
-                        p["nprobe"],
-                        est,
-                        (
-                            f"calibrated: frac={p['fraction']} measured "
-                            f"R@{cal['k']}={p['recall']:.3f} >= floor"
-                        ),
-                    )
+
+            def _est(p: dict) -> float:
+                return (
+                    p["ms_per_q"]
+                    if batch
+                    else p.get("ms_single", p["ms_per_q"])
+                )
+
+            ok = [p for p in cal["points"] if p["recall"] >= recall_floor]
+            if ok:
+                # CHEAPEST measured point meeting the floor — by the
+                # depth-matched wall, not the first ascending fraction:
+                # measured ms need not be monotone in fraction (job
+                # overhead dominates small nprobe deltas), so
+                # first-qualifying could pick a slower probe. Fraction
+                # tie-breaks equal walls toward fewer cells.
+                p = min(ok, key=lambda p: (_est(p), p["fraction"]))
+                return (
+                    p["nprobe"],
+                    _est(p),
+                    (
+                        f"calibrated: frac={p['fraction']} measured "
+                        f"R@{cal['k']}={p['recall']:.3f} >= floor"
+                    ),
+                )
             best = max(p["recall"] for p in cal["points"])
             return (
                 None,
@@ -815,6 +971,17 @@ class MultiModalSearchEngine:
         approximate results. Returns (use_ivf, reason, nprobe) — the
         reason is logged on ``last_route`` either way."""
         if route == "ivf":
+            if scorer != "auto":
+                # an explicit scorer is the documented EXACT-parity
+                # surface ("must never silently return approximate
+                # results") — combining it with a forced approximate
+                # route is a contradiction we refuse rather than
+                # silently resolving either way
+                raise ValueError(
+                    f'route="ivf" conflicts with explicit scorer='
+                    f"{scorer!r}: an explicit scorer forces the exact "
+                    "path; drop one of the two arguments"
+                )
             if self._ann.get(space) is None:
                 raise ValueError(
                     f'route="ivf" requires build_ann_index(space='
@@ -915,6 +1082,44 @@ class MultiModalSearchEngine:
                     f"{self._space_rows(space)} rows in {space!r}); "
                     "append_to_ann_index or rebuild to re-enable"
                 ), None
+        # calibration staleness (round 10): once the live corpus has
+        # outgrown the calibrated one by recalibration_fraction, the
+        # stored curve's recall was measured against ground truth that
+        # excludes every appended row — refresh it on the CURRENT
+        # corpus (appended ids enter the xxhash64 query sample and the
+        # exact ground truth) and re-run the floor/cost gates on the
+        # fresh curve before trusting the IVF route
+        if self._maybe_recalibrate(space, info):
+            nprobe, ivf_ms, plan_why = self._ivf_plan(
+                space, recall_floor, batch=batch
+            )
+            if nprobe is None:
+                return False, (
+                    "recalibrated: " + plan_why + " — exact honors the "
+                    "floor"
+                ), None
+            cal = info.get("calibration")
+            why_cost = ""
+            if cal is not None and ivf_ms is not None:
+                exact_ms = (
+                    cal["exact_ms_per_q"]
+                    if batch
+                    else cal.get("exact_ms_single", cal["exact_ms_per_q"])
+                )
+                depth = "batch" if batch else "single-query"
+                if ivf_ms >= exact_ms:
+                    return False, (
+                        f"recalibrated: measured cost ({depth}): ivf "
+                        f"{ivf_ms:.2f} >= exact {exact_ms:.2f} ms — "
+                        "exact is the cheaper way to honor the floor"
+                    ), None
+                why_cost = (
+                    f"; measured {depth} ivf {ivf_ms:.2f} < exact "
+                    f"{exact_ms:.2f} ms"
+                )
+            return True, (
+                f"auto (recalibrated; {plan_why}{why_cost})"
+            ), nprobe
         return True, f"auto ({plan_why}{why_cost})", nprobe
 
     # -- search (search_engine.py:174-223) -----------------------------
@@ -983,6 +1188,31 @@ class MultiModalSearchEngine:
         qvec = (
             self._embed(query, space) if isinstance(query, str) else query
         )
+        diversity = strategy not in (None, "distance")
+        fetch_n = max(k * 4, 20) if diversity else k
+        # driver-resident exact micro-path: when the space fits the
+        # local budget, a single interactive query is served in-process
+        # (exact — honors any floor — so it preempts the IVF planner
+        # too: sub-ms beats any Spark job here). An explicit scorer=,
+        # a forced route="ivf", a Column predicate (not evaluable
+        # driver-side) or the binary tier keep the Spark paths.
+        if (
+            scorer == "auto"
+            and route != "ivf"
+            and not approximate
+            and predicate is None
+        ):
+            local = self._search_local(
+                space,
+                qvec,
+                k,
+                fetch_n,
+                filter_content_type,
+                strategy,
+                recall_floor,
+            )
+            if local is not None:
+                return local
         corpus = active(self.items).where(F.col("space") == space)
         if filter_content_type is not None:
             corpus = corpus.where(F.col("modality") == filter_content_type)
@@ -990,8 +1220,6 @@ class MultiModalSearchEngine:
             corpus = corpus.filter(predicate)
         if approximate:
             corpus = self._binary_shortlist(corpus, qvec, shortlist)
-        diversity = strategy not in (None, "distance")
-        fetch_n = max(k * 4, 20) if diversity else k
         use_ivf, why, nprobe = self._route(
             space,
             recall_floor,
@@ -1122,6 +1350,14 @@ class MultiModalSearchEngine:
             self._embed(q, space) if isinstance(q, str) else q
             for q in queries
         ]
+        # driver-resident exact micro-path (same contract as search():
+        # explicit scorer / forced IVF keep the Spark paths)
+        if scorer == "auto" and route != "ivf":
+            local = self._search_batch_local(
+                space, qvecs, k, filter_content_type, recall_floor
+            )
+            if local is not None:
+                return local
         corpus = active(self.items).where(F.col("space") == space)
         if filter_content_type is not None:
             corpus = corpus.where(F.col("modality") == filter_content_type)
@@ -1305,6 +1541,7 @@ class MultiModalSearchEngine:
             if self.items is None
             else self.items.unionByName(new, allowMissingColumns=True)
         )
+        self._epoch += 1
         if n_new is not None:
             if self._n_rows is not None:
                 self._n_rows += n_new
@@ -1343,6 +1580,169 @@ class MultiModalSearchEngine:
             predicate=predicate,
             scorer=scorer,
         )
+
+    # -- driver-resident exact micro-path (round 10) --------------------
+    def _local_corpus(self, space: str) -> dict[str, Any] | None:
+        """The micro-path's corpus block: ids + a float64 embedding
+        matrix + payload row dicts for ``space``'s LIVE rows, resident
+        on the driver. Returns None when disabled
+        (``local_exact_budget_bytes=0``) or when the space's vector
+        mass (rows × dim × 4 B — the float32 on-disk form) exceeds the
+        budget; above it the Spark paths serve (the cache is the small-
+        corpus latency fix, not a general execution mode — at 100 TB
+        every space is far past the budget and nothing changes).
+
+        Keyed on the corpus mutation epoch: every ingest/remove bumps
+        ``_epoch`` so the next micro-path call rebuilds from the
+        then-current corpus (one collect of the space's rows — the same
+        cost as a single Spark-path search, amortized over every call
+        until the next mutation). The epoch is snapshotted BEFORE the
+        collect: a concurrent ingest mid-build leaves the cache stamped
+        stale, never new-epoch-with-old-rows."""
+        import numpy as np
+
+        if self.local_exact_budget_bytes <= 0 or self.items is None:
+            return None
+        n = self._space_rows(space)
+        if n * self.dim * 4 > self.local_exact_budget_bytes:
+            return None
+        cached = self._local_cache.get(space)
+        if cached is not None and cached["epoch"] == self._epoch:
+            return cached
+        epoch = self._epoch
+        corpus = active(self.items).where(F.col("space") == space)
+        pay_cols = [
+            c for c in corpus.columns if c not in ("embedding", "dim")
+        ]
+        rows = corpus.collect()
+        # float32 parquet values -> exact float64 (same cast as the
+        # blocked scorer's astype(np.float64) — values are identical)
+        emb = (
+            np.array([r["embedding"] for r in rows], dtype=np.float64)
+            if rows
+            else np.zeros((0, self.dim), dtype=np.float64)
+        )
+        cached = {
+            "epoch": epoch,
+            "ids": np.array([r["id"] for r in rows], dtype=np.int64),
+            "emb": emb,
+            "emb_list": [r["embedding"] for r in rows],
+            "modality": np.array(
+                [r["modality"] for r in rows], dtype=object
+            ),
+            "payload": [{c: r[c] for c in pay_cols} for r in rows],
+        }
+        self._local_cache[space] = cached
+        return cached
+
+    def _local_route_log(
+        self, cache: dict, space: str, recall_floor: float
+    ) -> None:
+        n = len(cache["ids"])
+        mb = n * self.dim * 4 / (1024 * 1024)
+        self.last_route = {
+            "route": "exact-local",
+            "reason": (
+                f"{space!r} corpus {n} rows × dim {self.dim} = "
+                f"{mb:.1f} MB within local_exact_budget — driver-"
+                "resident exact scan (same BLAS kernel + tie-break as "
+                "the blocked scorer, no per-job scheduling floor; "
+                "exact, so any recall floor is honored)"
+            ),
+            "recall_floor": recall_floor,
+        }
+
+    def _search_local(
+        self,
+        space: str,
+        qvec: list[float],
+        k: int,
+        fetch_n: int,
+        filter_content_type: str | None,
+        strategy: str,
+        recall_floor: float,
+    ) -> list[dict[str, Any]] | None:
+        """Serve one exact top-k from the driver-resident corpus block
+        — the reference's most common user path is ONE interactive
+        query (``search_images.py:42-59``), where Spark local mode's
+        per-job scheduling floor (~0.5 s) is 40× the actual scoring
+        work at 44k × 512-d. Same float64 BLAS scoring and
+        ``(sim desc, id asc)`` tie-break as
+        :func:`~multimodal_vector_db_spark.operators.knn.knn_search_blocked`
+        (``topk_rows_1d`` is literally the blocked scorer's selection
+        kernel), so results are identical to the Spark exact path —
+        parity-tested. Returns None when the space is over budget (the
+        caller falls through to the Spark planner)."""
+        import numpy as np
+
+        from multimodal_vector_db_spark.operators.knn import topk_rows_1d
+
+        cache = self._local_corpus(space)
+        if cache is None:
+            return None
+        ids, emb = cache["ids"], cache["emb"]
+        sel = None
+        if filter_content_type is not None:
+            mask = cache["modality"] == filter_content_type
+            sel = np.nonzero(mask)[0]
+            ids, emb = ids[sel], emb[sel]
+        diversity = strategy not in (None, "distance")
+        rows: list[dict[str, Any]] = []
+        if len(ids):
+            q = np.asarray(qvec, dtype=np.float64)
+            s = emb @ q
+            top = topk_rows_1d(s, ids, min(fetch_n, len(ids)))
+            for t in top:
+                src = int(sel[t]) if sel is not None else int(t)
+                d = dict(cache["payload"][src])
+                d["sim"] = float(s[t])
+                if diversity:
+                    d["embedding"] = cache["emb_list"][src]
+                rows.append(d)
+        self._local_route_log(cache, space, recall_floor)
+        return rerank(rows, strategy=strategy, top_k=k)
+
+    def _search_batch_local(
+        self,
+        space: str,
+        qvecs: list[list[float]],
+        k: int,
+        filter_content_type: str | None,
+        recall_floor: float,
+    ) -> dict[int, list[dict[str, Any]]] | None:
+        """Batch twin of :meth:`_search_local` — one driver-side
+        (n × nq) BLAS matmul + the blocked scorer's exact per-column
+        selection (``topk_rows_2d``), identical ranking to
+        ``knn_join_blocked`` + its window."""
+        import numpy as np
+
+        from multimodal_vector_db_spark.operators.knn import topk_rows_2d
+
+        cache = self._local_corpus(space)
+        if cache is None:
+            return None
+        ids, emb = cache["ids"], cache["emb"]
+        sel = None
+        if filter_content_type is not None:
+            mask = cache["modality"] == filter_content_type
+            sel = np.nonzero(mask)[0]
+            ids, emb = ids[sel], emb[sel]
+        out: dict[int, list[dict[str, Any]]] = {
+            i: [] for i in range(len(qvecs))
+        }
+        if len(ids):
+            Q = np.array(qvecs, dtype=np.float64)  # (nq, d)
+            S = emb @ Q.T  # (n, nq)
+            kk = min(k, len(ids))
+            top = topk_rows_2d(S, ids, kk)  # (kk, nq)
+            for j in range(len(qvecs)):
+                for t in top[:, j]:
+                    src = int(sel[t]) if sel is not None else int(t)
+                    d = dict(cache["payload"][src])
+                    d["sim"] = float(S[t, j])
+                    out[j].append(d)
+        self._local_route_log(cache, space, recall_floor)
+        return out
 
     def _fetch_payload(
         self, corpus: DataFrame, ids: list[int], pay: list[str]
@@ -1594,6 +1994,8 @@ class MultiModalSearchEngine:
                         "mean_sq_dist",
                         "appended_rows",
                         "drift",
+                        "cum_appended_sq",
+                        "cum_drift",
                         "drifted",
                         "calibration",
                     )
@@ -1632,6 +2034,11 @@ class MultiModalSearchEngine:
                         "calibration",
                     )
                 },
+                # round-10 keys, defaulted for manifests saved earlier
+                "cum_appended_sq": ann_manifest.get(
+                    "cum_appended_sq", 0.0
+                ),
+                "cum_drift": ann_manifest.get("cum_drift"),
             }
         return eng
 

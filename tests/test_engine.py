@@ -259,7 +259,8 @@ def test_search_auto_dispatch_threshold(spark):
     """auto dispatch: a tiny threshold forces the blocked scorer and
     results are unchanged; the default threshold keeps small corpora on
     the HOF plan (cells well under 10^6)."""
-    eng = MultiModalSearchEngine(spark, dim=32, blocked_threshold_cells=1)
+    eng = MultiModalSearchEngine(spark, dim=32, blocked_threshold_cells=1,
+                                 local_exact_budget_bytes=0)
     eng.batch_ingest(
         [{"content": f"auto item {i}", "modality": "text"} for i in range(40)]
     )
@@ -564,7 +565,8 @@ def test_auto_route_exact_vs_ivf_planner(spark):
     # ann_auto_append=False: this test pins the DISABLED-maintenance
     # fallback; the append path has its own tests below.
     eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
-                                 ann_auto_append=False)
+                                 ann_auto_append=False,
+                                 local_exact_budget_bytes=0)
     eng.batch_ingest(
         [{"content": f"planner doc {i}", "modality": "text"}
          for i in range(120)]
@@ -626,7 +628,8 @@ def test_auto_route_batch_ivf(spark):
 
     from multimodal_vector_db_spark.engine import MultiModalSearchEngine
 
-    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10)
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
+                                 local_exact_budget_bytes=0)
     eng.batch_ingest(
         [{"content": f"batch planner doc {i}", "modality": "text"}
          for i in range(120)]
@@ -670,7 +673,8 @@ def test_scorer_override_forces_exact(spark):
     """An explicit scorer= is the documented exact-parity surface: it
     must win over route='auto' + recall_floor<1 (never silently return
     approximate results), with the override logged as the reason."""
-    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10)
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
+                                 local_exact_budget_bytes=0)
     eng.batch_ingest(
         [{"content": f"sc doc {i}", "modality": "text"} for i in range(120)]
     )
@@ -695,7 +699,8 @@ def test_append_keeps_ivf_route_and_ranks(spark):
     existing cells (same L2 rule as the build), the appended rows are
     retrievable at their true ranks, and the coverage counter updates
     so no further appends run until the next ingest."""
-    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10)
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
+                                 local_exact_budget_bytes=0)
     eng.batch_ingest(
         [{"content": f"base doc {i}", "modality": "text"}
          for i in range(120)]
@@ -740,7 +745,8 @@ def test_append_drift_threshold_forces_exact(spark):
         return v.tolist()
 
     eng = MultiModalSearchEngine(
-        spark, dim=16, blocked_threshold_cells=10, embed_fn=embed
+        spark, dim=16, blocked_threshold_cells=10, embed_fn=embed,
+        local_exact_budget_bytes=0
     )
     eng.batch_ingest(
         [{"content": f"near doc {i}", "modality": "text"}
@@ -767,7 +773,8 @@ def test_unrelated_space_ingest_keeps_index_fresh(spark):
     not the global total."""
     from multimodal_vector_db_spark.queries.m12_curation4 import _afp_media
 
-    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10)
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
+                                 local_exact_budget_bytes=0)
     eng.batch_ingest(
         [{"content": f"clip doc {i}", "modality": "text"}
          for i in range(120)]
@@ -804,7 +811,8 @@ def test_calibration_on_skewed_corpus_honors_floor(spark):
         "id long, modality string, space string, embedding array<float>, "
         "dim int, deleted boolean, content string, display_name string",
     )
-    eng = MultiModalSearchEngine(spark, items=items, dim=d)
+    eng = MultiModalSearchEngine(spark, items=items, dim=d,
+                                 local_exact_budget_bytes=0)
     stats = eng.build_ann_index(
         space="clip",
         n_clusters=8,
@@ -850,7 +858,7 @@ def test_measured_cost_gate_both_sides(spark):
     """The exact-vs-IVF crossover comes from the calibration's measured
     per-query costs, not a size constant: injected timings flip the
     auto route deterministically in both directions."""
-    eng = MultiModalSearchEngine(spark, dim=16)
+    eng = MultiModalSearchEngine(spark, dim=16, local_exact_budget_bytes=0)
     eng.batch_ingest(
         [{"content": f"cost doc {i}", "modality": "text"}
          for i in range(120)]
@@ -900,7 +908,7 @@ def test_ann_state_survives_save_load(spark, tmp_path):
     too — a reloaded engine routes IVF from the SAME calibrated
     contract (centroids, assignment, measured curve, drift baseline)
     without re-running KMeans or calibration."""
-    eng = MultiModalSearchEngine(spark, dim=16)
+    eng = MultiModalSearchEngine(spark, dim=16, local_exact_budget_bytes=0)
     eng.batch_ingest(
         [{"content": f"persist doc {i}", "modality": "text"}
          for i in range(150)]
@@ -919,6 +927,7 @@ def test_ann_state_survives_save_load(spark, tmp_path):
     base = str(tmp_path / "wh_ann")
     eng.save(base)
     loaded = MultiModalSearchEngine.load(spark, base)
+    loaded.local_exact_budget_bytes = 0  # pin the Spark IVF route
     assert "clip" in loaded._ann
     info = loaded._ann["clip"]
     assert info["centroids"] == eng._ann["clip"]["centroids"]
@@ -949,7 +958,8 @@ def test_attach_disk_ivf_index(spark, tmp_path):
     from multimodal_vector_db_spark.operators.ann import build_ivf_index
     from multimodal_vector_db_spark.sources.corpus import active
 
-    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10)
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
+                                 local_exact_budget_bytes=0)
     eng.batch_ingest(
         [{"content": f"attach doc {i}", "modality": "text"}
          for i in range(100)]
@@ -992,7 +1002,8 @@ def test_filtered_search_forces_exact_route(spark):
     explicit predicate / filter_content_type with a declared floor must
     route EXACT (a selective filter concentrates the true top-k into
     cells nprobe may skip) — forced route='ivf' still obeys the caller."""
-    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10)
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
+                                 local_exact_budget_bytes=0)
     eng.batch_ingest(
         [{"content": f"filt doc {i}", "modality": ["text", "image"][i % 2]}
          for i in range(120)]
@@ -1028,7 +1039,8 @@ def test_concurrent_searches_append_once(spark):
     candidates in every later IVF top-k)."""
     import threading
 
-    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10)
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
+                                 local_exact_budget_bytes=0)
     eng.batch_ingest(
         [{"content": f"conc doc {i}", "modality": "text"}
          for i in range(120)]
@@ -1070,7 +1082,8 @@ def test_drifted_index_is_frozen(spark):
         return (v * 10.0).tolist() if text.startswith("far") else v.tolist()
 
     eng = MultiModalSearchEngine(
-        spark, dim=16, blocked_threshold_cells=10, embed_fn=embed
+        spark, dim=16, blocked_threshold_cells=10, embed_fn=embed,
+        local_exact_budget_bytes=0
     )
     eng.batch_ingest(
         [{"content": f"frz doc {i}", "modality": "text"} for i in range(120)]
@@ -1088,3 +1101,262 @@ def test_drifted_index_is_frozen(spark):
     eng.search("frz doc 3", k=3, recall_floor=0.95)
     assert eng.last_route["route"].startswith("exact")
     assert f"{drift0:.2f}" in eng.last_route["reason"]
+
+
+# -- round 10: driver-resident exact micro-path ------------------------
+
+def test_local_micro_path_parity(spark):
+    """The driver-resident micro-path must return the SAME ids, payload
+    and (approx) sims as the Spark blocked scorer — same BLAS kernel,
+    same (sim desc, id asc) tie-break — for plain, filtered, diversity
+    and batch searches."""
+    eng = MultiModalSearchEngine(spark, dim=32)
+    eng.batch_ingest(
+        [{"content": f"micro doc {i} topic {i % 5}",
+          "modality": ["text", "image"][i % 2]}
+         for i in range(90)]
+    )
+    local = eng.search("micro doc 7 topic 2", k=5)
+    assert eng.last_route["route"] == "exact-local"
+    spk = eng.search("micro doc 7 topic 2", k=5, scorer="blocked")
+    assert eng.last_route["route"] == "exact-blocked"
+    assert [r["id"] for r in local] == [r["id"] for r in spk]
+    assert [r["content"] for r in local] == [r["content"] for r in spk]
+    for a, b in zip(local, spk):
+        assert a["sim"] == pytest.approx(b["sim"], abs=1e-12)
+    assert sorted(local[0]) == sorted(spk[0])  # same payload keys
+
+    # content-type filter applied via the cached modality mask
+    fl = eng.search("micro doc 7 topic 2", k=5, filter_content_type="image")
+    assert eng.last_route["route"] == "exact-local"
+    fs = eng.search("micro doc 7 topic 2", k=5, filter_content_type="image",
+                    scorer="blocked")
+    assert [r["id"] for r in fl] == [r["id"] for r in fs]
+    assert all(r["modality"] == "image" for r in fl)
+
+    # diversity rerank sees real embeddings on the local path too
+    dl = eng.search("micro doc 7 topic 2", k=5, strategy="diversity")
+    assert eng.last_route["route"] == "exact-local"
+    ds = eng.search("micro doc 7 topic 2", k=5, strategy="diversity",
+                    scorer="blocked")
+    assert [r["id"] for r in dl] == [r["id"] for r in ds]
+
+    # batch twin vs the Spark blocked batch path
+    qs = ["micro doc 3 topic 3", "micro doc 11 topic 1"]
+    bl = eng.search_batch(qs, k=4)
+    assert eng.last_route["route"] == "exact-local"
+    bs = eng.search_batch(qs, k=4, scorer="blocked")
+    for i in range(len(qs)):
+        assert [r["id"] for r in bl[i]] == [r["id"] for r in bs[i]]
+        for a, b in zip(bl[i], bs[i]):
+            assert a["sim"] == pytest.approx(b["sim"], abs=1e-12)
+
+
+def test_local_micro_path_invalidation_and_budget(spark):
+    """Cache lifecycle: ingest and remove bump the corpus epoch so the
+    next local search rebuilds (new rows retrievable, tombstones
+    honored); a space over the byte budget never routes local."""
+    eng = MultiModalSearchEngine(spark, dim=16)
+    eng.batch_ingest(
+        [{"content": f"inv doc {i}", "modality": "text"} for i in range(40)]
+    )
+    hits = eng.search("inv doc 3", k=3)
+    assert eng.last_route["route"] == "exact-local"
+    victim = hits[0]["id"]
+    eng.remove([victim])
+    hits2 = eng.search("inv doc 3", k=3)
+    assert eng.last_route["route"] == "exact-local"
+    assert all(r["id"] != victim for r in hits2)
+    eng.ingest_content("inv late arrival", modality="text")
+    hits3 = eng.search("inv late arrival", k=3)
+    assert hits3[0]["content"] == "inv late arrival"
+
+    # byte budget: 40 rows x 16 dims x 4B = 2560 B > 1 B budget
+    tiny = MultiModalSearchEngine(spark, dim=16,
+                                  local_exact_budget_bytes=1)
+    tiny.batch_ingest(
+        [{"content": f"big doc {i}", "modality": "text"} for i in range(40)]
+    )
+    tiny.search("big doc 3", k=3)
+    assert eng.last_route["route"] == "exact-local"  # unchanged engine
+    assert tiny.last_route["route"].startswith("exact-")
+    assert tiny.last_route["route"] != "exact-local"
+
+
+def test_forced_ivf_with_explicit_scorer_raises(spark):
+    """route='ivf' (forced approximate) + an explicit exact scorer is a
+    contradiction: the engine refuses instead of silently picking one
+    (the scorer= docstring promises exact-parity results)."""
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
+                                 local_exact_budget_bytes=0)
+    eng.batch_ingest(
+        [{"content": f"conf doc {i}", "modality": "text"}
+         for i in range(60)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=4, calibrate=False)
+    with pytest.raises(ValueError, match="conflicts with explicit scorer"):
+        eng.search("conf doc 1", k=3, route="ivf", scorer="blocked")
+    with pytest.raises(ValueError, match="conflicts with explicit scorer"):
+        eng.search_batch(["conf doc 1"], k=3, route="ivf", scorer="hof")
+
+
+# -- round 10: ANN maintenance hardening --------------------------------
+
+def test_cumulative_drift_latches_where_per_batch_does_not(spark):
+    """Many appended batches each marginally under drift_threshold must
+    still latch the index once their collective mass is material and
+    its weighted mean ratio exceeds the tighter cumulative threshold —
+    the per-batch statistic alone never fires here."""
+    import numpy as np
+
+    def embed(text, space):
+        v = fake_embed_numpy(text, space, 16).astype(np.float64)
+        if text.startswith("mid"):
+            v = v * 1.8  # ~3x the build cohesion: below the per-batch
+        return v.tolist()  # limit (6.0 here), above the cumulative 2.0
+
+    eng = MultiModalSearchEngine(
+        spark, dim=16, blocked_threshold_cells=10, embed_fn=embed,
+        local_exact_budget_bytes=0, drift_threshold=6.0,
+        cum_drift_threshold=2.0,
+    )
+    eng.batch_ingest(
+        [{"content": f"cum doc {i}", "modality": "text"}
+         for i in range(120)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=8, calibrate=False)
+    info = eng._ann["clip"]
+    latched_at = None
+    for b in range(5):
+        eng.batch_ingest(
+            [{"content": f"mid doc {b}-{i}", "modality": "text"}
+             for i in range(12)]
+        )
+        eng.search(f"cum doc {b}", k=3, recall_floor=0.95)
+        # per-batch ratio stays under the per-batch limit throughout
+        assert info["drift"] is not None and info["drift"] < 6.0
+        if info["drifted"]:
+            latched_at = b
+            break
+    assert latched_at is not None, (
+        "cumulative drift never latched: "
+        f"drift={info['drift']}, cum={info.get('cum_drift')}"
+    )
+    assert latched_at >= 1  # a single small batch must NOT latch
+    assert info["cum_drift"] > eng.cum_drift_threshold
+    assert eng.last_route["route"].startswith("exact")
+
+
+def test_append_snapshot_survives_concurrent_ingest(spark):
+    """The ingest-vs-append race (round-10 fix): the coverage target is
+    snapshotted BEFORE the corpus capture, so rows ingested mid-append
+    still read as uncovered afterwards and get their own append — never
+    silently marked covered without an assignment. Simulated
+    deterministically: _space_rows reports 12 extra rows (a concurrent
+    batch_ingest) from the moment the append starts."""
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
+                                 local_exact_budget_bytes=0)
+    eng.batch_ingest(
+        [{"content": f"race doc {i}", "modality": "text"}
+         for i in range(100)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=8, calibrate=False)
+    eng.batch_ingest(
+        [{"content": f"race late {i}", "modality": "text"}
+         for i in range(10)]
+    )  # 110 real rows, 10 uncovered
+
+    real_space_rows = eng._space_rows
+    calls = {"n": 0}
+
+    def racing_space_rows(space):
+        calls["n"] += 1
+        # after the first read (the snapshot), a concurrent ingest has
+        # landed: the counter now reports 12 more rows than the corpus
+        # the append captured
+        bump = 12 if calls["n"] > 1 else 0
+        return real_space_rows(space) + bump
+
+    eng._space_rows = racing_space_rows
+    out = eng.append_to_ann_index("clip")
+    eng._space_rows = real_space_rows
+    assert out["appended"] == 10
+    # rows_at_build must equal the SNAPSHOT (110), not the racing
+    # counter's 122 — the 12 phantom rows stay uncovered
+    assert eng._ann["clip"]["rows_at_build"] == 110
+
+
+def test_ivf_plan_picks_cheapest_measured_point(spark):
+    """_ivf_plan must take min() over qualifying points by the
+    depth-matched measured wall — a synthetic NON-monotone curve where
+    a larger fraction measured cheaper must win over the first
+    ascending-fraction qualifier."""
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
+                                 local_exact_budget_bytes=0)
+    eng.batch_ingest(
+        [{"content": f"plan doc {i}", "modality": "text"}
+         for i in range(60)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=8, calibrate=False)
+    eng._ann["clip"]["calibration"] = {
+        "points": [
+            {"fraction": 0.125, "nprobe": 1, "recall": 0.96,
+             "ms_per_q": 5.0, "ms_single": 9.0},
+            {"fraction": 0.25, "nprobe": 2, "recall": 0.97,
+             "ms_per_q": 3.0, "ms_single": 4.0},  # cheapest measured
+            {"fraction": 0.5, "nprobe": 4, "recall": 0.99,
+             "ms_per_q": 6.0, "ms_single": 8.0},
+        ],
+        "exact_ms_per_q": 50.0, "exact_ms_single": 50.0,
+        "k": 10, "n_queries": 8, "rows_at_calibration": 60,
+        "query_ids": [], "calibration_sec": 0.0,
+    }
+    nprobe, ms, why = eng._ivf_plan("clip", 0.95, batch=True)
+    assert (nprobe, ms) == (2, 3.0)
+    nprobe, ms, why = eng._ivf_plan("clip", 0.95, batch=False)
+    assert (nprobe, ms) == (2, 4.0)
+    # floor only the last point meets -> that point, not the cheapest
+    nprobe, _, _ = eng._ivf_plan("clip", 0.98, batch=True)
+    assert nprobe == 4
+
+
+def test_stale_calibration_recalibrates_with_appended_ground_truth(spark):
+    """Once appended rows exceed recalibration_fraction of the
+    calibrated corpus, the route re-runs calibration on the CURRENT
+    corpus: the reason logs it, rows_at_calibration moves to the new
+    count, and appended ids are eligible as sampled calibration
+    queries (the ground truth no longer excludes them)."""
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
+                                 local_exact_budget_bytes=0)
+    eng.batch_ingest(
+        [{"content": f"stale doc {i}", "modality": "text"}
+         for i in range(120)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=8,
+                        calibration_queries=16)
+    cal0 = eng._ann["clip"]["calibration"]
+    assert cal0["rows_at_calibration"] == 120
+    # make the stored (stale) curve permissive so the gates pass and
+    # the route actually reaches the staleness check
+    for p in cal0["points"]:
+        p["recall"] = 1.0
+        p["ms_per_q"] = 1.0
+        p["ms_single"] = 1.0
+    cal0["exact_ms_per_q"] = 99.0
+    cal0["exact_ms_single"] = 99.0
+
+    # 60 appended rows = 50% > the 25% recalibration fraction
+    eng.batch_ingest(
+        [{"content": f"stale late {i}", "modality": "text"}
+         for i in range(60)]
+    )
+    eng.search("stale doc 7", k=3, recall_floor=0.5)
+    assert "recalibrated" in eng.last_route["reason"]
+    cal1 = eng._ann["clip"]["calibration"]
+    assert cal1 is not cal0
+    assert cal1["rows_at_calibration"] == 180
+    # appended ids (120..179) entered the xxhash64 query sample
+    assert any(qid >= 120 for qid in cal1["query_ids"])
+    # and the trigger is one-shot: the next search must not re-run it
+    eng.search("stale doc 8", k=3, recall_floor=0.5)
+    assert eng._ann["clip"]["calibration"] is cal1
