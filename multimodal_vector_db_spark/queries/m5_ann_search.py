@@ -8,6 +8,8 @@ the FIRST 50 registered queries — see tests/test_registry_window.py.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -180,26 +182,160 @@ def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_knn")  # rows-only: KMeans centroids differ across engines
-def q_ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: MLlib KMeans coarse quantizer (8 clusters, seed 42),
-    nprobe=2 cluster-pruned search for 10 queries. Validated by recall
-    against exact kNN in tests/test_ann.py (the reference's own
-    standard for ANN paths — never hash equality)."""
-    from multimodal_vector_db_spark.operators.ann import (
-        ivf_assign,
-        ivf_fit,
-        ivf_search,
+#: committed MLlib-KMeans centroid fixture (tools/build_fixtures.py) —
+#: the fit/serve split that closes the last rows-only ANN entry: the
+#: KMeans FIT stays recall-validated (tests/test_ann.py), while
+#: assignment + nprobe'd search through the PERSISTED centroids is
+#: exact relational arithmetic both engines replay bit-for-bit. Oracle
+#: declared for the sf0.01 correctness gate only (each sf has its own
+#: fixture, like pca_basis).
+_IVF_FIXTURES_DIR = _os.path.join(
+    _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    ),
+    "fixtures",
+)
+
+
+@query(
+    "ann_ivf_knn",
+    f"""
+    WITH cent AS (
+      SELECT cluster_id AS cid, v AS cv, list_dot_product(v, v) AS cc
+      FROM read_parquet(
+        '{_IVF_FIXTURES_DIR}/ivf_centroids_sf0.01.parquet/*.parquet')
+    ),
+    xd AS (
+      SELECT vec_id, embedding,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS xx
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT x.vec_id, x.embedding, c.cid,
+             x.xx - 2 * list_dot_product(x.embedding::DOUBLE[], c.cv) + c.cc
+               AS d
+      FROM xd x CROSS JOIN cent c
+    ),
+    asg AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY d ASC, cid DESC) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, cid FROM (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY d ASC, cid DESC) AS rn
+        FROM scored WHERE vec_id < 10) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT q.query_id, a.vec_id AS id,
+             list_dot_product(a.embedding::DOUBLE[], q.q_emb::DOUBLE[]) AS sim
+      FROM asg a JOIN qprobe q ON a.cid = q.cid
+    ),
+    ranked AS (
+      SELECT query_id, id, sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, id ASC) AS rank
+      FROM cand
     )
+    SELECT query_id, id, sim, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the TRAINED (MLlib KMeans, 8 clusters, seed 42)
+    coarse quantizer, fully hash-checked (round 10): the fit is
+    persisted once by ``tools/build_fixtures.py`` as a committed
+    centroid fixture, and this query replays assignment + probing +
+    cluster-pruned top-5 through it. Assignment uses the MLlib L2 rule
+    the engine's serving path uses (``nearest_centroid(metric="l2")``
+    semantics: min distance, ties → higher cid), with the distance
+    decomposed as ``x·x − 2·x·c + c·c`` on the sequential-fold dot
+    contract so the DuckDB oracle matches bit-for-bit. Queries probe
+    their nprobe=2 nearest cells by the same rule; candidates score
+    with the exact dot. (Reference: IVF serving over a trained
+    quantizer, quantization.py:28-57 fit + vector_index.py search; the
+    live-fit variant of this plan is the engine's ``build_ann_index``
+    route, recall-validated in tests/test_ann.py.) The oracle is valid
+    at sf0.01 only — each sf has its own committed fixture; a missing
+    fixture is a setup error fixed by ``python
+    tools/build_fixtures.py``."""
+    fix = _os.path.join(
+        _IVF_FIXTURES_DIR,
+        f"ivf_centroids_{_os.path.basename(sf_dir.rstrip('/'))}.parquet",
+    )
+    if not _os.path.exists(fix):
+        raise FileNotFoundError(
+            f"ann_ivf_knn: missing IVF centroid fixture {fix}; run "
+            "`python tools/build_fixtures.py` (queries never write "
+            "fixtures at run time)"
+        )
+    cent = sorted(
+        (int(r["cluster_id"]), list(r["v"]))
+        for r in spark.read.parquet(fix).collect()
+    )
+    # c·c driver-side with the same sequential left-to-right fold the
+    # oracle's list_dot_product uses (Python float IS IEEE double)
+    cc = []
+    for _, v in cent:
+        acc = 0.0
+        for a in v:
+            acc += a * a
+        cc.append(acc)
 
     emb = _t(spark, sf_dir, "embeddings")
-    corpus = emb.select(F.col("vec_id").alias("id"), "embedding")
-    centroids = ivf_fit(corpus, n_clusters=8)
-    assigned = ivf_assign(corpus, centroids)
-    queries = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    xx = dot("embedding", "embedding")
+
+    def dist_pairs():
+        # (−d, cid) structs: array_max picks min distance, ties → the
+        # HIGHER cid — the same rule as the SQL (d ASC, cid DESC)
+        return F.array(
+            *[
+                F.struct(
+                    (
+                        -(
+                            (
+                                xx
+                                - F.lit(2.0)
+                                * dot(
+                                    "embedding",
+                                    F.array(*[F.lit(x) for x in v]),
+                                )
+                            )
+                            + F.lit(ccj)
+                        )
+                    ).alias("nd"),
+                    F.lit(cid).alias("cid"),
+                )
+                for (cid, v), ccj in zip(cent, cc)
+            ]
+        )
+
+    assigned = emb.select(
+        F.col("vec_id").alias("id"),
+        "embedding",
+        F.array_max(dist_pairs())["cid"].alias("cid"),
     )
-    out = ivf_search(assigned, queries, centroids, k=5, nprobe=2)
+    probes = (
+        emb.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(
+                F.transform(
+                    F.slice(F.reverse(F.array_sort(dist_pairs())), 1, 2),
+                    lambda s: s["cid"],
+                )
+            ).alias("cid"),
+        )
+    )
+    cand = assigned.join(F.broadcast(probes), "cid").select(
+        "query_id", "id", dot("embedding", "q_emb").alias("sim")
+    )
+    out = top_k_per_group(cand, ["query_id"], k=5)
     return out.select(
         "query_id", "id", "sim", F.col("rank").cast("long").alias("rank")
     )

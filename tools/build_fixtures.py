@@ -97,6 +97,37 @@ def build_pca_basis(spark, sf_dir: str, out_path: str) -> None:
     print(f"wrote {out_path} ({PCA_K} components, d={d})")
 
 
+IVF_CLUSTERS = 8
+
+
+def build_ivf_centroids(spark, sf_dir: str, out_path: str) -> None:
+    """MLlib-KMeans IVF centroid fixture (k=8, seed 42 — the exact fit
+    ``queries/m5_ann_search.q_ann_ivf_knn`` used to re-run per
+    invocation). Persisting the fit is the same fit/serve split as the
+    PCA basis: the KMeans FIT stays engine-specific (recall-validated
+    in tests/test_ann.py), while assignment + nprobe'd search through
+    the persisted centroids is pure relational arithmetic both Spark
+    and the DuckDB oracle replay bit-for-bit (L2 distance decomposed
+    as ``x·x − 2·x·c + c·c`` on the sequential-fold dot contract).
+    Rows: ``(cluster_id BIGINT, v ARRAY<DOUBLE>)``."""
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.operators.ann import ivf_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = ivf_fit(
+        emb.select(F.col("vec_id").alias("id"), "embedding"),
+        n_clusters=IVF_CLUSTERS,
+    )
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(centroids)
+    ]
+    spark.createDataFrame(rows, "cluster_id long, v array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(out_path)
+    print(f"wrote {out_path} ({IVF_CLUSTERS} centroids, d={len(rows[0][1])})")
+
+
 def main() -> None:
     from multimodal_vector_db_spark.session import get_spark
 
@@ -114,6 +145,11 @@ def main() -> None:
             spark,
             sf_dir,
             os.path.join(REPO, "fixtures", f"opq_rot_{name}.parquet"),
+        )
+        build_ivf_centroids(
+            spark,
+            sf_dir,
+            os.path.join(REPO, "fixtures", f"ivf_centroids_{name}.parquet"),
         )
 
 
