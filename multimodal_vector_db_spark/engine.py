@@ -1744,6 +1744,101 @@ class MultiModalSearchEngine:
         self._local_route_log(cache, space, recall_floor)
         return out
 
+    def _compare_local_rows(
+        self,
+        q_by_space_list: list[dict[str, list[float]]],
+        k_per_modality: int,
+        default_space: str = "clip",
+    ) -> list[tuple] | None:
+        """Driver-resident dual-space scoring for
+        :meth:`compare_modalities` / :meth:`compare_modalities_batch` —
+        the §3.3 signature query is a SINGLE interactive call in the
+        reference (``search_cross_modal.py:107-173``), so it gets the
+        same micro-path as :meth:`search`. Every space's live rows must
+        collectively fit the byte budget (all spaces are scored); each
+        row scores against ITS space's query vector (absent spaces fall
+        back to ``default_space`` — the HOF form's ``otherwise``
+        branch), then exact top-k per (query, modality) with the
+        blocked kernel's tie-break. Returns
+        ``[(query_idx, modality, space, id, display_name, sim, rank)]``
+        sorted by (query, modality, rank), or None when over budget /
+        disabled."""
+        import numpy as np
+
+        from multimodal_vector_db_spark.operators.knn import topk_rows_1d
+
+        if self.local_exact_budget_bytes <= 0 or self.items is None:
+            return None
+        self._space_rows(default_space)  # materialize the per-space map
+        spaces = sorted(
+            s for s, n in self._n_rows_by_space.items() if n > 0
+        )
+        total_cells = sum(
+            self._n_rows_by_space[s] for s in spaces
+        ) * self.dim
+        if total_cells * 4 > self.local_exact_budget_bytes:
+            return None
+        caches = {}
+        for s in spaces:
+            c = self._local_corpus(s)
+            if c is None:
+                return None
+            if len(c["ids"]) and c["emb"].shape[1] != self.dim:
+                # a space at a different width (e.g. audio_sig WHT
+                # signatures) cannot score against the engine-dim query
+                # vectors — defer to the Spark paths' handling
+                return None
+            caches[s] = c
+        nq = len(q_by_space_list)
+        # one GEMM per space scores EVERY query at once (the batch
+        # twin's whole point), then exact per-(query, modality) top-k
+        ids_all, S_all, mods, srcs = [], [], [], []
+        for s in spaces:
+            c = caches[s]
+            if not len(c["ids"]):
+                continue
+            Qs = np.array(
+                [
+                    q.get(s, q[default_space])
+                    for q in q_by_space_list
+                ],
+                dtype=np.float64,
+            )  # (nq, d)
+            S_all.append(c["emb"] @ Qs.T)  # (n_s, nq)
+            ids_all.append(c["ids"])
+            mods.append(c["modality"])
+            srcs.extend((s, int(i)) for i in range(len(c["ids"])))
+        if not ids_all:
+            return []
+        ids_cat = np.concatenate(ids_all)
+        S_cat = np.concatenate(S_all, axis=0)  # (n, nq)
+        mods_cat = np.concatenate(mods)
+        out: list[tuple] = []
+        for qi in range(nq):
+            sims = S_cat[:, qi]
+            for g in sorted(set(mods_cat.tolist())):
+                sel = np.nonzero(mods_cat == g)[0]
+                top = topk_rows_1d(
+                    sims[sel],
+                    ids_cat[sel],
+                    min(k_per_modality, len(sel)),
+                )
+                for rank, t in enumerate(top, start=1):
+                    src_space, src_i = srcs[int(sel[t])]
+                    pay = caches[src_space]["payload"][src_i]
+                    out.append(
+                        (
+                            qi,
+                            g,
+                            pay["space"],
+                            int(ids_cat[sel[t]]),
+                            pay["display_name"],
+                            float(sims[sel[t]]),
+                            rank,
+                        )
+                    )
+        return out
+
     def _fetch_payload(
         self, corpus: DataFrame, ids: list[int], pay: list[str]
     ) -> dict[int, dict[str, Any]]:
@@ -1862,6 +1957,25 @@ class MultiModalSearchEngine:
         fp accumulation order; parity-tested)."""
         q_clip = self._embed(query, "clip")
         q_clap = self._embed(query, "clap")
+        # driver-resident micro-path (round 10): the §3.3 query is a
+        # single interactive call — same budget/eligibility contract as
+        # search(); an explicit scorer keeps the Spark parity paths
+        if scorer == "auto":
+            local = self._compare_local_rows(
+                [{"clip": q_clip, "clap": q_clap}], k_per_modality
+            )
+            if local is not None:
+                self.last_route = {
+                    "route": "exact-local",
+                    "reason": (
+                        "all spaces within local_exact_budget — driver-"
+                        "resident dual-space scoring"
+                    ),
+                }
+                return self.spark.createDataFrame(
+                    [(m, s, i, d, sim, r) for (_q, m, s, i, d, sim, r) in local],
+                    self._COMPARE_SCHEMA,
+                )
         use_blocked = scorer == "blocked" or (
             scorer == "auto"
             and self._corpus_rows() * self.dim >= self._single_threshold()
@@ -1939,6 +2053,34 @@ class MultiModalSearchEngine:
             )
             for i, q in enumerate(queries)
         ]
+        # driver-resident micro-path (one GEMM per space scores every
+        # query) — same contract as compare_modalities
+        local = self._compare_local_rows(
+            [v for _, v in qpairs], k_per_modality
+        )
+        if local is not None:
+            self.last_route = {
+                "route": "exact-local",
+                "reason": (
+                    "all spaces within local_exact_budget — driver-"
+                    "resident dual-space batch scoring"
+                ),
+            }
+            out_l: dict[int, list[dict[str, Any]]] = {
+                i: [] for i in range(len(queries))
+            }
+            for qi, m, s, i_, d, sim, r in local:
+                out_l[qi].append(
+                    {
+                        "modality": m,
+                        "space": s,
+                        "id": i_,
+                        "display_name": d,
+                        "sim": sim,
+                        "rank": r,
+                    }
+                )
+            return out_l
         corpus = active(self.items)
         winners = dual_space_topk_blocked(
             corpus, qpairs, k=k_per_modality

@@ -119,13 +119,16 @@ def context_window_spans(
     of each doc over the windows it touches — linear, SQL-replayable.
     The last window reports its true (possibly short) token count.
 
-    Scale shape: one global cumulative window over (ntok+1) is the
-    only total ordering this op fundamentally needs (the token stream
-    IS ordered); everything else is a bounded explode (a doc touches
+    Scale shape: the one total ordering this op fundamentally needs
+    (the token stream IS ordered by doc_id) runs as a DISTRIBUTED
+    two-phase prefix sum since round 10 — range partition + balanced
+    per-partition window + broadcast offsets, no single-partition
+    exchange (see :func:`context_window_spans_from_lengths`);
+    everything else is a bounded explode (a doc touches
     ⌈(ntok+1)/window⌉ windows) and a window_id groupBy with partial
-    aggs. At 100 TB the cumsum runs per-shard after :func:`pack_shards`
-    assigns shard boundaries — document the composition, don't hide
-    the global sort."""
+    aggs. :func:`context_window_spans_sharded` remains the
+    shard-SEMANTICS variant (windows never span shards — independent
+    training streams), not a performance workaround."""
     from pyspark.sql import Window as W
 
     from multimodal_vector_db_spark.functions.text import tokens
@@ -152,7 +155,7 @@ def context_window_spans(
 
 
 def context_window_spans_from_lengths(
-    t: "DataFrame", window: int
+    t: "DataFrame", window: int, distributed: bool = True
 ) -> "DataFrame":
     """The window-span accounting core over precomputed per-doc token
     counts — ``t`` is ``(doc_id, len1)`` with ``len1 >= 1`` (the doc's
@@ -161,19 +164,38 @@ def context_window_spans_from_lengths(
     length definition is pluggable: :func:`context_window_spans` feeds
     whitespace-token counts, ``tokenized_context_windows`` feeds REAL
     subword counts from a trained tokenizer — the corpus → tokenizer →
-    training-batch handoff a pretraining pipeline ships."""
+    training-batch handoff a pretraining pipeline ships.
+
+    **The global cumsum is distributed** (round 10, default): the
+    total order over doc_id this op fundamentally needs used to run as
+    ONE single-partition window — the exact bottleneck a 100 TB corpus
+    dies on. It is now a two-phase prefix sum (the same move as the
+    bulk-ingest id assigner): range-partition by doc_id, per-partition
+    window cumsum (a BALANCED exchange), per-partition totals
+    prefix-summed driver-side (one tiny collect — rows =
+    #partitions), broadcast back as offsets. Output is bit-identical —
+    integer sums are associative — so the DuckDB oracles hold
+    unchanged; ``distributed=False`` keeps the single-window plan for
+    plan-shape comparison in tests."""
     from pyspark.sql import Window as W
 
-    cum = t.withColumn(
-        "end_",
-        F.sum("len1").over(
-            W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
-        ),
-    ).select(
-        "doc_id",
-        (F.col("end_") - F.col("len1")).alias("start_"),
-        "end_",
-    )
+    if distributed:
+        cum, total_tokens = _distributed_cumsum_lengths(t)
+        total = cum.sparkSession.createDataFrame(
+            [(int(total_tokens),)], "n long"
+        )
+    else:
+        cum = t.withColumn(
+            "end_",
+            F.sum("len1").over(
+                W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        ).select(
+            "doc_id",
+            (F.col("end_") - F.col("len1")).alias("start_"),
+            "end_",
+        )
+        total = cum.agg(F.max("end_").alias("n"))
     spans = cum.select(
         "doc_id",
         F.explode(
@@ -185,7 +207,6 @@ def context_window_spans_from_lengths(
         "start_",
         "end_",
     )
-    total = cum.agg(F.max("end_").alias("n"))
     return (
         spans.groupBy("window_id")
         .agg(
@@ -205,6 +226,58 @@ def context_window_spans_from_lengths(
             ).alias("n_tokens"),
         )
     )
+
+
+def _distributed_cumsum_lengths(t: "DataFrame") -> tuple["DataFrame", int]:
+    """Two-phase exact prefix sum of ``len1`` in global doc_id order:
+    returns ``((doc_id, start_, end_), total_tokens)`` with no
+    single-partition exchange. Range partitioning makes each partition
+    a CONTIGUOUS doc_id slice, so global position = within-partition
+    window cumsum + the prefix-summed totals of the partitions before
+    it (ordered by their min doc_id). The partition layout is pinned
+    (persist) so the totals job and the offset join observe the same
+    slices, then the result is checkpointed and the pin released —
+    the same discipline as ``engine.batch_ingest_df``."""
+    from pyspark.sql import Window as W
+
+    src = (
+        t.repartitionByRange(F.col("doc_id"))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        parts = (
+            src.groupBy("__pid")
+            .agg(F.sum("len1").alias("s"), F.min("doc_id").alias("lo"))
+            .collect()
+        )
+        parts.sort(key=lambda r: r["lo"])
+        running, offs = 0, []
+        for r in parts:
+            offs.append((int(r["__pid"]), running))
+            running += int(r["s"])
+        spark = src.sparkSession
+        off_df = F.broadcast(
+            spark.createDataFrame(offs or [(0, 0)], "__pid int, __off long")
+        )
+        w = (
+            W.partitionBy("__pid")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        cum = (
+            src.join(off_df, "__pid")
+            .withColumn("end_", F.col("__off") + F.sum("len1").over(w))
+            .select(
+                "doc_id",
+                (F.col("end_") - F.col("len1")).alias("start_"),
+                "end_",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        src.unpersist()
+    return cum, running
 
 
 def context_window_spans_sharded(

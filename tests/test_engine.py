@@ -1360,3 +1360,38 @@ def test_stale_calibration_recalibrates_with_appended_ground_truth(spark):
     # and the trigger is one-shot: the next search must not re-run it
     eng.search("stale doc 8", k=3, recall_floor=0.5)
     assert eng._ann["clip"]["calibration"] is cal1
+
+
+def test_compare_modalities_local_parity(spark):
+    """compare_modalities / _batch on the micro-path must match the
+    Spark blocked parity surface row for row (ids, spaces, ranks,
+    approx sims) — and the route log shows exact-local."""
+    eng = MultiModalSearchEngine(spark, dim=32)
+    eng.batch_ingest(
+        [
+            {"content": f"cl doc {i} topic {i % 4}",
+             "modality": ["text", "image", "audio"][i % 3]}
+            for i in range(90)
+        ]
+    )
+    loc = eng.compare_modalities("cl doc 7", k_per_modality=3)
+    assert eng.last_route["route"] == "exact-local"
+    blk = eng.compare_modalities("cl doc 7", k_per_modality=3,
+                                 scorer="blocked")
+    key = lambda r: (r["modality"], r["rank"])  # noqa: E731
+    L = sorted(loc.collect(), key=key)
+    B = sorted(blk.collect(), key=key)
+    assert [(r["modality"], r["rank"], r["id"], r["space"],
+             r["display_name"]) for r in L] == [
+        (r["modality"], r["rank"], r["id"], r["space"], r["display_name"])
+        for r in B
+    ]
+    for x, y in zip(L, B):
+        assert x["sim"] == pytest.approx(y["sim"], abs=1e-12)
+    batch = eng.compare_modalities_batch(
+        ["cl doc 7", "cl doc 11"], k_per_modality=3
+    )
+    assert eng.last_route["route"] == "exact-local"
+    assert [(r["modality"], r["rank"], r["id"]) for r in batch[0]] == [
+        (r["modality"], r["rank"], r["id"]) for r in L
+    ]

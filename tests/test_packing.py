@@ -185,3 +185,30 @@ def test_context_window_spans_from_lengths_pluggable_core(spark):
     assert rows[0]["last_doc"] == 2 and rows[1]["first_doc"] == 2
     # empty doc 1 sits wholly in window 0
     assert rows[0]["n_docs"] == 3
+
+
+def test_context_window_spans_distributed_cumsum_parity(spark):
+    """Round 10: the default (distributed two-phase prefix sum) core
+    must return bit-identical rows to the single-partition window form
+    — and its physical plan must contain NO SinglePartition exchange
+    (the 100 TB bottleneck the rewrite removes)."""
+    from pyspark.sql import functions as F
+
+    from multimodal_vector_db_spark.operators.packing import (
+        context_window_spans_from_lengths,
+    )
+
+    t = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37 + 1).cast("long").alias("len1"),
+    )
+    dist = context_window_spans_from_lengths(t, window=64)
+    single = context_window_spans_from_lengths(
+        t, window=64, distributed=False
+    )
+    key = lambda r: r["window_id"]  # noqa: E731
+    assert sorted(dist.collect(), key=key) == sorted(
+        single.collect(), key=key
+    )
+    plan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
