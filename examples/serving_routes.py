@@ -21,7 +21,16 @@ The engine's quality contract is ``recall_floor``:
   live in the fitted cell structure).
 - Every decision is logged on ``engine.last_route`` (route, reason,
   nprobe); ``route="exact"``/``"ivf"`` force a path, and an explicit
-  ``scorer=`` always forces exact (it is the exact-parity surface).
+  ``scorer=`` always forces exact (it is the exact-parity surface;
+  combining it with ``route="ivf"`` raises — a contradiction).
+- Round 10 adds a tier ABOVE all of this: when the space's vector
+  mass fits ``local_exact_budget_bytes`` (256 MB default), single and
+  batch searches are served from a driver-resident corpus copy with
+  the same BLAS kernel + tie-break as the blocked scorer — exact (so
+  any floor is honored) and free of the per-job scheduling floor.
+  This demo pins ``local_exact_budget_bytes=0`` to showcase the SPARK
+  planner (the path every over-budget corpus takes); the first
+  section shows the local tier once.
 
 Run:  python examples/serving_routes.py
 """
@@ -44,7 +53,21 @@ def show(tag: str, eng: MultiModalSearchEngine) -> None:
 
 def main() -> None:
     spark = get_spark("serving_routes")
-    eng = MultiModalSearchEngine(spark, dim=32, blocked_threshold_cells=10)
+
+    # 0. the round-10 default: under the local byte budget a single
+    #    interactive search never launches a Spark job at all
+    eng0 = MultiModalSearchEngine(spark, dim=32)
+    eng0.batch_ingest(
+        [{"content": f"document number {i}", "modality": "text"}
+         for i in range(300)]
+    )
+    eng0.search("document number 7", k=3)
+    show("default engine, corpus under local budget", eng0)
+
+    # everything below pins local_exact_budget_bytes=0 to demonstrate
+    # the SPARK planner — the path any over-budget corpus takes
+    eng = MultiModalSearchEngine(spark, dim=32, blocked_threshold_cells=10,
+                                 local_exact_budget_bytes=0)
     eng.batch_ingest(
         [{"content": f"document number {i}", "modality": "text"}
          for i in range(300)]

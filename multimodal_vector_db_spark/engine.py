@@ -149,6 +149,10 @@ class MultiModalSearchEngine:
         #: {epoch, ids, emb, modality, payload}; dropped whenever the
         #: corpus epoch moves past the cached one
         self._local_cache: dict[str, dict[str, Any]] = {}
+        #: derived cross-space structures for the compare micro-path
+        #: (concatenated ids, per-modality selections) — same epoch
+        #: contract as _local_cache
+        self._compare_cache: dict[str, Any] | None = None
         #: corpus mutation epoch — bumped by every path that reassigns
         #: ``self.items`` (ingest, bulk ingest, remove, audio ingest) so
         #: driver caches can invalidate without comparing DataFrames
@@ -1789,55 +1793,79 @@ class MultiModalSearchEngine:
                 # vectors — defer to the Spark paths' handling
                 return None
             caches[s] = c
+        # per-epoch derived structures (concatenated ids, per-modality
+        # row selections, row→(space, local index) maps): building
+        # these costs ~n Python-object ops, so they are computed ONCE
+        # per corpus epoch, not per call
+        cc = self._compare_cache
+        if cc is None or cc["epoch"] != self._epoch or cc[
+            "spaces"
+        ] != spaces:
+            ids_all, mods, sp_idx, row_idx = [], [], [], []
+            for si, s in enumerate(spaces):
+                c = caches[s]
+                n_s = len(c["ids"])
+                if not n_s:
+                    continue
+                ids_all.append(c["ids"])
+                mods.append(c["modality"])
+                sp_idx.append(np.full(n_s, si, dtype=np.int32))
+                row_idx.append(np.arange(n_s, dtype=np.int64))
+            if not ids_all:
+                return []
+            mods_cat = np.concatenate(mods)
+            groups = sorted(set(mods_cat.tolist()))
+            cc = {
+                "epoch": self._epoch,
+                "spaces": spaces,
+                "ids_cat": np.concatenate(ids_all),
+                "sp_idx": np.concatenate(sp_idx),
+                "row_idx": np.concatenate(row_idx),
+                "groups": groups,
+                "group_sel": {
+                    g: np.nonzero(mods_cat == g)[0] for g in groups
+                },
+            }
+            self._compare_cache = cc
         nq = len(q_by_space_list)
         # one GEMM per space scores EVERY query at once (the batch
         # twin's whole point), then exact per-(query, modality) top-k
-        ids_all, S_all, mods, srcs = [], [], [], []
-        for s in spaces:
-            c = caches[s]
-            if not len(c["ids"]):
-                continue
-            Qs = np.array(
-                [
-                    q.get(s, q[default_space])
-                    for q in q_by_space_list
-                ],
+        S_all = [
+            caches[s]["emb"]
+            @ np.array(
+                [q.get(s, q[default_space]) for q in q_by_space_list],
                 dtype=np.float64,
-            )  # (nq, d)
-            S_all.append(c["emb"] @ Qs.T)  # (n_s, nq)
-            ids_all.append(c["ids"])
-            mods.append(c["modality"])
-            srcs.extend((s, int(i)) for i in range(len(c["ids"])))
-        if not ids_all:
-            return []
-        ids_cat = np.concatenate(ids_all)
+            ).T
+            for s in spaces
+            if len(caches[s]["ids"])
+        ]
         S_cat = np.concatenate(S_all, axis=0)  # (n, nq)
-        mods_cat = np.concatenate(mods)
-        out: list[tuple] = []
-        for qi in range(nq):
-            sims = S_cat[:, qi]
-            for g in sorted(set(mods_cat.tolist())):
-                sel = np.nonzero(mods_cat == g)[0]
-                top = topk_rows_1d(
-                    sims[sel],
-                    ids_cat[sel],
-                    min(k_per_modality, len(sel)),
-                )
+        ids_cat = cc["ids_cat"]
+        per_q: list[list[tuple]] = [[] for _ in range(nq)]
+        for g in cc["groups"]:
+            sel = cc["group_sel"][g]
+            Sg = S_cat[sel]  # (n_g, nq) — one gather per group
+            ids_g = ids_cat[sel]
+            kk = min(k_per_modality, len(sel))
+            for qi in range(nq):
+                top = topk_rows_1d(Sg[:, qi], ids_g, kk)
                 for rank, t in enumerate(top, start=1):
-                    src_space, src_i = srcs[int(sel[t])]
-                    pay = caches[src_space]["payload"][src_i]
-                    out.append(
+                    src = int(sel[t])
+                    pay = caches[spaces[cc["sp_idx"][src]]]["payload"][
+                        int(cc["row_idx"][src])
+                    ]
+                    per_q[qi].append(
                         (
                             qi,
                             g,
                             pay["space"],
-                            int(ids_cat[sel[t]]),
+                            int(ids_g[t]),
                             pay["display_name"],
-                            float(sims[sel[t]]),
+                            float(Sg[t, qi]),
                             rank,
                         )
                     )
-        return out
+        return [row for rows in per_q for row in rows]
 
     def _fetch_payload(
         self, corpus: DataFrame, ids: list[int], pay: list[str]

@@ -49,20 +49,33 @@ def mmr_rerank(
     # seed: best by relevance score (stable first-max)
     best_i = max(range(len(remaining)), key=lambda i: (remaining[i][score_key], -i))
     selected = [remaining.pop(best_i)]
+    # running max-similarity per remaining candidate (round 10): the
+    # greedy's max over the selected set only grows by the ONE item
+    # appended each round, so each candidate needs one new cosine per
+    # round instead of recomputing the whole set — O(k·n) cosines,
+    # not O(k²·n). max() is order-independent, so every value (and
+    # therefore every selection and tie-break) is bit-identical to the
+    # recompute-everything form the oracle replays.
+    best_sim = [
+        _cosine(c[embedding_key], selected[0][embedding_key])
+        for c in remaining
+    ]
     while remaining and len(selected) < top_k:
         best_i, best_val = 0, -float("inf")
         for i, cand in enumerate(remaining):
-            max_sim = max(
-                _cosine(cand[embedding_key], s[embedding_key])
-                for s in selected
-            )
             val = (
                 lambda_param * cand[score_key]
-                - (1.0 - lambda_param) * max_sim
+                - (1.0 - lambda_param) * best_sim[i]
             )
             if val > best_val:  # strict: first max wins (np.argmax)
                 best_i, best_val = i, val
-        selected.append(remaining.pop(best_i))
+        new_sel = remaining.pop(best_i)
+        best_sim.pop(best_i)
+        selected.append(new_sel)
+        for i, cand in enumerate(remaining):
+            s = _cosine(cand[embedding_key], new_sel[embedding_key])
+            if s > best_sim[i]:
+                best_sim[i] = s
     return selected
 
 

@@ -117,6 +117,16 @@ def main() -> None:
     detail["ref_scale_16x"] = agg
     with open(DETAIL, "w") as fh:
         json.dump(detail, fh, indent=1)
+    # fresh-process passes for the other isolation-hygiene sections
+    # (round 10 adds streaming): each writes its own bench_detail key,
+    # which the final all-sections pass carries forward marked
+    for sec in ("concurrency", "streaming"):
+        print(
+            f"== bench_all: {sec} pass ==", file=sys.stderr, flush=True
+        )
+        _run_bench(
+            dict(os.environ, SPARK_GRAFT_BENCH_SECTIONS=sec), passthrough
+        )
     print("== bench_all: all-sections pass ==", file=sys.stderr, flush=True)
     _run_bench(dict(os.environ), passthrough)
 

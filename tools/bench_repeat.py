@@ -72,6 +72,11 @@ def main() -> None:
         "sf": runs[0]["sf"],
         "headline_total_median": round(median([r["value"] for r in runs]), 4),
         "headline_total_runs": [r["value"] for r in runs],
+        # per-run host probes (round 10): divide a run's total by its
+        # probe ratio before reading cross-round deltas as code
+        "host_calibration_runs": [
+            r.get("host_calibration") for r in runs
+        ],
         "median": med,
         "spread": spread,
         "runs": [r["queries"] for r in runs],

@@ -343,7 +343,13 @@ def main() -> None:
             F.concat(F.lit("doc "), F.col("vec_id")).alias("content"),
             F.concat(F.lit("d_"), F.col("vec_id")).alias("display_name"),
         )
-        eng = MultiModalSearchEngine(spark, items=items, dim=64)
+        eng = MultiModalSearchEngine(
+            spark, items=items, dim=64,
+            # this probe grades the SPARK serving path's growth, so the
+            # round-10 driver micro-path is pinned off (every factor
+            # here is under its 256 MB budget and would serve locally)
+            local_exact_budget_bytes=0,
+        )
         # force the scale path at every factor (1× is 2k×64d = 128k
         # cells, under the default 1M-cell dispatch threshold)
         eng.blocked_threshold_cells = 1
