@@ -1147,6 +1147,16 @@ class MultiModalSearchEngine:
         clip). Only same-space rows are scored — cross-space similarity
         is refused by construction.
 
+        **Driver-resident micro-path** (round 10, checked FIRST): when
+        the space's vector mass fits ``local_exact_budget_bytes`` and
+        the call is expressible driver-side (``scorer="auto"``, route
+        not forced to IVF, no Column ``predicate``, not the binary
+        tier), the search is served exactly from an epoch-invalidated
+        in-process corpus copy — same kernel + tie-break as the
+        blocked scorer, no Spark job (``last_route.route ==
+        "exact-local"``). Everything below describes the over-budget
+        Spark paths.
+
         **Exact-vs-IVF planner** (rounds 8-9 — SURVEY §4's deferred
         rule): ``recall_floor`` declares the quality contract. At the
         default 1.0 the search is always exact. A floor < 1.0 lets
