@@ -1034,21 +1034,47 @@ class MultiModalSearchEngine:
 
         if info["drifted"]:
             return False, _drift_reason(), None
-        # floor/cost gates run BEFORE coverage maintenance: they don't
-        # depend on it, and triggering an append for an index the route
-        # then rejects anyway would be pure wasted work per ingest
+        # Coverage maintenance and calibration staleness run BEFORE the
+        # floor/cost gates (round-10 review fix): a STALE curve can fail
+        # the floor or cost gate in exactly the situations a refresh
+        # would reverse — e.g. a curve measured at N rows whose recall
+        # just missed the floor pins the route to a full scan of the
+        # now-10×-grown corpus forever, and a stale (small-corpus)
+        # exact_ms under-prices the exact scan precisely when the corpus
+        # has grown most. The gates must therefore see a curve measured
+        # on the corpus being served.
+        if self._space_rows(space) != info["rows_at_build"]:
+            if self.ann_auto_append:
+                self.append_to_ann_index(space)
+                if info["drifted"]:  # this append latched it
+                    return False, _drift_reason(), None
+            else:
+                return False, (
+                    "corpus changed since ANN build "
+                    f"({info['rows_at_build']} -> "
+                    f"{self._space_rows(space)} rows in {space!r}); "
+                    "append_to_ann_index or rebuild to re-enable"
+                ), None
+        # once the live corpus has outgrown the calibrated one by
+        # recalibration_fraction, refresh the measured curve on the
+        # CURRENT corpus (appended ids enter the xxhash64 query sample
+        # and the exact ground truth)
+        recal = self._maybe_recalibrate(space, info)
+        prefix = "recalibrated; " if recal else ""
         nprobe, ivf_ms, plan_why = self._ivf_plan(
             space, recall_floor, batch=batch
         )
         if nprobe is None:
-            return False, plan_why + " — exact honors the floor", None
+            return False, (
+                f"{prefix}{plan_why} — exact honors the floor"
+            ), None
         cal = info.get("calibration")
         why_cost = ""
         if cal is not None and ivf_ms is not None:
             # measured-cost crossover: both sides timed on THIS corpus
-            # at build time, at the MATCHING depth (batch-amortized vs
-            # single-query walls) — the dispatch moves with dim,
-            # cluster count and corpus size instead of a module constant
+            # at the MATCHING depth (batch-amortized vs single-query
+            # walls) — the dispatch moves with dim, cluster count and
+            # corpus size instead of a module constant
             exact_ms = (
                 cal["exact_ms_per_q"]
                 if batch
@@ -1057,9 +1083,9 @@ class MultiModalSearchEngine:
             depth = "batch" if batch else "single-query"
             if ivf_ms >= exact_ms:
                 return False, (
-                    f"measured cost ({depth}): ivf {ivf_ms:.2f} >= "
-                    f"exact {exact_ms:.2f} ms — exact is the cheaper "
-                    "way to honor the floor"
+                    f"{prefix}measured cost ({depth}): ivf {ivf_ms:.2f}"
+                    f" >= exact {exact_ms:.2f} ms — exact is the "
+                    "cheaper way to honor the floor"
                 ), None
             why_cost = (
                 f"; measured {depth} ivf {ivf_ms:.2f} < exact "
@@ -1074,57 +1100,7 @@ class MultiModalSearchEngine:
                     "below size threshold — exact scan is cheap",
                     None,
                 )
-        if self._space_rows(space) != info["rows_at_build"]:
-            if self.ann_auto_append:
-                self.append_to_ann_index(space)
-                if info["drifted"]:  # this append latched it
-                    return False, _drift_reason(), None
-            else:
-                return False, (
-                    "corpus changed since ANN build "
-                    f"({info['rows_at_build']} -> "
-                    f"{self._space_rows(space)} rows in {space!r}); "
-                    "append_to_ann_index or rebuild to re-enable"
-                ), None
-        # calibration staleness (round 10): once the live corpus has
-        # outgrown the calibrated one by recalibration_fraction, the
-        # stored curve's recall was measured against ground truth that
-        # excludes every appended row — refresh it on the CURRENT
-        # corpus (appended ids enter the xxhash64 query sample and the
-        # exact ground truth) and re-run the floor/cost gates on the
-        # fresh curve before trusting the IVF route
-        if self._maybe_recalibrate(space, info):
-            nprobe, ivf_ms, plan_why = self._ivf_plan(
-                space, recall_floor, batch=batch
-            )
-            if nprobe is None:
-                return False, (
-                    "recalibrated: " + plan_why + " — exact honors the "
-                    "floor"
-                ), None
-            cal = info.get("calibration")
-            why_cost = ""
-            if cal is not None and ivf_ms is not None:
-                exact_ms = (
-                    cal["exact_ms_per_q"]
-                    if batch
-                    else cal.get("exact_ms_single", cal["exact_ms_per_q"])
-                )
-                depth = "batch" if batch else "single-query"
-                if ivf_ms >= exact_ms:
-                    return False, (
-                        f"recalibrated: measured cost ({depth}): ivf "
-                        f"{ivf_ms:.2f} >= exact {exact_ms:.2f} ms — "
-                        "exact is the cheaper way to honor the floor"
-                    ), None
-                why_cost = (
-                    f"; measured {depth} ivf {ivf_ms:.2f} < exact "
-                    f"{exact_ms:.2f} ms"
-                )
-            return True, (
-                f"auto (recalibrated; {plan_why}{why_cost})"
-            ), nprobe
-        return True, f"auto ({plan_why}{why_cost})", nprobe
+        return True, f"auto ({prefix}{plan_why}{why_cost})", nprobe
 
     # -- search (search_engine.py:174-223) -----------------------------
     def search(
@@ -1636,11 +1612,14 @@ class MultiModalSearchEngine:
             if rows
             else np.zeros((0, self.dim), dtype=np.float64)
         )
+        # NOTE: no separate list-of-lists copy of the vectors is kept —
+        # emb.tolist() slices reproduce the collected float values
+        # bit-for-bit (float32 parquet values are exact in float64), so
+        # diversity reranking reads rows out of the matrix on demand
         cached = {
             "epoch": epoch,
             "ids": np.array([r["id"] for r in rows], dtype=np.int64),
             "emb": emb,
-            "emb_list": [r["embedding"] for r in rows],
             "modality": np.array(
                 [r["modality"] for r in rows], dtype=object
             ),
@@ -1711,7 +1690,7 @@ class MultiModalSearchEngine:
                 d = dict(cache["payload"][src])
                 d["sim"] = float(s[t])
                 if diversity:
-                    d["embedding"] = cache["emb_list"][src]
+                    d["embedding"] = cache["emb"][src].tolist()
                 rows.append(d)
         self._local_route_log(cache, space, recall_floor)
         return rerank(rows, strategy=strategy, top_k=k)
@@ -1824,7 +1803,11 @@ class MultiModalSearchEngine:
             if not ids_all:
                 return []
             mods_cat = np.concatenate(mods)
-            groups = sorted(set(mods_cat.tolist()))
+            # None-safe ordering: a null modality is its own group (the
+            # Spark window form partitions it too); it sorts last
+            groups = sorted(
+                set(mods_cat.tolist()), key=lambda g: (g is None, g)
+            )
             cc = {
                 "epoch": self._epoch,
                 "spaces": spaces,

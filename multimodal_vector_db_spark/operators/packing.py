@@ -228,7 +228,9 @@ def context_window_spans_from_lengths(
     )
 
 
-def _distributed_cumsum_lengths(t: "DataFrame") -> tuple["DataFrame", int]:
+def _distributed_cumsum_lengths(
+    t: "DataFrame", materialize: bool = True
+) -> tuple["DataFrame", int]:
     """Two-phase exact prefix sum of ``len1`` in global doc_id order:
     returns ``((doc_id, start_, end_), total_tokens)`` with no
     single-partition exchange. Range partitioning makes each partition
@@ -237,7 +239,14 @@ def _distributed_cumsum_lengths(t: "DataFrame") -> tuple["DataFrame", int]:
     it (ordered by their min doc_id). The partition layout is pinned
     (persist) so the totals job and the offset join observe the same
     slices, then the result is checkpointed and the pin released —
-    the same discipline as ``engine.batch_ingest_df``."""
+    the same discipline as ``engine.batch_ingest_df``.
+
+    ``materialize=False`` (plan-inspection/testing ONLY) skips the
+    checkpoint — which would otherwise truncate the lineage to a
+    LogicalRDD scan and hide the cumsum's own exchanges from
+    ``.explain`` — and deliberately leaks the persist, because the
+    returned frame's offsets are only valid against the pinned
+    partition layout; the caller owns the cache's lifetime."""
     from pyspark.sql import Window as W
 
     src = (
@@ -273,10 +282,12 @@ def _distributed_cumsum_lengths(t: "DataFrame") -> tuple["DataFrame", int]:
                 (F.col("end_") - F.col("len1")).alias("start_"),
                 "end_",
             )
-            .localCheckpoint(eager=True)
         )
+        if materialize:
+            cum = cum.localCheckpoint(eager=True)
     finally:
-        src.unpersist()
+        if materialize:
+            src.unpersist()
     return cum, running
 
 

@@ -56,6 +56,8 @@ def mmr_rerank(
     # not O(k²·n). max() is order-independent, so every value (and
     # therefore every selection and tie-break) is bit-identical to the
     # recompute-everything form the oracle replays.
+    if not remaining or len(selected) >= top_k:
+        return selected  # top_k=1: no seed cosines needed
     best_sim = [
         _cosine(c[embedding_key], selected[0][embedding_key])
         for c in remaining

@@ -1395,3 +1395,33 @@ def test_compare_modalities_local_parity(spark):
     assert [(r["modality"], r["rank"], r["id"]) for r in batch[0]] == [
         (r["modality"], r["rank"], r["id"]) for r in L
     ]
+
+
+def test_stale_floor_failing_curve_still_recalibrates(spark):
+    """Round-10 review fix: a STALE curve that fails the floor (or the
+    cost gate) must not pin the route to exact forever — coverage
+    maintenance and recalibration run BEFORE the gates, so the gates
+    judge a curve measured on the corpus being served."""
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
+                                 local_exact_budget_bytes=0)
+    eng.batch_ingest(
+        [{"content": f"sfl doc {i}", "modality": "text"}
+         for i in range(120)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=8,
+                        calibration_queries=16)
+    cal0 = eng._ann["clip"]["calibration"]
+    # poison the stored curve so every point FAILS any floor — the
+    # pre-fix code returned exact at the floor gate and never reached
+    # the staleness check
+    for p in cal0["points"]:
+        p["recall"] = 0.0
+    eng.batch_ingest(
+        [{"content": f"sfl late {i}", "modality": "text"}
+         for i in range(60)]
+    )
+    eng.search("sfl doc 7", k=3, recall_floor=0.5)
+    assert "recalibrated" in eng.last_route["reason"], eng.last_route
+    cal1 = eng._ann["clip"]["calibration"]
+    assert cal1 is not cal0
+    assert cal1["rows_at_calibration"] == 180

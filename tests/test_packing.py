@@ -210,5 +210,27 @@ def test_context_window_spans_distributed_cumsum_parity(spark):
     assert sorted(dist.collect(), key=key) == sorted(
         single.collect(), key=key
     )
-    plan = dist._jdf.queryExecution().executedPlan().toString()
+    # plan guard on the PRE-checkpoint cumsum (the checkpoint truncates
+    # lineage to a LogicalRDD scan, which would hide the cumsum's own
+    # exchanges and make this assertion vacuous): the distributed form
+    # must plan NO SinglePartition exchange where the single-window
+    # form plans exactly one
+    from multimodal_vector_db_spark.operators.packing import (
+        _distributed_cumsum_lengths,
+    )
+
+    cum, _total = _distributed_cumsum_lengths(t, materialize=False)
+    plan = cum._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as FN
+
+    single_cum = t.withColumn(
+        "end_",
+        FN.sum("len1").over(
+            W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    sp = single_cum._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in sp  # the bottleneck the rewrite removed
+    spark.catalog.clearCache()  # release materialize=False's pinned src
