@@ -879,6 +879,55 @@ class MultiModalSearchEngine:
                 "drifted": info["drifted"],
             }
 
+    def maintain(
+        self, space: str = "clip", rebuild_on_drift: bool = False
+    ) -> dict:
+        """One housekeeping entry point for an index's background
+        upkeep — what a scheduled job (or a streaming trigger's
+        foreachBatch tail) calls so the SERVING path never pays
+        maintenance latency: absorb uncovered rows
+        (:meth:`append_to_ann_index`), refresh a stale calibration
+        curve (:meth:`_maybe_recalibrate`'s contract), and — when
+        ``rebuild_on_drift`` — re-fit a drift-latched index with
+        :meth:`build_ann_index` instead of leaving it frozen on the
+        exact fallback. The auto route performs the first two lazily
+        on the hot path anyway; calling this off-path moves that work
+        to the maintainer, which is the 100 TB deployment shape
+        (reference: the mutable index is maintained by its ingest
+        path, ``search_engine.py:81-131``; ours separates serve from
+        maintain). Returns what happened:
+        ``{appended, drift, drifted, recalibrated, rebuilt}``."""
+        info = self._ann.get(space)
+        if info is None:
+            raise ValueError(
+                f"maintain: no ANN index for space {space!r}; call "
+                "build_ann_index first"
+            )
+        st = self.append_to_ann_index(space)
+        rebuilt = False
+        if info["drifted"] and rebuild_on_drift:
+            cal = info.get("calibration")
+            self.build_ann_index(
+                space,
+                n_clusters=len(info["centroids"]),
+                calibrate=cal is not None,
+                calibration_queries=(
+                    cal.get("n_queries", 64) if cal else 64
+                ),
+                calibration_k=cal.get("k", 10) if cal else 10,
+            )
+            info = self._ann[space]
+            rebuilt = True
+        recalibrated = self._maybe_recalibrate(space, info)
+        return {
+            "space": space,
+            "appended": st["appended"],
+            "drift": info["drift"],
+            "drifted": info["drifted"],
+            "recalibrated": recalibrated,
+            "rebuilt": rebuilt,
+        }
+
     #: UNCALIBRATED fallback (``build_ann_index(calibrate=False)``):
     #: recall_floor → fraction of cells probed, from the repo's own
     #: measured curves (bench_detail ivf_nprobe_curve_*, 44k/16×/64×):

@@ -1425,3 +1425,66 @@ def test_stale_floor_failing_curve_still_recalibrates(spark):
     cal1 = eng._ann["clip"]["calibration"]
     assert cal1 is not cal0
     assert cal1["rows_at_calibration"] == 180
+
+
+def test_maintain_housekeeping_entry(spark):
+    """engine.maintain(): absorbs uncovered rows, refreshes a stale
+    curve, and (opt-in) rebuilds a drift-latched index — so a
+    scheduled maintainer keeps the serving path maintenance-free."""
+    import numpy as np
+
+    def embed(text, space):
+        v = fake_embed_numpy(text, space, 16).astype(np.float64)
+        if text.startswith("far"):
+            v = v * 10.0
+        return v.tolist()
+
+    eng = MultiModalSearchEngine(
+        spark, dim=16, blocked_threshold_cells=10, embed_fn=embed,
+        local_exact_budget_bytes=0,
+    )
+    eng.batch_ingest(
+        [{"content": f"mnt doc {i}", "modality": "text"}
+         for i in range(120)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=8,
+                        calibration_queries=16)
+    # plain upkeep: absorb a cohesive ingest, nothing else to do
+    eng.batch_ingest(
+        [{"content": f"mnt doc late {i}", "modality": "text"}
+         for i in range(10)]
+    )
+    st = eng.maintain("clip")
+    assert st["appended"] == 10 and not st["drifted"] and not st["rebuilt"]
+
+    # stale curve: grow past recalibration_fraction, maintain refreshes
+    eng.batch_ingest(
+        [{"content": f"mnt doc more {i}", "modality": "text"}
+         for i in range(60)]
+    )
+    st = eng.maintain("clip")
+    assert st["recalibrated"] is True
+    assert (
+        eng._ann["clip"]["calibration"]["rows_at_calibration"] == 190
+    )
+
+    # drift latch + rebuild_on_drift re-fits and re-enables the route
+    eng.batch_ingest(
+        [{"content": f"far doc {i}", "modality": "text"}
+         for i in range(12)]
+    )
+    st = eng.maintain("clip")  # absorbs the drifted batch, latches
+    assert st["drifted"] is True and st["rebuilt"] is False
+    st = eng.maintain("clip", rebuild_on_drift=True)
+    assert st["rebuilt"] is True and st["drifted"] is False
+    assert eng._ann["clip"]["calibration"] is not None
+    # self-query one of the off-manifold rows: its self-dot (norm^2 =
+    # 100) dominates every cross dot, so rank-1 is robust on the
+    # re-fit index regardless of route
+    qvec = [float(x) for x in
+            eng.items.where(F.col("id") == 190).first()["embedding"]]
+    hits = eng.search(qvec, k=3, recall_floor=0.5)
+    assert hits[0]["id"] == 190  # post-rebuild self-query rank-1
+
+    with pytest.raises(ValueError, match="no ANN index"):
+        eng.maintain("clap")
