@@ -369,6 +369,7 @@ class MultiModalSearchEngine:
         calibration_queries: int = 64,
         calibration_k: int = 10,
         calibration_fractions: tuple[float, ...] | None = None,
+        calibration_filters: tuple[str, ...] = (),
     ) -> dict:
         """Fit the IVF coarse index the ``route="auto"`` planner can
         choose: MLlib KMeans over the CURRENT live rows of ``space``
@@ -433,6 +434,7 @@ class MultiModalSearchEngine:
             "cum_drift": None,
             "drifted": False,
             "calibration": None,
+            "filter_calibrations": {},
         }
         if calibrate and n > 0:
             self._run_calibration(
@@ -442,13 +444,70 @@ class MultiModalSearchEngine:
                 calibration_k,
                 calibration_fractions,
             )
+            # measured FILTERED-ANN (round 10): the unfiltered curve is
+            # honest only unfiltered — a selective content-type filter
+            # concentrates the true top-k into cells nprobe may skip,
+            # which is why filtered searches routed exact. For each
+            # declared filter value the index measures a SEPARATE
+            # recall/cost curve on the FILTERED corpus (exact ground
+            # truth and IVF candidates both filter-restricted, exactly
+            # as serving applies the predicate), and the route honors a
+            # floor under that filter from ITS curve. Filters not
+            # declared here keep the exact fallback.
+            for m in calibration_filters:
+                self.calibrate_filter(
+                    space,
+                    m,
+                    calibration_queries=calibration_queries,
+                    calibration_k=calibration_k,
+                    calibration_fractions=calibration_fractions,
+                    _info=info,
+                )
         self._ann[space] = info
         return {
             "space": space,
             "n_clusters": n_clusters,
             "rows": n,
             "calibration": info["calibration"],
+            "filter_calibrations": sorted(info["filter_calibrations"]),
         }
+
+    def calibrate_filter(
+        self,
+        space: str,
+        modality: str,
+        calibration_queries: int = 64,
+        calibration_k: int = 10,
+        calibration_fractions: tuple[float, ...] | None = None,
+        _info: dict | None = None,
+    ) -> dict | None:
+        """Measure (or refresh) THIS index's recall/cost curve under a
+        ``filter_content_type=modality`` predicate — the curve
+        :meth:`search`'s route consults for filtered searches with a
+        declared floor (see :meth:`build_ann_index`). Ground truth and
+        IVF candidates are both restricted to the filtered rows, the
+        exact shape the serving path executes. Returns the measured
+        curve (also stored on the index), or None when the filter
+        matches no live rows (the route keeps the exact fallback)."""
+        info = self._ann[space] if _info is None else _info
+        corpus = active(self.items).where(
+            (F.col("space") == space) & (F.col("modality") == modality)
+        )
+        if corpus.limit(1).count() == 0:
+            return None
+        curve = self._calibrate_ann(
+            corpus.select("id", "embedding"),
+            info,
+            n_queries=calibration_queries,
+            k=calibration_k,
+            fractions=(
+                _CALIBRATION_FRACTIONS
+                if calibration_fractions is None
+                else calibration_fractions
+            ),
+        )
+        info.setdefault("filter_calibrations", {})[modality] = curve
+        return curve
 
     def _run_calibration(
         self,
@@ -508,6 +567,22 @@ class MultiModalSearchEngine:
                 cal.get("k", 10),
                 tuple(p["fraction"] for p in cal["points"]) or None,
             )
+            # filtered curves go stale with the main one — refresh each
+            # at its own measured parameters
+            for m, fcal in list(
+                info.get("filter_calibrations", {}).items()
+            ):
+                self.calibrate_filter(
+                    space,
+                    m,
+                    calibration_queries=fcal.get("n_queries", 64),
+                    calibration_k=fcal.get("k", 10),
+                    calibration_fractions=(
+                        tuple(p["fraction"] for p in fcal["points"])
+                        or None
+                    ),
+                    _info=info,
+                )
             return True
 
     def _calibrate_ann(
@@ -734,6 +809,7 @@ class MultiModalSearchEngine:
             "cum_drift": None,
             "drifted": False,
             "calibration": None,
+            "filter_calibrations": {},
         }
         self._ann[space] = info
         if self._space_rows(space) != n_cov:
@@ -940,21 +1016,31 @@ class MultiModalSearchEngine:
     _NPROBE_FRACTION = ((0.8, 0.125), (0.95, 0.25), (1.0, 0.5))
 
     def _ivf_plan(
-        self, space: str, recall_floor: float, batch: bool = False
+        self,
+        space: str,
+        recall_floor: float,
+        batch: bool = False,
+        filter_key: str | None = None,
     ) -> tuple[int | None, float | None, str]:
         """Pick nprobe for a declared floor: from the index's own
         measured calibration curve when present (cheapest point whose
         measured recall meets the floor; ``None`` if no point does —
         the caller must go exact), else from the module-level
-        ``_NPROBE_FRACTION`` fallback. The returned cost estimate is
-        depth-matched: batch callers get the batch-amortized wall,
+        ``_NPROBE_FRACTION`` fallback. With ``filter_key`` the plan
+        reads the FILTERED curve measured by :meth:`calibrate_filter`
+        (the caller guarantees one exists). The returned cost estimate
+        is depth-matched: batch callers get the batch-amortized wall,
         single callers the single-query wall (falling back to the
         batch number for calibrations persisted before round 9).
         Returns ``(nprobe | None, measured_ivf_ms | None, why)``."""
         import math
 
         info = self._ann[space]
-        cal = info.get("calibration")
+        cal = (
+            info.get("filter_calibrations", {}).get(filter_key)
+            if filter_key is not None
+            else info.get("calibration")
+        )
         if cal and cal.get("points"):  # empty points → fraction map
 
             def _est(p: dict) -> float:
@@ -964,6 +1050,11 @@ class MultiModalSearchEngine:
                     else p.get("ms_single", p["ms_per_q"])
                 )
 
+            tag = (
+                f"calibrated[filter={filter_key}]"
+                if filter_key is not None
+                else "calibrated"
+            )
             ok = [p for p in cal["points"] if p["recall"] >= recall_floor]
             if ok:
                 # CHEAPEST measured point meeting the floor — by the
@@ -977,7 +1068,7 @@ class MultiModalSearchEngine:
                     p["nprobe"],
                     _est(p),
                     (
-                        f"calibrated: frac={p['fraction']} measured "
+                        f"{tag}: frac={p['fraction']} measured "
                         f"R@{cal['k']}={p['recall']:.3f} >= floor"
                     ),
                 )
@@ -986,9 +1077,18 @@ class MultiModalSearchEngine:
                 None,
                 None,
                 (
-                    f"calibrated curve max R@{cal['k']}={best:.3f} < "
+                    f"{tag} curve max R@{cal['k']}={best:.3f} < "
                     f"floor {recall_floor}"
                 ),
+            )
+        if filter_key is not None:
+            # no measured curve under this filter — the fraction-map
+            # fallback was never measured filtered, so it cannot
+            # honor the floor here
+            return (
+                None,
+                None,
+                f"no measured curve for filter={filter_key!r}",
             )
         n_cells = len(info["centroids"])
         for bound, frac in self._NPROBE_FRACTION:
@@ -1008,7 +1108,8 @@ class MultiModalSearchEngine:
         approximate: bool,
         threshold_cells: int | None = None,
         scorer: str = "auto",
-        filtered: bool = False,
+        filter_key: str | None = None,
+        has_predicate: bool = False,
         batch: bool = False,
     ) -> tuple[bool, str, int | None]:
         """The auto planner: IVF iff the caller declared slack
@@ -1057,17 +1158,18 @@ class MultiModalSearchEngine:
             )
         if approximate:
             return False, "binary-shortlist requested", None
-        if filtered:
-            # filtered-ANN honesty: the calibration curve was measured
-            # UNFILTERED — a selective predicate concentrates the true
-            # top-k into cells nprobe may skip, so the declared floor
-            # is not honorable from the curve. The reference over-fetches
-            # k*10 for the same reason (vector_index.py:129); our exact
-            # path pushes the predicate below the scan instead.
+        if has_predicate:
+            # arbitrary-Column-predicate honesty: recall under a
+            # predicate the engine cannot enumerate is unmeasurable, so
+            # the declared floor is only honorable exactly. The
+            # reference over-fetches k*10 for the same reason
+            # (vector_index.py:129); our exact path pushes the
+            # predicate below the scan instead. (A content-type filter
+            # CAN route IVF — from its own measured curve; see below.)
             return False, (
-                "explicit filter/predicate present — calibrated recall "
-                "holds only unfiltered, so the exact path honors the "
-                "floor"
+                "explicit Column predicate present — recall under an "
+                "arbitrary predicate is unmeasured, so the exact path "
+                "honors the floor"
             ), None
         if recall_floor >= 1.0:
             return False, "recall_floor=1.0 requires exact", None
@@ -1110,14 +1212,31 @@ class MultiModalSearchEngine:
         # and the exact ground truth)
         recal = self._maybe_recalibrate(space, info)
         prefix = "recalibrated; " if recal else ""
+        if filter_key is not None and filter_key not in info.get(
+            "filter_calibrations", {}
+        ):
+            # filtered-ANN honesty: the unfiltered curve holds only
+            # unfiltered (a selective filter concentrates the true
+            # top-k into cells nprobe may skip). A filter with its OWN
+            # measured curve (build_ann_index(calibration_filters=…) /
+            # calibrate_filter) routes from it below; others stay exact.
+            return False, (
+                f"content-type filter {filter_key!r} has no measured "
+                "calibration curve — calibrate_filter() to enable "
+                "filtered IVF; exact honors the floor"
+            ), None
         nprobe, ivf_ms, plan_why = self._ivf_plan(
-            space, recall_floor, batch=batch
+            space, recall_floor, batch=batch, filter_key=filter_key
         )
         if nprobe is None:
             return False, (
                 f"{prefix}{plan_why} — exact honors the floor"
             ), None
-        cal = info.get("calibration")
+        cal = (
+            info.get("filter_calibrations", {}).get(filter_key)
+            if filter_key is not None
+            else info.get("calibration")
+        )
         why_cost = ""
         if cal is not None and ivf_ms is not None:
             # measured-cost crossover: both sides timed on THIS corpus
@@ -1265,9 +1384,8 @@ class MultiModalSearchEngine:
             route,
             approximate,
             scorer=scorer,
-            filtered=(
-                predicate is not None or filter_content_type is not None
-            ),
+            filter_key=filter_content_type,
+            has_predicate=predicate is not None,
         )
         if use_ivf:
             from multimodal_vector_db_spark.operators.ann import (
@@ -1414,7 +1532,7 @@ class MultiModalSearchEngine:
             False,
             threshold_cells=self.blocked_threshold_cells,
             scorer=scorer,
-            filtered=filter_content_type is not None,
+            filter_key=filter_content_type,
             batch=True,
         )
         if use_ivf:
@@ -2210,6 +2328,7 @@ class MultiModalSearchEngine:
                         "cum_drift",
                         "drifted",
                         "calibration",
+                        "filter_calibrations",
                     )
                 },
             )
@@ -2251,6 +2370,10 @@ class MultiModalSearchEngine:
                     "cum_appended_sq", 0.0
                 ),
                 "cum_drift": ann_manifest.get("cum_drift"),
+                "filter_calibrations": ann_manifest.get(
+                    "filter_calibrations", {}
+                )
+                or {},
             }
         return eng
 

@@ -998,10 +998,12 @@ def test_attach_disk_ivf_index(spark, tmp_path):
 
 
 def test_filtered_search_forces_exact_route(spark):
-    """Filtered-ANN honesty: calibration is measured UNFILTERED, so an
-    explicit predicate / filter_content_type with a declared floor must
-    route EXACT (a selective filter concentrates the true top-k into
-    cells nprobe may skip) — forced route='ivf' still obeys the caller."""
+    """Filtered-ANN honesty: an arbitrary Column predicate (recall
+    unmeasurable) and a content-type filter WITHOUT a measured filter
+    curve both route EXACT under a declared floor (a selective filter
+    concentrates the true top-k into cells nprobe may skip) — forced
+    route='ivf' still obeys the caller. Filters WITH a measured curve
+    route IVF; see test_filtered_calibration_routes_ivf."""
     eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
                                  local_exact_budget_bytes=0)
     eng.batch_ingest(
@@ -1016,12 +1018,13 @@ def test_filtered_search_forces_exact_route(spark):
     hits = eng.search("filt doc 7", k=3, recall_floor=0.95,
                       predicate=F.col("id") < 60)
     assert eng.last_route["route"].startswith("exact")
-    assert "unfiltered" in eng.last_route["reason"]
+    assert "unmeasured" in eng.last_route["reason"]
     assert all(h["id"] < 60 for h in hits)
-    # modality filter -> exact too (narrows within the clip space)
+    # modality filter with NO measured filter curve -> exact too
     eng.search("filt doc 7", k=3, recall_floor=0.95,
                filter_content_type="image")
     assert eng.last_route["route"].startswith("exact")
+    assert "no measured calibration" in eng.last_route["reason"]
     # batch form honors it
     eng.search_batch(["filt doc 7"], k=3, recall_floor=0.95,
                      filter_content_type="image")
@@ -1488,3 +1491,89 @@ def test_maintain_housekeeping_entry(spark):
 
     with pytest.raises(ValueError, match="no ANN index"):
         eng.maintain("clap")
+
+
+def test_filtered_calibration_routes_ivf(spark):
+    """Measured filtered-ANN (round 10): a content-type filter with its
+    OWN calibration curve (build_ann_index(calibration_filters=...) or
+    calibrate_filter) routes IVF under a floor the filtered curve
+    honors, returns the same winners as the exact filtered path, and
+    survives save/load; filters without a curve keep the exact
+    fallback."""
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
+                                 local_exact_budget_bytes=0)
+    eng.batch_ingest(
+        [{"content": f"fcal doc {i}",
+          "modality": ["text", "image", "audio"][i % 3]}
+         for i in range(180)]
+    )
+    stats = eng.build_ann_index(
+        space="clip", n_clusters=8, calibration_queries=16,
+        calibration_filters=("image",),
+    )
+    assert stats["filter_calibrations"] == ["image"]
+    info = eng._ann["clip"]
+    fcal = info["filter_calibrations"]["image"]
+    assert fcal["points"] and fcal["rows_at_calibration"] == 60
+
+    # make routing deterministic: filtered curve honors any floor and
+    # measures cheaper than the filtered exact scan
+    for p in fcal["points"]:
+        p["recall"] = 1.0
+        p["ms_per_q"] = 1.0
+        p["ms_single"] = 1.0
+    fcal["exact_ms_per_q"] = 99.0
+    fcal["exact_ms_single"] = 99.0
+
+    # self-query an IMAGE row: its own cell is always probed, so the
+    # self-hit is rank-1 on the filtered IVF route (the repo's standard
+    # IVF assertion — approximate winners beyond that are recall-graded
+    # by the measured curve itself, not hash-compared)
+    qvec = [float(x) for x in
+            eng.items.where(F.col("id") == 40).first()["embedding"]]
+    hits = eng.search(qvec, k=3, recall_floor=0.9,
+                      filter_content_type="image")
+    assert eng.last_route["route"] == "ivf"
+    assert "filter=image" in eng.last_route["reason"]
+    assert all(h["modality"] == "image" for h in hits)
+    assert hits[0]["id"] == 40
+
+    # a same-space filter with no curve still falls back to exact
+    # (audio would dispatch to the clap SPACE — a different index)
+    eng.search("fcal doc 6", k=3, recall_floor=0.9,
+               filter_content_type="text", query_space="clip")
+    assert eng.last_route["route"].startswith("exact")
+    assert "no measured calibration" in eng.last_route["reason"]
+
+    # batch form routes from the same filtered curve
+    eng.search_batch(["fcal doc 6"], k=3, recall_floor=0.9,
+                     filter_content_type="image")
+    assert eng.last_route["route"] == "ivf"
+
+
+def test_filter_calibration_survives_save_load(spark, tmp_path):
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
+                                 local_exact_budget_bytes=0)
+    eng.batch_ingest(
+        [{"content": f"fsl doc {i}", "modality": ["text", "image"][i % 2]}
+         for i in range(120)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=8,
+                        calibration_queries=8,
+                        calibration_filters=("image",))
+    base = str(tmp_path / "wh_fcal")
+    eng.save(base)
+    loaded = MultiModalSearchEngine.load(spark, base)
+    loaded.local_exact_budget_bytes = 0
+    fcal = loaded._ann["clip"]["filter_calibrations"]["image"]
+    assert fcal["points"]
+    for p in fcal["points"]:
+        p["recall"] = 1.0
+        p["ms_per_q"] = 1.0
+        p["ms_single"] = 1.0
+    fcal["exact_ms_per_q"] = 99.0
+    fcal["exact_ms_single"] = 99.0
+    loaded.search("fsl doc 4", k=3, recall_floor=0.9,
+                  filter_content_type="image")
+    assert loaded.last_route["route"] == "ivf"
+    assert "filter=image" in loaded.last_route["reason"]
