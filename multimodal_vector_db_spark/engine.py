@@ -409,6 +409,13 @@ class MultiModalSearchEngine:
             ivf_fit_assign,
         )
 
+        if calibration_filters and not calibrate:
+            raise ValueError(
+                "build_ann_index: calibration_filters requires "
+                "calibrate=True — a filter curve is a measurement; "
+                "without it filtered searches would silently keep the "
+                "exact fallback"
+            )
         corpus = active(self.items).where(F.col("space") == space)
         n = corpus.count()
         if n_clusters is None:
@@ -488,12 +495,35 @@ class MultiModalSearchEngine:
         IVF candidates are both restricted to the filtered rows, the
         exact shape the serving path executes. Returns the measured
         curve (also stored on the index), or None when the filter
-        matches no live rows (the route keeps the exact fallback)."""
-        info = self._ann[space] if _info is None else _info
+        matches no live rows — in which case any previously stored
+        curve is PURGED (it referenced rows that no longer exist, and
+        the route must fall back to exact, not serve from it).
+
+        Direct calls serialize on the index-maintenance lock like
+        every other mutation; internal callers already under it (or
+        pre-publication, in :meth:`build_ann_index`) pass ``_info``."""
+        if _info is None:
+            info = self._ann.get(space)
+            if info is None:
+                raise ValueError(
+                    f"calibrate_filter: no ANN index for space "
+                    f"{space!r}; call build_ann_index first"
+                )
+            with self._ann_lock:
+                return self.calibrate_filter(
+                    space,
+                    modality,
+                    calibration_queries,
+                    calibration_k,
+                    calibration_fractions,
+                    _info=info,
+                )
+        info = _info
         corpus = active(self.items).where(
             (F.col("space") == space) & (F.col("modality") == modality)
         )
         if corpus.limit(1).count() == 0:
+            info.get("filter_calibrations", {}).pop(modality, None)
             return None
         curve = self._calibrate_ann(
             corpus.select("id", "embedding"),
@@ -506,8 +536,24 @@ class MultiModalSearchEngine:
                 else calibration_fractions
             ),
         )
+        # staleness marker: the SPACE row count at measurement time —
+        # a cheap proxy (the true filtered count would cost a count
+        # job per route check); the curve refreshes when the space
+        # grows past recalibration_fraction, independent of whether a
+        # main curve exists
+        curve["space_rows_at_calibration"] = self._space_rows(space)
         info.setdefault("filter_calibrations", {})[modality] = curve
         return curve
+
+    @staticmethod
+    def _curve_for(info: dict, filter_key: str | None) -> dict | None:
+        """The calibration curve a plan/gate should read: the filter's
+        own measured curve when one is requested, else the main one —
+        ONE definition so the planner and the cost gate can never read
+        different curves."""
+        if filter_key is not None:
+            return info.get("filter_calibrations", {}).get(filter_key)
+        return info.get("calibration")
 
     def _run_calibration(
         self,
@@ -529,49 +575,69 @@ class MultiModalSearchEngine:
             ),
         )
 
-    def _maybe_recalibrate(self, space: str, info: dict) -> bool:
-        """Refresh a STALE calibration curve: when the live corpus of
-        ``space`` has outgrown ``rows_at_calibration`` by more than
-        ``recalibration_fraction``, re-run the same measured
-        recall/cost calibration on the CURRENT corpus (so appended
-        rows are eligible as sampled queries and present in the exact
-        ground truth) at the same n_queries/k/fractions as the stored
-        curve. Serialized on the index-maintenance lock; the staleness
-        check repeats inside it so concurrent searches refresh once.
-        Returns True iff this call performed a recalibration."""
+    def _main_curve_stale(self, space: str, info: dict) -> bool:
         cal = info.get("calibration")
-        if not (
+        return bool(
             cal
             and cal.get("points")
             and cal.get("rows_at_calibration")
             and self._space_rows(space)
             > cal["rows_at_calibration"]
             * (1.0 + self.recalibration_fraction)
+        )
+
+    def _stale_filter_keys(self, space: str, info: dict) -> list[str]:
+        """Filter curves whose space-rows staleness marker has been
+        outgrown — checked INDEPENDENTLY of the main curve (an index
+        built with calibrate=False but a calibrated filter must still
+        refresh that filter; curves persisted before the marker
+        existed count as stale once the space grows at all)."""
+        rows = self._space_rows(space)
+        return [
+            m
+            for m, fcal in info.get("filter_calibrations", {}).items()
+            if rows
+            > fcal.get("space_rows_at_calibration", 0)
+            * (1.0 + self.recalibration_fraction)
+        ]
+
+    def _maybe_recalibrate(self, space: str, info: dict) -> bool:
+        """Refresh STALE calibration curves: when the live corpus of
+        ``space`` has outgrown a curve's measured row count by more
+        than ``recalibration_fraction``, re-run the same measured
+        recall/cost calibration on the CURRENT corpus (so appended
+        rows are eligible as sampled queries and present in the exact
+        ground truth) at the same n_queries/k/fractions as the stored
+        curve. The main curve and each FILTER curve are checked
+        independently (each carries its own measurement marker).
+        Serialized on the index-maintenance lock; the staleness checks
+        repeat inside it so concurrent searches refresh once. NOTE the
+        refresh runs lazily on the serving path — a deployment that
+        cannot absorb the occasional calibration sweep there should
+        call :meth:`maintain` from a scheduler instead (same work,
+        off-path). Returns True iff this call refreshed anything."""
+        if not (
+            self._main_curve_stale(space, info)
+            or self._stale_filter_keys(space, info)
         ):
             return False
         with self._ann_lock:
-            cal = info.get("calibration")
-            if not (
-                cal
-                and cal.get("rows_at_calibration")
-                and self._space_rows(space)
-                > cal["rows_at_calibration"]
-                * (1.0 + self.recalibration_fraction)
-            ):
-                return False  # another caller already refreshed
-            corpus = active(self.items).where(F.col("space") == space)
-            self._run_calibration(
-                corpus,
-                info,
-                cal.get("n_queries", 64),
-                cal.get("k", 10),
-                tuple(p["fraction"] for p in cal["points"]) or None,
-            )
-            # filtered curves go stale with the main one — refresh each
-            # at its own measured parameters
-            for m, fcal in list(
-                info.get("filter_calibrations", {}).items()
-            ):
+            did = False
+            if self._main_curve_stale(space, info):
+                cal = info["calibration"]
+                corpus = active(self.items).where(
+                    F.col("space") == space
+                )
+                self._run_calibration(
+                    corpus,
+                    info,
+                    cal.get("n_queries", 64),
+                    cal.get("k", 10),
+                    tuple(p["fraction"] for p in cal["points"]) or None,
+                )
+                did = True
+            for m in self._stale_filter_keys(space, info):
+                fcal = info["filter_calibrations"][m]
                 self.calibrate_filter(
                     space,
                     m,
@@ -583,7 +649,8 @@ class MultiModalSearchEngine:
                     ),
                     _info=info,
                 )
-            return True
+                did = True
+            return did
 
     def _calibrate_ann(
         self,
@@ -983,16 +1050,39 @@ class MultiModalSearchEngine:
         rebuilt = False
         if info["drifted"] and rebuild_on_drift:
             cal = info.get("calibration")
+            old_filters = dict(info.get("filter_calibrations", {}))
+            # n_clusters re-derives from the CURRENT corpus (sqrt(N) —
+            # the build default): a rebuild exists because the corpus
+            # outgrew the fitted structure, so pinning the old cell
+            # count would freeze the scan fraction at the old scale
             self.build_ann_index(
                 space,
-                n_clusters=len(info["centroids"]),
                 calibrate=cal is not None,
                 calibration_queries=(
                     cal.get("n_queries", 64) if cal else 64
                 ),
                 calibration_k=cal.get("k", 10) if cal else 10,
+                calibration_fractions=(
+                    tuple(p["fraction"] for p in cal["points"]) or None
+                    if cal and cal.get("points")
+                    else None
+                ),
             )
             info = self._ann[space]
+            # re-measure every previously calibrated filter against the
+            # re-fit cells — a rebuild must not silently demote filtered
+            # searches back to the exact fallback
+            for m, fcal in old_filters.items():
+                self.calibrate_filter(
+                    space,
+                    m,
+                    calibration_queries=fcal.get("n_queries", 64),
+                    calibration_k=fcal.get("k", 10),
+                    calibration_fractions=(
+                        tuple(p["fraction"] for p in fcal["points"])
+                        or None
+                    ),
+                )
             rebuilt = True
         recalibrated = self._maybe_recalibrate(space, info)
         return {
@@ -1036,11 +1126,7 @@ class MultiModalSearchEngine:
         import math
 
         info = self._ann[space]
-        cal = (
-            info.get("filter_calibrations", {}).get(filter_key)
-            if filter_key is not None
-            else info.get("calibration")
-        )
+        cal = self._curve_for(info, filter_key)
         if cal and cal.get("points"):  # empty points → fraction map
 
             def _est(p: dict) -> float:
@@ -1141,7 +1227,18 @@ class MultiModalSearchEngine:
                     f'route="ivf" requires build_ann_index(space='
                     f"{space!r}) — no ANN index exists for this space"
                 )
-            nprobe, _ms, _why = self._ivf_plan(space, recall_floor)
+            # plan from the filtered curve when one was measured — a
+            # forced route must still probe at the depth the FILTERED
+            # measurement says the floor needs
+            fk = (
+                filter_key
+                if self._curve_for(self._ann[space], filter_key)
+                is not None
+                else None
+            )
+            nprobe, _ms, _why = self._ivf_plan(
+                space, recall_floor, filter_key=fk
+            )
             if nprobe is None:
                 # forced route is honored; probe every cell (exhaustive
                 # IVF) rather than silently under-delivering the floor
@@ -1232,11 +1329,7 @@ class MultiModalSearchEngine:
             return False, (
                 f"{prefix}{plan_why} — exact honors the floor"
             ), None
-        cal = (
-            info.get("filter_calibrations", {}).get(filter_key)
-            if filter_key is not None
-            else info.get("calibration")
-        )
+        cal = self._curve_for(info, filter_key)
         why_cost = ""
         if cal is not None and ivf_ms is not None:
             # measured-cost crossover: both sides timed on THIS corpus

@@ -1577,3 +1577,61 @@ def test_filter_calibration_survives_save_load(spark, tmp_path):
                   filter_content_type="image")
     assert loaded.last_route["route"] == "ivf"
     assert "filter=image" in loaded.last_route["reason"]
+
+
+def test_filter_curve_staleness_refreshes_independently(spark):
+    """A filter curve refreshes when the SPACE outgrows its own
+    measurement marker — independent of the main curve (and of
+    whether one exists): the poisoned curve is replaced by a real
+    re-measurement and the route logs the recalibration."""
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
+                                 local_exact_budget_bytes=0)
+    eng.batch_ingest(
+        [{"content": f"fst doc {i}", "modality": ["text", "image"][i % 2]}
+         for i in range(120)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=8, calibrate=False)
+    eng.calibrate_filter("clip", "image", calibration_queries=8)
+    info = eng._ann["clip"]
+    fcal0 = info["filter_calibrations"]["image"]
+    assert fcal0["space_rows_at_calibration"] == 120
+    # poison it so only a refresh can explain a changed object
+    for p in fcal0["points"]:
+        p["recall"] = 1.0
+    # 50% growth > the 25% recalibration fraction (main curve ABSENT —
+    # calibrate=False — so only the per-filter marker can trigger this)
+    eng.batch_ingest(
+        [{"content": f"fst late {i}", "modality": ["text", "image"][i % 2]}
+         for i in range(60)]
+    )
+    eng.search("fst doc 4", k=3, recall_floor=0.5,
+               filter_content_type="image")
+    assert "recalibrated" in eng.last_route["reason"]
+    fcal1 = info["filter_calibrations"]["image"]
+    assert fcal1 is not fcal0
+    assert fcal1["space_rows_at_calibration"] == 180
+
+
+def test_maintain_rebuild_preserves_filter_curves(spark):
+    """maintain(rebuild_on_drift=True) must re-measure previously
+    calibrated filters against the re-fit cells — a rebuild must not
+    silently demote filtered searches to the exact fallback."""
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
+                                 local_exact_budget_bytes=0)
+    eng.batch_ingest(
+        [{"content": f"mrf doc {i}", "modality": ["text", "image"][i % 2]}
+         for i in range(120)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=8,
+                        calibration_queries=8,
+                        calibration_filters=("image",))
+    eng._ann["clip"]["drifted"] = True  # simulate a latched index
+    st = eng.maintain("clip", rebuild_on_drift=True)
+    assert st["rebuilt"] is True and st["drifted"] is False
+    info = eng._ann["clip"]
+    assert "image" in info["filter_calibrations"]
+    assert info["filter_calibrations"]["image"]["points"]
+    # and the validation: filters demand a measured build
+    with pytest.raises(ValueError, match="calibration_filters requires"):
+        eng.build_ann_index(space="clip", calibrate=False,
+                            calibration_filters=("image",))
