@@ -503,13 +503,18 @@ class MultiModalSearchEngine:
         every other mutation; internal callers already under it (or
         pre-publication, in :meth:`build_ann_index`) pass ``_info``."""
         if _info is None:
-            info = self._ann.get(space)
-            if info is None:
-                raise ValueError(
-                    f"calibrate_filter: no ANN index for space "
-                    f"{space!r}; call build_ann_index first"
-                )
+            # the info dict is re-fetched INSIDE the lock: build/attach/
+            # maintain publish a fresh info dict (without holding the
+            # lock), so an info captured before acquisition could be the
+            # replaced, dead one — the measured curve would be written
+            # into a dict no route ever reads again
             with self._ann_lock:
+                info = self._ann.get(space)
+                if info is None:
+                    raise ValueError(
+                        f"calibrate_filter: no ANN index for space "
+                        f"{space!r}; call build_ann_index first"
+                    )
                 return self.calibrate_filter(
                     space,
                     modality,
@@ -576,13 +581,18 @@ class MultiModalSearchEngine:
         )
 
     def _main_curve_stale(self, space: str, info: dict) -> bool:
+        # a curve with NO rows_at_calibration marker (manifests saved
+        # before round 10, reloaded via load()) counts as stale the
+        # moment the space has any rows — the same semantics as
+        # _stale_filter_keys' missing-marker default; treating it as
+        # never-stale would pin a pre-marker curve forever no matter
+        # how much the corpus grows
         cal = info.get("calibration")
         return bool(
             cal
             and cal.get("points")
-            and cal.get("rows_at_calibration")
             and self._space_rows(space)
-            > cal["rows_at_calibration"]
+            > (cal.get("rows_at_calibration") or 0)
             * (1.0 + self.recalibration_fraction)
         )
 
@@ -2045,11 +2055,23 @@ class MultiModalSearchEngine:
         # per-epoch derived structures (concatenated ids, per-modality
         # row selections, row→(space, local index) maps): building
         # these costs ~n Python-object ops, so they are computed ONCE
-        # per corpus epoch, not per call
+        # per corpus epoch, not per call. Validity is keyed on the
+        # EPOCHS OF THE PER-SPACE CACHES it was built from, not on
+        # self._epoch: a per-space cache snapshots its epoch BEFORE its
+        # collect (an ingest landing mid-collect leaves it stamped
+        # stale), so a cc stamped with the then-current global epoch
+        # could match self._epoch while the per-space caches it indexes
+        # into have since been rebuilt — misaligned group_sel/ids_cat
+        # over fresh matrices. Cache epochs strictly increase across
+        # rebuilds, so equality here proves cc was derived from exactly
+        # these cache objects.
+        cache_epochs = {s: caches[s]["epoch"] for s in spaces}
         cc = self._compare_cache
-        if cc is None or cc["epoch"] != self._epoch or cc[
-            "spaces"
-        ] != spaces:
+        if (
+            cc is None
+            or cc["spaces"] != spaces
+            or cc.get("cache_epochs") != cache_epochs
+        ):
             ids_all, mods, sp_idx, row_idx = [], [], [], []
             for si, s in enumerate(spaces):
                 c = caches[s]
@@ -2069,7 +2091,7 @@ class MultiModalSearchEngine:
                 set(mods_cat.tolist()), key=lambda g: (g is None, g)
             )
             cc = {
-                "epoch": self._epoch,
+                "cache_epochs": cache_epochs,
                 "spaces": spaces,
                 "ids_cat": np.concatenate(ids_all),
                 "sp_idx": np.concatenate(sp_idx),

@@ -1635,3 +1635,70 @@ def test_maintain_rebuild_preserves_filter_curves(spark):
     with pytest.raises(ValueError, match="calibration_filters requires"):
         eng.build_ann_index(space="clip", calibrate=False,
                             calibration_filters=("image",))
+
+
+# -- round 11: ADVICE fixes ---------------------------------------------
+
+def test_compare_cache_survives_ingest_during_cache_build(spark,
+                                                          monkeypatch):
+    """ADVICE round 10 (medium): an ingest landing between the
+    per-space cache builds and the derived compare-cache stamp left the
+    derived structures (group_sel/ids_cat, pre-fix stamped with the
+    then-current global epoch) aligned to the OLD matrices while the
+    next call rebuilt the per-space caches — wrong ids or IndexError.
+    The derived cache is now keyed on the epochs of the caches it was
+    built from."""
+    eng = MultiModalSearchEngine(spark, dim=32)
+    eng.batch_ingest(
+        [{"content": f"ccr doc {i}", "modality": ["text", "audio"][i % 2]}
+         for i in range(40)]
+    )
+    # inject the race: right after the LAST space's cache is built
+    # inside _compare_local_rows (spaces iterate sorted: clap, clip),
+    # an ingest lands — so the derived structures are stamped after
+    # the epoch moved
+    orig = eng._local_corpus
+    state = {"armed": True}
+
+    def racy(space):
+        c = orig(space)
+        if state["armed"] and space == "clip":
+            state["armed"] = False
+            eng.ingest_content("ccr race arrival", modality="text")
+        return c
+
+    monkeypatch.setattr(eng, "_local_corpus", racy)
+    eng.compare_modalities_batch(["ccr doc 3"], k_per_modality=2)
+    # next call: per-space caches rebuild (stale-stamped) — the derived
+    # structures must rebuild WITH them, see the new row, and stay
+    # aligned with the fresh matrices
+    out = eng.compare_modalities_batch(
+        ["ccr race arrival"], k_per_modality=2
+    )
+    cc = eng._compare_cache
+    assert len(cc["ids_cat"]) == sum(
+        len(eng._local_cache[s]["ids"]) for s in cc["spaces"]
+    ), "derived compare cache misaligned with per-space caches"
+    text_hits = [r for r in out[0] if r["modality"] == "text"]
+    assert text_hits[0]["sim"] == pytest.approx(1.0, abs=1e-5)
+    assert text_hits[0]["id"] == 40  # the race-ingested row is served
+
+
+def test_missing_staleness_marker_counts_as_stale(spark):
+    """A main calibration curve with NO rows_at_calibration marker
+    (manifests saved before round 10, reloaded via load()) must be
+    treated as stale — matching the filter-curve semantics — so old
+    curves refresh instead of being trusted forever."""
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
+                                 local_exact_budget_bytes=0)
+    eng.batch_ingest(
+        [{"content": f"msm doc {i}", "modality": "text"}
+         for i in range(80)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=8, calibration_queries=8)
+    info = eng._ann["clip"]
+    del info["calibration"]["rows_at_calibration"]
+    assert eng._main_curve_stale("clip", info) is True
+    st = eng.maintain("clip")
+    assert st["recalibrated"] is True
+    assert info["calibration"]["rows_at_calibration"] == 80

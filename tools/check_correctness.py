@@ -17,6 +17,7 @@ driver's 50-query verification window.
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -84,6 +85,20 @@ def main() -> None:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # Fixture-backed oracles (ivf_centroids / pca_basis / opq_rot) embed
+    # the DRIVER-scale fixture path (sf0.01 — the scale the driver gate
+    # runs at), while the Spark bodies resolve their fixture from
+    # sf_dir. Running this tool at another sf would otherwise compare
+    # the two engines against DIFFERENT fixtures — a guaranteed hash
+    # mismatch reported as a correctness failure. Each sf has its own
+    # committed fixture (tools/build_fixtures.py), so retarget the
+    # oracle's fixture path to the sf under test.
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    if sf_name != "sf0.01":
+        oracles = {
+            n: sql.replace("_sf0.01.parquet", f"_{sf_name}.parquet")
+            for n, sql in oracles.items()
+        }
     n_pass = n_fail = n_noracle = 0
     for name, fn in queries.items():
         if only and name not in only:
