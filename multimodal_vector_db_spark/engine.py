@@ -134,17 +134,24 @@ class MultiModalSearchEngine:
         #: the last search's routing decision — the planner log surface
         #: (route, reason, and the IVF parameters when taken)
         self.last_route: dict[str, Any] | None = None
-        #: corpus bytes (rows × dim × 4, the float32 vector mass) below
-        #: which single/batch searches are served from a DRIVER-RESIDENT
-        #: copy of the space's corpus with the SAME blocked-BLAS kernel
-        #: and tie-break as the Spark exact path (round 10 — closes the
+        #: estimated resident corpus bytes — float32 vector mass PLUS
+        #: measured payload string bytes (round 11; vector mass alone
+        #: admitted fat-payload corpora whose collect pulled gigabytes
+        #: of content strings to the driver) — below which single/batch
+        #: searches are served from a DRIVER-RESIDENT copy of the
+        #: space's corpus with the SAME blocked-BLAS kernel and
+        #: tie-break as the Spark exact path (round 10 — closes the
         #: one >2×-vs-baseline metric, the ~0.5 s per-job scheduling
         #: floor Spark local mode puts under every single interactive
         #: query; the reference's hnswlib search is a single in-process
         #: call, ``search_images.py:42-59``). 0 disables the micro-path.
-        #: NOTE the budget counts the raw vector bytes; the resident
-        #: cache holds a float64 matrix + payload dicts, ~2-3× that.
+        #: NOTE the gate estimates the collected footprint; the resident
+        #: float64 matrix + payload dicts run ~2-3× the vector term.
         self.local_exact_budget_bytes = local_exact_budget_bytes
+        #: spaces measured over budget, keyed by the epoch of the
+        #: verdict — repeated searches at one epoch skip the footprint
+        #: agg instead of re-measuring (any mutation bumps the epoch)
+        self._local_over_budget: dict[str, int] = {}
         #: per-space driver cache for the micro-path: space →
         #: {epoch, ids, emb, modality, payload}; dropped whenever the
         #: corpus epoch moves past the cached one
@@ -1842,15 +1849,28 @@ class MultiModalSearchEngine:
         )
 
     # -- driver-resident exact micro-path (round 10) --------------------
+    #: estimated fixed driver-side bytes per cached row beyond the
+    #: measured string payload (id/flags + Python dict/object overhead)
+    _LOCAL_ROW_OVERHEAD_BYTES = 64
+
     def _local_corpus(self, space: str) -> dict[str, Any] | None:
         """The micro-path's corpus block: ids + a float64 embedding
         matrix + payload row dicts for ``space``'s LIVE rows, resident
         on the driver. Returns None when disabled
-        (``local_exact_budget_bytes=0``) or when the space's vector
-        mass (rows × dim × 4 B — the float32 on-disk form) exceeds the
-        budget; above it the Spark paths serve (the cache is the small-
-        corpus latency fix, not a general execution mode — at 100 TB
-        every space is far past the budget and nothing changes).
+        (``local_exact_budget_bytes=0``) or when the space's estimated
+        TOTAL resident footprint — vector mass (rows × dim × 4 B, the
+        float32 on-disk form) PLUS the measured payload string bytes
+        (one column-pruned ``sum(octet_length(...))`` agg, run before
+        anything is collected) — exceeds the budget; above it the Spark
+        paths serve (the cache is the small-corpus latency fix, not a
+        general execution mode — at 100 TB every space is far past the
+        budget and nothing changes). Gating on vector mass alone would
+        let a fat-payload corpus (say 100k × 50 KB documents: ~205 MB
+        of vectors, ~5 GB of content strings) collect gigabytes to the
+        driver — the reference holds full metadata in process
+        (``vector_index.py:24``), a flaw this tier must not inherit.
+        An over-budget verdict is remembered per epoch so repeated
+        searches don't re-run the footprint agg.
 
         Keyed on the corpus mutation epoch: every ingest/remove bumps
         ``_epoch`` so the next micro-path call rebuilds from the
@@ -1864,16 +1884,40 @@ class MultiModalSearchEngine:
         if self.local_exact_budget_bytes <= 0 or self.items is None:
             return None
         n = self._space_rows(space)
-        if n * self.dim * 4 > self.local_exact_budget_bytes:
+        vec_bytes = n * self.dim * 4
+        if vec_bytes > self.local_exact_budget_bytes:
             return None
         cached = self._local_cache.get(space)
         if cached is not None and cached["epoch"] == self._epoch:
             return cached
+        if self._local_over_budget.get(space) == self._epoch:
+            return None
         epoch = self._epoch
         corpus = active(self.items).where(F.col("space") == space)
         pay_cols = [
             c for c in corpus.columns if c not in ("embedding", "dim")
         ]
+        # payload footprint BEFORE the collect (see docstring): string
+        # columns measured exactly, everything else a per-row constant
+        str_cols = [
+            c for c, t in corpus.dtypes if c in pay_cols and t == "string"
+        ]
+        size_expr = F.lit(0).cast("long")
+        for c in str_cols:
+            size_expr = size_expr + F.coalesce(
+                F.octet_length(F.col(c)).cast("long"), F.lit(0)
+            )
+        stats = corpus.agg(
+            F.count("*").alias("n"), F.sum(size_expr).alias("s")
+        ).first()
+        total_bytes = (
+            vec_bytes
+            + (stats["s"] or 0)
+            + stats["n"] * self._LOCAL_ROW_OVERHEAD_BYTES
+        )
+        if total_bytes > self.local_exact_budget_bytes:
+            self._local_over_budget[space] = epoch
+            return None
         rows = corpus.collect()
         # float32 parquet values -> exact float64 (same cast as the
         # blocked scorer's astype(np.float64) — values are identical)
@@ -1894,6 +1938,10 @@ class MultiModalSearchEngine:
                 [r["modality"] for r in rows], dtype=object
             ),
             "payload": [{c: r[c] for c in pay_cols} for r in rows],
+            # estimated resident footprint this block was admitted at —
+            # the compare micro-path sums these across spaces, and the
+            # incremental-append path grows it in place
+            "bytes": total_bytes,
         }
         self._local_cache[space] = cached
         return cached
@@ -1902,12 +1950,13 @@ class MultiModalSearchEngine:
         self, cache: dict, space: str, recall_floor: float
     ) -> None:
         n = len(cache["ids"])
-        mb = n * self.dim * 4 / (1024 * 1024)
+        mb = cache.get("bytes", n * self.dim * 4) / (1024 * 1024)
         self.last_route = {
             "route": "exact-local",
             "reason": (
-                f"{space!r} corpus {n} rows × dim {self.dim} = "
-                f"{mb:.1f} MB within local_exact_budget — driver-"
+                f"{space!r} corpus {n} rows × dim {self.dim}: "
+                f"~{mb:.1f} MB estimated resident footprint (vectors "
+                "+ payload strings) within local_exact_budget — driver-"
                 "resident exact scan (same BLAS kernel + tie-break as "
                 "the blocked scorer, no per-job scheduling floor; "
                 "exact, so any recall floor is honored)"
@@ -2052,6 +2101,13 @@ class MultiModalSearchEngine:
                 # vectors — defer to the Spark paths' handling
                 return None
             caches[s] = c
+        if (
+            sum(c.get("bytes", 0) for c in caches.values())
+            > self.local_exact_budget_bytes
+        ):
+            # every space fits individually but not together — the
+            # compare path holds ALL of them resident at once
+            return None
         # per-epoch derived structures (concatenated ids, per-modality
         # row selections, row→(space, local index) maps): building
         # these costs ~n Python-object ops, so they are computed ONCE

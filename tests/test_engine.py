@@ -1702,3 +1702,37 @@ def test_missing_staleness_marker_counts_as_stale(spark):
     st = eng.maintain("clip")
     assert st["recalibrated"] is True
     assert info["calibration"]["rows_at_calibration"] == 80
+
+
+def test_micro_path_budget_counts_payload_bytes(spark):
+    """Round-11 gate fix: the micro-path budget counts the estimated
+    TOTAL resident footprint (vector mass + measured payload string
+    bytes), not vector mass alone — a small-row/fat-payload corpus
+    that passes the vector gate must route to the Spark path instead
+    of collecting megabytes of content strings to the driver."""
+    budget = 64 * 1024  # 64 KiB
+    fat = MultiModalSearchEngine(spark, dim=16,
+                                 local_exact_budget_bytes=budget)
+    # vector mass: 20 x 16 x 4 = 1,280 B << budget; payload: 20 x 8 KiB
+    # of content = ~160 KiB >> budget
+    fat.batch_ingest(
+        [{"content": f"fat doc {i} " + "x" * 8192, "modality": "text"}
+         for i in range(20)]
+    )
+    fat.search("fat doc 3", k=3)
+    assert fat.last_route["route"] != "exact-local", fat.last_route
+    assert fat._local_over_budget.get("clip") == fat._epoch
+    assert "clip" not in fat._local_cache  # nothing was collected
+
+    # same corpus shape, slim payload: well under budget -> micro-path,
+    # and the route log names the gated quantity
+    slim = MultiModalSearchEngine(spark, dim=16,
+                                  local_exact_budget_bytes=budget)
+    slim.batch_ingest(
+        [{"content": f"slim doc {i}", "modality": "text"}
+         for i in range(20)]
+    )
+    slim.search("slim doc 3", k=3)
+    assert slim.last_route["route"] == "exact-local"
+    assert "resident footprint" in slim.last_route["reason"]
+    assert slim._local_cache["clip"]["bytes"] <= budget
