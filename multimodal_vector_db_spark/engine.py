@@ -89,6 +89,7 @@ class MultiModalSearchEngine:
         recalibration_fraction: float = 0.25,
         cum_drift_threshold: float | None = None,
         cum_drift_mass_fraction: float = 0.25,
+        defer_recalibration: bool = False,
     ):
         self.spark = spark
         self.dim = dim
@@ -114,6 +115,11 @@ class MultiModalSearchEngine:
         self._n_rows_by_space: dict[str, int] | None = (
             {} if items is None else None
         )
+        # highest assigned item id, maintained incrementally by the
+        # ingest paths so the interactive batch_ingest is JOB-FREE (no
+        # max-id agg per call — round 11, the ingest/search-alternation
+        # cost contract). None = unknown → one agg, then cached.
+        self._max_id: int | None = -1 if items is None else None
         # per-space IVF coarse index for the auto route (build_ann_index)
         self._ann: dict[str, dict] = {}
         #: appended-batch cohesion ratio above which an IVF index is
@@ -169,6 +175,18 @@ class MultiModalSearchEngine:
         #: curve (round 10 — a curve measured on the build-time corpus
         #: with ground truth that excludes appended rows goes stale)
         self.recalibration_fraction = recalibration_fraction
+        #: when True, a search whose consulted calibration curve has
+        #: gone stale serves EXACT (with ``calibration_deferred`` on
+        #: ``last_route``) instead of absorbing a full recalibration
+        #: sweep on the hot path — the deployment shape where a
+        #: scheduled :meth:`maintain` owns all measured upkeep (round
+        #: 11). Default False: lazy hot-path refresh, with its wall
+        #: cost surfaced as ``last_route["calibration_sec"]``.
+        self.defer_recalibration = defer_recalibration
+        #: per-route-decision annotations (calibration_sec /
+        #: calibration_deferred) merged into ``last_route`` by the
+        #: search paths
+        self._route_extras: dict[str, Any] = {}
         #: CUMULATIVE drift latch (round 10): per-batch `drift` only
         #: sees the latest batch, so many batches each marginally below
         #: ``drift_threshold`` never latch even when the appended mass
@@ -186,14 +204,30 @@ class MultiModalSearchEngine:
         self.cum_drift_mass_fraction = cum_drift_mass_fraction
 
     # -- ingestion (search_engine.py:81-172) ---------------------------
+    def _next_id(self) -> int:
+        """Next free item id — from the incrementally maintained
+        counter when known (no Spark job), else one max-id agg whose
+        result is cached."""
+        if self._max_id is None:
+            m = (
+                self.items.agg(F.max("id").alias("m")).first()["m"]
+                if self.items is not None
+                else None
+            )
+            # explicit None check: `m or -1` would misread a legitimate
+            # max id of 0 as empty and restart ids at 0
+            self._max_id = -1 if m is None else int(m)
+        return self._max_id + 1
+
     def batch_ingest(self, rows: list[dict[str, Any]]) -> None:
         """Append (content, modality) records; embeds into the right
-        space and stamps id/space/deleted columns."""
-        start_id = 0
-        if self.items is not None:
-            start_id = (
-                self.items.agg(F.max("id").alias("m")).first()["m"] or -1
-            ) + 1
+        space and stamps id/space/deleted columns. Job-free on the
+        driver (ids from the maintained counter, the new frame unions
+        lazily), and valid micro-path caches are EXTENDED in place
+        with the new rows instead of invalidated — a steady trickle of
+        single-row ingests interleaved with searches costs O(batch)
+        per ingest, not a full corpus re-collect per search."""
+        start_id = self._next_id()
         data = []
         for i, r in enumerate(rows):
             modality = r.get("modality", "text")
@@ -214,11 +248,14 @@ class MultiModalSearchEngine:
         self.items = new if self.items is None else self.items.unionByName(
             new, allowMissingColumns=True
         )
+        prev_epoch = self._epoch
         self._epoch += 1
+        self._max_id = start_id + len(rows) - 1
         if self._n_rows is not None:
             self._n_rows += len(rows)
         for r in rows:
             self._bump_space(SPACE_OF[r.get("modality", "text")], 1)
+        self._local_cache_extend(prev_epoch, data)
 
     def ingest_content(self, content: str, modality: str = "text", **meta) -> None:
         self.batch_ingest([{"content": content, "modality": modality, **meta}])
@@ -253,11 +290,7 @@ class MultiModalSearchEngine:
         ef = embed_udf or (
             lambda col, space: fake_embed(col, space=space, dim=self.dim)
         )
-        start_id = 0
-        if self.items is not None:
-            start_id = (
-                self.items.agg(F.max("id").alias("m")).first()["m"] or -1
-            ) + 1
+        start_id = self._next_id()
 
         # pin the partition layout: the pid-count job and the id-assign
         # job must observe the SAME partitioning (AQE may otherwise
@@ -350,6 +383,7 @@ class MultiModalSearchEngine:
             else self.items.unionByName(new, allowMissingColumns=True)
         )
         self._epoch += 1
+        self._max_id = start_id + running - 1
         if self._n_rows is not None:
             self._n_rows += running  # total of the partition counts
         for sp, n in space_delta.items():
@@ -357,14 +391,41 @@ class MultiModalSearchEngine:
 
     def remove(self, ids: list[int]) -> None:
         """Soft delete — and unlike the reference's write-only tombstone
-        (vector_index.py:212-222), every search honors it."""
+        (vector_index.py:212-222), every search honors it. Valid
+        micro-path caches are PRUNED in place (tombstoned rows leave
+        the active view), so interleaved remove/search stays
+        collect-free like the ingest path."""
+        import numpy as np
+
         self.items = self.items.withColumn(
             "deleted",
             F.when(F.col("id").isin(ids), F.lit(True)).otherwise(
                 F.col("deleted")
             ),
         )
+        prev_epoch = self._epoch
         self._epoch += 1
+        drop = np.array(sorted(set(ids)), dtype=np.int64)
+        for space, cached in list(self._local_cache.items()):
+            if cached["epoch"] != prev_epoch:
+                continue  # already stale — rebuilds lazily
+            hit = np.isin(cached["ids"], drop)
+            keep = np.nonzero(~hit)[0]
+            pruned = [cached["payload"][i] for i in keep]
+            freed = sum(
+                self._row_payload_bytes(cached["payload"][i])
+                for i in np.nonzero(hit)[0]
+            ) + int(hit.sum()) * self.dim * 4
+            # replace-not-mutate: concurrent readers holding the old
+            # block keep a consistent (pre-mutation) view
+            self._local_cache[space] = {
+                "epoch": self._epoch,
+                "ids": cached["ids"][keep],
+                "emb": cached["emb"][keep],
+                "modality": cached["modality"][keep],
+                "payload": pruned,
+                "bytes": cached.get("bytes", 0) - freed,
+            }
 
     # -- ANN route (SURVEY §4's deferred planner rule, rounds 8-9) ------
     def build_ann_index(
@@ -618,7 +679,7 @@ class MultiModalSearchEngine:
             * (1.0 + self.recalibration_fraction)
         ]
 
-    def _maybe_recalibrate(self, space: str, info: dict) -> bool:
+    def _maybe_recalibrate(self, space: str, info: dict) -> float | None:
         """Refresh STALE calibration curves: when the live corpus of
         ``space`` has outgrown a curve's measured row count by more
         than ``recalibration_fraction``, re-run the same measured
@@ -629,16 +690,19 @@ class MultiModalSearchEngine:
         independently (each carries its own measurement marker).
         Serialized on the index-maintenance lock; the staleness checks
         repeat inside it so concurrent searches refresh once. NOTE the
-        refresh runs lazily on the serving path — a deployment that
-        cannot absorb the occasional calibration sweep there should
-        call :meth:`maintain` from a scheduler instead (same work,
-        off-path). Returns True iff this call refreshed anything."""
+        refresh runs lazily on the serving path (unless
+        ``defer_recalibration`` routes stale-curve searches exact and
+        leaves this to :meth:`maintain`) — its cost is surfaced on
+        ``last_route["calibration_sec"]`` when it does run inline.
+        Returns the total measured calibration wall seconds, or None
+        when nothing was stale."""
         if not (
             self._main_curve_stale(space, info)
             or self._stale_filter_keys(space, info)
         ):
-            return False
+            return None
         with self._ann_lock:
+            total = 0.0
             did = False
             if self._main_curve_stale(space, info):
                 cal = info["calibration"]
@@ -652,10 +716,11 @@ class MultiModalSearchEngine:
                     cal.get("k", 10),
                     tuple(p["fraction"] for p in cal["points"]) or None,
                 )
+                total += info["calibration"].get("calibration_sec", 0.0)
                 did = True
             for m in self._stale_filter_keys(space, info):
                 fcal = info["filter_calibrations"][m]
-                self.calibrate_filter(
+                curve = self.calibrate_filter(
                     space,
                     m,
                     calibration_queries=fcal.get("n_queries", 64),
@@ -666,8 +731,10 @@ class MultiModalSearchEngine:
                     ),
                     _info=info,
                 )
+                if curve is not None:
+                    total += curve.get("calibration_sec", 0.0)
                 did = True
-            return did
+            return total if did else None
 
     def _calibrate_ann(
         self,
@@ -1101,13 +1168,14 @@ class MultiModalSearchEngine:
                     ),
                 )
             rebuilt = True
-        recalibrated = self._maybe_recalibrate(space, info)
+        recal_sec = self._maybe_recalibrate(space, info)
         return {
             "space": space,
             "appended": st["appended"],
             "drift": info["drift"],
             "drifted": info["drifted"],
-            "recalibrated": recalibrated,
+            "recalibrated": recal_sec is not None,
+            "calibration_sec": recal_sec,
             "rebuilt": rebuilt,
         }
 
@@ -1226,7 +1294,10 @@ class MultiModalSearchEngine:
         approximate route — ``scorer="blocked"``/``"hof"`` is the
         documented exact-parity surface and must never silently return
         approximate results. Returns (use_ivf, reason, nprobe) — the
-        reason is logged on ``last_route`` either way."""
+        reason is logged on ``last_route`` either way, with any
+        per-decision annotations (calibration cost/deferral) in
+        ``_route_extras``."""
+        self._route_extras = {}
         if route == "ivf":
             if scorer != "auto":
                 # an explicit scorer is the documented EXACT-parity
@@ -1323,9 +1394,33 @@ class MultiModalSearchEngine:
         # once the live corpus has outgrown the calibrated one by
         # recalibration_fraction, refresh the measured curve on the
         # CURRENT corpus (appended ids enter the xxhash64 query sample
-        # and the exact ground truth)
-        recal = self._maybe_recalibrate(space, info)
-        prefix = "recalibrated; " if recal else ""
+        # and the exact ground truth). With defer_recalibration the
+        # hot path never absorbs that sweep: if the curve THIS query
+        # consults is stale, serve exact + flag and leave the refresh
+        # to maintain(); other curves' staleness is the maintainer's
+        # business either way.
+        if self.defer_recalibration:
+            stale_here = (
+                filter_key in self._stale_filter_keys(space, info)
+                if filter_key is not None
+                else self._main_curve_stale(space, info)
+            )
+            if stale_here:
+                self._route_extras["calibration_deferred"] = True
+                return False, (
+                    "calibration curve stale (corpus outgrew it by > "
+                    f"{self.recalibration_fraction:.0%}); recalibration "
+                    "deferred to maintain() — exact serves and honors "
+                    "the floor"
+                ), None
+            prefix = ""
+        else:
+            recal_sec = self._maybe_recalibrate(space, info)
+            prefix = "recalibrated; " if recal_sec is not None else ""
+            if recal_sec is not None:
+                self._route_extras["calibration_sec"] = round(
+                    recal_sec, 3
+                )
         if filter_key is not None and filter_key not in info.get(
             "filter_calibrations", {}
         ):
@@ -1509,6 +1604,7 @@ class MultiModalSearchEngine:
                 "nprobe": nprobe,
                 "n_clusters": len(info["centroids"]),
                 "recall_floor": recall_floor,
+                **self._route_extras,
             }
             # join the slim (id, cluster_id) assignment back so
             # tombstones/predicates applied to `corpus` above hold;
@@ -1557,6 +1653,7 @@ class MultiModalSearchEngine:
             "route": "exact-blocked" if use_blocked else "exact-hof",
             "reason": why,
             "recall_floor": recall_floor,
+            **self._route_extras,
         }
         if use_blocked:
             # Two small actions, each the cheapest possible shape:
@@ -1657,6 +1754,7 @@ class MultiModalSearchEngine:
                 "nprobe": nprobe,
                 "n_clusters": len(info["centroids"]),
                 "recall_floor": recall_floor,
+                **self._route_extras,
             }
             assigned = corpus.select("id", "embedding").join(
                 info["assign"], "id"
@@ -1697,6 +1795,7 @@ class MultiModalSearchEngine:
             "route": "exact-blocked" if use_blocked else "exact-hof",
             "reason": why,
             "recall_floor": recall_floor,
+            **self._route_extras,
         }
         if use_blocked:
             # vectors ride the task closure — no query-DF collect job
@@ -1809,6 +1908,9 @@ class MultiModalSearchEngine:
             else self.items.unionByName(new, allowMissingColumns=True)
         )
         self._epoch += 1
+        # ids here are the CALLER's (doc ids) — the maintained max-id
+        # counter no longer covers them; recompute lazily on next use
+        self._max_id = None
         if n_new is not None:
             if self._n_rows is not None:
                 self._n_rows += n_new
@@ -1852,6 +1954,110 @@ class MultiModalSearchEngine:
     #: estimated fixed driver-side bytes per cached row beyond the
     #: measured string payload (id/flags + Python dict/object overhead)
     _LOCAL_ROW_OVERHEAD_BYTES = 64
+
+    def _row_payload_bytes(self, payload: dict[str, Any]) -> int:
+        """Estimated resident bytes of one cached payload dict — the
+        incremental twin of the build-time footprint agg (string
+        octet lengths + the per-row overhead constant)."""
+        return self._LOCAL_ROW_OVERHEAD_BYTES + sum(
+            len(v.encode("utf-8"))
+            for v in payload.values()
+            if isinstance(v, str)
+        )
+
+    def _local_cache_extend(
+        self, prev_epoch: int, data: list[tuple]
+    ) -> None:
+        """Absorb freshly ingested rows into still-valid per-space
+        driver caches IN PLACE (round 11 — the epoch-rebuild cost
+        contract): under a steady trickle of interactive ingests
+        interleaved with searches, the pre-round-11 engine re-collected
+        the whole space on every search. The appended block is built
+        from the SAME values a rebuild would collect (embeddings pass
+        through the float32 cast parquet/DataFrame storage applies, so
+        arrays stay bit-identical — parity-tested), the footprint
+        estimate grows by the same arithmetic as the build-time agg,
+        and a cache outgrowing the budget is dropped with an
+        over-budget verdict. Caches whose epoch is already stale are
+        left alone (they rebuild lazily). Replace-not-mutate, so
+        concurrent readers keep a consistent block.
+
+        ``data`` rows are ``_ITEMS_SCHEMA``-ordered tuples
+        (id, modality, space, embedding, dim, deleted, content,
+        display_name) — exactly what :meth:`batch_ingest` builds."""
+        import numpy as np
+
+        if self.local_exact_budget_bytes <= 0 or not data:
+            return
+        pay_cols = (
+            "id", "modality", "space", "deleted", "content",
+            "display_name",
+        )
+        by_space: dict[str, list[tuple]] = {}
+        for t in data:
+            by_space.setdefault(t[2], []).append(t)
+        for space, ts in by_space.items():
+            cached = self._local_cache.get(space)
+            if cached is None or cached["epoch"] != prev_epoch:
+                continue
+            payload = [
+                {
+                    "id": t[0],
+                    "modality": t[1],
+                    "space": t[2],
+                    "deleted": t[5],
+                    "content": t[6],
+                    "display_name": t[7],
+                }
+                for t in ts
+            ]
+            if cached["payload"] and set(cached["payload"][0]) != set(
+                pay_cols
+            ):
+                # payload schema drifted from the canonical columns
+                # (e.g. a corpus loaded with extra columns) — leave the
+                # cache stale and let the rebuild path re-collect
+                continue
+            added = sum(
+                self._row_payload_bytes(p) for p in payload
+            ) + len(ts) * self.dim * 4
+            total = cached.get("bytes", 0) + added
+            if total > self.local_exact_budget_bytes:
+                self._local_cache.pop(space, None)
+                self._local_over_budget[space] = self._epoch
+                continue
+            # float32 round-trip: DataFrame storage truncates the
+            # driver-side float64 embeddings to float32; a rebuild
+            # collects those truncated values, so the in-place block
+            # must hold the identical ones
+            new_emb = np.asarray(
+                [t[3] for t in ts], dtype=np.float32
+            ).astype(np.float64)
+            self._local_cache[space] = {
+                "epoch": self._epoch,
+                "ids": np.concatenate(
+                    [
+                        cached["ids"],
+                        np.array([t[0] for t in ts], dtype=np.int64),
+                    ]
+                ),
+                "emb": np.concatenate([cached["emb"], new_emb]),
+                "modality": np.concatenate(
+                    [
+                        cached["modality"],
+                        np.array([t[1] for t in ts], dtype=object),
+                    ]
+                ),
+                "payload": cached["payload"] + payload,
+                "bytes": total,
+            }
+        # spaces this ingest did NOT touch keep their rows — restamp
+        # their valid caches so the unchanged corpus isn't re-collected
+        for space, cached in list(self._local_cache.items()):
+            if space not in by_space and cached["epoch"] == prev_epoch:
+                self._local_cache[space] = {
+                    **cached, "epoch": self._epoch
+                }
 
     def _local_corpus(self, space: str) -> dict[str, Any] | None:
         """The micro-path's corpus block: ids + a float64 embedding
@@ -1910,8 +2116,13 @@ class MultiModalSearchEngine:
         stats = corpus.agg(
             F.count("*").alias("n"), F.sum(size_expr).alias("s")
         ).first()
+        # the vector term re-derives from the agg's LIVE row count:
+        # _space_rows is a tombstone-inclusive upper bound (fine for
+        # the cheap pre-filter above), but the admitted footprint must
+        # match what the collect actually holds — and stay equal to the
+        # incrementally maintained estimate (parity-tested)
         total_bytes = (
-            vec_bytes
+            stats["n"] * self.dim * 4
             + (stats["s"] or 0)
             + stats["n"] * self._LOCAL_ROW_OVERHEAD_BYTES
         )
@@ -2386,6 +2597,57 @@ class MultiModalSearchEngine:
             .where(F.col("rank") <= k_per_modality)
             .select("modality", "space", "id", "display_name", "sim", "rank")
         )
+
+    def compare_modalities_rows(
+        self, query: str, k_per_modality: int = 3
+    ) -> list[dict[str, Any]]:
+        """Single-call interactive form of :meth:`compare_modalities`
+        — returns ranked row dicts (the :meth:`search` convention)
+        instead of a DataFrame (round 11). The DataFrame contract
+        makes every single call pay one ``createDataFrame`` + collect
+        materialization (~250 ms in local mode) even when the scoring
+        itself runs ~3 ms on the micro-path; the reference's
+        cross-modal compare is an interactive CLI call
+        (``search_cross_modal.py:107-173``), so it gets the
+        rows-returning path like ``search()`` does. Same rows, order
+        and sims as the DataFrame form (parity-tested); keep
+        :meth:`compare_modalities` for relational composition. Over
+        budget this falls back to collecting the Spark plan."""
+        local = self._compare_local_rows(
+            [
+                {
+                    "clip": self._embed(query, "clip"),
+                    "clap": self._embed(query, "clap"),
+                }
+            ],
+            k_per_modality,
+        )
+        if local is not None:
+            self.last_route = {
+                "route": "exact-local",
+                "reason": (
+                    "all spaces within local_exact_budget — driver-"
+                    "resident dual-space scoring (rows form, no "
+                    "DataFrame materialization)"
+                ),
+            }
+            return [
+                {
+                    "modality": m,
+                    "space": s,
+                    "id": i,
+                    "display_name": d,
+                    "sim": sim,
+                    "rank": r,
+                }
+                for (_q, m, s, i, d, sim, r) in local
+            ]
+        return [
+            r.asDict()
+            for r in self.compare_modalities(query, k_per_modality)
+            .orderBy("modality", "rank")
+            .collect()
+        ]
 
     def compare_modalities_batch(
         self, queries: list[str], k_per_modality: int = 3

@@ -135,13 +135,16 @@ def test_diversity_search_is_single_job(spark):
     """The diversity strategy must carry embeddings THROUGH the top-k as
     payload (one Spark job), not re-fetch them with a second isin()
     action — asserted via the scheduler's job counter."""
-    eng = MultiModalSearchEngine(spark, dim=32)
+    # budget 0 pins the Spark path — the micro-path (tested separately)
+    # serves this corpus with ZERO jobs once warm, which is not the
+    # plan under test here
+    eng = MultiModalSearchEngine(spark, dim=32,
+                                 local_exact_budget_bytes=0)
     eng.batch_ingest(
         [{"content": f"doc {i} about topic {i % 3}", "modality": "text"}
          for i in range(30)]
     )
     tracker = spark.sparkContext.statusTracker()
-    before = len(tracker.getJobIdsForGroup() or [])
 
     sc = spark.sparkContext
     sc.setJobGroup("diversity_probe", "diversity search job count")
@@ -153,6 +156,21 @@ def test_diversity_search_is_single_job(spark):
     assert all(r.get("embedding") is not None for r in out)
     # one collect == one job (a second embedding re-fetch would add one)
     assert jobs == 1, f"diversity search ran {jobs} jobs, expected 1"
+
+    # micro-path twin: warm cache serves the same query with NO job
+    warm = MultiModalSearchEngine(spark, dim=32)
+    warm.batch_ingest(
+        [{"content": f"doc {i} about topic {i % 3}", "modality": "text"}
+         for i in range(30)]
+    )
+    warm.search("doc 1 about topic 1", k=2)  # builds the cache
+    sc.setJobGroup("diversity_probe_local", "micro-path job count")
+    out2 = warm.search("doc 7 about topic 1", k=5, strategy="diversity")
+    jobs2 = len(tracker.getJobIdsForGroup("diversity_probe_local") or [])
+    sc.setJobGroup(None, None)
+    assert warm.last_route["route"] == "exact-local"
+    assert [r["id"] for r in out2] == [r["id"] for r in out]
+    assert jobs2 == 0, f"warm micro-path ran {jobs2} jobs, expected 0"
 
 
 def test_bulk_ingest_df_matches_driver_path(spark):
@@ -1736,3 +1754,185 @@ def test_micro_path_budget_counts_payload_bytes(spark):
     assert slim.last_route["route"] == "exact-local"
     assert "resident footprint" in slim.last_route["reason"]
     assert slim._local_cache["clip"]["bytes"] <= budget
+
+
+def test_micro_path_ingest_search_alternation_is_collect_free(
+    spark, monkeypatch
+):
+    """Round-11 epoch-rebuild cost contract: once the micro-path cache
+    is built, alternating interactive ingest/remove/search cycles run
+    entirely driver-side — batch_ingest extends the cache in place
+    (job-free: ids come from the maintained counter), remove prunes it,
+    and no search re-collects the corpus."""
+    import pyspark.sql
+
+    eng = MultiModalSearchEngine(spark, dim=16)
+    eng.batch_ingest(
+        [{"content": f"alt doc {i}", "modality": "text"}
+         for i in range(30)]
+    )
+    eng.search("alt doc 3", k=3)  # builds the cache (collects once)
+    assert eng.last_route["route"] == "exact-local"
+
+    def boom(self):
+        raise AssertionError(
+            "Spark collect ran during micro-path ingest/search "
+            "alternation"
+        )
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", boom)
+    for i in range(3):
+        eng.ingest_content(f"alt late {i}", modality="text")
+        out = eng.search(f"alt late {i}", k=2)
+        assert eng.last_route["route"] == "exact-local"
+        assert out[0]["content"] == f"alt late {i}"
+        assert out[0]["sim"] == pytest.approx(1.0, abs=1e-5)
+    victim = out[0]["id"]
+    eng.remove([victim])
+    out2 = eng.search("alt late 2", k=5)
+    assert all(r["id"] != victim for r in out2)
+    monkeypatch.undo()
+
+    # parity: the in-place-maintained block must be bit-identical to a
+    # fresh rebuild of the same corpus
+    import numpy as np
+
+    maintained = eng._local_cache["clip"]
+    eng._local_cache.pop("clip")
+    rebuilt = eng._local_corpus("clip")
+    assert np.array_equal(maintained["ids"], rebuilt["ids"])
+    assert np.array_equal(maintained["emb"], rebuilt["emb"])
+    assert list(maintained["modality"]) == list(rebuilt["modality"])
+    assert maintained["payload"] == rebuilt["payload"]
+    assert maintained["bytes"] == rebuilt["bytes"]
+
+
+def test_incremental_cache_extension_respects_budget(spark):
+    """An in-place cache extension that pushes the space past the
+    budget drops the cache (with an over-budget verdict) instead of
+    growing an over-budget driver block."""
+    eng = MultiModalSearchEngine(spark, dim=16,
+                                 local_exact_budget_bytes=4096)
+    eng.batch_ingest(
+        [{"content": f"bud doc {i}", "modality": "text"}
+         for i in range(10)]
+    )
+    eng.search("bud doc 1", k=2)
+    assert eng.last_route["route"] == "exact-local"
+    # one fat ingest blows the budget: cache must drop, search must
+    # route Spark
+    eng.ingest_content("bud fat " + "y" * 8192, modality="text")
+    assert "clip" not in eng._local_cache
+    eng.search("bud doc 1", k=2)
+    assert eng.last_route["route"] != "exact-local"
+
+
+def test_untouched_space_cache_survives_other_space_ingest(
+    spark, monkeypatch
+):
+    """Ingesting into one space restamps (not rebuilds) the other
+    spaces' valid caches — their corpora did not change."""
+    import pyspark.sql
+
+    eng = MultiModalSearchEngine(spark, dim=16)
+    eng.batch_ingest(
+        [{"content": f"sp doc {i}", "modality": ["text", "audio"][i % 2]}
+         for i in range(20)]
+    )
+    eng.search("sp doc 2", k=2)                                # clip
+    eng.search("sp doc 1", k=2, filter_content_type="audio")   # clap
+    assert set(eng._local_cache) >= {"clip", "clap"}
+
+    def boom(self):
+        raise AssertionError("unchanged space was re-collected")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", boom)
+    eng.ingest_content("sp audio late", modality="audio")  # clap only
+    out = eng.search("sp doc 2", k=2)  # clip cache must still serve
+    assert eng.last_route["route"] == "exact-local"
+    assert out[0]["content"] == "sp doc 2"
+
+
+def test_compare_modalities_rows_parity(spark):
+    """compare_modalities_rows (round 11): the rows-returning
+    single-call form must match the DataFrame form row for row, serve
+    from the micro-path when in budget, and fall back to the Spark
+    plan (same rows) when over budget."""
+    eng = MultiModalSearchEngine(spark, dim=32)
+    eng.batch_ingest(
+        [{"content": f"cmr doc {i}",
+          "modality": ["text", "image", "audio"][i % 3]}
+         for i in range(60)]
+    )
+    rows = eng.compare_modalities_rows("cmr doc 7", k_per_modality=3)
+    assert eng.last_route["route"] == "exact-local"
+    df_rows = sorted(
+        eng.compare_modalities("cmr doc 7", k_per_modality=3).collect(),
+        key=lambda r: (r["modality"], r["rank"]),
+    )
+    assert [(r["modality"], r["rank"], r["id"], r["space"],
+             r["display_name"]) for r in rows] == [
+        (r["modality"], r["rank"], r["id"], r["space"], r["display_name"])
+        for r in df_rows
+    ]
+    for a, b in zip(rows, df_rows):
+        assert a["sim"] == pytest.approx(b["sim"], abs=1e-12)
+
+    # over-budget fallback returns the same rows through the Spark plan
+    eng.local_exact_budget_bytes = 1
+    spk = eng.compare_modalities_rows("cmr doc 7", k_per_modality=3)
+    assert [(r["modality"], r["rank"], r["id"]) for r in spk] == [
+        (r["modality"], r["rank"], r["id"]) for r in rows
+    ]
+
+
+def test_defer_recalibration_serves_exact_until_maintain(spark):
+    """Round-11 recalibration cost contract: with
+    defer_recalibration=True a search whose consulted curve went stale
+    must NOT absorb the calibration sweep — it serves exact, flags
+    calibration_deferred, and leaves the curve untouched; maintain()
+    then refreshes it and searches stop deferring. Without deferral
+    the inline refresh surfaces its wall cost as calibration_sec."""
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
+                                 local_exact_budget_bytes=0,
+                                 defer_recalibration=True)
+    eng.batch_ingest(
+        [{"content": f"dfr doc {i}", "modality": "text"}
+         for i in range(120)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=8, calibration_queries=8)
+    cal0 = eng._ann["clip"]["calibration"]
+    eng.batch_ingest(
+        [{"content": f"dfr late {i}", "modality": "text"}
+         for i in range(60)]  # 50% growth > 25% fraction
+    )
+    eng.search("dfr doc 7", k=3, recall_floor=0.5)
+    assert eng.last_route["route"].startswith("exact")
+    assert eng.last_route.get("calibration_deferred") is True
+    assert "deferred to maintain" in eng.last_route["reason"]
+    assert eng._ann["clip"]["calibration"] is cal0  # untouched
+
+    st = eng.maintain("clip")
+    assert st["recalibrated"] is True
+    assert st["calibration_sec"] > 0
+    eng.search("dfr doc 7", k=3, recall_floor=0.5)
+    assert "calibration_deferred" not in eng.last_route
+    assert eng._ann["clip"]["calibration"]["rows_at_calibration"] == 180
+
+    # inline (default) path surfaces its cost on last_route
+    lazy = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
+                                  local_exact_budget_bytes=0)
+    lazy.batch_ingest(
+        [{"content": f"dfl doc {i}", "modality": "text"}
+         for i in range(120)]
+    )
+    lazy.build_ann_index(space="clip", n_clusters=8, calibration_queries=8)
+    lazy.batch_ingest(
+        [{"content": f"dfl late {i}", "modality": "text"}
+         for i in range(60)]
+    )
+    lazy.search("dfl doc 7", k=3, recall_floor=0.5)
+    assert lazy.last_route.get("calibration_sec", 0) > 0
+    # and the next search carries no leftover annotation
+    lazy.search("dfl doc 7", k=3, recall_floor=0.5)
+    assert "calibration_sec" not in lazy.last_route
