@@ -2212,8 +2212,13 @@ class MultiModalSearchEngine:
         diversity = strategy not in (None, "distance")
         rows: list[dict[str, Any]] = []
         if len(ids):
+            from multimodal_vector_db_spark.functions.blasctl import (
+                gemm_section,
+            )
+
             q = np.asarray(qvec, dtype=np.float64)
-            s = emb @ q
+            with gemm_section():
+                s = emb @ q
             top = topk_rows_1d(s, ids, min(fetch_n, len(ids)))
             for t in top:
                 src = int(sel[t]) if sel is not None else int(t)
@@ -2254,8 +2259,13 @@ class MultiModalSearchEngine:
             i: [] for i in range(len(qvecs))
         }
         if len(ids):
+            from multimodal_vector_db_spark.functions.blasctl import (
+                gemm_section,
+            )
+
             Q = np.array(qvecs, dtype=np.float64)  # (nq, d)
-            S = emb @ Q.T  # (n, nq)
+            with gemm_section():
+                S = emb @ Q.T  # (n, nq)
             kk = min(k, len(ids))
             top = topk_rows_2d(S, ids, kk)  # (kk, nq)
             for j in range(len(qvecs)):
@@ -2372,15 +2382,20 @@ class MultiModalSearchEngine:
         nq = len(q_by_space_list)
         # one GEMM per space scores EVERY query at once (the batch
         # twin's whole point), then exact per-(query, modality) top-k
-        S_all = [
-            caches[s]["emb"]
-            @ np.array(
-                [q.get(s, q[default_space]) for q in q_by_space_list],
-                dtype=np.float64,
-            ).T
-            for s in spaces
-            if len(caches[s]["ids"])
-        ]
+        from multimodal_vector_db_spark.functions.blasctl import (
+            gemm_section,
+        )
+
+        with gemm_section():
+            S_all = [
+                caches[s]["emb"]
+                @ np.array(
+                    [q.get(s, q[default_space]) for q in q_by_space_list],
+                    dtype=np.float64,
+                ).T
+                for s in spaces
+                if len(caches[s]["ids"])
+            ]
         S_cat = np.concatenate(S_all, axis=0)  # (n, nq)
         ids_cat = cc["ids_cat"]
         per_q: list[list[tuple]] = [[] for _ in range(nq)]

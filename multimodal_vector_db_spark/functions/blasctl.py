@@ -1,0 +1,131 @@
+"""Driver-side OpenBLAS thread control for the micro-path GEMMs.
+
+NumPy's bundled OpenBLAS sizes its per-call thread pool to every core
+(32 on this box). That is right for ONE caller, but the engine facade
+advertises concurrent searches: with N caller threads each GEMM tries
+to fan out to all cores, and past core count the oversubscription
+(N × cores runnable BLAS threads) REGRESSES throughput — measured in
+round 10's ``serving_concurrency.local_micro_path``: 624 qps at 16
+callers dropping to 337 at 64. (Reference anchor: hnswlib searches are
+single-threaded per call, ``vector_index.py:131`` — concurrency there
+composes linearly; ours must too.)
+
+:func:`gemm_section` implements the measured best policy — a TWO-REGIME
+clamp with hysteresis:
+
+- one active GEMM section → the library default (full cores; keeps the
+  1-caller latency at the round-10 figure);
+- two or more concurrent sections → 1 BLAS thread per call (callers
+  themselves are the parallelism; matvec/thin-matmul is memory-bound
+  and scales better across callers than within one call).
+
+The thread count is only re-set on a REGIME CHANGE (a cached value
+under the section lock): per-call adaptive resizing (threads =
+cores/active) measured WORSE than no clamp at 16 callers — OpenBLAS
+rebuilds its pool on every change, and fluctuating targets thrash it.
+Two-regime measured ≥ unclamped at 1/16/64 callers and monotone past
+core count (this box: 2152/s @ 16 → 2392/s @ 64 vs 1528 → 1887
+unclamped).
+
+Control binds via ctypes to the ALREADY-LOADED OpenBLAS (found in
+/proc/self/maps after ``import numpy``; both plain and ILP64
+``…64_``-suffixed symbol forms are probed). When no control surface
+exists (different BLAS, static link), everything degrades to a no-op —
+correctness never depends on the clamp.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import ctypes
+import os
+import threading
+
+_lock = threading.Lock()
+_probed = False
+_set_fn = None  # ctypes callable | None
+_default_threads: int | None = None
+_active_sections = 0
+_current_regime: int | None = None
+
+
+def _probe() -> None:
+    """Locate the loaded OpenBLAS and its thread-control symbols.
+    Idempotent; failure leaves the module a no-op."""
+    global _probed, _set_fn, _default_threads
+    if _probed:
+        return
+    _probed = True
+    try:
+        import numpy  # noqa: F401 — ensures the BLAS .so is loaded
+
+        paths = []
+        with open("/proc/self/maps") as f:
+            for line in f:
+                path = line.rsplit(None, 1)[-1]
+                base = os.path.basename(path).lower()
+                if "openblas" in base and ".so" in base:
+                    paths.append(path)
+        for p in dict.fromkeys(paths):
+            try:
+                handle = ctypes.CDLL(p)
+            except OSError:
+                continue
+            for suffix in ("64_", ""):
+                try:
+                    setter = getattr(
+                        handle, f"openblas_set_num_threads{suffix}"
+                    )
+                    getter = getattr(
+                        handle, f"openblas_get_num_threads{suffix}"
+                    )
+                except AttributeError:
+                    continue
+                setter.argtypes = [ctypes.c_int]
+                getter.restype = ctypes.c_int
+                _set_fn = setter
+                _default_threads = int(getter())
+                return
+    except Exception:
+        # any probe failure (no /proc, unexpected layout) → no-op mode
+        _set_fn = None
+
+
+def blas_control_available() -> bool:
+    with _lock:
+        _probe()
+        return _set_fn is not None
+
+
+def default_blas_threads() -> int | None:
+    """The library's thread count at probe time (the 'solo' regime)."""
+    with _lock:
+        _probe()
+        return _default_threads
+
+
+@contextlib.contextmanager
+def gemm_section():
+    """Wrap one driver-side GEMM: maintains the concurrent-section
+    count and applies the two-regime clamp (module docstring). Safe
+    under any BLAS — a failed probe makes this a pure pass-through."""
+    global _active_sections, _current_regime
+    with _lock:
+        _probe()
+        ctl = _set_fn is not None
+        if ctl:
+            _active_sections += 1
+            want = _default_threads if _active_sections == 1 else 1
+            if _current_regime != want:
+                _current_regime = want
+                _set_fn(want)
+    try:
+        yield
+    finally:
+        if ctl:
+            with _lock:
+                _active_sections -= 1
+                # leaving the last concurrent section does NOT eagerly
+                # restore the solo regime — the next solo entrant does
+                # (hysteresis: a burst of back-to-back concurrent calls
+                # would otherwise resize the pool twice per call)

@@ -1936,3 +1936,58 @@ def test_defer_recalibration_serves_exact_until_maintain(spark):
     # and the next search carries no leftover annotation
     lazy.search("dfl doc 7", k=3, recall_floor=0.5)
     assert "calibration_sec" not in lazy.last_route
+
+
+def test_blas_clamp_two_regime(spark):
+    """blasctl (round 11): concurrent micro-path GEMM sections drop
+    OpenBLAS to 1 thread per call (callers are the parallelism); a
+    solo section restores the library default. Results are unchanged
+    by the clamp (it only resizes the BLAS pool)."""
+    import threading
+
+    from multimodal_vector_db_spark.functions import blasctl
+
+    if not blasctl.blas_control_available():
+        pytest.skip("no runtime BLAS thread control in this build")
+    default = blasctl.default_blas_threads()
+    assert default and default >= 1
+
+    inner = {}
+    gate_in = threading.Barrier(3)
+
+    def worker(name):
+        with blasctl.gemm_section():
+            gate_in.wait(timeout=30)  # all three inside concurrently
+            with blasctl._lock:
+                inner[name] = blasctl._current_regime
+            gate_in.wait(timeout=30)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert set(inner.values()) == {1}  # concurrent regime: 1 thread
+    with blasctl.gemm_section():
+        with blasctl._lock:
+            solo = blasctl._current_regime
+    assert solo == default  # solo regime restored on next entrant
+
+    # end-to-end: concurrent micro-path searches return the same rows
+    # as sequential ones
+    eng = MultiModalSearchEngine(spark, dim=32)
+    eng.batch_ingest(
+        [{"content": f"blas doc {i}", "modality": "text"}
+         for i in range(80)]
+    )
+    expected = eng.search("blas doc 7", k=5)
+    results = {}
+
+    def searcher(i):
+        results[i] = eng.search("blas doc 7", k=5)
+
+    ts = [threading.Thread(target=searcher, args=(i,)) for i in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    for i in range(8):
+        assert [(r["id"], r["sim"]) for r in results[i]] == [
+            (r["id"], r["sim"]) for r in expected
+        ]
