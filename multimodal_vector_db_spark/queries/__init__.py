@@ -36,15 +36,27 @@ from .m15_tokenpack import *  # noqa: F401,F403
 # 50 registered queries only, so the §2-core surface — including the
 # reference's signature cross-modal routed query
 # (search_cross_modal.py:107-173) — must sit inside that window.
-# Demoted past the window (still registered, still locally verified via
-# tools/check_correctness.py over the full registry): semi_join
-# (overlaps anti_join), intersect_op (E1 also covered by
+# Round 11 rotates the registry's two HARDEST oracles into the window
+# so the driver re-proves them every round: ann_ivf_knn (MLlib-KMeans
+# fit/serve split through the committed centroid fixture) and
+# bpe_merge_table (greedy BPE training replayed as a DuckDB recursive
+# CTE). Demoted past the window (still registered, still locally
+# verified via tools/check_correctness.py over the full registry):
+# semi_join (overlaps anti_join), intersect_op (E1 also covered by
 # result_overlap), dedup_keep_first (overlaps dedup_exact), tpch_q3
-# (TPC-H breadth also shown by q1/q5/q6/q13/q14/q18).
+# (TPC-H breadth also shown by q1/q5/q6/q13/q14/q18), knn_l2 (J2 also
+# covered by knn_single + distance_transforms), orders_topk (W1 also
+# covered by knn_single/topk_per_group).
 # ---------------------------------------------------------------------------
 
-_PROMOTED = ["cross_modal_routed", "scalar_functions", "linear_projection", "knn_l2"]
-_DEMOTED = ["semi_join", "intersect_op", "dedup_keep_first", "tpch_q3"]
+_PROMOTED = [
+    "cross_modal_routed", "scalar_functions", "linear_projection",
+    "ann_ivf_knn", "bpe_merge_table",
+]
+_DEMOTED = [
+    "semi_join", "intersect_op", "dedup_keep_first", "tpch_q3",
+    "knn_l2", "orders_topk",
+]
 
 
 def _reorder_registry() -> None:
@@ -53,7 +65,7 @@ def _reorder_registry() -> None:
         n for n in REGISTRY
         if n not in _DEMOTED and n not in _PROMOTED
     ]
-    order = head[:46] + _PROMOTED + head[46:] + _DEMOTED
+    order = head[:45] + _PROMOTED + head[45:] + _DEMOTED
     missing = [n for n in order if n not in REGISTRY]
     assert not missing, f"reorder references unknown queries: {missing}"
     assert len(order) == len(REGISTRY)

@@ -16,7 +16,7 @@ from multimodal_vector_db_spark import queries as Q
 DRIVER_WINDOW = [
     "knn_single", "knn_batch", "knn_filtered", "groupby_count",
     "topk_per_group", "filter_project", "captions_join", "anti_join",
-    "union_distinct", "orders_topk", "cumulative_window", "result_overlap",
+    "union_distinct", "cumulative_window", "result_overlap",
     "doc_text_stats", "doc_quality", "lang_id", "repetition_filter",
     "hash_split", "ngram_decontamination", "source_mixing_sample",
     "string_pipeline", "percentile_stats", "dedup_exact",
@@ -28,7 +28,12 @@ DRIVER_WINDOW = [
     "distance_transforms", "index_stats", "multimodal_features",
     "frame_sampling", "events_tumbling_window", "sessionization",
     "tpch_q1", "cross_modal_routed", "scalar_functions",
-    "linear_projection", "knn_l2",
+    "linear_projection",
+    # round 11: the registry's two hardest oracles rotated INTO the
+    # driver gate (VERDICT r10 ask); knn_l2 and orders_topk demoted —
+    # both covered by in-window twins (knn_single/distance_transforms,
+    # topk_per_group)
+    "ann_ivf_knn", "bpe_merge_table",
 ]
 
 
