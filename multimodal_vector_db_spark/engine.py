@@ -120,6 +120,16 @@ class MultiModalSearchEngine:
         # max-id agg per call — round 11, the ingest/search-alternation
         # cost contract). None = unknown → one agg, then cached.
         self._max_id: int | None = -1 if items is None else None
+        # interactive mutations since the last lineage compaction —
+        # every batch_ingest stacks a union and every remove a project
+        # on `items`, so a long ingest/remove stream would grow
+        # Catalyst's plan depth without bound (planning cost per later
+        # Spark action ∝ chain length). Every _COMPACT_EVERY mutations
+        # the chain is cut with a LAZY localCheckpoint (no job — the
+        # job-free ingest contract holds; the checkpoint materializes
+        # with the next Spark action, which was going to execute the
+        # chain anyway).
+        self._mutations_since_compact = 0
         # per-space IVF coarse index for the auto route (build_ann_index)
         self._ann: dict[str, dict] = {}
         #: appended-batch cohesion ratio above which an IVF index is
@@ -203,6 +213,24 @@ class MultiModalSearchEngine:
         )
         self.cum_drift_mass_fraction = cum_drift_mass_fraction
 
+    #: interactive mutations between lazy lineage compactions
+    _COMPACT_EVERY = 64
+
+    def _maybe_compact_lineage(self) -> None:
+        """Cut the items plan chain after a run of interactive
+        mutations (see ``_mutations_since_compact``). Lazy: no Spark
+        job here; the truncation is realized by whichever action runs
+        next. (On a multi-node cluster prefer a checkpoint dir for
+        executor-loss durability; local mode has no such loss mode —
+        same note as batch_ingest_df's eager checkpoint.)"""
+        self._mutations_since_compact += 1
+        if (
+            self._mutations_since_compact >= self._COMPACT_EVERY
+            and self.items is not None
+        ):
+            self.items = self.items.localCheckpoint(eager=False)
+            self._mutations_since_compact = 0
+
     # -- ingestion (search_engine.py:81-172) ---------------------------
     def _next_id(self) -> int:
         """Next free item id — from the incrementally maintained
@@ -256,6 +284,7 @@ class MultiModalSearchEngine:
         for r in rows:
             self._bump_space(SPACE_OF[r.get("modality", "text")], 1)
         self._local_cache_extend(prev_epoch, data)
+        self._maybe_compact_lineage()
 
     def ingest_content(self, content: str, modality: str = "text", **meta) -> None:
         self.batch_ingest([{"content": content, "modality": modality, **meta}])
@@ -426,6 +455,7 @@ class MultiModalSearchEngine:
                 "payload": pruned,
                 "bytes": cached.get("bytes", 0) - freed,
             }
+        self._maybe_compact_lineage()
 
     # -- ANN route (SURVEY §4's deferred planner rule, rounds 8-9) ------
     def build_ann_index(

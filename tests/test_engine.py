@@ -1991,3 +1991,22 @@ def test_blas_clamp_two_regime(spark):
         assert [(r["id"], r["sim"]) for r in results[i]] == [
             (r["id"], r["sim"]) for r in expected
         ]
+
+
+def test_interactive_mutation_lineage_compaction(spark):
+    """A long interactive ingest/remove stream must not grow the items
+    plan without bound: every _COMPACT_EVERY mutations the lineage is
+    cut with a LAZY localCheckpoint (no job — ingest stays job-free),
+    so Catalyst plan depth stays bounded while rows and results are
+    unchanged."""
+    eng = MultiModalSearchEngine(spark, dim=8)
+    for i in range(70):  # one compaction at 64, then 6 more unions
+        eng.ingest_content(f"lc doc {i}", modality="text")
+    assert eng._mutations_since_compact == 70 - eng._COMPACT_EVERY
+    plan = eng.items._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Union") <= 6 + 1, (
+        f"lineage not compacted: {plan.count('Union')} unions"
+    )
+    assert eng.items.count() == 70
+    hits = eng.search("lc doc 67", k=1, scorer="blocked")  # Spark path
+    assert hits[0]["content"] == "lc doc 67"

@@ -118,9 +118,12 @@ def main() -> None:
     with open(DETAIL, "w") as fh:
         json.dump(detail, fh, indent=1)
     # fresh-process passes for the other isolation-hygiene sections
-    # (round 10 adds streaming): each writes its own bench_detail key,
-    # which the final all-sections pass carries forward marked
-    for sec in ("concurrency", "streaming"):
+    # (round 10 adds streaming; round 11 adds ref64x so EVERY
+    # carried-forward section gets a this-round measured_at stamp —
+    # cross-round deltas stay honest): each writes its own
+    # bench_detail key, which the final all-sections pass carries
+    # forward marked
+    for sec in ("ref64x", "concurrency", "streaming"):
         print(
             f"== bench_all: {sec} pass ==", file=sys.stderr, flush=True
         )
