@@ -90,6 +90,7 @@ class MultiModalSearchEngine:
         cum_drift_threshold: float | None = None,
         cum_drift_mass_fraction: float = 0.25,
         defer_recalibration: bool = False,
+        local_max_concurrency: int = 16,
     ):
         self.spark = spark
         self.dim = dim
@@ -197,6 +198,19 @@ class MultiModalSearchEngine:
         #: calibration_deferred) merged into ``last_route`` by the
         #: search paths
         self._route_extras: dict[str, Any] = {}
+        #: admission gate for the micro-path (round 11): at most this
+        #: many micro-path calls execute concurrently; excess callers
+        #: BLOCK on the semaphore (releasing the GIL) instead of
+        #: joining the runnable-thread convoy. The measured bottleneck
+        #: past ~16 callers is not BLAS (clamped to 1 thread/call) but
+        #: GIL-held result assembly — 64 runnable threads thrash GIL
+        #: ownership and HALVE aggregate qps vs 16; parking the excess
+        #: keeps throughput flat at any caller count. 0/None disables.
+        self._local_gate = (
+            threading.BoundedSemaphore(local_max_concurrency)
+            if local_max_concurrency
+            else None
+        )
         #: CUMULATIVE drift latch (round 10): per-batch `drift` only
         #: sees the latest batch, so many batches each marginally below
         #: ``drift_threshold`` never latch even when the appended mass
@@ -2243,7 +2257,11 @@ class MultiModalSearchEngine:
         (``topk_rows_1d`` is literally the blocked scorer's selection
         kernel), so results are identical to the Spark exact path —
         parity-tested. Returns None when the space is over budget (the
-        caller falls through to the Spark planner)."""
+        caller falls through to the Spark planner).
+
+        Concurrency: admission-gated (``local_max_concurrency``) — see
+        ``_local_gate``; the blocked wait releases the GIL, which is
+        the whole point."""
         import numpy as np
 
         from multimodal_vector_db_spark.operators.knn import topk_rows_1d
@@ -2251,6 +2269,21 @@ class MultiModalSearchEngine:
         cache = self._local_corpus(space)
         if cache is None:
             return None
+        if self._local_gate is not None:
+            self._local_gate.acquire()
+        try:
+            return self._search_local_admitted(
+                cache, space, qvec, k, fetch_n, filter_content_type,
+                strategy, recall_floor, np, topk_rows_1d,
+            )
+        finally:
+            if self._local_gate is not None:
+                self._local_gate.release()
+
+    def _search_local_admitted(
+        self, cache, space, qvec, k, fetch_n, filter_content_type,
+        strategy, recall_floor, np, topk_rows_1d,
+    ) -> list[dict[str, Any]]:
         ids, emb = cache["ids"], cache["emb"]
         sel = None
         if filter_content_type is not None:
@@ -2289,7 +2322,8 @@ class MultiModalSearchEngine:
         """Batch twin of :meth:`_search_local` — one driver-side
         (n × nq) BLAS matmul + the blocked scorer's exact per-column
         selection (``topk_rows_2d``), identical ranking to
-        ``knn_join_blocked`` + its window."""
+        ``knn_join_blocked`` + its window. Admission-gated like
+        :meth:`_search_local`."""
         import numpy as np
 
         from multimodal_vector_db_spark.operators.knn import topk_rows_2d
@@ -2297,6 +2331,21 @@ class MultiModalSearchEngine:
         cache = self._local_corpus(space)
         if cache is None:
             return None
+        if self._local_gate is not None:
+            self._local_gate.acquire()
+        try:
+            return self._search_batch_local_admitted(
+                cache, space, qvecs, k, filter_content_type,
+                recall_floor, np, topk_rows_2d,
+            )
+        finally:
+            if self._local_gate is not None:
+                self._local_gate.release()
+
+    def _search_batch_local_admitted(
+        self, cache, space, qvecs, k, filter_content_type,
+        recall_floor, np, topk_rows_2d,
+    ) -> dict[int, list[dict[str, Any]]]:
         ids, emb = cache["ids"], cache["emb"]
         sel = None
         if filter_content_type is not None:
@@ -2377,6 +2426,31 @@ class MultiModalSearchEngine:
             # every space fits individually but not together — the
             # compare path holds ALL of them resident at once
             return None
+        # admission gate (see _local_gate): same contract as
+        # _search_local — excess concurrent callers park on the
+        # semaphore instead of convoying on the GIL
+        if self._local_gate is not None:
+            self._local_gate.acquire()
+        try:
+            return self._compare_local_rows_admitted(
+                caches, spaces, q_by_space_list, k_per_modality,
+                default_space,
+            )
+        finally:
+            if self._local_gate is not None:
+                self._local_gate.release()
+
+    def _compare_local_rows_admitted(
+        self,
+        caches: dict[str, dict],
+        spaces: list[str],
+        q_by_space_list: list[dict[str, list[float]]],
+        k_per_modality: int,
+        default_space: str,
+    ) -> list[tuple]:
+        import numpy as np
+
+        from multimodal_vector_db_spark.operators.knn import topk_rows_1d
         # per-epoch derived structures (concatenated ids, per-modality
         # row selections, row→(space, local index) maps): building
         # these costs ~n Python-object ops, so they are computed ONCE

@@ -2010,3 +2010,42 @@ def test_interactive_mutation_lineage_compaction(spark):
     assert eng.items.count() == 70
     hits = eng.search("lc doc 67", k=1, scorer="blocked")  # Spark path
     assert hits[0]["content"] == "lc doc 67"
+
+
+def test_local_admission_gate_caps_concurrency(spark, monkeypatch):
+    """local_max_concurrency: at most N micro-path calls execute
+    concurrently; excess callers park on the semaphore (releasing the
+    GIL) — the measured fix for the 64-caller qps regression."""
+    import threading
+    import time as _time
+
+    eng = MultiModalSearchEngine(spark, dim=16, local_max_concurrency=2)
+    eng.batch_ingest(
+        [{"content": f"gate doc {i}", "modality": "text"}
+         for i in range(40)]
+    )
+    eng.search("gate doc 1", k=2)  # build cache
+
+    state = {"active": 0, "peak": 0}
+    lock = threading.Lock()
+    inner = eng._search_local_admitted
+
+    def tracked(*a, **kw):
+        with lock:
+            state["active"] += 1
+            state["peak"] = max(state["peak"], state["active"])
+        _time.sleep(0.05)  # hold the section so overlap is observable
+        try:
+            return inner(*a, **kw)
+        finally:
+            with lock:
+                state["active"] -= 1
+
+    monkeypatch.setattr(eng, "_search_local_admitted", tracked)
+    threads = [
+        threading.Thread(target=lambda: eng.search("gate doc 3", k=2))
+        for _ in range(8)
+    ]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert state["peak"] <= 2, state
