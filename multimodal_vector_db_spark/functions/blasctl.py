@@ -23,9 +23,17 @@ The thread count is only re-set on a REGIME CHANGE (a cached value
 under the section lock): per-call adaptive resizing (threads =
 cores/active) measured WORSE than no clamp at 16 callers — OpenBLAS
 rebuilds its pool on every change, and fluctuating targets thrash it.
-Two-regime measured ≥ unclamped at 1/16/64 callers and monotone past
-core count (this box: 2152/s @ 16 → 2392/s @ 64 vs 1528 → 1887
-unclamped).
+The solo restore is additionally STICKY (``_SOLO_RESTORE_AFTER_S``):
+inside a concurrent burst the active-section count transiently dips
+to 1 at admission-wave boundaries, and an eager restore there flips
+the pool 1→default→1 around every wave — measured to HALVE burst
+throughput at 64 callers (591 vs 2053 qps on the ref-scale corpus).
+A solo entrant therefore restores the default only once no
+concurrency has been observed for half a second; the cost is a
+briefly 1-threaded GEMM (~+1.3 ms on the ref-scale matvec) for the
+first solo call after a burst. With the engine's admission gate
+(16 concurrent calls) this measures 1860 qps @ 16 callers →
+2054 @ 64 — monotone past core count (round-10 unclamped: 624 → 337).
 
 Control binds via ctypes to the ALREADY-LOADED OpenBLAS (found in
 /proc/self/maps after ``import numpy``; both plain and ILP64
@@ -47,6 +55,11 @@ _set_fn = None  # ctypes callable | None
 _default_threads: int | None = None
 _active_sections = 0
 _current_regime: int | None = None
+#: a solo entrant restores the library default only after this long
+#: with no observed concurrency (see module docstring — eager restore
+#: thrashes the pool at admission-wave boundaries inside a burst)
+_SOLO_RESTORE_AFTER_S = 0.5
+_concurrent_seen_at = 0.0
 
 
 def _probe() -> None:
@@ -109,13 +122,28 @@ def gemm_section():
     """Wrap one driver-side GEMM: maintains the concurrent-section
     count and applies the two-regime clamp (module docstring). Safe
     under any BLAS — a failed probe makes this a pure pass-through."""
-    global _active_sections, _current_regime
+    global _active_sections, _current_regime, _concurrent_seen_at
+    import time
+
     with _lock:
         _probe()
         ctl = _set_fn is not None
         if ctl:
             _active_sections += 1
-            want = _default_threads if _active_sections == 1 else 1
+            now = time.monotonic()
+            if _active_sections > 1:
+                _concurrent_seen_at = now
+                want = 1
+            else:
+                # sticky solo restore: inside a burst the count dips
+                # to 1 between admission waves — restoring the default
+                # there would resize the pool around every wave
+                want = (
+                    _default_threads
+                    if now - _concurrent_seen_at
+                    > _SOLO_RESTORE_AFTER_S
+                    else 1
+                )
             if _current_regime != want:
                 _current_regime = want
                 _set_fn(want)
@@ -127,5 +155,4 @@ def gemm_section():
                 _active_sections -= 1
                 # leaving the last concurrent section does NOT eagerly
                 # restore the solo regime — the next solo entrant does
-                # (hysteresis: a burst of back-to-back concurrent calls
-                # would otherwise resize the pool twice per call)
+                # (same hysteresis as the sticky restore above)

@@ -1944,6 +1944,7 @@ def test_blas_clamp_two_regime(spark):
     solo section restores the library default. Results are unchanged
     by the clamp (it only resizes the BLAS pool)."""
     import threading
+    import time
 
     from multimodal_vector_db_spark.functions import blasctl
 
@@ -1966,10 +1967,18 @@ def test_blas_clamp_two_regime(spark):
     [t.start() for t in ts]
     [t.join() for t in ts]
     assert set(inner.values()) == {1}  # concurrent regime: 1 thread
+    # sticky restore: a solo entrant INSIDE the burst window keeps the
+    # concurrent regime (pool-thrash guard)...
+    with blasctl.gemm_section():
+        with blasctl._lock:
+            solo_hot = blasctl._current_regime
+    assert solo_hot == 1
+    # ...and restores the library default once the burst has aged out
+    time.sleep(blasctl._SOLO_RESTORE_AFTER_S + 0.1)
     with blasctl.gemm_section():
         with blasctl._lock:
             solo = blasctl._current_regime
-    assert solo == default  # solo regime restored on next entrant
+    assert solo == default
 
     # end-to-end: concurrent micro-path searches return the same rows
     # as sequential ones
