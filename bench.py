@@ -1179,9 +1179,16 @@ def serving_concurrency_bench(spark, wh_dir: str) -> dict:
 
     _call_local(0)  # builds the driver cache once, outside timing
     assert eng_local.last_route["route"] == "exact-local"
-    local_out: dict = {}
+    # the local tier serves a call in ~70 ms, so 64 total calls is a
+    # sub-second measurement at the upper levels — at T=64 it is ONE
+    # call per thread, i.e. thread-startup + first-admission-wave
+    # effects, not steady state. 4× the calls (fixed across levels,
+    # so aggregate qps stays comparable) steadies the estimate; the
+    # Spark path keeps TOTAL_CALLS (its calls cost ~1.5 s each).
+    LOCAL_TOTAL_CALLS = TOTAL_CALLS * 4
+    local_out: dict = {"total_calls_per_level": LOCAL_TOTAL_CALLS}
     for T in (1, 16, 64):
-        per_thread = TOTAL_CALLS // T
+        per_thread = LOCAL_TOTAL_CALLS // T
         lat = []
         lock = threading.Lock()
 
@@ -1207,7 +1214,7 @@ def serving_concurrency_bench(spark, wh_dir: str) -> dict:
         local_out[f"threads_{T}"] = {
             "call_p50_ms": round(p50 * 1000, 1),
             "ms_per_query_p50": round(p50 * 1000 / B, 3),
-            "aggregate_qps": round(TOTAL_CALLS * B / wall, 1),
+            "aggregate_qps": round(LOCAL_TOTAL_CALLS * B / wall, 1),
             "wall_sec": round(wall, 3),
         }
     out["local_micro_path"] = local_out
