@@ -126,6 +126,38 @@ def main() -> None:
     eng.search("document number 7", k=3, scorer="blocked", recall_floor=0.9)
     show("scorer override", eng)
 
+    # 7. round 11 — maintenance ownership: with defer_recalibration
+    #    a stale calibration curve never ambushes a query (exact +
+    #    flag; maintain() owns the refresh and reports its cost)
+    spark = eng.spark
+    deferred = MultiModalSearchEngine(
+        spark, dim=eng.dim, local_exact_budget_bytes=0,
+        blocked_threshold_cells=10, defer_recalibration=True,
+    )
+    deferred.batch_ingest(
+        [{"content": f"deferred doc {i}", "modality": "text"}
+         for i in range(120)]
+    )
+    deferred.build_ann_index(space="clip", calibration_queries=16)
+    deferred.batch_ingest(
+        [{"content": f"deferred late {i}", "modality": "text"}
+         for i in range(60)]  # outgrows the curve by 50%
+    )
+    deferred.search("deferred doc 7", k=3, recall_floor=0.6)
+    show("stale curve, defer_recalibration=True", deferred)
+    st = deferred.maintain("clip")
+    print(f"  maintain(): recalibrated={st['recalibrated']} "
+          f"in {st['calibration_sec']:.2f}s")
+    deferred.search("deferred doc 7", k=3, recall_floor=0.6)
+    show("after maintain()", deferred)
+
+    # 8. round 11 — the interactive cross-modal call: the rows form
+    #    skips the DataFrame materialization floor (~250 ms) entirely
+    rows = eng.compare_modalities_rows("document number 7",
+                                       k_per_modality=2)
+    print(f"  compare_modalities_rows -> {len(rows)} rows, "
+          f"route={eng.last_route['route']}")
+
 
 if __name__ == "__main__":
     main()
