@@ -2058,3 +2058,58 @@ def test_local_admission_gate_caps_concurrency(spark, monkeypatch):
     [t.start() for t in threads]
     [t.join() for t in threads]
     assert state["peak"] <= 2, state
+
+
+def test_incremental_cache_parity_under_random_mutation_sequences(spark):
+    """Property: after ANY interleaving of interactive ingests and
+    removes, the incrementally maintained cache is bit-identical to a
+    fresh rebuild of the same corpus — ids, embeddings, modality,
+    payload and the footprint estimate. Deterministic seed; three
+    checkpoints along a 30-op sequence."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(1711)
+    eng = MultiModalSearchEngine(spark, dim=8)
+    eng.batch_ingest(
+        [{"content": f"seq doc {i}",
+          "modality": ["text", "image", "audio"][i % 3]}
+         for i in range(30)]
+    )
+    eng.search("seq doc 1", k=2)  # build clip cache
+    eng.search("seq doc 2", k=2, filter_content_type="audio")  # clap
+    live = list(range(30))
+    next_content = 30
+    for step in range(30):
+        if live and rng.random() < 0.3:
+            victim = live.pop(rng.randrange(len(live)))
+            eng.remove([victim])
+        else:
+            n = rng.randint(1, 4)
+            eng.batch_ingest(
+                [{"content": f"seq doc {next_content + j}",
+                  "modality": rng.choice(["text", "image", "audio"])}
+                 for j in range(n)]
+            )
+            # ids are contiguous from the maintained counter
+            live.extend(range(eng._max_id - n + 1, eng._max_id + 1))
+            next_content += n
+        if step % 10 == 9:
+            for space in list(eng._local_cache):
+                maintained = eng._local_cache[space]
+                if maintained["epoch"] != eng._epoch:
+                    continue  # space untouched since a bulk path
+                eng._local_cache.pop(space)
+                rebuilt = eng._local_corpus(space)
+                assert np.array_equal(
+                    maintained["ids"], rebuilt["ids"]
+                ), (space, step)
+                assert np.array_equal(maintained["emb"], rebuilt["emb"])
+                assert list(maintained["modality"]) == list(
+                    rebuilt["modality"]
+                )
+                assert maintained["payload"] == rebuilt["payload"]
+                assert maintained["bytes"] == rebuilt["bytes"], (
+                    space, step,
+                )
