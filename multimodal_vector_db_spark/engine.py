@@ -98,6 +98,20 @@ class MultiModalSearchEngine:
         self._embed = embed_fn or (
             lambda text, space: fake_embed_numpy(text, space, dim).tolist()
         )
+        # interactive-ingest buffer (round 12): rows appended by
+        # batch_ingest as schema-ordered tuples, flushed into the
+        # DataFrame LAZILY — one createDataFrame + union before the
+        # next Spark-path read instead of one per call. The ~80 ms
+        # py4j createDataFrame floor SCALE.md profiled under the
+        # ingest/search alternation was the per-call flush; buffering
+        # makes a single-row ingest a pure driver-side append (the
+        # reference's add_vectors is an in-process append,
+        # vector_index.py:94-103). `self.items` is a property whose
+        # getter flushes, so every Spark-path consumer sees a corpus
+        # that already contains the buffered rows.
+        self._pending: list[tuple] = []
+        self._pending_lock = threading.Lock()
+        self._items_df: DataFrame | None = None
         self.items = items
         self.blocked_threshold_cells = (
             self.BLOCKED_THRESHOLD_CELLS
@@ -151,19 +165,19 @@ class MultiModalSearchEngine:
         #: the last search's routing decision — the planner log surface
         #: (route, reason, and the IVF parameters when taken)
         self.last_route: dict[str, Any] | None = None
-        #: estimated resident corpus bytes — float32 vector mass PLUS
-        #: measured payload string bytes (round 11; vector mass alone
-        #: admitted fat-payload corpora whose collect pulled gigabytes
-        #: of content strings to the driver) — below which single/batch
-        #: searches are served from a DRIVER-RESIDENT copy of the
-        #: space's corpus with the SAME blocked-BLAS kernel and
-        #: tie-break as the Spark exact path (round 10 — closes the
-        #: one >2×-vs-baseline metric, the ~0.5 s per-job scheduling
-        #: floor Spark local mode puts under every single interactive
-        #: query; the reference's hnswlib search is a single in-process
-        #: call, ``search_images.py:42-59``). 0 disables the micro-path.
-        #: NOTE the gate estimates the collected footprint; the resident
-        #: float64 matrix + payload dicts run ~2-3× the vector term.
+        #: estimated resident corpus bytes — float64 vector mass (the
+        #: matrix actually held resident: rows × dim × 8 B, round 12)
+        #: PLUS measured payload string bytes (round 11; vector mass
+        #: alone admitted fat-payload corpora whose collect pulled
+        #: gigabytes of content strings to the driver) — below which
+        #: single/batch searches are served from a DRIVER-RESIDENT
+        #: copy of the space's corpus with the SAME blocked-BLAS
+        #: kernel and tie-break as the Spark exact path (round 10 —
+        #: closes the one >2×-vs-baseline metric, the ~0.5 s per-job
+        #: scheduling floor Spark local mode puts under every single
+        #: interactive query; the reference's hnswlib search is a
+        #: single in-process call, ``search_images.py:42-59``).
+        #: 0 disables the micro-path.
         self.local_exact_budget_bytes = local_exact_budget_bytes
         #: spaces measured over budget, keyed by the epoch of the
         #: verdict — repeated searches at one epoch skip the footprint
@@ -194,10 +208,6 @@ class MultiModalSearchEngine:
         #: 11). Default False: lazy hot-path refresh, with its wall
         #: cost surfaced as ``last_route["calibration_sec"]``.
         self.defer_recalibration = defer_recalibration
-        #: per-route-decision annotations (calibration_sec /
-        #: calibration_deferred) merged into ``last_route`` by the
-        #: search paths
-        self._route_extras: dict[str, Any] = {}
         #: admission gate for the micro-path (round 11): at most this
         #: many micro-path calls execute concurrently; excess callers
         #: BLOCK on the semaphore (releasing the GIL) instead of
@@ -245,6 +255,58 @@ class MultiModalSearchEngine:
             self.items = self.items.localCheckpoint(eager=False)
             self._mutations_since_compact = 0
 
+    @property
+    def items(self) -> DataFrame | None:
+        """The corpus DataFrame. Reading it FLUSHES the interactive
+        ingest buffer first (one createDataFrame + lazy union for the
+        whole buffered run), so every Spark-path consumer — searches
+        over an over-budget space, save(), the SQL view, external
+        callers — observes a corpus that includes every ingested row.
+        The micro-path deliberately bypasses this getter while its
+        cache is valid (the buffered rows were absorbed into the cache
+        at ingest time), which is what keeps a single-row
+        ingest/search alternation free of the ~80 ms py4j
+        createDataFrame floor."""
+        self._flush_pending()
+        return self._items_df
+
+    @items.setter
+    def items(self, df: DataFrame | None) -> None:
+        # wholesale corpus replace: buffered rows belong to the corpus
+        # being replaced and go with it (every INTERNAL reassign reads
+        # the getter on its right-hand side first, so its buffer is
+        # already empty — this branch only fires on an external
+        # replace, where dropping the old corpus's tail is the point)
+        with self._pending_lock:
+            self._pending = []
+            self._items_df = df
+
+    def _flush_pending(self) -> None:
+        """Union the buffered interactive ingests into the DataFrame.
+        Job-free (createDataFrame + unionByName are both lazy); one
+        flush absorbs ANY number of buffered batch_ingest calls, so
+        the plan chain grows per flush, not per ingest — the lineage
+        compaction counter advances here for the same reason."""
+        with self._pending_lock:
+            if not self._pending:
+                return
+            data, self._pending = self._pending, []
+            new = self.spark.createDataFrame(data, _ITEMS_SCHEMA)
+            self._items_df = (
+                new
+                if self._items_df is None
+                else self._items_df.unionByName(
+                    new, allowMissingColumns=True
+                )
+            )
+        self._maybe_compact_lineage()
+
+    def _corpus_absent(self) -> bool:
+        """True when there is no corpus at all — neither a DataFrame
+        nor buffered interactive rows. The flush-free twin of
+        ``self.items is None`` for the micro-path's hot checks."""
+        return self._items_df is None and not self._pending
+
     # -- ingestion (search_engine.py:81-172) ---------------------------
     def _next_id(self) -> int:
         """Next free item id — from the incrementally maintained
@@ -263,12 +325,14 @@ class MultiModalSearchEngine:
 
     def batch_ingest(self, rows: list[dict[str, Any]]) -> None:
         """Append (content, modality) records; embeds into the right
-        space and stamps id/space/deleted columns. Job-free on the
-        driver (ids from the maintained counter, the new frame unions
-        lazily), and valid micro-path caches are EXTENDED in place
-        with the new rows instead of invalidated — a steady trickle of
-        single-row ingests interleaved with searches costs O(batch)
-        per ingest, not a full corpus re-collect per search."""
+        space and stamps id/space/deleted columns. Spark-free on the
+        driver (round 12): ids come from the maintained counter, the
+        rows land in the interactive buffer (``_pending``) — flushed
+        into the DataFrame lazily before the next Spark-path read —
+        and valid micro-path caches are EXTENDED in place, so a steady
+        ingest/search alternation never pays the per-call
+        createDataFrame py4j floor (~80 ms) the round-11 profile
+        measured, let alone a corpus re-collect."""
         start_id = self._next_id()
         data = []
         for i, r in enumerate(rows):
@@ -286,10 +350,8 @@ class MultiModalSearchEngine:
                     r.get("display_name", f"item_{start_id + i}"),
                 )
             )
-        new = self.spark.createDataFrame(data, _ITEMS_SCHEMA)
-        self.items = new if self.items is None else self.items.unionByName(
-            new, allowMissingColumns=True
-        )
+        with self._pending_lock:
+            self._pending.extend(data)
         prev_epoch = self._epoch
         self._epoch += 1
         self._max_id = start_id + len(rows) - 1
@@ -298,7 +360,6 @@ class MultiModalSearchEngine:
         for r in rows:
             self._bump_space(SPACE_OF[r.get("modality", "text")], 1)
         self._local_cache_extend(prev_epoch, data)
-        self._maybe_compact_lineage()
 
     def ingest_content(self, content: str, modality: str = "text", **meta) -> None:
         self.batch_ingest([{"content": content, "modality": modality, **meta}])
@@ -458,7 +519,7 @@ class MultiModalSearchEngine:
             freed = sum(
                 self._row_payload_bytes(cached["payload"][i])
                 for i in np.nonzero(hit)[0]
-            ) + int(hit.sum()) * self.dim * 4
+            ) + int(hit.sum()) * self.dim * 8
             # replace-not-mutate: concurrent readers holding the old
             # block keep a consistent (pre-mutation) view
             self._local_cache[space] = {
@@ -1213,6 +1274,12 @@ class MultiModalSearchEngine:
                 )
             rebuilt = True
         recal_sec = self._maybe_recalibrate(space, info)
+        # clear the deferred-serve telemetry: maintain() just performed
+        # the upkeep the deferrals were waiting on (round 12 — the
+        # counter exists so operators can alert on a deployment that
+        # never calls this; see _route's deferred branch)
+        deferred_cleared = info.pop("n_deferred_serves", 0)
+        info.pop("deferred_since", None)
         return {
             "space": space,
             "appended": st["appended"],
@@ -1221,6 +1288,7 @@ class MultiModalSearchEngine:
             "recalibrated": recal_sec is not None,
             "calibration_sec": recal_sec,
             "rebuilt": rebuilt,
+            "deferred_serves_cleared": deferred_cleared,
         }
 
     #: UNCALIBRATED fallback (``build_ann_index(calibrate=False)``):
@@ -1326,7 +1394,7 @@ class MultiModalSearchEngine:
         filter_key: str | None = None,
         has_predicate: bool = False,
         batch: bool = False,
-    ) -> tuple[bool, str, int | None]:
+    ) -> tuple[bool, str, int | None, dict[str, Any]]:
         """The auto planner: IVF iff the caller declared slack
         (recall_floor < 1), an index covering the current corpus
         exists (post-build ingests are absorbed by auto-append), the
@@ -1337,11 +1405,14 @@ class MultiModalSearchEngine:
         the batch one). An explicit exact ``scorer`` wins over the
         approximate route — ``scorer="blocked"``/``"hof"`` is the
         documented exact-parity surface and must never silently return
-        approximate results. Returns (use_ivf, reason, nprobe) — the
-        reason is logged on ``last_route`` either way, with any
-        per-decision annotations (calibration cost/deferral) in
-        ``_route_extras``."""
-        self._route_extras = {}
+        approximate results. Returns (use_ivf, reason, nprobe, extras)
+        — the reason is logged on ``last_route`` either way, with any
+        per-decision annotations (calibration cost/deferral) in the
+        returned ``extras`` dict. Extras are a RETURN value, not
+        instance state: the facade serves concurrent searches, and a
+        shared mutable attribute would let two calls cross-contaminate
+        each other's ``last_route`` annotations."""
+        extras: dict[str, Any] = {}
         if route == "ivf":
             if scorer != "auto":
                 # an explicit scorer is the documented EXACT-parity
@@ -1375,18 +1446,19 @@ class MultiModalSearchEngine:
                 # forced route is honored; probe every cell (exhaustive
                 # IVF) rather than silently under-delivering the floor
                 nprobe = len(self._ann[space]["centroids"])
-            return True, "forced", nprobe
+            return True, "forced", nprobe, extras
         if route != "auto":
-            return False, "forced-exact", None
+            return False, "forced-exact", None, extras
         if scorer != "auto":
             return (
                 False,
                 f"explicit scorer={scorer!r} forces the exact path "
                 "(exact-parity surface wins over route)",
                 None,
+                extras,
             )
         if approximate:
-            return False, "binary-shortlist requested", None
+            return False, "binary-shortlist requested", None, extras
         if has_predicate:
             # arbitrary-Column-predicate honesty: recall under a
             # predicate the engine cannot enumerate is unmeasurable, so
@@ -1399,12 +1471,12 @@ class MultiModalSearchEngine:
                 "explicit Column predicate present — recall under an "
                 "arbitrary predicate is unmeasured, so the exact path "
                 "honors the floor"
-            ), None
+            ), None, extras
         if recall_floor >= 1.0:
-            return False, "recall_floor=1.0 requires exact", None
+            return False, "recall_floor=1.0 requires exact", None, extras
         info = self._ann.get(space)
         if info is None:
-            return False, f"no ANN index for space {space!r}", None
+            return False, f"no ANN index for space {space!r}", None, extras
 
         def _drift_reason() -> str:
             return (
@@ -1413,7 +1485,7 @@ class MultiModalSearchEngine:
             )
 
         if info["drifted"]:
-            return False, _drift_reason(), None
+            return False, _drift_reason(), None, extras
         # Coverage maintenance and calibration staleness run BEFORE the
         # floor/cost gates (round-10 review fix): a STALE curve can fail
         # the floor or cost gate in exactly the situations a refresh
@@ -1427,14 +1499,14 @@ class MultiModalSearchEngine:
             if self.ann_auto_append:
                 self.append_to_ann_index(space)
                 if info["drifted"]:  # this append latched it
-                    return False, _drift_reason(), None
+                    return False, _drift_reason(), None, extras
             else:
                 return False, (
                     "corpus changed since ANN build "
                     f"({info['rows_at_build']} -> "
                     f"{self._space_rows(space)} rows in {space!r}); "
                     "append_to_ann_index or rebuild to re-enable"
-                ), None
+                ), None, extras
         # once the live corpus has outgrown the calibrated one by
         # recalibration_fraction, refresh the measured curve on the
         # CURRENT corpus (appended ids enter the xxhash64 query sample
@@ -1450,21 +1522,33 @@ class MultiModalSearchEngine:
                 else self._main_curve_stale(space, info)
             )
             if stale_here:
-                self._route_extras["calibration_deferred"] = True
+                import time
+
+                # operational visibility (round 12): with deferral on,
+                # NOTHING refreshes until maintain() runs — a
+                # deployment that forgets to schedule it serves exact
+                # forever (correct, silently slower). Count every
+                # deferred serve and stamp when deferral began so an
+                # operator can alert on last_route/maintain() output.
+                info["n_deferred_serves"] = (
+                    info.get("n_deferred_serves", 0) + 1
+                )
+                info.setdefault("deferred_since", time.time())
+                extras["calibration_deferred"] = True
+                extras["n_deferred_serves"] = info["n_deferred_serves"]
+                extras["deferred_since"] = info["deferred_since"]
                 return False, (
                     "calibration curve stale (corpus outgrew it by > "
                     f"{self.recalibration_fraction:.0%}); recalibration "
                     "deferred to maintain() — exact serves and honors "
                     "the floor"
-                ), None
+                ), None, extras
             prefix = ""
         else:
             recal_sec = self._maybe_recalibrate(space, info)
             prefix = "recalibrated; " if recal_sec is not None else ""
             if recal_sec is not None:
-                self._route_extras["calibration_sec"] = round(
-                    recal_sec, 3
-                )
+                extras["calibration_sec"] = round(recal_sec, 3)
         if filter_key is not None and filter_key not in info.get(
             "filter_calibrations", {}
         ):
@@ -1477,14 +1561,14 @@ class MultiModalSearchEngine:
                 f"content-type filter {filter_key!r} has no measured "
                 "calibration curve — calibrate_filter() to enable "
                 "filtered IVF; exact honors the floor"
-            ), None
+            ), None, extras
         nprobe, ivf_ms, plan_why = self._ivf_plan(
             space, recall_floor, batch=batch, filter_key=filter_key
         )
         if nprobe is None:
             return False, (
                 f"{prefix}{plan_why} — exact honors the floor"
-            ), None
+            ), None, extras
         cal = self._curve_for(info, filter_key)
         why_cost = ""
         if cal is not None and ivf_ms is not None:
@@ -1503,7 +1587,7 @@ class MultiModalSearchEngine:
                     f"{prefix}measured cost ({depth}): ivf {ivf_ms:.2f}"
                     f" >= exact {exact_ms:.2f} ms — exact is the "
                     "cheaper way to honor the floor"
-                ), None
+                ), None, extras
             why_cost = (
                 f"; measured {depth} ivf {ivf_ms:.2f} < exact "
                 f"{exact_ms:.2f} ms"
@@ -1516,8 +1600,9 @@ class MultiModalSearchEngine:
                     False,
                     "below size threshold — exact scan is cheap",
                     None,
+                    extras,
                 )
-        return True, f"auto ({prefix}{plan_why}{why_cost})", nprobe
+        return True, f"auto ({prefix}{plan_why}{why_cost})", nprobe, extras
 
     # -- search (search_engine.py:174-223) -----------------------------
     def search(
@@ -1627,7 +1712,7 @@ class MultiModalSearchEngine:
             corpus = corpus.filter(predicate)
         if approximate:
             corpus = self._binary_shortlist(corpus, qvec, shortlist)
-        use_ivf, why, nprobe = self._route(
+        use_ivf, why, nprobe, extras = self._route(
             space,
             recall_floor,
             route,
@@ -1648,7 +1733,7 @@ class MultiModalSearchEngine:
                 "nprobe": nprobe,
                 "n_clusters": len(info["centroids"]),
                 "recall_floor": recall_floor,
-                **self._route_extras,
+                **extras,
             }
             # join the slim (id, cluster_id) assignment back so
             # tombstones/predicates applied to `corpus` above hold;
@@ -1697,7 +1782,7 @@ class MultiModalSearchEngine:
             "route": "exact-blocked" if use_blocked else "exact-hof",
             "reason": why,
             "recall_floor": recall_floor,
-            **self._route_extras,
+            **extras,
         }
         if use_blocked:
             # Two small actions, each the cheapest possible shape:
@@ -1776,7 +1861,7 @@ class MultiModalSearchEngine:
         # size threshold is the BATCH one (not the 8× single-query
         # one): with many queries the blocked/IVF crossover arrives
         # earlier, matching the scorer dispatch below.
-        use_ivf, why, nprobe = self._route(
+        use_ivf, why, nprobe, extras = self._route(
             space,
             recall_floor,
             route,
@@ -1798,7 +1883,7 @@ class MultiModalSearchEngine:
                 "nprobe": nprobe,
                 "n_clusters": len(info["centroids"]),
                 "recall_floor": recall_floor,
-                **self._route_extras,
+                **extras,
             }
             assigned = corpus.select("id", "embedding").join(
                 info["assign"], "id"
@@ -1839,7 +1924,7 @@ class MultiModalSearchEngine:
             "route": "exact-blocked" if use_blocked else "exact-hof",
             "reason": why,
             "recall_floor": recall_floor,
-            **self._route_extras,
+            **extras,
         }
         if use_blocked:
             # vectors ride the task closure — no query-DF collect job
@@ -2064,7 +2149,7 @@ class MultiModalSearchEngine:
                 continue
             added = sum(
                 self._row_payload_bytes(p) for p in payload
-            ) + len(ts) * self.dim * 4
+            ) + len(ts) * self.dim * 8
             total = cached.get("bytes", 0) + added
             if total > self.local_exact_budget_bytes:
                 self._local_cache.pop(space, None)
@@ -2126,8 +2211,8 @@ class MultiModalSearchEngine:
         matrix + payload row dicts for ``space``'s LIVE rows, resident
         on the driver. Returns None when disabled
         (``local_exact_budget_bytes=0``) or when the space's estimated
-        TOTAL resident footprint — vector mass (rows × dim × 4 B, the
-        float32 on-disk form) PLUS the measured payload string bytes
+        TOTAL resident footprint — vector mass (rows × dim × 8 B, the
+        float64 matrix actually held) PLUS the measured payload string bytes
         (one column-pruned ``sum(octet_length(...))`` agg, run before
         anything is collected) — exceeds the budget; above it the Spark
         paths serve (the cache is the small-corpus latency fix, not a
@@ -2149,10 +2234,10 @@ class MultiModalSearchEngine:
         stale, never new-epoch-with-old-rows."""
         import numpy as np
 
-        if self.local_exact_budget_bytes <= 0 or self.items is None:
+        if self.local_exact_budget_bytes <= 0 or self._corpus_absent():
             return None
         n = self._space_rows(space)
-        vec_bytes = n * self.dim * 4
+        vec_bytes = n * self.dim * 8
         if vec_bytes > self.local_exact_budget_bytes:
             return None
         cached = self._local_cache.get(space)
@@ -2182,9 +2267,12 @@ class MultiModalSearchEngine:
         # _space_rows is a tombstone-inclusive upper bound (fine for
         # the cheap pre-filter above), but the admitted footprint must
         # match what the collect actually holds — and stay equal to the
-        # incrementally maintained estimate (parity-tested)
+        # incrementally maintained estimate (parity-tested). 8 B/elem:
+        # the RESIDENT matrix is float64 (round 12 — the 4 B float32
+        # on-disk estimate under-counted the admitted block 2×; now the
+        # vector term equals the cached block's actual emb.nbytes)
         total_bytes = (
-            stats["n"] * self.dim * 4
+            stats["n"] * self.dim * 8
             + (stats["s"] or 0)
             + stats["n"] * self._LOCAL_ROW_OVERHEAD_BYTES
         )
@@ -2223,7 +2311,7 @@ class MultiModalSearchEngine:
         self, cache: dict, space: str, recall_floor: float
     ) -> None:
         n = len(cache["ids"])
-        mb = cache.get("bytes", n * self.dim * 4) / (1024 * 1024)
+        mb = cache.get("bytes", n * self.dim * 8) / (1024 * 1024)
         self.last_route = {
             "route": "exact-local",
             "reason": (
@@ -2397,7 +2485,7 @@ class MultiModalSearchEngine:
 
         from multimodal_vector_db_spark.operators.knn import topk_rows_1d
 
-        if self.local_exact_budget_bytes <= 0 or self.items is None:
+        if self.local_exact_budget_bytes <= 0 or self._corpus_absent():
             return None
         self._space_rows(default_space)  # materialize the per-space map
         spaces = sorted(
@@ -2406,7 +2494,7 @@ class MultiModalSearchEngine:
         total_cells = sum(
             self._n_rows_by_space[s] for s in spaces
         ) * self.dim
-        if total_cells * 4 > self.local_exact_budget_bytes:
+        if total_cells * 8 > self.local_exact_budget_bytes:
             return None
         caches = {}
         for s in spaces:
@@ -2779,12 +2867,25 @@ class MultiModalSearchEngine:
                 }
                 for (_q, m, s, i, d, sim, r) in local
             ]
-        return [
+        out = [
             r.asDict()
             for r in self.compare_modalities(query, k_per_modality)
             .orderBy("modality", "rank")
             .collect()
         ]
+        # over-budget fallback must describe ITSELF on last_route (the
+        # micro-path branch does) — without this, the diagnostic would
+        # still show a previous call's route (round-12 review fix).
+        # compare_modalities may have set a Spark-route entry; override
+        # with the rows-form identity either way.
+        self.last_route = {
+            "route": "spark-compare",
+            "reason": (
+                "spaces exceed local_exact_budget together — rows form "
+                "served by collecting the Spark compare plan"
+            ),
+        }
+        return out
 
     def compare_modalities_batch(
         self, queries: list[str], k_per_modality: int = 3

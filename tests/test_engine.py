@@ -2113,3 +2113,148 @@ def test_incremental_cache_parity_under_random_mutation_sequences(spark):
                 assert maintained["bytes"] == rebuilt["bytes"], (
                     space, step,
                 )
+
+
+def test_interactive_ingest_is_spark_free_and_flushes_before_read(
+    spark, monkeypatch
+):
+    """Round-12 ingest cost contract: batch_ingest touches NO Spark
+    API at all — not even createDataFrame (the ~80 ms py4j floor the
+    round-11 profile measured per single-row ingest). Rows buffer
+    driver-side, valid micro-path caches absorb them in place, and the
+    buffer flushes into the DataFrame lazily before the next
+    Spark-path read, so every Spark consumer still sees every row."""
+    import pyspark.sql
+
+    eng = MultiModalSearchEngine(spark, dim=16)
+    eng.batch_ingest(
+        [{"content": f"buf doc {i}", "modality": "text"}
+         for i in range(20)]
+    )
+    eng.search("buf doc 3", k=2)  # builds the micro-path cache
+    assert eng.last_route["route"] == "exact-local"
+
+    def boom(self, *a, **k):
+        raise AssertionError(
+            "Spark was touched during interactive ingest/search"
+        )
+
+    monkeypatch.setattr(
+        pyspark.sql.SparkSession, "createDataFrame", boom
+    )
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", boom)
+    for i in range(5):
+        eng.ingest_content(f"buf late {i}", modality="text")
+        out = eng.search(f"buf late {i}", k=1)
+        assert out[0]["content"] == f"buf late {i}"
+    assert len(eng._pending) == 5  # buffered, not flushed
+    monkeypatch.undo()
+
+    # flush-before-Spark-read: the property getter unions the buffer
+    # in, so a Spark-path consumer sees all 25 rows
+    assert eng.items.count() == 25
+    assert not eng._pending
+    assert (
+        eng.items.where(F.col("content") == "buf late 4").count() == 1
+    )
+
+    # over-budget engine: buffered rows reach the Spark search path
+    cold = MultiModalSearchEngine(spark, dim=16,
+                                  local_exact_budget_bytes=0)
+    cold.batch_ingest(
+        [{"content": f"cold doc {i}", "modality": "text"}
+         for i in range(8)]
+    )
+    out = cold.search("cold doc 5", k=1)
+    assert out[0]["content"] == "cold doc 5"
+    assert cold.last_route["route"].startswith("exact-")
+
+
+def test_deferred_serve_counter_increments_and_clears(spark):
+    """Round-12 maintain() scheduling guidance: every deferred serve
+    increments a per-index counter surfaced on last_route (with the
+    deferral start time), and maintain() clears it — the signal an
+    operator alerts on when a deployment forgets to schedule
+    maintain()."""
+    eng = MultiModalSearchEngine(spark, dim=16, blocked_threshold_cells=10,
+                                 local_exact_budget_bytes=0,
+                                 defer_recalibration=True)
+    eng.batch_ingest(
+        [{"content": f"dsc doc {i}", "modality": "text"}
+         for i in range(120)]
+    )
+    eng.build_ann_index(space="clip", n_clusters=8, calibration_queries=8)
+    eng.batch_ingest(
+        [{"content": f"dsc late {i}", "modality": "text"}
+         for i in range(60)]  # 50% growth > 25% fraction -> stale
+    )
+    eng.search("dsc doc 7", k=3, recall_floor=0.5)
+    assert eng.last_route["n_deferred_serves"] == 1
+    t0 = eng.last_route["deferred_since"]
+    eng.search("dsc doc 8", k=3, recall_floor=0.5)
+    assert eng.last_route["n_deferred_serves"] == 2
+    assert eng.last_route["deferred_since"] == t0  # start, not latest
+
+    st = eng.maintain("clip")
+    assert st["recalibrated"] is True
+    assert st["deferred_serves_cleared"] == 2
+    assert "n_deferred_serves" not in eng._ann["clip"]
+    eng.search("dsc doc 7", k=3, recall_floor=0.5)
+    assert "n_deferred_serves" not in eng.last_route
+    # idle maintain reports zero cleared
+    assert eng.maintain("clip")["deferred_serves_cleared"] == 0
+
+
+def test_micro_path_footprint_counts_float64_resident_bytes(spark):
+    """Round-12 gate-arithmetic fix: the admitted footprint's vector
+    term must equal the cached block's ACTUAL resident matrix bytes
+    (float64 — 8 B/elem), so local_exact_budget_bytes means what it
+    says. The maintained estimate decomposes exactly into
+    emb.nbytes + per-row payload estimates."""
+    eng = MultiModalSearchEngine(spark, dim=16)
+    eng.batch_ingest(
+        [{"content": f"fp64 doc {i}", "modality": "text"}
+         for i in range(30)]
+    )
+    eng.search("fp64 doc 3", k=2)
+    cache = eng._local_cache["clip"]
+    assert cache["emb"].dtype.itemsize == 8
+    payload_est = sum(
+        eng._row_payload_bytes(p) for p in cache["payload"]
+    )
+    assert cache["bytes"] == cache["emb"].nbytes + payload_est
+
+    # a budget sized between the float32 and float64 vector terms must
+    # now REFUSE (the old 4 B arithmetic admitted it): 30 rows x 16 d
+    # -> f32 term 1,920 B, f64 term 3,840 B; payload ~ 30 x ~75 B
+    tight_budget = 2_000 + payload_est
+    tight = MultiModalSearchEngine(
+        spark, dim=16, local_exact_budget_bytes=tight_budget
+    )
+    tight.batch_ingest(
+        [{"content": f"fp64 doc {i}", "modality": "text"}
+         for i in range(30)]
+    )
+    tight.search("fp64 doc 3", k=2)
+    assert tight.last_route["route"] != "exact-local"
+    assert "clip" not in tight._local_cache
+
+
+def test_compare_rows_over_budget_sets_spark_compare_route(spark):
+    """Round-12 review fix: compare_modalities_rows' over-budget
+    fallback must describe ITSELF on last_route instead of leaving a
+    previous call's entry."""
+    eng = MultiModalSearchEngine(spark, dim=16,
+                                 local_exact_budget_bytes=0)
+    eng.batch_ingest(
+        [{"content": f"scr doc {i}",
+          "modality": ["text", "audio"][i % 2]}
+         for i in range(12)]
+    )
+    eng.last_route = {"route": "sentinel"}
+    rows = eng.compare_modalities_rows("scr doc 3", k_per_modality=2)
+    assert rows and {r["modality"] for r in rows} == {"text", "audio"}
+    assert eng.last_route["route"] == "spark-compare"
+    assert "over" in eng.last_route["reason"] or "exceed" in (
+        eng.last_route["reason"]
+    )
