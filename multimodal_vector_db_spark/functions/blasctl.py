@@ -40,6 +40,19 @@ Control binds via ctypes to the ALREADY-LOADED OpenBLAS (found in
 ``…64_``-suffixed symbol forms are probed). When no control surface
 exists (different BLAS, static link), everything degrades to a no-op —
 correctness never depends on the clamp.
+
+**Idle restore (round 12).** The sticky solo restore used to have a
+leak: it only ran on the NEXT ``gemm_section`` entrant, so after a
+concurrent burst the process-global 1-thread regime persisted
+indefinitely — any driver-side NumPy GEMM *outside* a section (user
+code in the same process, ad-hoc analysis) silently ran
+single-threaded. Exiting the LAST section while clamped now arms a
+one-shot daemon timer that restores the library default once the
+hysteresis window has truly elapsed with no new concurrency (the
+timer re-checks under the lock and re-arms itself if a fresh burst
+re-stamped the window). Code that never opted into ``gemm_section``
+can no longer inherit the clamped regime for more than
+``_SOLO_RESTORE_AFTER_S`` seconds of idle.
 """
 
 from __future__ import annotations
@@ -52,6 +65,7 @@ import threading
 _lock = threading.Lock()
 _probed = False
 _set_fn = None  # ctypes callable | None
+_get_fn = None  # ctypes callable | None
 _default_threads: int | None = None
 _active_sections = 0
 _current_regime: int | None = None
@@ -60,12 +74,13 @@ _current_regime: int | None = None
 #: thrashes the pool at admission-wave boundaries inside a burst)
 _SOLO_RESTORE_AFTER_S = 0.5
 _concurrent_seen_at = 0.0
+_restore_timer: threading.Timer | None = None
 
 
 def _probe() -> None:
     """Locate the loaded OpenBLAS and its thread-control symbols.
     Idempotent; failure leaves the module a no-op."""
-    global _probed, _set_fn, _default_threads
+    global _probed, _set_fn, _get_fn, _default_threads
     if _probed:
         return
     _probed = True
@@ -97,6 +112,7 @@ def _probe() -> None:
                 setter.argtypes = [ctypes.c_int]
                 getter.restype = ctypes.c_int
                 _set_fn = setter
+                _get_fn = getter
                 _default_threads = int(getter())
                 return
     except Exception:
@@ -117,18 +133,60 @@ def default_blas_threads() -> int | None:
         return _default_threads
 
 
+def current_blas_threads() -> int | None:
+    """The pool's CURRENT thread count, read live from the library —
+    what an unwrapped GEMM in this process would run with. None when
+    no control surface exists."""
+    with _lock:
+        _probe()
+        return int(_get_fn()) if _get_fn is not None else None
+
+
+def _restore_if_idle() -> None:
+    """Deferred-restore timer body: put the pool back to the library
+    default iff no section is active and the hysteresis window has
+    genuinely elapsed; re-arm once if a fresh burst re-stamped it."""
+    global _current_regime, _restore_timer
+    import time
+
+    with _lock:
+        _restore_timer = None
+        if _set_fn is None or _active_sections > 0:
+            return  # a live section owns the regime now
+        remaining = _SOLO_RESTORE_AFTER_S - (
+            time.monotonic() - _concurrent_seen_at
+        )
+        if remaining > 0:
+            # a newer burst moved the window — try again after it
+            _restore_timer = threading.Timer(
+                remaining + 0.05, _restore_if_idle
+            )
+            _restore_timer.daemon = True
+            _restore_timer.start()
+            return
+        if _current_regime != _default_threads:
+            _current_regime = _default_threads
+            _set_fn(_default_threads)
+
+
 @contextlib.contextmanager
 def gemm_section():
     """Wrap one driver-side GEMM: maintains the concurrent-section
     count and applies the two-regime clamp (module docstring). Safe
     under any BLAS — a failed probe makes this a pure pass-through."""
-    global _active_sections, _current_regime, _concurrent_seen_at
+    global _active_sections, _current_regime, _concurrent_seen_at, \
+        _restore_timer
     import time
 
     with _lock:
         _probe()
         ctl = _set_fn is not None
         if ctl:
+            if _restore_timer is not None:
+                # a live section owns the regime again — the pending
+                # idle restore would race the clamp below
+                _restore_timer.cancel()
+                _restore_timer = None
             _active_sections += 1
             now = time.monotonic()
             if _active_sections > 1:
@@ -153,6 +211,18 @@ def gemm_section():
         if ctl:
             with _lock:
                 _active_sections -= 1
-                # leaving the last concurrent section does NOT eagerly
-                # restore the solo regime — the next solo entrant does
-                # (same hysteresis as the sticky restore above)
+                # leaving the last section does NOT eagerly restore
+                # the solo regime (the hysteresis above) — but it must
+                # not LEAK either: arm a one-shot idle-restore timer
+                # so unwrapped GEMMs in this process get the default
+                # pool back once the sticky window elapses (round 12)
+                if (
+                    _active_sections == 0
+                    and _current_regime not in (None, _default_threads)
+                    and _restore_timer is None
+                ):
+                    _restore_timer = threading.Timer(
+                        _SOLO_RESTORE_AFTER_S + 0.05, _restore_if_idle
+                    )
+                    _restore_timer.daemon = True
+                    _restore_timer.start()

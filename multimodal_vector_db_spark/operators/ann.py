@@ -388,16 +388,23 @@ def ivf_search(
             # HIGHER cid wins ties (lexsort on (-cid) secondary).
             import numpy as np
 
+            from multimodal_vector_db_spark.functions.blasctl import (
+                gemm_section,
+            )
+
             C = np.asarray(centroids, dtype=np.float64)  # (nc, d)
             Qm = np.asarray([v for _, v in queries], dtype=np.float64)
-            if probe_metric == "l2":
-                prox = (
-                    (Qm * Qm).sum(axis=1)[:, None]
-                    - 2.0 * (Qm @ C.T)
-                    + (C * C).sum(axis=1)[None, :]
-                )  # smaller = closer
-            else:
-                prox = -(Qm @ C.T)  # higher dot = closer
+            # driver-side GEMM: section-wrapped so concurrent facade
+            # callers compose under the two-regime BLAS clamp
+            with gemm_section():
+                if probe_metric == "l2":
+                    prox = (
+                        (Qm * Qm).sum(axis=1)[:, None]
+                        - 2.0 * (Qm @ C.T)
+                        + (C * C).sum(axis=1)[None, :]
+                    )  # smaller = closer
+                else:
+                    prox = -(Qm @ C.T)  # higher dot = closer
             nc = C.shape[0]
             cids = np.arange(nc)
             # per query: order by (prox asc, cid desc)
@@ -649,11 +656,16 @@ def ivf_adc_search_blocked(
         adc_distance_table,
     )
 
+    from multimodal_vector_db_spark.functions.blasctl import gemm_section
+
     C = np.asarray(centroids, dtype=np.float64)
     nc = C.shape[0]
     qids = np.asarray([qid for qid, _ in queries], dtype=np.int64)
     Qm = np.asarray([v for _, v in queries], dtype=np.float64)
-    prox = -(Qm @ C.T)
+    # driver-side GEMM: section-wrapped so concurrent facade callers
+    # compose under the two-regime BLAS clamp (functions/blasctl.py)
+    with gemm_section():
+        prox = -(Qm @ C.T)
     order = np.lexsort(
         (np.broadcast_to(-np.arange(nc), prox.shape), prox), axis=1
     )[:, :nprobe]
@@ -838,17 +850,22 @@ def ivf_search_blocked(
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
+    from multimodal_vector_db_spark.functions.blasctl import gemm_section
+
     C = np.asarray(centroids, dtype=np.float64)
     qids = np.asarray([qid for qid, _ in queries], dtype=np.int64)
     Qm = np.asarray([v for _, v in queries], dtype=np.float64)
-    if probe_metric == "l2":
-        prox = (
-            (Qm * Qm).sum(axis=1)[:, None]
-            - 2.0 * (Qm @ C.T)
-            + (C * C).sum(axis=1)[None, :]
-        )
-    else:
-        prox = -(Qm @ C.T)
+    # driver-side GEMM: section-wrapped so concurrent facade callers
+    # compose under the two-regime BLAS clamp (functions/blasctl.py)
+    with gemm_section():
+        if probe_metric == "l2":
+            prox = (
+                (Qm * Qm).sum(axis=1)[:, None]
+                - 2.0 * (Qm @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+        else:
+            prox = -(Qm @ C.T)
     nc = C.shape[0]
     order = np.lexsort(
         (np.broadcast_to(-np.arange(nc), prox.shape), prox), axis=1

@@ -2258,3 +2258,32 @@ def test_compare_rows_over_budget_sets_spark_compare_route(spark):
     assert "over" in eng.last_route["reason"] or "exceed" in (
         eng.last_route["reason"]
     )
+
+
+def test_blas_clamp_idle_restore_without_new_entrant():
+    """Round-12 clamp-leak fix: after a concurrent burst the
+    process-global 1-thread regime must NOT persist indefinitely —
+    exiting the last section arms a deferred restore, so an unwrapped
+    driver-side GEMM gets the library default back once the sticky
+    window elapses, with NO new gemm_section entrant."""
+    import time
+
+    from multimodal_vector_db_spark.functions import blasctl
+
+    if not blasctl.blas_control_available():
+        pytest.skip("no OpenBLAS control surface in this build")
+    default = blasctl.default_blas_threads()
+    # a burst: two overlapping sections -> concurrent regime (1 thread)
+    with blasctl.gemm_section():
+        with blasctl.gemm_section():
+            assert blasctl.current_blas_threads() == 1
+    # immediately after the burst the clamp is still sticky…
+    assert blasctl.current_blas_threads() == 1
+    # …but the idle-restore timer puts the default back by itself
+    deadline = time.time() + 5.0
+    while (
+        time.time() < deadline
+        and blasctl.current_blas_threads() != default
+    ):
+        time.sleep(0.05)
+    assert blasctl.current_blas_threads() == default
