@@ -14,26 +14,30 @@ update this list in the same commit and re-verify with
 from multimodal_vector_db_spark import queries as Q
 
 DRIVER_WINDOW = [
-    "knn_single", "knn_batch", "knn_filtered", "groupby_count",
+    "knn_single", "knn_batch", "knn_filtered",
     "topk_per_group", "filter_project", "captions_join", "anti_join",
-    "union_distinct", "cumulative_window", "result_overlap",
-    "doc_text_stats", "doc_quality", "lang_id", "repetition_filter",
+    "union_distinct", "result_overlap",
+    "doc_text_stats", "lang_id", "repetition_filter",
     "hash_split", "ngram_decontamination", "source_mixing_sample",
     "string_pipeline", "percentile_stats", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "near_dup_embedding", "metrics_eval", "map_metric", "contamination",
-    "label_centroids", "matryoshka_knn", "attention_pooling",
-    "matryoshka_multiscale", "tokenize_regex", "winnow_fingerprint",
+    "near_dup_embedding", "metrics_eval", "contamination",
+    "label_centroids", "matryoshka_knn",
+    "tokenize_regex", "winnow_fingerprint",
     "fp16_round_trip", "pq_encode_decode", "pq_adc_knn", "mmr_rerank",
     "distance_transforms", "index_stats", "multimodal_features",
-    "frame_sampling", "events_tumbling_window", "sessionization",
-    "tpch_q1", "cross_modal_routed", "scalar_functions",
+    "frame_sampling", "sessionization",
+    "cross_modal_routed", "scalar_functions",
     "linear_projection",
     # round 11: the registry's two hardest oracles rotated INTO the
-    # driver gate (VERDICT r10 ask); knn_l2 and orders_topk demoted —
-    # both covered by in-window twins (knn_single/distance_transforms,
-    # topk_per_group)
+    # driver gate (VERDICT r10 ask)
     "ann_ivf_knn", "bpe_merge_table",
+    # round 12: eight never-driver-checked entries rotated in (the
+    # standing rotation policy in queries/__init__.py names each
+    # demoted entry's covering twin)
+    "asof_join", "bm25_search", "hybrid_rrf_search",
+    "events_sliding_window", "tpch_q18", "mrr_metric",
+    "incremental_dedup", "pca_matryoshka_knn",
 ]
 
 
