@@ -95,10 +95,26 @@ def main() -> None:
     # oracle's fixture path to the sf under test.
     sf_name = os.path.basename(sf_dir.rstrip("/"))
     if sf_name != "sf0.01":
-        oracles = {
+        retargeted = {
             n: sql.replace("_sf0.01.parquet", f"_{sf_name}.parquet")
             for n, sql in oracles.items()
         }
+        # The textual retarget is only sound if every fixture-referencing
+        # oracle follows the `…_sf0.01.parquet` naming — an oracle whose
+        # fixture path doesn't would silently keep pointing at the
+        # sf0.01 fixture and reproduce the cross-fixture mismatch this
+        # patch exists to fix. Fail loudly instead.
+        stale = [
+            n for n, sql in retargeted.items()
+            if "fixtures/" in sql and f"_{sf_name}.parquet" not in sql
+        ]
+        if stale:
+            raise SystemExit(
+                f"fixture-backed oracles not retargeted to {sf_name} "
+                f"(fixture path must end _sf0.01.parquet to be "
+                f"rewritten): {stale}"
+            )
+        oracles = retargeted
     n_pass = n_fail = n_noracle = 0
     for name, fn in queries.items():
         if only and name not in only:
