@@ -81,6 +81,53 @@ def _tm5(run) -> tuple[float, float]:
     return ts[2], ts[0]
 
 
+#: pinned nominal host probe (768×768 float64 GEMM, ms) — the stable
+#: band host_calibration measured across the round-11 fresh-process
+#: repeats (3.6-4.2 ms). Probe-normalized rows scale each sample by
+#: REF_PROBE_GEMM_MS / probe_ms_sample, so a row taken on a
+#: transiently slow host reads as the speed a nominal host would show.
+REF_PROBE_GEMM_MS = 3.9
+
+
+def _tm7p(run) -> tuple[float, float, float, list[float]]:
+    """(median, min, probe-normalized median, probe_ms per sample) of
+    7 samples after one warmup. Round 12: the 16×/64× scalar rows
+    carried a 3× median/min spread (host drift DURING the 5-sample
+    loop), which made cross-round deltas unanchorable. Each sample now
+    pairs with a host-speed probe (median of 3 768×768 float64 GEMMs,
+    ~12 ms, measured immediately before the sample); the normalized
+    median is taken over ``sample_i × REF_PROBE_GEMM_MS / probe_i`` so
+    per-sample drift divides out. Raw median/min are still reported —
+    the normalized column is the cross-round comparator
+    (tools/bench_compare.py --section)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    A = rng.rand(768, 768)
+    Bm = rng.rand(768, 768)
+    A @ Bm  # BLAS warm
+    run()  # workload warm
+    raw: list[float] = []
+    normed: list[float] = []
+    probes: list[float] = []
+    for _ in range(7):
+        ps = []
+        for _ in range(3):
+            p0 = time.time()
+            A @ Bm
+            ps.append((time.time() - p0) * 1000)
+        probe_ms = sorted(ps)[1]
+        t0 = time.time()
+        run()
+        dt = time.time() - t0
+        raw.append(dt)
+        probes.append(round(probe_ms, 2))
+        normed.append(dt * REF_PROBE_GEMM_MS / probe_ms)
+    raw.sort()
+    normed.sort()
+    return raw[3], raw[0], normed[3], probes
+
+
 def _build_cached(build_fn, sentinel_path: str, tag: str) -> bool:
     """Run ``build_fn`` unless a matching sentinel says this exact build
     (version + tag) already exists on disk. Every artifact both builders
@@ -1179,20 +1226,37 @@ def serving_concurrency_bench(spark, wh_dir: str) -> dict:
 
     _call_local(0)  # builds the driver cache once, outside timing
     assert eng_local.last_route["route"] == "exact-local"
-    # the local tier serves a call in ~70 ms, so 64 total calls is a
-    # sub-second measurement at the upper levels — at T=64 it is ONE
-    # call per thread, i.e. thread-startup + first-admission-wave
-    # effects, not steady state. 4× the calls (fixed across levels,
-    # so aggregate qps stays comparable) steadies the estimate; the
-    # Spark path keeps TOTAL_CALLS (its calls cost ~1.5 s each).
-    LOCAL_TOTAL_CALLS = TOTAL_CALLS * 4
-    local_out: dict = {"total_calls_per_level": LOCAL_TOTAL_CALLS}
-    for T in (1, 16, 64):
-        per_thread = LOCAL_TOTAL_CALLS // T
-        lat = []
+    # Round 12 — INTERLEAVED level sampling. The r11 artifact showed
+    # qps(64) = 0.90 × qps(16) but could not attribute it: the levels
+    # ran sequentially, so intra-day host drift (measured 1.6×) was
+    # confounded with caller count. Two fixes make the comparison
+    # attributable: (a) levels run in ROUNDS of (1, 16, 64) repeated,
+    # so every level samples the same host windows and drift cancels
+    # in the per-level median; (b) caller threads are created FIRST
+    # and released by a barrier, so the wall no longer includes 64
+    # serial thread spawns (a fixed startup tax that only the highest
+    # level paid). A 0.6 s pause between levels lets the BLAS clamp's
+    # sticky window expire so a solo level never starts in the
+    # previous burst's 1-thread regime.
+    LOCAL_CALLS_PER_LEVEL = TOTAL_CALLS * 2  # per round; 3 rounds
+    LOCAL_ROUNDS = 3
+    local_out: dict = {
+        "calls_per_level_per_round": LOCAL_CALLS_PER_LEVEL,
+        "rounds": LOCAL_ROUNDS,
+        "interleaved": True,
+    }
+    levels = (1, 16, 64)
+    samples: dict[int, list[dict]] = {T: [] for T in levels}
+    all_lat: dict[int, list[float]] = {T: [] for T in levels}
+
+    def _run_local_level(T: int) -> dict:
+        per_thread = LOCAL_CALLS_PER_LEVEL // T
+        lat: list[float] = []
         lock = threading.Lock()
+        barrier = threading.Barrier(T + 1)
 
         def lworker(tid: int) -> None:
+            barrier.wait()
             local = [
                 _call_local(tid * per_thread + c)
                 for c in range(per_thread)
@@ -1200,22 +1264,38 @@ def serving_concurrency_bench(spark, wh_dir: str) -> dict:
             with lock:
                 lat.extend(local)
 
-        t0 = time.time()
         threads = [
             threading.Thread(target=lworker, args=(t,)) for t in range(T)
         ]
         for th in threads:
             th.start()
+        t0 = time.time()
+        barrier.wait()  # release every caller at once
         for th in threads:
             th.join()
         wall = time.time() - t0
-        lat.sort()
+        all_lat[T].extend(lat)
+        return {
+            "qps": round(LOCAL_CALLS_PER_LEVEL * B / wall, 1),
+            "wall_sec": round(wall, 3),
+        }
+
+    for _ in range(LOCAL_ROUNDS):
+        for T in levels:
+            samples[T].append(_run_local_level(T))
+            time.sleep(0.6)  # let the BLAS sticky window expire
+    for T in levels:
+        lat = sorted(all_lat[T])
         p50 = lat[int(0.5 * (len(lat) - 1))]
+        qpss = sorted(s["qps"] for s in samples[T])
         local_out[f"threads_{T}"] = {
             "call_p50_ms": round(p50 * 1000, 1),
             "ms_per_query_p50": round(p50 * 1000 / B, 3),
-            "aggregate_qps": round(LOCAL_TOTAL_CALLS * B / wall, 1),
-            "wall_sec": round(wall, 3),
+            "aggregate_qps": qpss[len(qpss) // 2],
+            "qps_rounds": qpss,
+            "wall_sec": round(
+                sum(s["wall_sec"] for s in samples[T]), 3
+            ),
         }
     out["local_micro_path"] = local_out
     return out
@@ -1366,12 +1446,14 @@ def ref_scale_16x_bench(spark, wh_dir: str, timed_median) -> dict:
             "the same local-mode scheduling-floor reason documented "
             "in ref_scale.notes — batch ms/q is the serving cost. This "
             "host swings 2-3x run-to-run under the 1.4 GB Arrow/numpy "
-            "workload; scalar rows report median-of-5 plus the min "
-            "(capability floor)."
+            "workload; scalar rows report median-of-7 plus the min "
+            "(capability floor) plus a per-sample probe-normalized "
+            "median (_probe_norm — the cross-round comparator; see "
+            "_tm7p)."
         ),
     }
 
-    med, mn = _tm5(
+    med, mn, nmed, probes = _tm7p(
         lambda: knn_join_blocked(corpus, qdf, k=10)
         .write.format("noop")
         .mode("overwrite")
@@ -1379,6 +1461,10 @@ def ref_scale_16x_bench(spark, wh_dir: str, timed_median) -> dict:
     )
     out["exact_blocked_ms_per_query_256"] = round(med / 256 * 1000, 3)
     out["exact_blocked_ms_per_query_256_min"] = round(mn / 256 * 1000, 3)
+    out["exact_blocked_ms_per_query_256_probe_norm"] = round(
+        nmed / 256 * 1000, 3
+    )
+    out["exact_blocked_probe_ms_samples"] = probes
 
     # facade batch serving at 16×
     items = spark.read.parquet(f"{wh_dir}/ref711k.parquet").select(
@@ -1396,9 +1482,15 @@ def ref_scale_16x_bench(spark, wh_dir: str, timed_median) -> dict:
         [float(x) for x in r["q_emb"]]
         for r in qdf.orderBy("query_id").collect()
     ]
-    med, mn = _tm5(lambda: eng.search_batch(q256, k=10))
+    med, mn, nmed, probes = _tm7p(
+        lambda: eng.search_batch(q256, k=10)
+    )
     out["facade_batch_ms_per_query"] = round(med / 256 * 1000, 3)
     out["facade_batch_ms_per_query_min"] = round(mn / 256 * 1000, 3)
+    out["facade_batch_ms_per_query_probe_norm"] = round(
+        nmed / 256 * 1000, 3
+    )
+    out["facade_batch_probe_ms_samples"] = probes
 
     # compare_modalities batch (space-routed dual-space scoring)
     items_cmp = spark.read.parquet(f"{wh_dir}/ref711k.parquet").select(
@@ -1414,7 +1506,7 @@ def ref_scale_16x_bench(spark, wh_dir: str, timed_median) -> dict:
     )
     eng_cmp = MultiModalSearchEngine(spark, items=items_cmp, dim=REF_DIM)
     cmp_queries = [f"compare query {i}" for i in range(256)]
-    med, mn = _tm5(
+    med, mn, nmed, probes = _tm7p(
         lambda: eng_cmp.compare_modalities_batch(
             cmp_queries, k_per_modality=3
         )
@@ -1425,6 +1517,10 @@ def ref_scale_16x_bench(spark, wh_dir: str, timed_median) -> dict:
     out["compare_modalities_batch_ms_per_query_min"] = round(
         mn / 256 * 1000, 3
     )
+    out["compare_modalities_batch_ms_per_query_probe_norm"] = round(
+        nmed / 256 * 1000, 3
+    )
+    out["compare_modalities_batch_probe_ms_samples"] = probes
 
     def _curve(corpus_name: str, probes: tuple[int, ...]) -> dict:
         c_corpus, c_centroids = open_ivf_index(
@@ -1686,7 +1782,7 @@ def ref_scale_64x_bench(spark, wh_dir: str, timed_median) -> dict:
         ),
     }
 
-    med, mn = _tm5(
+    med, mn, nmed, probes = _tm7p(
         lambda: knn_join_blocked(corpus, qdf, k=10)
         .write.format("noop")
         .mode("overwrite")
@@ -1694,6 +1790,10 @@ def ref_scale_64x_bench(spark, wh_dir: str, timed_median) -> dict:
     )
     out["exact_blocked_ms_per_query_256"] = round(med / 256 * 1000, 3)
     out["exact_blocked_ms_per_query_256_min"] = round(mn / 256 * 1000, 3)
+    out["exact_blocked_ms_per_query_256_probe_norm"] = round(
+        nmed / 256 * 1000, 3
+    )
+    out["exact_blocked_probe_ms_samples"] = probes
 
     def _curve(corpus_name: str, probes: tuple[int, ...]) -> dict:
         c_corpus, c_centroids = open_ivf_index(
@@ -1895,6 +1995,42 @@ def streaming_profile_bench(spark, sf_dir: str, wh_dir: str) -> dict:
         os.path.join(wh_dir, ".events16.stamp"),
         "events16",
     )
+
+    # round 12 — state-CARDINALITY octave: the 1×/16×/64× ladder grows
+    # row volume through a FIXED (window × event_type) key space, so it
+    # measures throughput amortization only; 100 TB also grows STATE.
+    # This variant keeps the 16× row volume but suffixes event_type per
+    # copy, so the state store holds 16× the key rows — rows/s plus the
+    # state-operator rows/bytes (from the progress log) quantify what
+    # key growth costs on top of row growth.
+    ev16k_path = f"{wh_dir}/events16k.parquet"
+
+    def _build_scaled_keys(n_copies: int, path: str, n_part: int):
+        ev = spark.read.parquet(ev_path)
+        parts = [
+            ev.select(
+                (F.col("event_id") + F.lit(i * 10_000_000)).alias(
+                    "event_id"
+                ),
+                *[c for c in ev.columns if c not in (
+                    "event_id", "event_type"
+                )],
+                F.concat(
+                    F.col("event_type"), F.lit(f"_k{i}")
+                ).alias("event_type"),
+            )
+            for i in range(n_copies)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.repartition(n_part).write.mode("overwrite").parquet(path)
+
+    _build_cached(
+        lambda: _build_scaled_keys(16, ev16k_path, 32),
+        os.path.join(wh_dir, ".events16k.stamp"),
+        "events16k",
+    )
     # 64 partitions → 16 microbatches at maxFilesPerTrigger=4: the
     # trigger count grows 2× while rows grow 4× vs 16× — if the
     # per-row cost dominates (the scale claim), rows/s keeps rising
@@ -1905,10 +2041,12 @@ def streaming_profile_bench(spark, sf_dir: str, wh_dir: str) -> dict:
     )
 
     for tag, path in (
-        ("1x", ev_path), ("16x", ev16_path), ("64x", ev64_path)
+        ("1x", ev_path), ("16x", ev16_path), ("64x", ev64_path),
+        ("16x_keys", ev16k_path),
     ):
         rows = spark.read.parquet(path).count()
         sec = {}
+        state_info: dict | None = None
         for mode in ("passthrough", "windowed_agg"):
             ckpt = os.path.join(wh_dir, f"_stream_ckpt_{tag}_{mode}")
             shutil.rmtree(ckpt, ignore_errors=True)
@@ -1919,6 +2057,7 @@ def streaming_profile_bench(spark, sf_dir: str, wh_dir: str) -> dict:
             else:
                 df = with_event_time(src)
                 output_mode = "append"
+            progress: list = []
             t0 = time.time()
             n_batches = run_available_now(
                 df,
@@ -1926,6 +2065,7 @@ def streaming_profile_bench(spark, sf_dir: str, wh_dir: str) -> dict:
                 query_name=f"profile_{tag}_{mode}",
                 output_mode=output_mode,
                 timeout_s=600,
+                progress_out=progress,
             )
             sec[mode] = {
                 "sec": round(time.time() - t0, 3),
@@ -1934,6 +2074,22 @@ def streaming_profile_bench(spark, sf_dir: str, wh_dir: str) -> dict:
                     rows / max(time.time() - t0, 1e-9)
                 ),
             }
+            if mode == "windowed_agg":
+                # state-operator footprint from the LAST progress event
+                # that carries one — the measured state-growth evidence
+                # the 16x_keys octave exists for
+                ops = [
+                    p["stateOperators"][0]
+                    for p in progress
+                    if p.get("stateOperators")
+                ]
+                if ops:
+                    state_info = {
+                        "state_rows": ops[-1].get("numRowsTotal"),
+                        "state_memory_bytes": ops[-1].get(
+                            "memoryUsedBytes"
+                        ),
+                    }
         agg = sec["windowed_agg"]["sec"] - sec["passthrough"]["sec"]
         out[tag] = {
             "rows": rows,
@@ -1944,6 +2100,7 @@ def streaming_profile_bench(spark, sf_dir: str, wh_dir: str) -> dict:
                 / max(sec["passthrough"]["microbatches"], 1),
                 3,
             ),
+            **(state_info or {}),
         }
     return out
 
@@ -2078,10 +2235,20 @@ def main() -> None:
                 "rows_per_sec_64x": section["64x"]["windowed_agg"][
                     "rows_per_sec"
                 ],
+                "rows_per_sec_16x_keys": section["16x_keys"][
+                    "windowed_agg"
+                ]["rows_per_sec"],
+                "state_rows_16x": section["16x"].get("state_rows"),
+                "state_rows_16x_keys": section["16x_keys"].get(
+                    "state_rows"
+                ),
                 "agg_overhead_sec_16x": section["16x"][
                     "agg_overhead_sec"
                 ],
                 "agg_overhead_sec_64x": section["64x"][
+                    "agg_overhead_sec"
+                ],
+                "agg_overhead_sec_16x_keys": section["16x_keys"][
                     "agg_overhead_sec"
                 ],
             },

@@ -731,11 +731,17 @@ def run_available_now(
     query_name: str = "mvdb_stream",
     output_mode: str = "complete",
     timeout_s: int = 120,
+    progress_out: list | None = None,
 ) -> int:
     """Drain everything currently in the source into an in-memory sink
     table named ``query_name``, then stop (hermetic test harness).
     Returns the number of micro-batches actually executed (from the
-    query's own progress log — never assume it from source layout)."""
+    query's own progress log — never assume it from source layout).
+
+    ``progress_out``: pass a list to additionally receive this run's
+    ``recentProgress`` dicts — the state-operator rows/bytes metrics
+    the profiler needs (``stateOperators[*].numRowsTotal`` /
+    ``memoryUsedBytes``) live only in the progress log."""
     q = (
         df.writeStream.format("memory")
         .queryName(query_name)
@@ -752,6 +758,8 @@ def run_available_now(
     # buffer retains the last 100 progress events
     # (spark.sql.streaming.numRecentProgressUpdates) — more micro-batches
     # than any availableNow drain this harness performs.
+    if progress_out is not None:
+        progress_out.extend(q.recentProgress)
     return len(q.recentProgress)
 
 

@@ -932,3 +932,31 @@ def test_media_refresh_fresh_sinks_use_batch_id_layout(spark, tmp_path):
     assert sorted(
         r["id"] for r in idx.select("id").distinct().collect()
     ) == [0, 1, 3]
+
+
+def test_run_available_now_progress_out_carries_state_metrics(
+    spark, tmp_path
+):
+    """Round 12: the streaming profiler's state-cardinality octave
+    reads state-store rows/bytes from the progress log — pin the
+    ``progress_out`` hook: a stateful drain must surface at least one
+    progress event whose stateOperators carry numRowsTotal matching
+    the distinct (window, event_type) key count."""
+    src = _stage_events(spark, tmp_path)
+    stream = windowed_counts(events_stream(spark, src))
+    progress: list = []
+    run_available_now(
+        stream,
+        str(tmp_path / "ckpt_prog"),
+        query_name="prog_test",
+        output_mode="complete",
+        progress_out=progress,
+    )
+    ops = [p["stateOperators"][0] for p in progress if p.get("stateOperators")]
+    assert ops, "no stateOperators in any progress event"
+    n_keys = (
+        windowed_counts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+        .count()
+    )
+    assert ops[-1]["numRowsTotal"] == n_keys
+    assert ops[-1]["memoryUsedBytes"] > 0

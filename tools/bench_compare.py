@@ -17,8 +17,17 @@ queries (same JVM/scheduling stack); ``--probe numpy_gemm_768_ms``
 normalizes BLAS-bound rows instead.
 
 Usage: python tools/bench_compare.py OLD.json NEW.json [--probe KEY]
+       python tools/bench_compare.py OLD.json NEW.json --section KEY
 Artifacts without host_calibration (pre-round-10) print raw ratios
 with a warning.
+
+``--section ref_scale_16x`` (round 12) compares a bench_detail
+section's scalar rows between two bench_detail.json files instead of
+the headline queries. Rows that carry a ``*_probe_norm`` twin (the
+per-sample probe-normalized median _tm7p emits) are compared on THAT
+column — per-sample normalization beats the whole-run probe ratio for
+the 16×/64× rows, whose 3× intra-run spread is host drift during the
+sample loop itself.
 """
 
 from __future__ import annotations
@@ -27,14 +36,52 @@ import json
 import sys
 
 
+def _compare_section(old: dict, new: dict, key: str) -> None:
+    so, sn = old.get(key), new.get(key)
+    if not (isinstance(so, dict) and isinstance(sn, dict)):
+        print(f"section {key!r} missing in one artifact")
+        sys.exit(2)
+    rows = []
+    for k in sorted(set(so) & set(sn)):
+        if k.endswith("_probe_norm") or k.endswith("_min"):
+            continue  # folded into the base row / floor only
+        vo, vn = so[k], sn[k]
+        if not isinstance(vo, (int, float)) or not isinstance(
+            vn, (int, float)
+        ) or isinstance(vo, bool):
+            continue
+        nk = f"{k}_probe_norm"
+        normed = nk in so and nk in sn
+        if normed:
+            vo, vn = so[nk], sn[nk]
+        ratio = vn / vo if vo else float("inf")
+        rows.append((k + (" (norm)" if normed else ""), vo, vn, ratio))
+    w = max((len(k) for k, *_ in rows), default=5)
+    print(f"{'row':<{w}}  {'old':>10} {'new':>10} {'ratio':>6}")
+    for k, vo, vn, r in rows:
+        flag = "  <-- regression?" if r > 1.25 else (
+            "  <-- improvement" if r < 0.8 else "")
+        print(f"{k:<{w}}  {vo:>10.3f} {vn:>10.3f} {r:>6.2f}{flag}")
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     probe_key = "spark_sum_range_20m_ms"
     if "--probe" in sys.argv:
         probe_key = sys.argv[sys.argv.index("--probe") + 1]
+    section_key = None
+    if "--section" in sys.argv:
+        section_key = sys.argv[sys.argv.index("--section") + 1]
+        args = [a for a in args if a != section_key]
     if len(args) != 2:
         print(__doc__)
         sys.exit(2)
+    if section_key is not None:
+        _compare_section(
+            json.load(open(args[0])), json.load(open(args[1])),
+            section_key,
+        )
+        return
     def _load(path: str) -> dict:
         d = json.load(open(path))
         # driver BENCH_r{N}.json wraps the bench line under "parsed"
