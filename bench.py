@@ -865,6 +865,19 @@ def ref_scale_bench(spark, wh_dir: str, timed_median) -> dict:
     eng_alt = MultiModalSearchEngine(spark, items=items, dim=REF_DIM)
     eng_alt.search(q0, k=10)  # builds the cache outside the timing
     assert eng_alt.last_route["route"] == "exact-local"
+    # the FIRST interactive ingest lazily initializes the max-id
+    # counter with one Spark agg (~a full job wall) — a one-time
+    # lazy-init cost like the cache build above, reported separately
+    # so the per-cycle figure states the steady-state contract
+    # (round 12: with the pending-row buffer the steady cycle is pure
+    # driver-side — ~2 ms — and folding a 1.3 s one-time job into a
+    # 20-cycle mean misstated it as ~60 ms)
+    t0 = time.time()
+    eng_alt.ingest_content("alternation warm doc", modality="text")
+    eng_alt.search(q0, k=10)
+    out["facade_ingest_first_cycle_ms"] = round(
+        (time.time() - t0) * 1000, 3
+    )
     N_ALT = 20
     t0 = time.time()
     for i in range(N_ALT):
@@ -1238,12 +1251,12 @@ def serving_concurrency_bench(spark, wh_dir: str) -> dict:
     # level paid). A 0.6 s pause between levels lets the BLAS clamp's
     # sticky window expire so a solo level never starts in the
     # previous burst's 1-thread regime.
-    LOCAL_CALLS_PER_LEVEL = TOTAL_CALLS * 2  # per round; 3 rounds
-    LOCAL_ROUNDS = 3
+    LOCAL_CALLS_PER_LEVEL = TOTAL_CALLS * 2  # per round; 5 rounds
+    LOCAL_ROUNDS = 5
     local_out: dict = {
         "calls_per_level_per_round": LOCAL_CALLS_PER_LEVEL,
         "rounds": LOCAL_ROUNDS,
-        "interleaved": True,
+        "interleaved": "levels rotated per round",
     }
     levels = (1, 16, 64)
     samples: dict[int, list[dict]] = {T: [] for T in levels}
@@ -1280,8 +1293,12 @@ def serving_concurrency_bench(spark, wh_dir: str) -> dict:
             "wall_sec": round(wall, 3),
         }
 
-    for _ in range(LOCAL_ROUNDS):
-        for T in levels:
+    for r in range(LOCAL_ROUNDS):
+        # rotate the level order per round: a host-speed ramp within a
+        # round would otherwise always land on the same level (64 ran
+        # last every round in the first cut, so a decaying window
+        # systematically dragged ITS median)
+        for T in levels[r % len(levels):] + levels[: r % len(levels)]:
             samples[T].append(_run_local_level(T))
             time.sleep(0.6)  # let the BLAS sticky window expire
     for T in levels:

@@ -248,11 +248,14 @@ class MultiModalSearchEngine:
         executor-loss durability; local mode has no such loss mode —
         same note as batch_ingest_df's eager checkpoint.)"""
         self._mutations_since_compact += 1
-        if (
-            self._mutations_since_compact >= self._COMPACT_EVERY
-            and self.items is not None
-        ):
-            self.items = self.items.localCheckpoint(eager=False)
+        if self._mutations_since_compact >= self._COMPACT_EVERY:
+            self._transform_items(
+                lambda df: (
+                    df.localCheckpoint(eager=False)
+                    if df is not None
+                    else None
+                )
+            )
             self._mutations_since_compact = 0
 
     @property
@@ -288,18 +291,42 @@ class MultiModalSearchEngine:
         the plan chain grows per flush, not per ingest — the lineage
         compaction counter advances here for the same reason."""
         with self._pending_lock:
-            if not self._pending:
-                return
-            data, self._pending = self._pending, []
-            new = self.spark.createDataFrame(data, _ITEMS_SCHEMA)
-            self._items_df = (
-                new
-                if self._items_df is None
-                else self._items_df.unionByName(
-                    new, allowMissingColumns=True
-                )
+            flushed = self._flush_pending_locked()
+        if flushed:
+            self._maybe_compact_lineage()
+
+    def _flush_pending_locked(self) -> bool:
+        """Flush body; caller holds ``_pending_lock``. Returns whether
+        anything was flushed."""
+        if not self._pending:
+            return False
+        data, self._pending = self._pending, []
+        new = self.spark.createDataFrame(data, _ITEMS_SCHEMA)
+        self._items_df = (
+            new
+            if self._items_df is None
+            else self._items_df.unionByName(
+                new, allowMissingColumns=True
             )
-        self._maybe_compact_lineage()
+        )
+        return True
+
+    def _transform_items(self, fn) -> None:
+        """Atomically replace the corpus DataFrame with ``fn(current)``.
+        Every INTERNAL mutation (union-append, tombstone withColumn,
+        lineage checkpoint) must go through here rather than
+        ``self.items = self.items...``: the getter-then-setter form has
+        a lost-update race — a concurrent ``batch_ingest`` buffering
+        rows between the getter's flush and the setter (which clears
+        the buffer on external replace) would silently drop them from
+        the Spark-side corpus. Here the flush, the transform, and the
+        assignment all happen under the buffer lock, and the buffer is
+        never cleared — rows pended mid-transform stay pended and ride
+        the next flush. ``fn`` only builds lazy plans (no Spark job
+        runs under the lock)."""
+        with self._pending_lock:
+            self._flush_pending_locked()
+            self._items_df = fn(self._items_df)
 
     def _corpus_absent(self) -> bool:
         """True when there is no corpus at all — neither a DataFrame
@@ -481,10 +508,12 @@ class MultiModalSearchEngine:
             new = new.localCheckpoint(eager=True)
         finally:
             src.unpersist()
-        self.items = (
-            new
-            if self.items is None
-            else self.items.unionByName(new, allowMissingColumns=True)
+        self._transform_items(
+            lambda cur: (
+                new
+                if cur is None
+                else cur.unionByName(new, allowMissingColumns=True)
+            )
         )
         self._epoch += 1
         self._max_id = start_id + running - 1
@@ -501,11 +530,13 @@ class MultiModalSearchEngine:
         collect-free like the ingest path."""
         import numpy as np
 
-        self.items = self.items.withColumn(
-            "deleted",
-            F.when(F.col("id").isin(ids), F.lit(True)).otherwise(
-                F.col("deleted")
-            ),
+        self._transform_items(
+            lambda cur: cur.withColumn(
+                "deleted",
+                F.when(F.col("id").isin(ids), F.lit(True)).otherwise(
+                    F.col("deleted")
+                ),
+            )
         )
         prev_epoch = self._epoch
         self._epoch += 1
@@ -2031,10 +2062,12 @@ class MultiModalSearchEngine:
         if self._n_rows is not None or self._n_rows_by_space is not None:
             new = new.localCheckpoint(eager=True)
             n_new = new.count()
-        self.items = (
-            new
-            if self.items is None
-            else self.items.unionByName(new, allowMissingColumns=True)
+        self._transform_items(
+            lambda cur: (
+                new
+                if cur is None
+                else cur.unionByName(new, allowMissingColumns=True)
+            )
         )
         self._epoch += 1
         # ids here are the CALLER's (doc ids) — the maintained max-id

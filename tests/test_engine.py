@@ -2009,16 +2009,35 @@ def test_interactive_mutation_lineage_compaction(spark):
     so Catalyst plan depth stays bounded while rows and results are
     unchanged."""
     eng = MultiModalSearchEngine(spark, dim=8)
-    for i in range(70):  # one compaction at 64, then 6 more unions
+    for i in range(70):
         eng.ingest_content(f"lc doc {i}", modality="text")
-    assert eng._mutations_since_compact == 70 - eng._COMPACT_EVERY
+    # round 12: interactive ingests BUFFER — no flush, no per-call
+    # union, counter untouched until a Spark-path read
+    assert eng._mutations_since_compact == 0
+    assert len(eng._pending) == 70
+    # the read flushes the whole run as ONE union
     plan = eng.items._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("Union") <= 6 + 1, (
-        f"lineage not compacted: {plan.count('Union')} unions"
+    assert plan.count("Union") <= 1, (
+        f"buffered run not flushed as one union: "
+        f"{plan.count('Union')} unions"
     )
     assert eng.items.count() == 70
     hits = eng.search("lc doc 67", k=1, scorer="blocked")  # Spark path
     assert hits[0]["content"] == "lc doc 67"
+
+    # interleaved ingest/read streams grow one union per flush — the
+    # compaction counter must still cut the chain every _COMPACT_EVERY
+    # flushes so plan depth stays bounded
+    eng.__dict__["_COMPACT_EVERY"] = 4
+    eng._mutations_since_compact = 0
+    for i in range(12):
+        eng.ingest_content(f"lc tail {i}", modality="text")
+        eng.items  # force a flush per ingest (a Spark-path reader)
+    plan = eng.items._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Union") <= eng._COMPACT_EVERY, (
+        f"lineage not compacted: {plan.count('Union')} unions"
+    )
+    assert eng.items.count() == 82
 
 
 def test_local_admission_gate_caps_concurrency(spark, monkeypatch):
@@ -2287,3 +2306,47 @@ def test_blas_clamp_idle_restore_without_new_entrant():
     ):
         time.sleep(0.05)
     assert blasctl.current_blas_threads() == default
+
+
+def test_internal_mutations_preserve_buffered_rows(spark):
+    """Round-12 concurrency fix: every INTERNAL corpus mutation
+    (tombstone withColumn, union-append, lineage checkpoint) goes
+    through the atomic ``_transform_items`` — flush + transform +
+    assign under the buffer lock, buffer never cleared. The previous
+    ``self.items = self.items...`` form read the getter (flushing),
+    built the plan, then hit the SETTER, which clears the pending
+    buffer — a batch_ingest landing between the two lost its rows
+    from the Spark-side corpus."""
+    eng = MultiModalSearchEngine(spark, dim=16)
+    eng.batch_ingest(
+        [{"content": f"base {i}", "modality": "text"} for i in range(4)]
+    )
+    eng.search("base 0", k=1)  # cache built; buffer flushed by read
+
+    # a row buffered (not yet flushed), then an internal tombstone
+    # mutation: the pended row must survive remove()'s flush+transform
+    eng.ingest_content("pended survivor", modality="text")
+    assert eng._pending
+    eng.remove([0])
+    assert not eng._pending
+    live = eng.items.where(~F.col("deleted"))
+    assert live.where(F.col("content") == "pended survivor").count() == 1
+    assert live.where(F.col("content") == "base 0").count() == 0
+
+    # lineage compaction (every _COMPACT_EVERY mutations) is also a
+    # transform — force it every mutation and stream rows through
+    eng._mutations_since_compact = 0
+    eng.__dict__["_COMPACT_EVERY"] = 1
+    for i in range(3):
+        eng.ingest_content(f"compacted {i}", modality="text")
+    assert eng.items.where(
+        F.col("content").startswith("compacted")
+    ).count() == 3
+
+    # external wholesale replace KEEPS the drop-buffer semantics: the
+    # buffered tail belongs to the corpus being replaced
+    eng.ingest_content("doomed row", modality="text")
+    assert eng._pending
+    eng.items = spark.createDataFrame([], eng.items.schema)
+    assert not eng._pending
+    assert eng.items.count() == 0
