@@ -2704,18 +2704,28 @@ class MultiModalSearchEngine:
         unrelated space (e.g. ``ingest_audio_content`` → 'audio_sig')
         never flags another space's index as stale. Maintained
         incrementally by every ingest path; computed once (one
-        groupBy-count job) for corpora loaded from disk."""
+        groupBy-count job) for corpora loaded from disk.
+
+        The same job also rides ``max(id)`` (round 12): every search
+        routes through here, so by the time the first interactive
+        ingest needs ``_next_id`` the max-id counter is usually
+        already primed — without this the first ingest after loading a
+        corpus paid a dedicated ~1.2 s agg job
+        (``facade_ingest_first_cycle_ms``)."""
         if self._n_rows_by_space is None:
-            self._n_rows_by_space = (
-                {
-                    r["space"]: r["n"]
-                    for r in self.items.groupBy("space")
-                    .agg(F.count("*").alias("n"))
-                    .collect()
-                }
+            rows = (
+                self.items.groupBy("space")
+                .agg(
+                    F.count("*").alias("n"), F.max("id").alias("m")
+                )
+                .collect()
                 if self.items is not None
-                else {}
+                else []
             )
+            self._n_rows_by_space = {r["space"]: r["n"] for r in rows}
+            if self._max_id is None:
+                ms = [r["m"] for r in rows if r["m"] is not None]
+                self._max_id = max(ms) if ms else -1
         return self._n_rows_by_space.get(space, 0)
 
     def _bump_space(self, space: str, n: int) -> None:

@@ -2350,3 +2350,47 @@ def test_internal_mutations_preserve_buffered_rows(spark):
     eng.items = spark.createDataFrame([], eng.items.schema)
     assert not eng._pending
     assert eng.items.count() == 0
+
+
+def test_first_ingest_after_search_needs_no_spark_job(
+    spark, monkeypatch
+):
+    """Round 12: max(id) rides the _space_rows lazy-init agg that any
+    search already pays, so the FIRST interactive ingest over a loaded
+    corpus is as Spark-free as every later one (it used to pay a
+    dedicated ~1.2 s max-id agg — bench's
+    facade_ingest_first_cycle_ms)."""
+    import pyspark.sql
+
+    from multimodal_vector_db_spark.embedders.fake import (
+        fake_embed_numpy,
+    )
+
+    rows = [
+        (i, "text", "clip",
+         [float(x) for x in fake_embed_numpy(f"seed {i}", "clip", 16)],
+         16, False, f"seed {i}", f"doc_{i}")
+        for i in range(30)
+    ]
+    items = spark.createDataFrame(
+        rows,
+        "id long, modality string, space string, "
+        "embedding array<float>, dim int, deleted boolean, "
+        "content string, display_name string",
+    )
+    eng = MultiModalSearchEngine(spark, items=items, dim=16)
+    eng.search("seed 3", k=2)  # primes cache + space rows (+ max id)
+    assert eng.last_route["route"] == "exact-local"
+    assert eng._max_id == 29  # primed by the ride-along agg
+
+    def boom(self, *a, **k):
+        raise AssertionError("Spark touched during first ingest")
+
+    monkeypatch.setattr(
+        pyspark.sql.SparkSession, "createDataFrame", boom
+    )
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", boom)
+    eng.ingest_content("first interactive doc", modality="text")
+    out = eng.search("first interactive doc", k=1)
+    assert out[0]["content"] == "first interactive doc"
+    assert out[0]["id"] == 30
