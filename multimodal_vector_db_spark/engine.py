@@ -19,6 +19,7 @@ Mirrors ``src/retrieval/search_engine.py``'s surface:
 
 from __future__ import annotations
 
+import functools
 import threading
 from typing import Any, Callable
 
@@ -59,6 +60,24 @@ _ITEMS_SCHEMA = (
     "embedding array<float>, dim int, deleted boolean, "
     "content string, display_name string"
 )
+
+
+def _serialized_mutation(fn):
+    """Serialize corpus MUTATIONS (round 12): two concurrent writers
+    racing through ``_next_id`` would mint the same ids, tear the
+    epoch counter, and interleave cache-tail appends. Searches never
+    take this lock (the read side is replace-not-mutate snapshots plus
+    the admission gate), so serving concurrency is unaffected — only
+    writers queue. Bulk ingests hold it across their Spark work, so a
+    concurrent interactive ingest waits behind a bulk load — correct
+    over fast for writers."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._mutation_lock:
+            return fn(self, *args, **kwargs)
+
+    return wrapper
 
 
 class MultiModalSearchEngine:
@@ -111,6 +130,11 @@ class MultiModalSearchEngine:
         # that already contains the buffered rows.
         self._pending: list[tuple] = []
         self._pending_lock = threading.Lock()
+        #: serializes corpus mutations (see ``_serialized_mutation``);
+        #: RLock so a mutator may call another (ingest_content →
+        #: batch_ingest) without deadlocking. Ordering: this lock is
+        #: strictly OUTER to ``_pending_lock``.
+        self._mutation_lock = threading.RLock()
         self._items_df: DataFrame | None = None
         self.items = items
         self.blocked_threshold_cells = (
@@ -350,6 +374,7 @@ class MultiModalSearchEngine:
             self._max_id = -1 if m is None else int(m)
         return self._max_id + 1
 
+    @_serialized_mutation
     def batch_ingest(self, rows: list[dict[str, Any]]) -> None:
         """Append (content, modality) records; embeds into the right
         space and stamps id/space/deleted columns. Spark-free on the
@@ -391,6 +416,7 @@ class MultiModalSearchEngine:
     def ingest_content(self, content: str, modality: str = "text", **meta) -> None:
         self.batch_ingest([{"content": content, "modality": modality, **meta}])
 
+    @_serialized_mutation
     def batch_ingest_df(
         self,
         df: DataFrame,
@@ -522,6 +548,7 @@ class MultiModalSearchEngine:
         for sp, n in space_delta.items():
             self._bump_space(sp, n)
 
+    @_serialized_mutation
     def remove(self, ids: list[int]) -> None:
         """Soft delete — and unlike the reference's write-only tombstone
         (vector_index.py:212-222), every search honors it. Valid
@@ -1985,6 +2012,7 @@ class MultiModalSearchEngine:
         return out
 
     # -- content-based audio search (search_audio.py UX, torch-free) ----
+    @_serialized_mutation
     def ingest_audio_content(
         self,
         media: DataFrame,

@@ -2394,3 +2394,50 @@ def test_first_ingest_after_search_needs_no_spark_job(
     out = eng.search("first interactive doc", k=1)
     assert out[0]["content"] == "first interactive doc"
     assert out[0]["id"] == 30
+
+
+def test_concurrent_writers_mint_unique_ids(spark):
+    """Round 12: corpus mutations are serialized by _mutation_lock —
+    two interactive writers racing through _next_id used to be able to
+    mint the same ids and tear the epoch/cache-tail state. N threads
+    ingest concurrently while M threads search; every id is unique,
+    every row lands, and the post-storm corpus matches."""
+    import threading
+
+    eng = MultiModalSearchEngine(spark, dim=16)
+    eng.batch_ingest(
+        [{"content": f"seed {i}", "modality": "text"} for i in range(8)]
+    )
+    eng.search("seed 1", k=2)  # build the cache
+
+    N_W, PER_W, N_R = 4, 12, 3
+    errs: list = []
+
+    def writer(w: int) -> None:
+        try:
+            for i in range(PER_W):
+                eng.ingest_content(f"w{w} doc {i}", modality="text")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def reader() -> None:
+        try:
+            for i in range(10):
+                eng.search(f"seed {i % 8}", k=2)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(w,)) for w in range(N_W)]
+    ts += [threading.Thread(target=reader) for _ in range(N_R)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    total = 8 + N_W * PER_W
+    ids = [r["id"] for r in eng.items.select("id").collect()]
+    assert len(ids) == total
+    assert len(set(ids)) == total  # no duplicate ids minted
+    # the micro-path cache absorbed every row exactly once
+    out = eng.search("w2 doc 7", k=1)
+    assert out[0]["content"] == "w2 doc 7"
