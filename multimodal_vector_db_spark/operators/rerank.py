@@ -32,6 +32,23 @@ def _cosine(a: list[float], b: list[float]) -> float:
     return dot / (na * nb + 1e-8)
 
 
+def _norm(a: list[float]) -> float:
+    """The exact norm term of :func:`_cosine` — same fold, same bits."""
+    return math.sqrt(sum(x * x for x in a))
+
+
+def _cosine_n(a: list[float], na: float, b: list[float], nb: float) -> float:
+    """:func:`_cosine` with the two norms precomputed by :func:`_norm`.
+
+    MMR calls cosine O(k·n) times but every candidate's norm is
+    CONSTANT — recomputing both norms inside each call was ~2/3 of the
+    diversity-rerank wall (profiled 26 ms/call at 345×512-d, round 12,
+    guide §1.2). Identical arithmetic: the cached na/nb come from the
+    same sequential fold _cosine uses, so every cosine (and therefore
+    every greedy selection and tie-break) is bit-identical."""
+    return sum(x * y for x, y in zip(a, b)) / (na * nb + 1e-8)
+
+
 def mmr_rerank(
     candidates: list[Row],
     top_k: int,
@@ -58,9 +75,14 @@ def mmr_rerank(
     # recompute-everything form the oracle replays.
     if not remaining or len(selected) >= top_k:
         return selected  # top_k=1: no seed cosines needed
+    # norms are constant per candidate — compute each ONCE (see
+    # _cosine_n; bit-identical to recomputing inside every cosine)
+    norms = [_norm(c[embedding_key]) for c in remaining]
+    sel_norm = _norm(selected[0][embedding_key])
     best_sim = [
-        _cosine(c[embedding_key], selected[0][embedding_key])
-        for c in remaining
+        _cosine_n(c[embedding_key], norms[i],
+                  selected[0][embedding_key], sel_norm)
+        for i, c in enumerate(remaining)
     ]
     while remaining and len(selected) < top_k:
         best_i, best_val = 0, -float("inf")
@@ -72,10 +94,14 @@ def mmr_rerank(
             if val > best_val:  # strict: first max wins (np.argmax)
                 best_i, best_val = i, val
         new_sel = remaining.pop(best_i)
+        new_norm = norms.pop(best_i)
         best_sim.pop(best_i)
         selected.append(new_sel)
         for i, cand in enumerate(remaining):
-            s = _cosine(cand[embedding_key], new_sel[embedding_key])
+            s = _cosine_n(
+                cand[embedding_key], norms[i],
+                new_sel[embedding_key], new_norm,
+            )
             if s > best_sim[i]:
                 best_sim[i] = s
     return selected
