@@ -2396,7 +2396,9 @@ def main() -> None:
     )
 
     def _dedup_minhash_production(spark, wh_dir):
-        docs = spark.read.parquet(f"{wh_dir}/documents.parquet")
+        from multimodal_vector_db_spark.queries._core import scan_parquet
+
+        docs = scan_parquet(spark, f"{wh_dir}/documents.parquet")
         return minhash_lsh_candidates(
             docs, num_hashes=8, bands=4, hash_impl="xxhash64"
         )

@@ -17,7 +17,18 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # df.rdd.getNumPartitions() converts the plan to an RDD — ~35 ms of
+    # driver wall per call (measured round 13), paid on every query
+    # build. The count is a pure function of the immutable plan, so it
+    # is computed once per DataFrame object and stashed on it (scan
+    # relations are themselves cached per session — queries/_core.py
+    # scan_parquet — so repeated builds of the same query skip the
+    # conversion entirely).
+    n = getattr(df, "_mvdb_num_partitions", None)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        df._mvdb_num_partitions = n
+    if n < target:
         return df.repartition(target)
     return df
 
