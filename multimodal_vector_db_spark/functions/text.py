@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from multimodal_vector_db_spark.functions._cache import cached_expr
+
 # BPE-ish word/token pattern: words, numbers, or single non-space symbols.
 TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
@@ -20,17 +22,20 @@ TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is", "it"]
 
 
+@cached_expr
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization → ARRAY<STRING> (empty array for empty text)."""
     text = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(text, r"\s+"), lambda t: t != "")
 
 
+@cached_expr
 def token_count(text: Column | str) -> Column:
     """Whitespace token count as BIGINT."""
     return F.size(tokens(text)).cast("long")
 
 
+@cached_expr
 def regex_token_count(text: Column | str) -> Column:
     """BPE-ish token count: words / number runs / single symbols."""
     text = F.col(text) if isinstance(text, str) else text
@@ -42,6 +47,7 @@ def regex_token_count(text: Column | str) -> Column:
     ).cast("long")
 
 
+@cached_expr
 def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
     """Fraction of whitespace tokens that are (lowercased) stopwords."""
     stopwords = stopwords or STOPWORDS_EN
@@ -52,6 +58,7 @@ def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Co
     return F.try_divide(hits, F.size(toks).cast("double"))
 
 
+@cached_expr
 def punct_ratio(text: Column | str) -> Column:
     """Fraction of characters that are non-alphanumeric, non-space."""
     text = F.col(text) if isinstance(text, str) else text
@@ -62,6 +69,7 @@ def punct_ratio(text: Column | str) -> Column:
     )
 
 
+@cached_expr
 def mean_word_length(text: Column | str) -> Column:
     toks = tokens(text)
     total = F.aggregate(
@@ -70,6 +78,7 @@ def mean_word_length(text: Column | str) -> Column:
     return F.try_divide(total, F.size(toks).cast("double"))
 
 
+@cached_expr
 def quality_score(text: Column | str) -> Column:
     """A deterministic document-quality heuristic in [0, 1]:
     rewards reasonable length, moderate stopword ratio, low punctuation.
@@ -85,6 +94,7 @@ def quality_score(text: Column | str) -> Column:
     return F.round((len_score + sw_score + punct_score) / 3.0, 6)
 
 
+@cached_expr
 def char_ngrams(text: Column | str, n: int = 3) -> Column:
     """Distinct character n-grams of the lowercased text → ARRAY<STRING>."""
     text = F.col(text) if isinstance(text, str) else text
@@ -101,6 +111,7 @@ def char_ngrams(text: Column | str, n: int = 3) -> Column:
     )
 
 
+@cached_expr
 def word_shingles(text: Column | str, n: int = 2) -> Column:
     """Distinct word n-gram shingles → ARRAY<STRING> (for MinHash/Jaccard)."""
     return word_shingles_from_tokens(
@@ -108,6 +119,7 @@ def word_shingles(text: Column | str, n: int = 2) -> Column:
     )
 
 
+@cached_expr
 def word_shingles_from_tokens(toks: Column, n: int = 2) -> Column:
     """Distinct word n-gram shingles from an ALREADY-TOKENIZED column —
     use when the pipeline has the token array anyway, so the regex
@@ -123,6 +135,7 @@ def word_shingles_from_tokens(toks: Column, n: int = 2) -> Column:
     )
 
 
+@cached_expr
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two string arrays (order-insensitive)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
@@ -130,6 +143,7 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.try_divide(inter, union)
 
 
+@cached_expr
 def fingerprint(text: Column | str) -> Column:
     """Normalized-content fingerprint for exact dedup: md5 of the
     lowercased, whitespace-collapsed text. Portable to any SQL engine.
@@ -149,6 +163,7 @@ def fingerprint(text: Column | str) -> Column:
 MINHASH_SALTS = ["", "x:", "y:", "z:"]  # salt per md5 block of 4 hashes
 
 
+@cached_expr
 def md5_nibbles(h: Column, offset: int, width: int = 8) -> Column:
     """Parse md5-hex nibbles [offset, offset+width) into a BIGINT.
 
@@ -170,6 +185,7 @@ def _salted_md5(salt: str):
     return lambda s: F.md5(F.concat(F.lit(salt), s))
 
 
+@cached_expr
 def shingle_md5_blocks(shingles: Column, num_hashes: int) -> list[Column]:
     """One md5 transform per block of 4 hash functions (salted)."""
     n_blocks = (num_hashes + 3) // 4
@@ -185,6 +201,7 @@ def _parse_at(offset: int):
     return lambda h: md5_nibbles(h, offset, 8)
 
 
+@cached_expr
 def minhash_signature(md5_blocks: list[Column], num_hashes: int = 8) -> Column:
     """MinHash signature as ARRAY<BIGINT>: sig_i = min over shingles of
     independent 32-bit hash i (nibble slice 8·(i%4) of salted md5 block
@@ -199,6 +216,7 @@ def minhash_signature(md5_blocks: list[Column], num_hashes: int = 8) -> Column:
     )
 
 
+@cached_expr
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     """LSH banding: ARRAY<BIGINT> signature → ARRAY<STRING> of band
     bucket keys (band index + md5 of the '|'-joined band slice)."""
@@ -226,12 +244,14 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
 HEXDIGITS = "0123456789abcdef"
 
 
+@cached_expr
 def token_hash16(tok: Column) -> Column:
     """16-bit token hash: the first 4 hex nibbles of md5 via one conv()
     (the oracles decode per-nibble with instr — same value)."""
     return F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("long")
 
 
+@cached_expr
 def simhash_from_token_hashes(hv: Column, bits: int = 16) -> Column:
     """SimHash from a *materialized* array of 16-bit token hashes.
 
@@ -264,6 +284,7 @@ def simhash_from_token_hashes(hv: Column, bits: int = 16) -> Column:
     return out
 
 
+@cached_expr
 def simhash_bits(text: Column | str, bits: int = 16) -> Column:
     """SimHash over whitespace tokens as a single Column expression.
 
@@ -276,6 +297,7 @@ def simhash_bits(text: Column | str, bits: int = 16) -> Column:
     return simhash_from_token_hashes(hv, bits)
 
 
+@cached_expr
 def hamming_distance(a: Column, b: Column, bits: int = 16) -> Column:
     """Hamming distance between two BIGINT bit-sets: popcount of XOR
     (``bit_count`` is JVM-codegen'd in Spark and exists in DuckDB too)."""
@@ -283,6 +305,7 @@ def hamming_distance(a: Column, b: Column, bits: int = 16) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+@cached_expr
 def top_unigram_fraction(toks: Column) -> Column:
     """Fraction of tokens taken by the single most frequent token — the
     Gopher repetition rule family ("most common word covers > X% of the
@@ -298,6 +321,7 @@ def top_unigram_fraction(toks: Column) -> Column:
     return F.try_divide(top.cast("double"), F.size(toks).cast("double"))
 
 
+@cached_expr
 def word_bigrams_all(toks: Column) -> Column:
     """ALL consecutive word bigrams (duplicates kept — unlike
     :func:`word_shingles`, which is distinct-set semantics for Jaccard)."""
@@ -312,6 +336,7 @@ def word_bigrams_all(toks: Column) -> Column:
     )
 
 
+@cached_expr
 def dup_bigram_fraction(toks: Column) -> Column:
     """1 − distinct/total over consecutive word bigrams — the Gopher
     "fraction of duplicate n-grams" repetition signal."""
@@ -322,6 +347,7 @@ def dup_bigram_fraction(toks: Column) -> Column:
     )
 
 
+@cached_expr
 def minhash_signature_xxhash(shingles: Column, num_hashes: int = 8) -> Column:
     """MinHash signature via seeded ``xxhash64`` — the 100 TB fast path.
 
@@ -348,6 +374,7 @@ def minhash_signature_xxhash(shingles: Column, num_hashes: int = 8) -> Column:
     )
 
 
+@cached_expr
 def lsh_band_keys_xxhash(
     signature: Column, bands: int, rows_per_band: int
 ) -> Column:
@@ -370,6 +397,7 @@ def lsh_band_keys_xxhash(
     )
 
 
+@cached_expr
 def hashing_buckets(text: Column | str, dim: int = 64) -> Column:
     """Feature-hashing bucket ids for each whitespace token (md5-prefix
     mod dim — replayable in any engine) → ARRAY<BIGINT>. Stage this as
@@ -387,6 +415,7 @@ def hashing_buckets(text: Column | str, dim: int = 64) -> Column:
     )
 
 
+@cached_expr
 def hashing_tf(buckets: Column | str, dim: int = 64) -> Column:
     """Dense term-frequency vector from staged bucket ids (pass a
     COLUMN, not the bucket expression — see :func:`hashing_buckets`)."""
@@ -398,6 +427,7 @@ def hashing_tf(buckets: Column | str, dim: int = 64) -> Column:
     )
 
 
+@cached_expr
 def hashing_embed(text: Column | str, dim: int = 64) -> Column:
     """REAL text embedding by feature hashing (the HashingTF family):
     bucket counts of hashed tokens, L2-normalized so dot = cosine — a

@@ -24,13 +24,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from multimodal_vector_db_spark.functions._cache import cached_expr
 
+
+@cached_expr
 def to_double_array(v: Column | str) -> Column:
     """Cast ARRAY<FLOAT> → ARRAY<DOUBLE> (exact widening)."""
     v = F.col(v) if isinstance(v, str) else v
     return F.transform(v, lambda x: x.cast("double"))
 
 
+@cached_expr
 def dot(a: Column | str, b: Column | str) -> Column:
     """Dot product in DOUBLE, sequential left-to-right fold.
 
@@ -50,6 +54,7 @@ def dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
+@cached_expr
 def l2_norm(v: Column | str) -> Column:
     """Euclidean norm ``sqrt(sum(x^2))`` in DOUBLE (cast inside the
     fold lambda — same values, no staged double-array copy)."""
@@ -63,6 +68,7 @@ def l2_norm(v: Column | str) -> Column:
     )
 
 
+@cached_expr
 def l2_normalize(v: Column | str) -> Column:
     """``v / ||v||`` (null-safe: zero vector stays zero).
 
@@ -85,6 +91,7 @@ def l2_normalize(v: Column | str) -> Column:
     )
 
 
+@cached_expr
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Full cosine ``a·b / (||a|| * ||b||)`` (try_divide: null on zero norm).
 
@@ -113,6 +120,7 @@ def similarity_pct(distance: Column) -> Column:
     return 100.0 / (1.0 + distance)
 
 
+@cached_expr
 def slice_renormalize(v: Column | str, dim: int) -> Column:
     """Matryoshka truncation: keep the first ``dim`` components, then
     re-normalize (``projection.py:196-220``, ``text_embedder.py:400-403``).
@@ -130,6 +138,7 @@ def nearest_matryoshka_dim(requested: int, dims: list[int] | None = None) -> int
     return min(dims, key=lambda d: abs(d - requested))
 
 
+@cached_expr
 def fp16_round_trip(v: Column | str) -> Column:
     """FP16 storage compression emulation (``vector_index.py:79-91``):
     fp32 → fp16 → fp32 (IEEE-754 half rounding, 2.0× storage semantics).
@@ -192,6 +201,7 @@ def sq8_decode(codes: Column, vmin: Column, scale: Column) -> Column:
     return F.transform(codes, lambda c: vmin + c.cast("double") * scale)
 
 
+@cached_expr
 def sign_bits_word(v: Column | str, start: int, width: int) -> Column:
     """Binary (sign) quantization: pack ``width`` sign bits of
     ``v[start .. start+width-1]`` (1-based, bit i set iff element > 0)
@@ -218,6 +228,7 @@ def sign_bits_word(v: Column | str, start: int, width: int) -> Column:
     ).cast("long")
 
 
+@cached_expr
 def array_mean_pool(frames: Column) -> Column:
     """Element-wise mean over an ARRAY<ARRAY<FLOAT>> of frame embeddings
     (temporal mean pooling, ``video_embedder.py:145-149``). Returns
@@ -233,6 +244,7 @@ def array_mean_pool(frames: Column) -> Column:
     return F.transform(summed, lambda s: s / n)
 
 
+@cached_expr
 def array_max_pool(frames: Column) -> Column:
     """Element-wise max over ARRAY<ARRAY<FLOAT>> (``video_embedder.py:150-152``)."""
     return F.aggregate(
@@ -244,6 +256,7 @@ def array_max_pool(frames: Column) -> Column:
     )
 
 
+@cached_expr
 def array_attention_pool(frames: Column) -> Column:
     """Norm-weighted mean (the reference's 'attention' pooling,
     ``video_embedder.py:153-157``): ``w_i = ||f_i|| / Σ||f_j||``,
@@ -262,6 +275,7 @@ def array_attention_pool(frames: Column) -> Column:
     return F.transform(weighted, lambda s: F.try_divide(s, total))
 
 
+@cached_expr
 def l2_distance(a: Column | str, b: Column | str) -> Column:
     """Euclidean distance in DOUBLE: sequential left-to-right fold of
     squared element differences (each element cast float→double BEFORE

@@ -20,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from multimodal_vector_db_spark.functions._cache import cached_expr
 
+
+@cached_expr
 def _rank_seq(n: Column) -> Column:
     """``[1..n]``, or the EMPTY array when ``n <= 0``.
 
@@ -36,6 +39,7 @@ def _rank_seq(n: Column) -> Column:
     )
 
 
+@cached_expr
 def recall_at_k(retrieved: Column, relevant: Column, k: int) -> Column:
     """``|top_k ∩ relevant| / |relevant|``; 0.0 if relevant empty
     (``metrics.py:30-53``)."""
@@ -46,6 +50,7 @@ def recall_at_k(retrieved: Column, relevant: Column, k: int) -> Column:
     )
 
 
+@cached_expr
 def precision_at_k(retrieved: Column, relevant: Column, k: int) -> Column:
     """``|top_k ∩ relevant| / k``; 0.0 if k=0 (``metrics.py:55-78``)."""
     if k == 0:
@@ -54,6 +59,7 @@ def precision_at_k(retrieved: Column, relevant: Column, k: int) -> Column:
     return hits.cast("double") / F.lit(float(k))
 
 
+@cached_expr
 def average_precision(retrieved: Column, relevant: Column) -> Column:
     """AP (``metrics.py:80-110``): at each relevant hit at rank r,
     precision = hits_so_far / r; AP = sum / |relevant|; 0 if empty.
@@ -91,6 +97,7 @@ def average_precision(retrieved: Column, relevant: Column) -> Column:
     )
 
 
+@cached_expr
 def ndcg_at_k(retrieved: Column, relevant: Column, k: int) -> Column:
     """NDCG@k (``metrics.py:135-166``): binary relevance,
     DCG = Σ_{i≤k, hit} 1/log2(i+1); IDCG over min(k, |relevant|) ideal
@@ -149,6 +156,7 @@ def rankings_from_knn(knn_out: DataFrame) -> DataFrame:
     )
 
 
+@cached_expr
 def reciprocal_rank(retrieved: Column, relevant: Column) -> Column:
     """RR — ``1 / rank`` of the FIRST relevant hit in ``retrieved``,
     0.0 if none. The per-query term of MRR, the standard
