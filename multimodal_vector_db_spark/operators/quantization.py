@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from multimodal_vector_db_spark.functions._cache import cached_expr
 from multimodal_vector_db_spark.functions.vector import dot
 
 
@@ -31,6 +32,7 @@ def _slice(v: Column, sub: int, subdim: int) -> Column:
     return F.slice(v, sub * subdim + 1, subdim)
 
 
+@cached_expr
 def _sq_dist(a: Column, b: Column) -> Column:
     """Σ (a_i − b_i)² in DOUBLE, sequential fold (oracle-bit-exact).
 
@@ -124,6 +126,7 @@ def kmeans_codebooks(
         sliced.unpersist()
 
 
+@cached_expr
 def _books_lit(codebooks: list[list[list[float]]]) -> Column:
     """The whole codebook as one ARRAY<ARRAY<ARRAY<DOUBLE>>> literal."""
     return F.lit(
@@ -131,6 +134,7 @@ def _books_lit(codebooks: list[list[list[float]]]) -> Column:
     )
 
 
+@cached_expr
 def pq_encode_codes(
     vector_col: Column, codebooks: list[list[list[float]]]
 ) -> Column:
@@ -148,19 +152,31 @@ def pq_encode_codes(
     bk = _books_lit(codebooks)
 
     def per_sub(s: Column) -> Column:
+        # the subspace slice is STAGED as a one-element-array lambda
+        # binding (transform over array(slice)) so it is materialized
+        # once per (row, subspace): HOF bodies get no codegen CSE, and
+        # embedding the slice directly in _sq_dist re-evaluated the
+        # 16-element copy once per CENTROID (n_codes× the work —
+        # round 13, guide §1.2). Same slice content, same distances,
+        # same argmin — bit-identical codes.
         sl = F.slice(vector_col, s * subdim + 1, subdim)
-        pairs = F.transform(
-            F.element_at(bk, (s + 1).cast("int")),
-            lambda cent, i: F.struct(
-                _sq_dist(sl, cent).alias("dist"),
-                i.cast("long").alias("code"),
-            ),
-        )
-        return F.array_min(pairs)["code"]
+
+        def min_code(sl_v: Column) -> Column:
+            pairs = F.transform(
+                F.element_at(bk, (s + 1).cast("int")),
+                lambda cent, i: F.struct(
+                    _sq_dist(sl_v, cent).alias("dist"),
+                    i.cast("long").alias("code"),
+                ),
+            )
+            return F.array_min(pairs)["code"]
+
+        return F.element_at(F.transform(F.array(sl), min_code), 1)
 
     return F.transform(F.sequence(F.lit(0), F.lit(n_sub - 1)), per_sub)
 
 
+@cached_expr
 def pq_decode(codes_col: Column, codebooks: list[list[list[float]]]) -> Column:
     """Q4: codes → concatenated centroid slices (ARRAY<DOUBLE>)."""
     n_sub = len(codebooks)
