@@ -63,7 +63,67 @@ HEADLINE = [
 
 #: bump when build_warehouse/build_ref_scale OUTPUT changes — the
 #: sentinel skip below reuses a build only if this version matches.
-BUILD_VERSION = "r5-1"
+BUILD_VERSION = "r13-2"
+
+#: MinHash band index of the documents table (xxhash64 production
+#: basis), persisted BUCKETED on band_key at warehouse-build time —
+#: the analogue of the IVF index build for the dedup family. The timed
+#: dedup_minhash_lsh production path reads this table, so the
+#: signature pipeline (tokenize → shingle → k min-hashes → band keys)
+#: is billed to prep like every other index build, and the query
+#: measures the recurring per-pass work a user actually re-runs.
+MINHASH_BANDS_TABLE = "bench_minhash_bands"
+MINHASH_BANDS_BUCKETS = 32
+
+
+def _minhash_bands_location(wh_dir: str) -> str:
+    return f"{wh_dir}/minhash_bands"
+
+
+def build_minhash_band_index(spark, wh_dir: str) -> None:
+    """(band_key, doc_id, sig) of documents, bucketed on band_key: the
+    bucket-collision aggregation then needs NO Exchange (the scan is
+    hash-partitioned by the bucketing metadata)."""
+    from multimodal_vector_db_spark.operators.dedup import (
+        minhash_band_index,
+    )
+
+    docs = spark.read.parquet(f"{wh_dir}/documents.parquet")
+    banded = minhash_band_index(
+        docs, num_hashes=8, bands=4, hash_impl="xxhash64"
+    )
+    loc = _minhash_bands_location(wh_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {MINHASH_BANDS_TABLE}")
+    shutil.rmtree(loc, ignore_errors=True)
+    (
+        # repartition on the bucket column with bucket count = partition
+        # count (same Murmur3 hash both places): each writer task holds
+        # exactly one bucket's rows, so the table is ONE file per bucket
+        # instead of writer-tasks × buckets tiny files (guide §6 — the
+        # unrepartitioned write produced 1024 files and the per-file
+        # open/footer overhead made the index scan SLOWER than
+        # recomputing the signatures it replaces)
+        banded.repartition(MINHASH_BANDS_BUCKETS, "band_key")
+        .write.mode("overwrite")
+        .bucketBy(MINHASH_BANDS_BUCKETS, "band_key")
+        .option("path", loc)
+        .saveAsTable(MINHASH_BANDS_TABLE)
+    )
+
+
+def ensure_minhash_bands_table(spark, wh_dir: str) -> None:
+    """Register the persisted bucketed band index in THIS session's
+    (in-memory) catalog when the sentinel-cached build was skipped —
+    pure DDL over the existing files, no data work."""
+    if spark.catalog.tableExists(MINHASH_BANDS_TABLE):
+        return
+    spark.sql(
+        f"""CREATE TABLE {MINHASH_BANDS_TABLE}
+        (band_key BIGINT, doc_id BIGINT, sig ARRAY<BIGINT>)
+        USING parquet
+        CLUSTERED BY (band_key) INTO {MINHASH_BANDS_BUCKETS} BUCKETS
+        LOCATION '{_minhash_bands_location(wh_dir)}'"""
+    )
 
 
 def _tm5(run) -> tuple[float, float]:
@@ -245,6 +305,10 @@ def build_warehouse(spark, sf_dir: str, wh_dir: str, n_files: int = 32) -> None:
     build_ivf_index(
         clustered, f"{wh_dir}/embeddings_clustered_ivf.parquet", n_clusters=64
     )
+
+    # MinHash band index of documents (the dedup family's analogue of
+    # the IVF build above — see MINHASH_BANDS_TABLE)
+    build_minhash_band_index(spark, wh_dir)
 
 
 # --- reference-scale corpus (apples-to-apples vs BASELINE.md) ---------
@@ -2348,6 +2412,9 @@ def main() -> None:
         os.path.join(wh_dir, ".warehouse.stamp"),
         f"wh:{sf_dir}:{src_mtime}",
     )
+    # when the build was sentinel-skipped, the fresh session still needs
+    # the bucketed band-index table registered (DDL only)
+    ensure_minhash_bands_table(spark, wh_dir)
     prep_sec = round(time.time() - t0, 4)
 
     ref_scale_build_sec = None
@@ -2366,13 +2433,41 @@ def main() -> None:
     # engine never re-pays; the MEDIAN of three timed runs rejects the
     # occasional GC/JIT outlier that a mean would absorb (observed 3-5×
     # one-off spikes on otherwise-steady sub-second queries).
-    def timed_samples(run, samples: int = 3) -> list[float]:
+    # one warmed 768×768 GEMM pair for the per-sample host probe below
+    import numpy as _np
+
+    _probe_rng = _np.random.RandomState(7)
+    _probe_A = _probe_rng.rand(768, 768)
+    _probe_B = _probe_rng.rand(768, 768)
+    _probe_A @ _probe_B
+
+    def _gemm_probe_ms() -> float:
+        ps = []
+        for _ in range(3):
+            p0 = time.time()
+            _probe_A @ _probe_B
+            ps.append((time.time() - p0) * 1000)
+        return round(sorted(ps)[1], 2)
+
+    def timed_samples(
+        run, samples: int = 3, probes_out: list | None = None
+    ) -> list[float]:
+        """``probes_out`` (round 13, additive): when given, appends one
+        ``[gemm_probe_ms, sample_sec]`` pair per sample IN SAMPLE ORDER
+        — the host-speed anchor next to each raw time, so a
+        round-over-round comparison can tell a throttled-window sample
+        from a code regression (this host's hypervisor throttling
+        swings the probe 4 ms ↔ 200+ ms on minute scale)."""
         run()  # warm
         ts = []
         for _ in range(samples):
+            p = _gemm_probe_ms() if probes_out is not None else None
             t0 = time.time()
             run()
-            ts.append(time.time() - t0)
+            dt = time.time() - t0
+            ts.append(dt)
+            if probes_out is not None:
+                probes_out.append([p, round(dt, 4)])
         return sorted(ts)
 
     def _median(ts: list[float]) -> float:
@@ -2388,25 +2483,34 @@ def main() -> None:
     # Production-path overrides for the timed headline: the registry
     # version of dedup_minhash_lsh hashes shingles with md5 hex strings
     # purely so the DuckDB oracle can replay it bit-for-bit; the engine's
-    # production basis is JVM-native xxhash64 (same pipeline, same plan
-    # shape, ~4× cheaper). Time what a user would run; keep the md5 basis
-    # only inside the correctness oracle pair.
+    # production basis is JVM-native xxhash64 (same pipeline, ~4× cheaper)
+    # SERVED FROM the persisted bucketed band index built at warehouse
+    # prep (round 13, per the round-12 verdict's ask): candidate pairs
+    # come from the ~100 B/doc/band (band_key, doc_id) table — one
+    # bucket-aligned scan, no Exchange, no re-hash of the corpus — and
+    # the exact-Jaccard verify joins the staged shingles over colliding
+    # pairs only. Output is IDENTICAL to the round-12 in-memory form
+    # (same hash family/params → same candidate set → same jaccard;
+    # pinned by tests/test_r13_band_index.py). Time what a user re-runs
+    # per pass; keep the md5 basis only inside the correctness oracle
+    # pair.
     from multimodal_vector_db_spark.operators.dedup import (
-        minhash_lsh_candidates,
+        minhash_candidates_from_band_index,
     )
 
     def _dedup_minhash_production(spark, wh_dir):
         from multimodal_vector_db_spark.queries._core import scan_parquet
 
         docs = scan_parquet(spark, f"{wh_dir}/documents.parquet")
-        return minhash_lsh_candidates(
-            docs, num_hashes=8, bands=4, hash_impl="xxhash64"
+        return minhash_candidates_from_band_index(
+            spark.table(MINHASH_BANDS_TABLE), docs
         )
 
     PRODUCTION_OVERRIDES = {"dedup_minhash_lsh": _dedup_minhash_production}
 
     times: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
+    sample_probes: dict[str, list] = {}
     for name in HEADLINE:
         fn = PRODUCTION_OVERRIDES.get(name, Q.REGISTRY[name])
         # 5 samples for the sub-second headline queries: ambient-load
@@ -2418,6 +2522,7 @@ def main() -> None:
             .mode("overwrite")
             .save(),
             samples=5,
+            probes_out=sample_probes.setdefault(name, []),
         )
         times[name] = _median(ts)
         # [min, max] of the 5 sorted samples — the per-query spread the
@@ -2439,6 +2544,10 @@ def main() -> None:
                     "unit": "sec",
                     "queries": times,
                     "queries_spread": spreads,
+                    # additive (round 13): per-sample [gemm_probe_ms,
+                    # sample_sec] pairs in sample order, so cross-round
+                    # deltas can be probe-anchored per sample
+                    "queries_probe_ms": sample_probes,
                     "sf": sf_v,
                     "prep_sec": prep_sec,
                     "host_calibration": host_cal,
@@ -3237,6 +3346,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "queries_spread": spreads,
+        "queries_probe_ms": sample_probes,
         "sf": sf_val,
         "prep_sec": prep_sec,
         "knn_ms_per_query": knn_ms_per_query,
@@ -3278,6 +3388,14 @@ def main() -> None:
         "value": detail["value"],
         "unit": "sec",
         "queries": times,
+        # additive (round 13): [min, max] of the per-sample gemm probes
+        # taken right before each of the query's 5 samples — the
+        # host-speed anchor that tells a throttled-window median from a
+        # code regression (full per-sample pairs: bench_detail.json)
+        "queries_probe_ms": {
+            q: [min(p[0] for p in ps), max(p[0] for p in ps)]
+            for q, ps in sample_probes.items()
+        },
         "sf": sf_val,
         "prep_sec": prep_sec,
         "knn_ms_per_query": knn_ms_per_query,
@@ -3319,6 +3437,11 @@ def main() -> None:
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) >= 1900:  # stay inside the driver's tail-capture window
+        # drop the probe anchors first (they also live in
+        # bench_detail.json), the ref block only as a last resort
+        compact.pop("queries_probe_ms", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) >= 1900:
         compact.pop("ref", None)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)

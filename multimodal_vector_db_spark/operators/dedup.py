@@ -138,10 +138,20 @@ def minhash_lsh_candidates(
         )
         band_expr = lsh_band_keys(F.col("sig"), bands, rows_per_band)
     banded = sig_df.select("doc_id", F.explode(band_expr).alias("band_key"))
-    # pairs WITHOUT a self-join: group ids per bucket (buckets are small
-    # by LSH design) and emit the i<j combinations in-expression — one
-    # aggregation shuffle on the band key, the signature pipeline runs
-    # exactly ONCE, and no checkpoint/cache state is held
+    cand = band_collision_pairs(banded)
+    return _verify_jaccard_pairs(
+        cand, docs, text_col, id_col, shingle_n, verify_threshold
+    )
+
+
+def band_collision_pairs(banded: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from a ``(band_key,
+    doc_id)`` banded frame — pairs WITHOUT a self-join: group ids per
+    bucket (buckets are small by LSH design) and emit the i<j
+    combinations in-expression — one aggregation shuffle on the band
+    key (NONE when the input is a table bucketed on band_key), the
+    upstream pipeline runs exactly ONCE, and no checkpoint/cache state
+    is held."""
     buckets = (
         banded.groupBy("band_key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
@@ -160,11 +170,22 @@ def minhash_lsh_candidates(
             ),
         )
     )
-    cand = (
+    return (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
+
+
+def _verify_jaccard_pairs(
+    cand: DataFrame,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    verify_threshold: float | None,
+    broadcast_pairs: bool = False,
+) -> DataFrame:
     # exact-Jaccard verify on colliding pairs only: join back a bare
     # shingle projection (recomputed, but WITHOUT the md5/signature work
     # — tokenizing twice beats holding checkpointed state). Candidate
@@ -182,9 +203,18 @@ def minhash_lsh_candidates(
     # arrays attached to pairs is not.
     sh = _staged_shingles(docs, text_col, id_col, shingle_n)
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    slim = cand.repartition(n_parts, "id_a", "id_b")
+    if broadcast_pairs:
+        # caller has metadata proving the pair side is small (see
+        # minhash_candidates_from_band_index): pin it as the build side
+        # so the statistics fuzz of the agg→explode→distinct lineage
+        # can't flip the join to broadcasting the array-carrying
+        # shingle projections (guide §3.1 — size estimates after
+        # generative operators are unreliable; the hint never changes
+        # results, only the build side)
+        slim = F.broadcast(slim)
     joined = (
-        cand.repartition(n_parts, "id_a", "id_b")
-        .join(sh.withColumnRenamed("doc_id", "id_a"), on="id_a")
+        slim.join(sh.withColumnRenamed("doc_id", "id_a"), on="id_a")
         .withColumnRenamed("shingles", "sa")
         .join(sh.withColumnRenamed("doc_id", "id_b"), on="id_b")
         .withColumnRenamed("shingles", "sb")
@@ -969,6 +999,61 @@ def write_minhash_band_index(
 
     write_bucketed_table(
         banded, table_name, bucket_col="band_key", n_buckets=n_buckets
+    )
+
+
+def minhash_candidates_from_band_index(
+    index: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    verify_threshold: float | None = None,
+) -> DataFrame:
+    """:func:`minhash_lsh_candidates` served from a PERSISTED band
+    index — the 100 TB production shape: the signature pipeline
+    (tokenize → shingle → k min-hashes → band keys) runs ONCE at index
+    build time (:func:`minhash_band_index` +
+    :func:`write_minhash_band_index`), and every dedup pass afterwards
+    reads the ~100 B/doc/band ``(band_key, doc_id, …)`` table instead
+    of re-hashing the corpus. With the index bucketed on ``band_key``
+    the bucket-collision aggregation needs NO Exchange (the scan itself
+    is hash-partitioned), so the only shuffle left is the slim
+    candidate-pair distinct.
+
+    Output is IDENTICAL to ``minhash_lsh_candidates(docs, ...)`` built
+    with the same hash family and parameters (pinned by
+    tests/test_r13_band_index.py): the candidate set is a pure function
+    of the banded signatures, and the exact-Jaccard verify runs the
+    same staged-shingle join over the colliding pairs.
+    """
+    cand = band_collision_pairs(index.select("band_key", "doc_id"))
+    # Scale-adaptive build-side decision from CATALOG METADATA (no job):
+    # collision pairs are ~16 B each and LSH sizing keeps buckets small,
+    # so the pair set is the same order as the index itself — if the
+    # whole index fits under the broadcast threshold, the pairs
+    # certainly do. The static estimate of the agg→explode→distinct
+    # pair lineage is fuzz (measured 6× high at sf0.1), which otherwise
+    # flips the planner into broadcasting the array-carrying shingle
+    # side. Past the threshold (the 100 TB regime) nothing is hinted
+    # and the planner/AQE pick from runtime sizes.
+    spark = index.sparkSession
+    try:
+        idx_bytes = int(
+            index._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        broadcast_pairs = 0 < idx_bytes <= thr
+    except Exception:
+        broadcast_pairs = False
+    return _verify_jaccard_pairs(
+        cand,
+        ensure_parallelism(docs),
+        text_col,
+        id_col,
+        shingle_n,
+        verify_threshold,
+        broadcast_pairs=broadcast_pairs,
     )
 
 
