@@ -77,6 +77,28 @@ from .m15_tokenpack import *  # noqa: F401,F403
 # functions/projection.py with in-window matryoshka_knn; locally
 # verified), events_tumbling_window (swapped for its sliding twin),
 # tpch_q1 (swapped for q18; q1 remains the bench headline).
+#
+# Round 13: EIGHT more never-driver-checked entries promoted, again
+# favoring module diversity and hard oracles — hll_distinct +
+# cms_heavy_hitters (m6 sketches: HLL / count-min replayed in DuckDB),
+# tfidf_top_terms (m7 corpus analytics), event_funnel (event-sequence
+# analytics), semantic_dedup (m11 embedding-centroid dedup),
+# shard_packing (m8 output-layout packing), opq_adc_knn (m14 OPQ
+# rotation through the committed fixture — a hard serving oracle),
+# tpch_q6 (TPC-H pushdown breadth twin of the demoted-in-r12 q1).
+# Demoted, each with its covering twin: knn_filtered (J-family covered
+# by in-window knn_single/knn_batch + filter_project), union_distinct
+# (set family covered by result_overlap + anti_join), hash_split
+# (deterministic-hash sampling covered by source_mixing_sample),
+# ngram_decontamination (shingle machinery covered by
+# dedup_ngram_jaccard + contamination), tokenize_regex (tokenization
+# covered by doc_text_stats + string_pipeline), winnow_fingerprint
+# (fingerprint family covered by dedup_exact + dedup_simhash),
+# fp16_round_trip (quantization family covered by pq_encode_decode +
+# scalar_functions), frame_sampling (multimodal family covered by
+# multimodal_features). All eight demoted entries carry 10+ prior
+# driver passes and stay hash-verified every round in
+# CORRECTNESS_local.json.
 # ---------------------------------------------------------------------------
 
 _PROMOTED = [
@@ -87,6 +109,10 @@ _PROMOTED = [
     "asof_join", "bm25_search", "hybrid_rrf_search",
     "events_sliding_window", "tpch_q18", "mrr_metric",
     "incremental_dedup", "pca_matryoshka_knn",
+    # round 13
+    "hll_distinct", "cms_heavy_hitters", "tfidf_top_terms",
+    "event_funnel", "semantic_dedup", "shard_packing",
+    "opq_adc_knn", "tpch_q6",
 ]
 _DEMOTED = [
     # round 11
@@ -96,6 +122,10 @@ _DEMOTED = [
     "groupby_count", "cumulative_window", "doc_quality", "map_metric",
     "attention_pooling", "matryoshka_multiscale",
     "events_tumbling_window", "tpch_q1",
+    # round 13
+    "knn_filtered", "union_distinct", "hash_split",
+    "ngram_decontamination", "tokenize_regex", "winnow_fingerprint",
+    "fp16_round_trip", "frame_sampling",
 ]
 
 

@@ -14,19 +14,18 @@ update this list in the same commit and re-verify with
 from multimodal_vector_db_spark import queries as Q
 
 DRIVER_WINDOW = [
-    "knn_single", "knn_batch", "knn_filtered",
+    "knn_single", "knn_batch",
     "topk_per_group", "filter_project", "captions_join", "anti_join",
-    "union_distinct", "result_overlap",
+    "result_overlap",
     "doc_text_stats", "lang_id", "repetition_filter",
-    "hash_split", "ngram_decontamination", "source_mixing_sample",
+    "source_mixing_sample",
     "string_pipeline", "percentile_stats", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "near_dup_embedding", "metrics_eval", "contamination",
     "label_centroids", "matryoshka_knn",
-    "tokenize_regex", "winnow_fingerprint",
-    "fp16_round_trip", "pq_encode_decode", "pq_adc_knn", "mmr_rerank",
+    "pq_encode_decode", "pq_adc_knn", "mmr_rerank",
     "distance_transforms", "index_stats", "multimodal_features",
-    "frame_sampling", "sessionization",
+    "sessionization",
     "cross_modal_routed", "scalar_functions",
     "linear_projection",
     # round 11: the registry's two hardest oracles rotated INTO the
@@ -38,6 +37,12 @@ DRIVER_WINDOW = [
     "asof_join", "bm25_search", "hybrid_rrf_search",
     "events_sliding_window", "tpch_q18", "mrr_metric",
     "incremental_dedup", "pca_matryoshka_knn",
+    # round 13: eight more never-driver-checked entries (see the
+    # rotation policy in queries/__init__.py for each demoted entry's
+    # covering twin)
+    "hll_distinct", "cms_heavy_hitters", "tfidf_top_terms",
+    "event_funnel", "semantic_dedup", "shard_packing",
+    "opq_adc_knn", "tpch_q6",
 ]
 
 
