@@ -266,6 +266,12 @@ def simhash_from_token_hashes(hv: Column, bits: int = 16) -> Column:
     for every input (votes = 2·ones − n, so votes > 0 ⟺ 2·ones > n) —
     with ~3 expression nodes per element instead of 6 (measured −7% on
     the dedup_simhash pipeline, guide §1.2).
+
+    Precondition: ``hv`` must contain no null elements (``token_hash16``
+    never yields one). A null element would null the whole ones-count
+    and the bit falls to 0, where the old ±1 CASE fold counted it as a
+    −1 vote; guard with ``F.filter(hv, x.isNotNull())`` first if null
+    tolerance is ever needed.
     """
     assert bits <= 16
 

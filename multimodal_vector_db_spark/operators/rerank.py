@@ -25,7 +25,12 @@ Row = dict
 
 
 def _cosine(a: list[float], b: list[float]) -> float:
-    """reranker.py:135-138 — epsilon-guarded cosine."""
+    """reranker.py:135-138 — epsilon-guarded cosine.
+
+    Retained as the REFERENCE SPECIFICATION for :func:`_norm` /
+    :func:`_cosine_n` (the norm-cached split the greedy loop actually
+    calls): ``_cosine_n(a, _norm(a), b, _norm(b))`` must equal this
+    bit-for-bit — pinned by tests/test_rerank.py."""
     dot = sum(x * y for x, y in zip(a, b))
     na = math.sqrt(sum(x * x for x in a))
     nb = math.sqrt(sum(x * x for x in b))

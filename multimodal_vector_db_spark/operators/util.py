@@ -43,5 +43,13 @@ def materialize(df: DataFrame) -> DataFrame:
     signature/shingle table referenced by both sides of a bucket
     self-join would otherwise be computed twice — and at 100 TB you
     would materialize it to the warehouse anyway (this is the in-memory
-    analogue; storage spills to disk if it doesn't fit)."""
+    analogue; storage spills to disk if it doesn't fit).
+
+    Retention: each call checkpoints fresh RDD blocks; they are freed
+    by the ContextCleaner once the returned DataFrame is garbage
+    collected. A loop that re-invokes a materializing query (the bench
+    does, per sample) therefore holds at most the live iteration's
+    blocks plus whatever the cleaner hasn't swept yet — bounded in
+    practice (a 16-byte/doc signature table), but callers keeping many
+    returned frames alive hold their checkpoints alive too."""
     return df.localCheckpoint(eager=True)
