@@ -23,8 +23,8 @@ DRIVER_WINDOW = [
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "near_dup_embedding", "metrics_eval", "contamination",
     "label_centroids", "matryoshka_knn",
-    "pq_encode_decode", "pq_adc_knn", "mmr_rerank",
-    "distance_transforms", "index_stats", "multimodal_features",
+    "fp16_round_trip", "pq_encode_decode", "pq_adc_knn", "mmr_rerank",
+    "index_stats", "multimodal_features",
     "sessionization",
     "cross_modal_routed", "scalar_functions",
     "linear_projection",
