@@ -80,6 +80,9 @@ def main() -> None:
         "median": med,
         "spread": spread,
         "runs": [r["queries"] for r in runs],
+        # per-sample [gemm_probe_ms, sample_sec] pairs per query per
+        # run (round 13): the sample-level host anchor
+        "sample_probes_runs": [r.get("queries_probe_ms") for r in runs],
     }
     with open(os.path.join(REPO, "BENCH_repeat.json"), "w") as f:
         json.dump(summary, f, indent=2)
